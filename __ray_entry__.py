@@ -20,8 +20,15 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0.
+
+    Interleaved documents (doc_id, spans) → main-content extraction
+    (furniture strip + boilerplate strip + whitespace normalize + offset
+    renumber) as an actor-pool map_batches stage. Returns the lazy Dataset.
+    """
+    from docling_eval_ray.pipelines.flagship import flagship
+
+    return flagship("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

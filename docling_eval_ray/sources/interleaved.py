@@ -1,0 +1,124 @@
+"""Deterministic interleaved-document source.
+
+The engine's canonical input is a table of interleaved text+media documents
+``(doc_id: string, spans: list<struct<kind,text,media_ref,offset>>)``
+(BASELINE input_hint). At production scale this is a Lance/Parquet table
+read with ``ray.data.read_parquet`` — here we synthesize it
+deterministically (pure function of ``(doc_id, text)``, no RNG state) from
+the driver-provided flat ``documents.parquet``
+(``/root/testdata/sf*/documents.parquet``: doc_id, text, lang, source,
+n_chars), so tests and benchmarks need no external data.
+
+The synthesized documents intentionally contain page furniture
+(``page_header`` / ``page_footer``) and boilerplate navigation spans
+(high link-density text) interleaved with real content and media
+placeholders — exactly what the flagship main-content extraction stage
+must strip (reference semantics: content-layer + label-subset filtering,
+docling_eval/evaluators/markdown_text_evaluator.py:83-105, and span order
+from DoclingDocument.iterate_items()).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..datamodel.schema import SPAN_STRUCT
+
+
+def synth_spans_for_doc(doc_id: int, text: str) -> list[dict]:
+    """Pure, deterministic: (doc_id, text) -> ordered span dicts.
+
+    Layout per document:
+      page_header, title, then a mix of section_header / list_item /
+      picture+caption / nav-boilerplate / text paragraphs (chunk sizes and
+      kind choices are hash-like functions of (doc_id, paragraph index)),
+      closed by a page_footer. ``offset`` is 0..n-1 in document order.
+    """
+    words = text.split()
+    spans: list[dict] = []
+
+    def add(kind: str, txt: str, media: str = "") -> None:
+        spans.append(
+            {"kind": kind, "text": txt, "media_ref": media, "offset": len(spans)}
+        )
+
+    add("page_header", f"corpus-{doc_id % 7} · internal use only")
+    add("title", " ".join(words[:3]) if words else "untitled")
+
+    i = 3
+    para = 0
+    while i < len(words):
+        k = 4 + (doc_id + 3 * para) % 6  # 4..9 words per span
+        chunk = " ".join(words[i : i + k])
+        i += k
+        r = (doc_id * 31 + para * 7) % 10
+        if r == 0:
+            add("section_header", chunk)
+        elif r == 1:
+            add("list_item", chunk)
+        elif r == 2:
+            add("picture", "", f"pic/{doc_id}/{para}")
+            add("caption", chunk)
+        elif r == 3:
+            # navigation boilerplate: high link-density, must be stripped
+            nav = " | ".join(chunk.split()[:4])
+            add("text", f"home | {nav} | contact")
+        elif r == 4 and para % 2 == 0:
+            # whitespace-noisy paragraph: extraction must normalize it
+            add("text", "  " + chunk.replace(" ", "   ", 2) + " ")
+        else:
+            add("text", chunk)
+        para += 1
+
+    add("page_footer", f"page 1 of 1 — doc {doc_id}")
+    return spans
+
+
+def _synth_batch(batch: pa.Table) -> pa.Table:
+    """Vectorized-enough batch builder: flat child arrays + list offsets."""
+    doc_ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+
+    kinds: list[str] = []
+    span_texts: list[str] = []
+    media: list[str] = []
+    offs: list[int] = []
+    list_offsets = [0]
+    for did, txt in zip(doc_ids, texts):
+        for s in synth_spans_for_doc(int(did), txt):
+            kinds.append(s["kind"])
+            span_texts.append(s["text"])
+            media.append(s["media_ref"])
+            offs.append(s["offset"])
+        list_offsets.append(len(kinds))
+
+    struct = pa.StructArray.from_arrays(
+        [
+            pa.array(kinds, pa.string()),
+            pa.array(span_texts, pa.string()),
+            pa.array(media, pa.string()),
+            pa.array(offs, pa.int32()),
+        ],
+        fields=list(SPAN_STRUCT),
+    )
+    spans = pa.ListArray.from_arrays(pa.array(list_offsets, pa.int32()), struct)
+    return pa.table(
+        {
+            "doc_id": pa.array([f"doc-{int(d):06d}" for d in doc_ids], pa.string()),
+            "spans": spans,
+        }
+    )
+
+
+def read_interleaved_documents(sf_dir: str, **read_kwargs):
+    """Read the flat documents table and lift it to the canonical
+    interleaved schema ``(doc_id: string, spans: list<struct<...>>)``.
+
+    Column-pruned at the read (only ``doc_id``, ``text`` leave storage).
+    """
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"], **read_kwargs
+    )
+    return ds.map_batches(_synth_batch, batch_format="pyarrow")
