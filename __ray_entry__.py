@@ -38,7 +38,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
     returns a Dataset / pandas DataFrame / pyarrow Table. Name every
     computed/aggregate column so names match ``oracle_sql``.
     """
-    return {}
+    from docling_eval_ray.pipelines import relational as r
+
+    q: dict[str, Callable[[str], Any]] = {
+        # grouped aggregates / stats kernel (G1, G5, G9)
+        "q1_pricing_summary": r.q1_pricing_summary,
+        "documents_stats": r.documents_stats,
+        "n_chars_histogram": r.n_chars_histogram,
+        "lang_source_census": r.lang_source_census,
+        # sorts / limits / slices (O2-O4)
+        "top_revenue_orders": r.top_revenue_orders,
+        "documents_slice": r.documents_slice,
+        "top2_orders_per_customer": r.top2_orders_per_customer,
+        # joins (J1-J3)
+        "orders_by_segment": r.orders_by_segment,
+        "revenue_by_nation": r.revenue_by_nation,
+        # filters / set ops (M12/M13, §2.7)
+        "documents_blacklist_filter": r.documents_blacklist_filter,
+        "distinct_segments": r.distinct_segments,
+        "dedup_exact": r.dedup_exact,
+        # text functions (M9, M17, §2.8 + training-data ops)
+        "document_fingerprints": r.document_fingerprints,
+        "token_counts": r.token_counts,
+        "quality_scores": r.quality_scores,
+        # stream-shaped (§2.9)
+        "events_hourly": r.events_hourly,
+        "user_sessions": r.user_sessions,
+    }
+    # non-SQL-expressible pipelines (rows-only checks; fixture-tested in
+    # tests/): flagship extraction + span ops
+    from docling_eval_ray.pipelines.flagship import flagship
+    from docling_eval_ray.pipelines.spans_queries import (
+        markdown_export,
+        span_kind_census,
+    )
+
+    q["flagship_extraction"] = lambda sf_dir: flagship(sf_dir)
+    q["markdown_export"] = markdown_export
+    q["span_kind_census"] = span_kind_census
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
@@ -48,4 +86,6 @@ def oracle_sql() -> dict[str, str]:
     embeddings). Omit for non-SQL-expressible ops → driver records a
     weaker rows-only check.
     """
-    return {}
+    from docling_eval_ray.pipelines.oracle import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

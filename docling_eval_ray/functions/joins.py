@@ -1,0 +1,149 @@
+"""Distributed join strategies for Ray Data.
+
+The reference has no distributed joins — every join there is row-local or
+a small-dict probe (SURVEY.md §2.4). At scale two strategies cover the
+rebuild:
+
+* **broadcast join** — the small side (dimension table, blocklist, doc_id
+  → path map; reference J2/J3 analogues) is ``ray.put`` once and probed
+  inside ``map_batches``. No shuffle; the side ships to each actor once,
+  not per batch.
+* **bucketed hash join** — both sides large: add ``bucket =
+  hash(key) % B`` to each side, align schemas, union, group by bucket,
+  and merge the two sides pairwise inside ``map_groups``. One explicit
+  all-to-all keyed by the bucket; skewed keys can be diluted by raising
+  ``num_buckets``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_SIDE_COL = "__join_side"
+_BUCKET_COL = "__join_bucket"
+
+
+class BroadcastJoin:
+    """Actor-pool stage: enrich each batch with the broadcast small side.
+
+    Constructed with a ``ray.ObjectRef`` to a pandas DataFrame put once on
+    the driver; Ray resolves the ref in the actor constructor, so each
+    actor holds exactly one copy (never re-shipped per batch).
+    """
+
+    def __init__(self, small_df, on: str, how: str = "inner"):
+        import ray
+
+        if isinstance(small_df, ray.ObjectRef):
+            # resolved once per actor from the local object store — the
+            # broadcast: one copy per node, never re-shipped per batch
+            small_df = ray.get(small_df)
+        self._small = small_df.set_index(on)
+        self._on = on
+        self._how = how
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(
+            self._small, left_on=self._on, right_index=True, how=self._how
+        )
+
+
+def broadcast_join(ds, small_df: pd.DataFrame, on: str, *, how: str = "inner",
+                   concurrency: int = 2, batch_size: int = 65536):
+    """Join ``ds`` against a small in-memory side without a shuffle."""
+    import ray
+
+    ref = ray.put(small_df)
+    return ds.map_batches(
+        BroadcastJoin,
+        fn_constructor_args=(ref, on, how),
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def _pad_tag_bucket(side: str, on: str, out_schema: pa.Schema,
+                    num_buckets: int):
+    """Project a batch onto the aligned union schema (typed nulls for the
+    other side's columns), tag the side, and add the hash bucket."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = []
+        for field in out_schema:
+            if field.name == _SIDE_COL:
+                cols.append(pa.array([side] * n, pa.string()))
+            elif field.name == _BUCKET_COL:
+                key = batch[on].to_numpy(zero_copy_only=False)
+                b = pd.util.hash_array(np.ascontiguousarray(key)) % num_buckets
+                cols.append(pa.array(b.astype(np.int64), pa.int64()))
+            elif field.name in batch.column_names:
+                cols.append(batch[field.name].cast(field.type))
+            else:
+                cols.append(pa.nulls(n, field.type))
+        return pa.Table.from_arrays(cols, schema=out_schema)
+
+    return fn
+
+
+def hash_join(left_ds, right_ds, on: str, *, num_buckets: int = 32):
+    """Explicit partitioned hash join of two Datasets on one key.
+
+    Both sides are bucketed by ``hash(key) % num_buckets`` and merged
+    per-bucket inside ``map_groups`` — the portable Ray Data hash-join
+    pattern (exactly one shuffle, keyed on the bucket). ``num_buckets``
+    bounds per-group memory: size it so the larger side's
+    rows/num_buckets fits a worker heap; raise it to dilute hot keys.
+
+    Non-key column names must be disjoint between the two sides (rename
+    before joining); output dtypes are restored from the input schemas
+    (the union's typed nulls would otherwise decay int→float in pandas).
+    """
+    left_schema: pa.Schema = left_ds.schema().base_schema
+    right_schema: pa.Schema = right_ds.schema().base_schema
+    left_cols = left_schema.names
+    right_cols = right_schema.names
+    overlap = (set(left_cols) & set(right_cols)) - {on}
+    if overlap:
+        raise ValueError(f"non-key columns overlap: {sorted(overlap)}")
+
+    union_fields = [left_schema.field(c) for c in left_cols]
+    union_fields += [right_schema.field(c) for c in right_cols if c != on]
+    union_fields += [
+        pa.field(_SIDE_COL, pa.string()),
+        pa.field(_BUCKET_COL, pa.int64()),
+    ]
+    union_schema = pa.schema(union_fields)
+
+    out_fields = [left_schema.field(c) for c in left_cols]
+    out_fields += [right_schema.field(c) for c in right_cols if c != on]
+    out_schema = pa.schema(out_fields)
+    out_cols = out_schema.names
+
+    tagged = left_ds.map_batches(
+        _pad_tag_bucket("l", on, union_schema, num_buckets),
+        batch_format="pyarrow",
+    ).union(
+        right_ds.map_batches(
+            _pad_tag_bucket("r", on, union_schema, num_buckets),
+            batch_format="pyarrow",
+        )
+    )
+
+    right_keep = [on] + [c for c in right_cols if c != on]
+
+    def merge_bucket(g: pd.DataFrame) -> pa.Table:
+        left = g.loc[g[_SIDE_COL] == "l", left_cols]
+        right = g.loc[g[_SIDE_COL] == "r", right_keep]
+        out = left.merge(right, on=on, how="inner")
+        # restore exact dtypes (nulls from padding decay ints to floats)
+        return pa.Table.from_pandas(
+            out[out_cols], schema=out_schema, preserve_index=False
+        )
+
+    return tagged.groupby(_BUCKET_COL).map_groups(
+        merge_bucket, batch_format="pandas"
+    )

@@ -1,0 +1,130 @@
+"""DuckDB oracle SQL for every SQL-expressible query in ``relational``.
+
+Invariants shared with the Ray implementations (see relational.py header):
+identical column names, identical rounding of float aggregates, int64
+counts, window keys as ISO strings, exact integer timedelta comparisons.
+"""
+
+from __future__ import annotations
+
+from .relational import BLACKLISTED_DOC_IDS, SESSION_GAP_S
+
+ORACLE_SQL: dict[str, str] = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round_even(sum(l_quantity), 2)                                   AS sum_qty,
+               round_even(sum(l_extendedprice), 2)                              AS sum_base_price,
+               round_even(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+               round_even(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               count(*)                                                    AS count_order,
+               round_even(sum(l_quantity) / count(*), 4)                        AS avg_qty,
+               round_even(sum(l_extendedprice) / count(*), 4)                   AS avg_price,
+               round_even(sum(l_discount) / count(*), 4)                        AS avg_disc
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "top_revenue_orders": """
+        SELECT l_orderkey,
+               round_even(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        GROUP BY l_orderkey
+        ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, l_orderkey
+        LIMIT 10
+    """,
+    "documents_slice": """
+        SELECT doc_id, lang, n_chars
+        FROM documents
+        WHERE doc_id >= 100 AND doc_id < 200
+    """,
+    "orders_by_segment": """
+        SELECT c_mktsegment,
+               round_even(sum(o_totalprice), 2) AS sum_totalprice,
+               count(*)                    AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    "revenue_by_nation": """
+        SELECT n_name,
+               round_even(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey  = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "top2_orders_per_customer": """
+        SELECT o_custkey, o_orderkey, o_totalprice
+        FROM orders
+        QUALIFY row_number() OVER (
+            PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+        ) <= 2
+    """,
+    "documents_blacklist_filter": f"""
+        SELECT doc_id, lang, n_chars
+        FROM documents
+        WHERE doc_id NOT IN {BLACKLISTED_DOC_IDS!r}
+    """,
+    "distinct_segments": """
+        SELECT DISTINCT c_mktsegment FROM customer
+    """,
+    "documents_stats": """
+        SELECT count(*)                        AS n_docs,
+               round_even(avg(n_chars), 4)          AS mean_chars,
+               round_even(stddev_samp(n_chars), 4)  AS std_chars,
+               min(n_chars)                    AS min_chars,
+               max(n_chars)                    AS max_chars
+        FROM documents
+    """,
+    "n_chars_histogram": """
+        SELECT CAST(floor(n_chars / 50.0) AS BIGINT) AS bin,
+               count(*)                              AS n
+        FROM documents
+        GROUP BY 1
+    """,
+    "lang_source_census": """
+        SELECT lang, source, count(*) AS n
+        FROM documents
+        GROUP BY lang, source
+    """,
+    "document_fingerprints": """
+        SELECT doc_id, md5(text) AS fingerprint FROM documents
+    """,
+    "dedup_exact": """
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    """,
+    "token_counts": """
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    """,
+    "quality_scores": """
+        SELECT doc_id, n_chars,
+               round_even(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+                     / CAST(n_chars AS DOUBLE), 6) AS alpha_ratio
+        FROM documents
+    """,
+    "events_hourly": """
+        SELECT event_type,
+               strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+               count(*)               AS n_events,
+               round_even(sum(value), 2)   AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "user_sessions": f"""
+        SELECT user_id,
+               CAST(sum(CASE WHEN prev_ts IS NULL
+                              OR date_diff('microsecond', prev_ts, ts)
+                                 > {SESSION_GAP_S} * 1000000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+               count(*) AS n_events
+        FROM (
+            SELECT user_id, ts,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+            FROM events
+        ) t
+        GROUP BY user_id
+    """,
+}

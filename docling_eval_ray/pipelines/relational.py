@@ -1,0 +1,529 @@
+"""Oracled relational pipelines over the driver testdata tables.
+
+Each function here is a Ray-Data-first implementation of an operator
+family from SURVEY.md §2 (filters M12/M13, projections M14, aggregates
+G1-G11, sorts/limits O2-O4, joins J1-J3, dedup §2.7, windowing §2.9),
+expressed over the deterministic TPC-H-ish tables so DuckDB can run an
+equivalent ANSI-SQL oracle (``docling_eval_ray.pipelines.oracle``).
+
+Conventions shared with the oracles (the driver hash-compares values):
+  * every computed/aggregate column has the same name on both sides;
+  * float aggregates are rounded (ROUND(x, k)) on BOTH sides so
+    summation-order differences between Ray's distributed partial
+    aggregation and DuckDB's sequential scan cannot flip the hash;
+  * output dtypes are kept at int64/float64/string/timestamp to match
+    DuckDB's result types.
+
+Scale notes (the patterns, not the constants, are what matters at
+100 TB): aggregations pre-combine inside ``map_batches`` before the
+``groupby`` shuffle (one partial row per key per batch crosses the
+wire); dimension tables broadcast via ``ray.put``; the one genuinely
+large⋈large join uses the explicit bucketed hash join; reads are
+column-pruned and, where selective, row-filtered at the parquet scan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.joins import broadcast_join, hash_join
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _read(sf_dir: str, table: str, columns=None, **kw):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns, **kw)
+
+
+def _round_cols(t: pa.Table, cols: dict[str, int]) -> pa.Table:
+    # np.round (== C nearbyint scaling) bit-matches DuckDB's ROUND on
+    # doubles; pyarrow's pc.round does NOT (different scaling order), which
+    # breaks hash-equality with the SQL oracle — measured 11/868 mismatches.
+    for c, nd in cols.items():
+        vals = pc.cast(t[c], pa.float64()).to_numpy(zero_copy_only=False)
+        t = t.set_column(
+            t.column_names.index(c), c, pa.array(np.round(vals, nd), pa.float64())
+        )
+    return t
+
+
+def _partial_groupby(keys: list[str], sums: dict[str, str],
+                     count_as: str | None = None):
+    """Per-batch combiner: emits one row per key per batch (sum/count
+    partials), so only partials cross the groupby shuffle."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        aggs = [(src, "sum") for src in sums]
+        gb = pa.TableGroupBy(batch.select(keys + list(sums)), keys)
+        out = gb.aggregate(aggs)
+        renames = {f"{src}_sum": dst for src, dst in sums.items()}
+        if count_as is not None:
+            cnt = pa.TableGroupBy(batch.select(keys), keys).aggregate(
+                [([], "count_all")]
+            )
+            out = out.join(cnt, keys=keys)
+            renames["count_all"] = count_as
+        return out.rename_columns(
+            [renames.get(c, c) for c in out.column_names]
+        )
+
+    return fn
+
+
+def _final_groupby(ds, keys: list[str], cols: list[str]):
+    from ray.data.aggregate import Sum
+
+    return ds.groupby(keys).aggregate(
+        *[Sum(c, alias_name=c) for c in cols]
+    )
+
+
+# ---------------------------------------------------------------------------
+# G1/G5-style grouped aggregate with partial combine (TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(sf_dir: str):
+    """Grouped sums/averages over lineitem (reference stats kernel G1 +
+    grouped counters G9, at TPC-H Q1 shape). Partial-aggregates inside
+    map_batches; the shuffle moves one row per (flag,status) per batch."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+        ],
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        charge = pc.multiply(disc_price, pc.add(pa.scalar(1.0), t["l_tax"]))
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": t["l_quantity"],
+                "sum_base_price": t["l_extendedprice"],
+                "sum_disc": t["l_discount"],
+                "sum_disc_price": disc_price,
+                "sum_charge": charge,
+            }
+        )
+
+    keys = ["l_returnflag", "l_linestatus"]
+    sums = {c: c for c in
+            ["sum_qty", "sum_base_price", "sum_disc", "sum_disc_price",
+             "sum_charge"]}
+    partials = ds.map_batches(derive, batch_format="pyarrow").map_batches(
+        _partial_groupby(keys, sums, count_as="count_order"),
+        batch_format="pyarrow",
+    )
+    final = _final_groupby(partials, keys, list(sums) + ["count_order"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["count_order"], pa.float64())
+        t = t.append_column("avg_qty", pc.divide(t["sum_qty"], n))
+        t = t.append_column("avg_price", pc.divide(t["sum_base_price"], n))
+        t = t.append_column("avg_disc", pc.divide(t["sum_disc"], n))
+        t = t.drop_columns(["sum_disc"])
+        t = _round_cols(
+            t,
+            {
+                "sum_qty": 2,
+                "sum_base_price": 2,
+                "sum_disc_price": 2,
+                "sum_charge": 2,
+                "avg_qty": 4,
+                "avg_price": 4,
+                "avg_disc": 4,
+            },
+        )
+        return t.set_column(
+            t.column_names.index("count_order"),
+            "count_order",
+            pc.cast(t["count_order"], pa.int64()),
+        )
+
+    return final.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# sorts / top-k (O3/O4)
+# ---------------------------------------------------------------------------
+
+
+def top_revenue_orders(sf_dir: str):
+    """Top-10 orders by lineitem revenue: partial per-batch combine →
+    groupby sum → global sort → limit (O4 ranking analogue)."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        return pa.table({"l_orderkey": t["l_orderkey"], "revenue": rev})
+
+    partials = ds.map_batches(derive, batch_format="pyarrow").map_batches(
+        _partial_groupby(["l_orderkey"], {"revenue": "revenue"}),
+        batch_format="pyarrow",
+    )
+    final = _final_groupby(partials, ["l_orderkey"], ["revenue"])
+    top = final.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(10)
+    return top.map_batches(
+        lambda t: _round_cols(t, {"revenue": 2}), batch_format="pyarrow"
+    )
+
+
+def documents_slice(sf_dir: str):
+    """Index-range slice (reference begin/end_index O2,
+    dataset_builder.py:197-223) as a predicate pushed to the parquet scan."""
+    ds = _read(
+        sf_dir,
+        "documents",
+        columns=["doc_id", "lang", "n_chars"],
+        filter=(pc.field("doc_id") >= 100) & (pc.field("doc_id") < 200),
+    )
+    return ds
+
+
+# ---------------------------------------------------------------------------
+# joins (J1-J3 analogues)
+# ---------------------------------------------------------------------------
+
+
+def orders_by_segment(sf_dir: str):
+    """orders ⋈ customer (broadcast small side, J2/J3 pattern) →
+    grouped rollup."""
+    cust = (
+        _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+        .to_pandas()
+    )
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    joined = broadcast_join(
+        orders, cust.rename(columns={"c_custkey": "o_custkey"}), on="o_custkey"
+    )
+    partials = joined.map_batches(
+        _partial_groupby(
+            ["c_mktsegment"], {"o_totalprice": "sum_totalprice"},
+            count_as="n_orders"
+        ),
+        batch_format="pyarrow",
+    )
+    final = _final_groupby(
+        partials, ["c_mktsegment"], ["sum_totalprice", "n_orders"]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = _round_cols(t, {"sum_totalprice": 2})
+        return t.set_column(
+            t.column_names.index("n_orders"),
+            "n_orders",
+            pc.cast(t["n_orders"], pa.int64()),
+        )
+
+    return final.map_batches(finish, batch_format="pyarrow")
+
+
+def revenue_by_nation(sf_dir: str):
+    """lineitem ⋈ orders (bucketed hash join — the one large⋈large
+    exchange) → broadcast customer + nation → grouped revenue.
+
+    Mirrors the rebuild's only true shuffle join (GT⋈pred on doc_id,
+    SURVEY.md §2.4 J1) at relational shape.
+    """
+    line = _read(sf_dir, "lineitem",
+                 columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        return pa.table({"o_orderkey": t["l_orderkey"], "revenue": rev})
+
+    line_rev = line.map_batches(derive, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    joined = hash_join(line_rev, orders, on="o_orderkey", num_buckets=16)
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation",
+                   columns=["n_nationkey", "n_name"]).to_pandas()
+    small = cust.merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey"
+    )[["c_custkey", "n_name"]].rename(columns={"c_custkey": "o_custkey"})
+
+    enriched = broadcast_join(joined, small, on="o_custkey")
+    partials = enriched.map_batches(
+        _partial_groupby(["n_name"], {"revenue": "revenue"}),
+        batch_format="pyarrow",
+    )
+    final = _final_groupby(partials, ["n_name"], ["revenue"])
+    return final.map_batches(
+        lambda t: _round_cols(t, {"revenue": 2}), batch_format="pyarrow"
+    )
+
+
+def top2_orders_per_customer(sf_dir: str):
+    """Per-group top-k via groupby().map_groups (G11 grouping shape)."""
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        ).head(2)
+
+    return orders.groupby("o_custkey").map_groups(topk, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# filters / set ops (M12/M13, §2.7)
+# ---------------------------------------------------------------------------
+
+BLACKLISTED_DOC_IDS = (7, 11, 42, 137, 256)
+
+
+def documents_blacklist_filter(sf_dir: str):
+    """Anti-membership filter (reference doc-id blacklist M13,
+    doclaynet_v1_builder.py:42-68): broadcast literal set, vectorized
+    is_in inside map_batches."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    bl = pa.array(BLACKLISTED_DOC_IDS, pa.int64())
+
+    def fn(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(pc.is_in(t["doc_id"], value_set=bl)))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def distinct_segments(sf_dir: str):
+    """Distinct values of one column (§2.7 label-set analogue)."""
+    vals = _read(sf_dir, "customer", columns=["c_mktsegment"]).unique(
+        "c_mktsegment"
+    )
+    return pa.table({"c_mktsegment": pa.array(sorted(vals), pa.string())})
+
+
+# ---------------------------------------------------------------------------
+# stats kernel (G1) + histogram
+# ---------------------------------------------------------------------------
+
+
+def documents_stats(sf_dir: str):
+    """count/mean/std/min/max over a numeric column — the reference
+    ``compute_stats`` kernel (evaluators/stats.py:77-97) as Ray
+    aggregates. (Median/histogram: see ``n_chars_histogram`` and
+    stages.stats for the distributable forms.)"""
+    from ray.data.aggregate import Count, Max, Mean, Min, Std
+
+    ds = _read(sf_dir, "documents", columns=["n_chars"])
+    res = ds.aggregate(
+        Count(alias_name="n_docs"),
+        Mean("n_chars", alias_name="mean_chars"),
+        Std("n_chars", ddof=1, alias_name="std_chars"),
+        Min("n_chars", alias_name="min_chars"),
+        Max("n_chars", alias_name="max_chars"),
+    )
+    return pa.table(
+        {
+            "n_docs": pa.array([int(res["n_docs"])], pa.int64()),
+            "mean_chars": pa.array(
+                [float(np.round(res["mean_chars"], 4))], pa.float64()
+            ),
+            "std_chars": pa.array(
+                [float(np.round(res["std_chars"], 4))], pa.float64()
+            ),
+            "min_chars": pa.array([int(res["min_chars"])], pa.int64()),
+            "max_chars": pa.array([int(res["max_chars"])], pa.int64()),
+        }
+    )
+
+
+def n_chars_histogram(sf_dir: str):
+    """Fixed-bin histogram (G1's ``bins``/``hist``) as partial per-batch
+    bincount → groupby sum — the partial+final merge form that scales."""
+    ds = _read(sf_dir, "documents", columns=["n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        bins = pc.cast(
+            pc.floor(pc.divide(pc.cast(t["n_chars"], pa.float64()), 50.0)),
+            pa.int64(),
+        )
+        vc = pc.value_counts(bins)
+        return pa.table(
+            {"bin": vc.field("values"),
+             "n": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return _final_groupby(partials, ["bin"], ["n"])
+
+
+def lang_source_census(sf_dir: str):
+    """Grouped counts over two keys (label census G4 shape)."""
+    ds = _read(sf_dir, "documents", columns=["lang", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pa.TableGroupBy(t, ["lang", "source"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["lang", "source", "n"])
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return _final_groupby(partials, ["lang", "source"], ["n"])
+
+
+# ---------------------------------------------------------------------------
+# text functions over documents (fingerprint / tokens / quality)
+# ---------------------------------------------------------------------------
+
+
+def document_fingerprints(sf_dir: str):
+    """Deterministic per-doc fingerprint (md5 of text) — dedup key
+    analogue of the reference's sha256 doc hash (utils/utils.py:43-52)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        fps = [hashlib.md5(s.encode()).hexdigest()
+               for s in t["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": t["doc_id"], "fingerprint": pa.array(fps, pa.string())}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def dedup_exact(sf_dir: str):
+    """Exact dedup: fingerprint → hash-partitioned groupby → keep the
+    smallest doc_id per content group (§2.7; at corpus scale this is a
+    single shuffle keyed on the content hash)."""
+    from ray.data.aggregate import Min
+
+    with_fp = document_fingerprints(sf_dir)
+    kept = with_fp.groupby("fingerprint").aggregate(
+        Min("doc_id", alias_name="doc_id")
+    )
+    return kept.select_columns(["doc_id"])
+
+
+def token_counts(sf_dir: str):
+    """Whitespace tokenization count (text-analysis op; vectorized
+    regex count, no Python loop)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(t["text"])
+        n_tok = pc.add(
+            pc.count_substring_regex(trimmed, r"\s+"), pa.scalar(1)
+        )
+        return pa.table(
+            {"doc_id": t["doc_id"],
+             "n_tokens": pc.cast(n_tok, pa.int64())}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def quality_scores(sf_dir: str):
+    """Length/alpha-ratio quality scoring (text-quality op; vectorized)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        n_alpha = pc.count_substring_regex(t["text"], "[a-z]")
+        ratio = pc.divide(
+            pc.cast(n_alpha, pa.float64()),
+            pc.cast(t["n_chars"], pa.float64()),
+        )
+        out = pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": t["n_chars"],
+                "alpha_ratio": ratio,
+            }
+        )
+        return _round_cols(out, {"alpha_ratio": 6})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# events: windowed aggregate + sessionization (§2.9 streaming-shaped)
+# ---------------------------------------------------------------------------
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling 1-hour window per event_type: event-time floor inside
+    map_batches, then partial+final grouped aggregate."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        # window key as ISO string: hash-stable across Arrow/pandas/DuckDB
+        # timestamp unit differences (ns vs us)
+        b = b.assign(hour=b["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:%M:%S"))
+        g = (
+            b.groupby(["event_type", "hour"], as_index=False)
+            .agg(n_events=("value", "size"), sum_value=("value", "sum"))
+        )
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    final = _final_groupby(
+        partials, ["event_type", "hour"], ["n_events", "sum_value"]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = _round_cols(t, {"sum_value": 2})
+        return t.set_column(
+            t.column_names.index("n_events"),
+            "n_events",
+            pc.cast(t["n_events"], pa.int64()),
+        )
+
+    return final.map_batches(finish, batch_format="pyarrow")
+
+
+SESSION_GAP_S = 1800
+
+
+def user_sessions(sf_dir: str):
+    """Gap-based sessionization per user: partition by key, order by
+    event time inside the group (the ordered-log pattern for
+    stream-shaped data — ordering lives inside the group, never across
+    blocks)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def sess(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gaps = g["ts"].diff()
+        # integer timedelta comparison: exact, matches the SQL oracle's
+        # date_diff('microsecond', ...) with no float truncation ambiguity
+        n_sessions = int(
+            (gaps.isna() | (gaps > pd.Timedelta(seconds=SESSION_GAP_S))).sum()
+        )
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_sessions": np.array([n_sessions], dtype=np.int64),
+                "n_events": np.array([len(g)], dtype=np.int64),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(sess, batch_format="pandas")

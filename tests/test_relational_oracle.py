@@ -1,0 +1,77 @@
+"""Local replica of the driver's correctness gate: run every queries()
+entry at sf0.001 and compare against its DuckDB oracle —
+row count + schema (names) + order-insensitive value equality."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _entry_module():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "_ray_entry_under_test", "/root/repo/__ray_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+@pytest.fixture(scope="module")
+def entry_mod():
+    return _entry_module()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def _to_df(res) -> pd.DataFrame:
+    if isinstance(res, pd.DataFrame):
+        return res
+    if hasattr(res, "to_pandas"):
+        return res.to_pandas()
+    raise TypeError(type(res))
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    cols = sorted(df.columns)
+    out = df[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+    return out
+
+
+ORACLED = sorted(_entry_module().oracle_sql())
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_query_matches_oracle(name, entry_mod, duck):
+    q = entry_mod.queries()
+    sql = entry_mod.oracle_sql()[name]
+    got = _canon(_to_df(q[name](SF_DIR)))
+    want = _canon(duck.sql(sql).df())
+
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: columns {list(got.columns)} != {list(want.columns)}"
+    )
+    assert got.shape == want.shape, f"{name}: shape {got.shape} != {want.shape}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=True, check_exact=True)
+
+
+def test_rows_only_queries_run(entry_mod):
+    q = entry_mod.queries()
+    oracled = set(entry_mod.oracle_sql())
+    for name in set(q) - oracled:
+        df = _to_df(q[name](SF_DIR))
+        assert len(df) > 0, name
