@@ -65,6 +65,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": r.events_hourly,
         "user_sessions": r.user_sessions,
     }
+    # dedup family + similarity search (training-data ops)
+    from docling_eval_ray.stages.dedup import (
+        minhash_near_dups,
+        ngram_jaccard_pairs,
+        simhash_fingerprints,
+    )
+    from docling_eval_ray.stages.knn import (
+        embedding_knn,
+        embedding_knn_ivf,
+        embedding_near_dups,
+    )
+    from docling_eval_ray.stages.textstats import document_winnow, language_id
+
+    q.update(
+        {
+            "ngram_jaccard_pairs": ngram_jaccard_pairs,   # oracled, exact
+            "minhash_near_dups": minhash_near_dups,       # rows-only (LSH)
+            "simhash_fingerprints": simhash_fingerprints, # rows-only
+            "embedding_knn": embedding_knn,               # oracled
+            "embedding_near_dups": embedding_near_dups,   # oracled
+            "embedding_knn_ivf": embedding_knn_ivf,       # rows-only (ANN)
+            "language_id": language_id,                   # rows-only
+            "document_winnow": document_winnow,           # rows-only
+        }
+    )
     # non-SQL-expressible pipelines (rows-only checks; fixture-tested in
     # tests/): flagship extraction + span ops
     from docling_eval_ray.pipelines.flagship import flagship

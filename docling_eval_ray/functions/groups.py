@@ -1,0 +1,56 @@
+"""Bucketed grouped-apply: the high-cardinality groupby pattern.
+
+``Dataset.groupby(key).map_groups(fn)`` invokes ``fn`` once per GROUP —
+fine for thousands of groups, pathological for millions (per-call
+overhead dominates; measured 35 s for ~20k shingle groups that pandas
+processes in <1 s). For high-cardinality keys, hash the key into
+``num_buckets`` coarse buckets, shuffle once on the bucket, and run a
+VECTORIZED pandas computation over each bucket's full frame (which does
+its own ``df.groupby`` inside). Same distribution semantics — all rows
+of a key meet in one task — with per-bucket instead of per-key overhead.
+
+This is also the skew control: a hot key still lands in one bucket, but
+``num_buckets`` bounds how much of the corpus any single task holds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+BUCKET_COL = "__bucket"
+_PRIME = np.uint64(1000003)
+
+
+def add_hash_bucket(ds, keys: list[str], num_buckets: int,
+                    col: str = BUCKET_COL):
+    """Append ``hash(keys) % num_buckets`` as an int64 column."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        h = np.zeros(t.num_rows, np.uint64)
+        for k in keys:
+            vals = np.ascontiguousarray(
+                t[k].to_numpy(zero_copy_only=False)
+            )
+            h = h * _PRIME + pd.util.hash_array(vals)
+        return t.append_column(
+            col, pa.array((h % num_buckets).astype(np.int64), pa.int64())
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def bucketed_group_apply(ds, keys: list[str], bucket_fn, *,
+                         num_buckets: int = 64):
+    """Shuffle on ``hash(keys) % num_buckets`` and apply ``bucket_fn``
+    to each bucket's full pandas frame. ``bucket_fn`` must do its own
+    per-key ``groupby`` internally (vectorized)."""
+    bucketed = add_hash_bucket(ds, keys, num_buckets)
+
+    def run(g: pd.DataFrame):
+        return bucket_fn(g.drop(columns=[BUCKET_COL]))
+
+    return bucketed.groupby(BUCKET_COL).map_groups(
+        run, batch_format="pandas"
+    )

@@ -51,18 +51,21 @@ class BroadcastJoin:
 
 
 def broadcast_join(ds, small_df: pd.DataFrame, on: str, *, how: str = "inner",
-                   concurrency: int = 2, batch_size: int = 65536):
-    """Join ``ds`` against a small in-memory side without a shuffle."""
+                   concurrency=None, batch_size: int = 65536):
+    """Join ``ds`` against a small in-memory side without a shuffle.
+
+    Task mode by default (the ``ray.get`` per task hits the local object
+    store); pass ``concurrency`` for an actor pool when the probe-side
+    index is expensive to build.
+    """
     import ray
 
+    from ..stages.util import stage
+
     ref = ray.put(small_df)
-    return ds.map_batches(
-        BroadcastJoin,
-        fn_constructor_args=(ref, on, how),
-        batch_format="pandas",
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
+    return stage(ds, BroadcastJoin, args=(ref, on, how),
+                 batch_format="pandas", batch_size=batch_size,
+                 concurrency=concurrency)
 
 
 def _pad_tag_bucket(side: str, on: str, out_schema: pa.Schema,

@@ -7,9 +7,56 @@ counts, window keys as ISO strings, exact integer timedelta comparisons.
 
 from __future__ import annotations
 
+from ..stages.knn import KNN_K, KNN_QUERY, NEAR_DUP_THRESHOLD
 from .relational import BLACKLISTED_DOC_IDS, SESSION_GAP_S
 
 ORACLE_SQL: dict[str, str] = {
+    # --- dedup / similarity (training-data ops) ---
+    "ngram_jaccard_pairs": """
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   CASE WHEN len(w) < 3 THEN array_to_string(w, ' ')
+                        ELSE w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] END AS s
+            FROM toks,
+                 UNNEST(range(CASE WHEN len(w) < 3 THEN 1
+                                   ELSE len(w) - 2 END)) AS t(i)
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT ia AS doc_id_a, ib AS doc_id_b,
+               round_even(CAST(c AS DOUBLE) / (na.n + nb.n - c), 6) AS jaccard
+        FROM inter
+        JOIN sizes na ON na.doc_id = ia
+        JOIN sizes nb ON nb.doc_id = ib
+        WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.1
+    """,
+    "embedding_knn": f"""
+        SELECT vec_id,
+               round_even(list_cosine_similarity(
+                   CAST(embedding AS DOUBLE[]), {KNN_QUERY!r}), 6) AS sim
+        FROM embeddings
+        ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                        {KNN_QUERY!r}) DESC, vec_id
+        LIMIT {KNN_K}
+    """,
+    "embedding_near_dups": f"""
+        SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+               round_even(list_cosine_similarity(
+                   CAST(a.embedding AS DOUBLE[]),
+                   CAST(b.embedding AS DOUBLE[])), 6) AS sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[]))
+              >= {NEAR_DUP_THRESHOLD}
+    """,
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                round_even(sum(l_quantity), 2)                                   AS sum_qty,

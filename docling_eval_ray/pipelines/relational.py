@@ -281,16 +281,23 @@ def revenue_by_nation(sf_dir: str):
 
 
 def top2_orders_per_customer(sf_dir: str):
-    """Per-group top-k via groupby().map_groups (G11 grouping shape)."""
+    """Per-group top-k (G11 grouping shape). High key cardinality →
+    bucketed grouped-apply (one shuffle on the key hash, vectorized
+    per-bucket pandas) instead of per-key map_groups."""
+    from ..functions.groups import bucketed_group_apply
+
     orders = _read(sf_dir, "orders",
                    columns=["o_custkey", "o_orderkey", "o_totalprice"])
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(
-            ["o_totalprice", "o_orderkey"], ascending=[False, True]
-        ).head(2)
+    def topk_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return g.groupby("o_custkey", sort=False).head(2)
 
-    return orders.groupby("o_custkey").map_groups(topk, batch_format="pandas")
+    return bucketed_group_apply(orders, ["o_custkey"], topk_bucket)
 
 
 # ---------------------------------------------------------------------------
@@ -508,22 +515,27 @@ def user_sessions(sf_dir: str):
     event time inside the group (the ordered-log pattern for
     stream-shaped data — ordering lives inside the group, never across
     blocks)."""
+    from ..functions.groups import bucketed_group_apply
+
     ds = _read(sf_dir, "events", columns=["user_id", "ts"])
 
-    def sess(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        gaps = g["ts"].diff()
+    def sess_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        new_user = np.concatenate([[True], uid[1:] != uid[:-1]])
         # integer timedelta comparison: exact, matches the SQL oracle's
         # date_diff('microsecond', ...) with no float truncation ambiguity
-        n_sessions = int(
-            (gaps.isna() | (gaps > pd.Timedelta(seconds=SESSION_GAP_S))).sum()
+        gap_break = (
+            g["ts"].diff() > pd.Timedelta(seconds=SESSION_GAP_S)
+        ).to_numpy()
+        new_s = (new_user | gap_break).astype(np.int64)
+        out = (
+            pd.DataFrame({"user_id": uid, "s": new_s})
+            .groupby("user_id", as_index=False, sort=False)
+            .agg(n_sessions=("s", "sum"), n_events=("s", "size"))
         )
-        return pd.DataFrame(
-            {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_sessions": np.array([n_sessions], dtype=np.int64),
-                "n_events": np.array([len(g)], dtype=np.int64),
-            }
+        return out.astype(
+            {"user_id": np.int64, "n_sessions": np.int64, "n_events": np.int64}
         )
 
-    return ds.groupby("user_id").map_groups(sess, batch_format="pandas")
+    return bucketed_group_apply(ds, ["user_id"], sess_bucket)

@@ -1,0 +1,338 @@
+"""Deduplication stages: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+The reference has no document dedup (SURVEY.md §2.7) — its sha256
+``doc_hash`` (utils/utils.py:43-52) is the natural exact key. This module
+adds the near-dup family a training-data pipeline needs, each expressed
+as Ray Data stages:
+
+* exact dedup        — content hash → one shuffle → keep-first
+                       (``relational.dedup_exact``)
+* n-gram Jaccard     — EXACT similarity via distributed inverted index:
+                       explode (shingle, doc) → groupby(shingle) → emit
+                       co-occurrence pairs → groupby(pair) count →
+                       Jaccard. One shuffle keyed on shingle, one on the
+                       pair. Hot shingles are the skew knob: at corpus
+                       scale drop shingles with document frequency >
+                       ``max_df`` (here exact, for the DuckDB oracle).
+* MinHash + LSH      — probabilistic candidates: per-doc k-perm minhash
+                       signature → band → groupby(band_id, band_hash) →
+                       candidate pairs → exact-Jaccard verification.
+* SimHash            — 64-bit near-dup fingerprint per document.
+
+All per-batch kernels operate on numpy arrays of shingle hashes; the
+only Python-per-row work is string shingling itself.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _shingles(text: str, k: int = 3) -> set[str]:
+    toks = text.split()
+    if len(toks) < k:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def _hash64(s: str) -> int:
+    return int.from_bytes(
+        hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard via inverted index (oracled)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(sf_dir: str, *, k: int = 3, threshold: float = 0.1):
+    """All document pairs with k-word-shingle Jaccard ≥ threshold.
+
+    Distributed shape: shingle explode (map_batches) → groupby(shingle)
+    emits co-occurring pairs → groupby(pair) sums intersections →
+    row-local Jaccard from carried set sizes. Exact (no sampling), so it
+    hash-matches the SQL oracle; at 100 TB you bound the hot-shingle
+    groups with a document-frequency cap and salt the pair groupby.
+    """
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        doc_ids, shingles, sizes = [], [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            sh = _shingles(text.strip(), k)
+            for s in sh:
+                doc_ids.append(did)
+                shingles.append(s)
+                sizes.append(len(sh))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "shingle": pa.array(shingles, pa.string()),
+                "n_sh": pa.array(sizes, pa.int64()),
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+
+    # shingle cardinality is high (~#docs × #shingles/doc distinct keys):
+    # a per-key map_groups would pay Ray overhead per shingle. Bucket the
+    # shingles and emit all of a bucket's co-occurrence pairs in one
+    # vectorized pass (functions.groups rationale).
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["shingle", "doc_id"], kind="mergesort")
+        codes, _ = pd.factorize(g["shingle"], sort=False)
+        ids = g["doc_id"].to_numpy()
+        ns = g["n_sh"].to_numpy()
+        counts = np.bincount(codes)
+        starts = np.concatenate([[0], np.cumsum(counts)])
+        A, B, NA, NB = [], [], [], []
+        for gi in np.nonzero(counts >= 2)[0]:
+            s, e = starts[gi], starts[gi + 1]
+            ia, ib = np.triu_indices(e - s, k=1)
+            A.append(ids[s:e][ia])
+            B.append(ids[s:e][ib])
+            NA.append(ns[s:e][ia])
+            NB.append(ns[s:e][ib])
+        if not A:
+            z = np.array([], dtype=np.int64)
+            return pd.DataFrame(
+                {"doc_id_a": z, "doc_id_b": z, "na": z, "nb": z, "c": z}
+            )
+        a = np.concatenate(A)
+        return pd.DataFrame(
+            {
+                "doc_id_a": a,
+                "doc_id_b": np.concatenate(B),
+                "na": np.concatenate(NA),
+                "nb": np.concatenate(NB),
+                "c": np.ones(len(a), dtype=np.int64),
+            }
+        )
+
+    from ..functions.groups import bucketed_group_apply
+
+    co = bucketed_group_apply(exploded, ["shingle"], bucket_pairs)
+
+    # second shuffle keyed on the pair: sum intersections + Jaccard,
+    # vectorized per bucket (Ray's native multi-key aggregate was 15×
+    # slower here — one 33 s sort-reduce task for ~12k pairs)
+    def agg_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(
+            ["doc_id_a", "doc_id_b"], as_index=False, sort=False
+        ).agg(c=("c", "sum"), na=("na", "first"), nb=("nb", "first"))
+        j = out["c"].to_numpy(np.float64) / (
+            out["na"].to_numpy(np.float64)
+            + out["nb"].to_numpy(np.float64)
+            - out["c"].to_numpy(np.float64)
+        )
+        keep = j >= threshold
+        return pd.DataFrame(
+            {
+                "doc_id_a": out["doc_id_a"].to_numpy()[keep],
+                "doc_id_b": out["doc_id_b"].to_numpy()[keep],
+                "jaccard": np.round(j[keep], 6),
+            }
+        )
+
+    return bucketed_group_apply(co, ["doc_id_a", "doc_id_b"], agg_bucket)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (probabilistic candidates, exact verify)
+# ---------------------------------------------------------------------------
+
+
+class MinHasher:
+    """Actor-pool stage: per-document minhash signature + LSH band rows.
+
+    Permutation parameters are derived deterministically from a seed in
+    ``__init__`` (once per actor); ``__call__`` emits one row per
+    (band_id, band_hash, doc_id).
+    """
+
+    def __init__(self, num_perm: int = 128, bands: int = 32, k: int = 3,
+                 seed: int = 42):
+        rng = np.random.default_rng(seed)
+        self._a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self._b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self._bands = bands
+        self._rows = num_perm // bands
+        self._k = k
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingles(text.strip(), self._k)
+        if not sh:
+            return np.zeros(len(self._a), dtype=np.uint64)
+        x = np.array([_hash64(s) for s in sh], dtype=np.uint64)
+        # h_i(x) = (a_i * x + b_i) mod p, vectorized over (perm, shingle)
+        prod = (self._a[:, None] * x[None, :] + self._b[:, None]) % _MERSENNE
+        return prod.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids, band_ids, band_hashes = [], [], []
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            sig = self.signature(text)
+            for b in range(self._bands):
+                chunk = sig[b * self._rows : (b + 1) * self._rows]
+                bh = _hash64(chunk.tobytes().hex())
+                doc_ids.append(did)
+                band_ids.append(b)
+                band_hashes.append(bh)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "band_id": pa.array(band_ids, pa.int32()),
+                "band_hash": pa.array(band_hashes, pa.uint64()),
+            }
+        )
+
+
+def minhash_candidates(ds, *, num_perm: int = 128, bands: int = 32,
+                       k: int = 3, concurrency=None):
+    """documents Dataset → distinct candidate pairs from LSH banding.
+
+    ``concurrency=None`` → stateless-task mode (see stages.util.stage);
+    pass a pool size when signatures amortize over many batches.
+    """
+    from .util import stage
+
+    banded = stage(
+        ds, MinHasher,
+        kwargs=dict(num_perm=num_perm, bands=bands, k=k),
+        concurrency=concurrency,
+    )
+
+    from ..functions.groups import bucketed_group_apply
+
+    # one bucket group holds MANY (band_id, band_hash) buckets; emit all
+    # of its collision pairs vectorized (per-key map_groups would pay Ray
+    # overhead per band bucket ≈ bands × n_docs times)
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["band_id", "band_hash", "doc_id"], kind="mergesort")
+        key = g["band_id"].to_numpy().astype(np.uint64) * np.uint64(
+            0x9E3779B97F4A7C15
+        ) + g["band_hash"].to_numpy().astype(np.uint64)
+        change = np.concatenate([[True], key[1:] != key[:-1]])
+        codes = np.cumsum(change) - 1
+        ids = g["doc_id"].to_numpy()
+        counts = np.bincount(codes)
+        starts = np.concatenate([[0], np.cumsum(counts)])
+        A, B = [], []
+        for gi in np.nonzero(counts >= 2)[0]:
+            s, e = starts[gi], starts[gi + 1]
+            members = np.unique(ids[s:e])
+            if len(members) < 2:
+                continue
+            ia, ib = np.triu_indices(len(members), k=1)
+            A.append(members[ia])
+            B.append(members[ib])
+        if not A:
+            z = np.array([], dtype=np.int64)
+            return pd.DataFrame({"doc_id_a": z, "doc_id_b": z})
+        return pd.DataFrame(
+            {"doc_id_a": np.concatenate(A), "doc_id_b": np.concatenate(B)}
+        )
+
+    pairs = bucketed_group_apply(
+        banded, ["band_id", "band_hash"], emit_pairs
+    )
+    # distinct pairs (same pair can collide in several bands)
+    return bucketed_group_apply(
+        pairs,
+        ["doc_id_a", "doc_id_b"],
+        lambda g: g.drop_duplicates(["doc_id_a", "doc_id_b"]),
+    )
+
+
+class JaccardVerifier:
+    """Exact-Jaccard verification of candidate pairs against a broadcast
+    doc_id → shingle-set index (fine while the corpus slice fits the
+    object store; at full scale verify via a signature hash-join
+    instead)."""
+
+    def __init__(self, shingle_index_ref, threshold: float):
+        import ray
+
+        self._index = ray.get(shingle_index_ref)
+        self._t = threshold
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch["doc_id_a"].to_numpy()
+        b = batch["doc_id_b"].to_numpy()
+        js = np.empty(len(a), dtype=np.float64)
+        for i in range(len(a)):
+            sa, sb = self._index[a[i]], self._index[b[i]]
+            inter = len(sa & sb)
+            js[i] = inter / (len(sa) + len(sb) - inter) if sa or sb else 0.0
+        out = batch.assign(jaccard=np.round(js, 6))
+        return out[out["jaccard"] >= self._t]
+
+
+def minhash_near_dups(sf_dir: str, *, threshold: float = 0.5):
+    """MinHash-LSH near-dup pairs (candidates) with exact verification."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    cands = minhash_candidates(ds)
+
+    docs = ds.to_pandas()
+    index = {
+        int(r.doc_id): _shingles(r.text.strip()) for r in docs.itertuples()
+    }
+    ref = ray.put(index)
+    from .util import stage
+
+    return stage(cands, JaccardVerifier, args=(ref, threshold),
+                 batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens (public Charikar scheme)."""
+    toks = text.split()
+    if not toks:
+        return 0
+    hashes = np.array([_hash64(t) for t in toks], dtype=np.uint64)
+    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
+    counts = bits.sum(axis=0)
+    out = (counts * 2 > len(toks)).astype(np.uint64)
+    return int((out << np.arange(64, dtype=np.uint64)).sum())
+
+
+def simhash_fingerprints(sf_dir: str):
+    """Per-document 64-bit SimHash (hex string column)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        hs = [f"{simhash64(s):016x}" for s in t["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": t["doc_id"], "simhash": pa.array(hs, pa.string())}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")

@@ -1,0 +1,52 @@
+"""Similarity search: brute-force exactness and IVF recall."""
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from docling_eval_ray.stages.knn import (
+    KNN_QUERY,
+    embedding_knn,
+    embedding_knn_ivf,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _brute_force_topk(k=10):
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    q = np.asarray(KNN_QUERY, np.float64)
+    q = q / np.linalg.norm(q)
+    sim = m @ q
+    order = np.lexsort((ids, -sim))[:k]
+    return ids[order], sim[order]
+
+
+def test_embedding_knn_matches_brute_force(ray_session):
+    got = embedding_knn(SF_DIR).to_pandas()
+    ids, sims = _brute_force_topk()
+    assert got["vec_id"].tolist() == ids.tolist()
+    np.testing.assert_allclose(got["sim"].to_numpy(), np.round(sims, 6))
+
+
+def test_ivf_recall(ray_session):
+    """IVF with label-cells + nprobe=3 must reach decent recall vs the
+    exact per-vector neighbors (approximate by construction)."""
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    np.fill_diagonal(sims, -np.inf)
+    exact = {
+        int(ids[i]): set(ids[np.argsort(-sims[i])[:10]].tolist())
+        for i in range(len(ids))
+    }
+    got = embedding_knn_ivf(SF_DIR).to_pandas()
+    by_q = got.groupby("vec_id")["neighbor_id"].apply(set)
+    recalls = [
+        len(by_q.get(q, set()) & exact[q]) / 10 for q in exact
+    ]
+    assert float(np.mean(recalls)) > 0.45  # 3/10 cells probed, random data
