@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "document_fingerprints": r.document_fingerprints,
         "token_counts": r.token_counts,
         "quality_scores": r.quality_scores,
+        "text_edit_distance": r.text_edit_distance,
         # stream-shaped (§2.9)
         "events_hourly": r.events_hourly,
         "user_sessions": r.user_sessions,
@@ -88,6 +89,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "embedding_knn_ivf": embedding_knn_ivf,       # rows-only (ANN)
             "language_id": language_id,                   # rows-only
             "document_winnow": document_winnow,           # rows-only
+        }
+    )
+    # evaluator pipelines (M20/G1-G9: per-doc metrics over synthesized
+    # gt/pred pairs; non-SQL except the status counters)
+    from docling_eval_ray.pipelines.evaluate import (
+        evaluate_layout,
+        evaluate_markdown,
+        evaluate_ocr,
+        evaluate_reading_order,
+        evaluate_tables,
+        evaluation_summary,
+        rejection_counts,
+    )
+
+    q.update(
+        {
+            "evaluate_markdown": evaluate_markdown,
+            "evaluate_ocr": evaluate_ocr,
+            "evaluate_reading_order": evaluate_reading_order,
+            "evaluate_layout": evaluate_layout,
+            "evaluate_tables": evaluate_tables,
+            "evaluation_summary": evaluation_summary,
+            "rejection_counts": rejection_counts,         # oracled
         }
     )
     # non-SQL-expressible pipelines (rows-only checks; fixture-tested in

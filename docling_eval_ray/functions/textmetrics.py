@@ -1,0 +1,127 @@
+"""Per-document text metric kernels (pure functions).
+
+Reference semantics (markdown_text_evaluator.py:203-239,
+ocr_evaluator.py:145-162): token-set F1/precision/recall, normalized
+token edit distance, BLEU (4-gram, brevity penalty), char error rate.
+All are plain Python/numpy — they run inside ``map_batches`` over the
+(gt_text, pred_text) pairs of a batch.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+_TOKEN_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)
+
+
+def tokenize(text: str) -> list[str]:
+    """Word/punctuation tokenizer (stand-in for nltk.word_tokenize /
+    BLEU tokenizer_13a: splits words and punctuation marks)."""
+    return _TOKEN_RE.findall(text)
+
+
+def edit_distance(a: list, b: list) -> int:
+    """Levenshtein over token (or char) sequences, O(len·len) DP."""
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    prev = list(range(len(b) + 1))
+    for i, xa in enumerate(a, 1):
+        cur = [i]
+        for j, xb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (xa != xb)))
+        prev = cur
+    return prev[-1]
+
+
+def set_prf(true_tokens: list[str], pred_tokens: list[str]) -> dict:
+    """Token-SET precision/recall/F1 (reference uses nltk f_measure over
+    sets, markdown_text_evaluator.py:218-226)."""
+    ts, ps = set(true_tokens), set(pred_tokens)
+    if not ts and not ps:
+        return {"precision": 1.0, "recall": 1.0, "f1": 1.0}
+    inter = len(ts & ps)
+    p = inter / len(ps) if ps else 0.0
+    r = inter / len(ts) if ts else 0.0
+    f = 2 * p * r / (p + r) if (p + r) else 0.0
+    return {"precision": p, "recall": r, "f1": f}
+
+
+def bleu(reference: list[str], hypothesis: list[str],
+         max_n: int = 4) -> float:
+    """Corpus-of-one BLEU with uniform 4-gram weights and brevity
+    penalty (the standard Papineni et al. 2002 definition used by the
+    reference's HF `evaluate` metric)."""
+    if not hypothesis or not reference:
+        return 0.0
+    # auto-reweigh: cap the order at the sequence length so short
+    # sentences aren't zeroed by missing high-order n-grams
+    max_n = min(max_n, len(hypothesis), len(reference))
+    log_sum = 0.0
+    for n in range(1, max_n + 1):
+        h_ngrams = Counter(
+            tuple(hypothesis[i : i + n])
+            for i in range(len(hypothesis) - n + 1)
+        )
+        r_ngrams = Counter(
+            tuple(reference[i : i + n]) for i in range(len(reference) - n + 1)
+        )
+        overlap = sum(min(c, r_ngrams[g]) for g, c in h_ngrams.items())
+        total = max(1, sum(h_ngrams.values()))
+        if overlap == 0:
+            return 0.0
+        log_sum += math.log(overlap / total) / max_n
+    bp = (
+        1.0
+        if len(hypothesis) >= len(reference)
+        else math.exp(1 - len(reference) / len(hypothesis))
+    )
+    return bp * math.exp(log_sum)
+
+
+def text_metrics(true_txt: str, pred_txt: str) -> dict:
+    """The reference's per-doc markdown metric bundle
+    (markdown_text_evaluator.py:203-239): bleu, f1, precision, recall,
+    normalized token edit distance."""
+    tt, pt = tokenize(true_txt), tokenize(pred_txt)
+    out = set_prf(tt, pt)
+    denom = max(len(tt), len(pt))
+    out["edit_distance"] = edit_distance(pt, tt) / denom if denom else 0.0
+    out["bleu"] = bleu(tt, pt)
+    return out
+
+
+def cer(true_txt: str, pred_txt: str) -> float:
+    """Character error rate = char edit distance / len(reference)
+    (reference uses HF evaluate's jiwer CER, ocr_evaluator.py:145-148;
+    missing text → 1.0 per ocr_evaluator.py:108-113)."""
+    if not true_txt or not pred_txt:
+        return 1.0
+    return min(1.0, edit_distance(list(pred_txt), list(true_txt))
+               / len(true_txt))
+
+
+def ard_norm(pred_order: list[int], weights: list[float] | None = None
+             ) -> tuple[float, float]:
+    """Normalized Average Relative Distance of a predicted reading order
+    (exact reference formula, readingorder_evaluator.py:229-271):
+    ARD_norm = 1 − Σ|pred_k − k| / n²; weighted variant uses bbox-area
+    weights."""
+    n = len(pred_order)
+    if n == 0:
+        return 0.0, 0.0
+    ard = 0.0
+    w_ard = 0.0
+    for true_ro, pred_ro in enumerate(pred_order):
+        dist = abs(true_ro - pred_ro)
+        ard += dist
+        if weights is not None:
+            w_ard += dist * weights[true_ro]
+    n_sq = n * n
+    return 1 - ard / n_sq, 1 - w_ard / n_sq

@@ -1,0 +1,352 @@
+"""Evaluator pipelines — the Ray rebuild of the reference's `evaluate`
+lifecycle (cli/main.py:406-531): read eval records → status filter →
+per-row metric map_batches → stats aggregate.
+
+Ground-truth/prediction pairs are synthesized deterministically from the
+flagship extraction output (the F2 fixture shape): per ``doc_id % 10``
+the prediction is mutated in a controlled way so every metric has known
+expected behavior —
+
+    0 → drop one middle span          (recall loss)
+    1 → swap two adjacent spans       (reading-order error)
+    2 → edit one span's text          (text/CER error)
+    3 → prediction missing            (status=failure: filtered + counted,
+                                       reference base_evaluator.py:95-98)
+    else → identical                  (metric == perfect)
+
+Per-row failures stay rows with a ``status`` column (skip-and-count,
+base_prediction_provider.py:366-376); the evaluators filter and count
+them exactly like the reference's rejection counters (G9).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.spans import spans_to_markdown
+from ..functions.textmetrics import ard_norm, cer, text_metrics
+from .flagship import flagship
+
+# ---------------------------------------------------------------------------
+# fixture synthesis (F2): gt_spans + pred_spans + status
+# ---------------------------------------------------------------------------
+
+
+def _mutate(spans: list[dict], mode: int) -> list[dict]:
+    out = [dict(s) for s in spans]
+    if mode == 0 and len(out) > 2:
+        del out[len(out) // 2]
+    elif mode == 1 and len(out) > 2:
+        i = len(out) // 3
+        out[i], out[i + 1] = out[i + 1], out[i]
+    elif mode == 2 and out:
+        i = len(out) // 2
+        out[i] = {**out[i], "text": out[i]["text"] + " xq"}
+    for k, s in enumerate(out):
+        s["offset"] = k
+    return out
+
+
+def eval_records(sf_dir: str):
+    """documents → (doc_id, gt_spans, pred_spans, status) eval table."""
+    gt = flagship(sf_dir)
+
+    def derive(t: pa.Table) -> pa.Table:
+        rows = t.to_pylist()
+        out = []
+        for r in rows:
+            doc_num = int(r["doc_id"].split("-")[1])
+            mode = doc_num % 10
+            if mode == 3:
+                out.append(
+                    {
+                        "doc_id": r["doc_id"],
+                        "gt_spans": r["spans"],
+                        "pred_spans": [],
+                        "status": "failure",
+                    }
+                )
+            else:
+                out.append(
+                    {
+                        "doc_id": r["doc_id"],
+                        "gt_spans": r["spans"],
+                        "pred_spans": _mutate(r["spans"], mode),
+                        "status": "success",
+                    }
+                )
+        return pa.Table.from_pylist(out)
+
+    return gt.map_batches(derive, batch_format="pyarrow")
+
+
+def _md(t: pa.Table, col: str) -> list[str]:
+    tmp = pa.table({"doc_id": t["doc_id"], "spans": t[col]})
+    return spans_to_markdown(tmp)["markdown"].to_pylist()
+
+
+def _status_filter(t: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    return t.filter(pc.equal(t["status"], "success"))
+
+
+# ---------------------------------------------------------------------------
+# evaluators (per-doc metric map_batches; M20 family)
+# ---------------------------------------------------------------------------
+
+
+def evaluate_markdown(sf_dir: str):
+    """Markdown text metrics per doc (markdown_text_evaluator analogue):
+    bleu / f1 / precision / recall / edit_distance over the span→markdown
+    projection."""
+    ds = eval_records(sf_dir)
+
+    def metric(t: pa.Table) -> pa.Table:
+        t = _status_filter(t)
+        gts = _md(t, "gt_spans")
+        preds = _md(t, "pred_spans")
+        rows = []
+        for did, g, p in zip(t["doc_id"].to_pylist(), gts, preds):
+            m = text_metrics(g, p)
+            rows.append(
+                {
+                    "doc_id": did,
+                    "bleu": round(m["bleu"], 6),
+                    "f1": round(m["f1"], 6),
+                    "precision": round(m["precision"], 6),
+                    "recall": round(m["recall"], 6),
+                    "edit_distance": round(m["edit_distance"], 6),
+                }
+            )
+        return pa.Table.from_pylist(rows)
+
+    return ds.map_batches(metric, batch_format="pyarrow")
+
+
+def evaluate_ocr(sf_dir: str):
+    """Character error rate per doc (ocr_evaluator analogue); missing
+    prediction text → CER 1.0."""
+    ds = eval_records(sf_dir)
+
+    def metric(t: pa.Table) -> pa.Table:
+        t = _status_filter(t)
+        gts = _md(t, "gt_spans")
+        preds = _md(t, "pred_spans")
+        rows = []
+        for did, g, p in zip(t["doc_id"].to_pylist(), gts, preds):
+            c = cer(g, p)
+            rows.append(
+                {
+                    "doc_id": did,
+                    "cer": round(c, 6),
+                    "char_accuracy": round(1.0 - c, 6),
+                }
+            )
+        return pa.Table.from_pylist(rows)
+
+    return ds.map_batches(metric, batch_format="pyarrow")
+
+
+def evaluate_reading_order(sf_dir: str):
+    """ARD_norm per doc (readingorder_evaluator analogue): the predicted
+    order is where each GT span ended up in the prediction (matched on
+    (kind, text, media_ref); unmatched spans keep their GT position)."""
+    ds = eval_records(sf_dir)
+
+    def metric(t: pa.Table) -> pa.Table:
+        t = _status_filter(t)
+        rows = []
+        for r in t.to_pylist():
+            gt, pred = r["gt_spans"], r["pred_spans"]
+            key = lambda s: (s["kind"], s["text"], s["media_ref"])
+            pred_pos = {key(s): i for i, s in enumerate(pred)}
+            order = [pred_pos.get(key(s), i) for i, s in enumerate(gt)]
+            ard, _ = ard_norm(order)
+            rows.append({"doc_id": r["doc_id"], "ard_norm": round(ard, 6)})
+        return pa.Table.from_pylist(rows)
+
+    return ds.map_batches(metric, batch_format="pyarrow")
+
+
+def rejection_counts(sf_dir: str):
+    """Status / rejection counters (G9, base_evaluator.py:95-98):
+    grouped count over the status column — SQL-oracle-able because the
+    failure rule is doc_id % 10 == 3."""
+    from ray.data.aggregate import Sum
+
+    ds = eval_records(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        vc = pc.value_counts(t["status"])
+        return pa.table(
+            {
+                "status": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("status")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# layout evaluation over synthesized boxes (F3)
+# ---------------------------------------------------------------------------
+
+
+def _doc_boxes(doc_num: int, n_spans: int):
+    """Deterministic page layout for a doc: one box per span on a
+    100×100 page, two columns."""
+    boxes = []
+    for i in range(n_spans):
+        col = i % 2
+        row = i // 2
+        l = 5.0 + col * 50.0
+        t = 5.0 + row * 12.0
+        boxes.append([l, t, l + 40.0, t + 10.0])
+    return np.array(boxes, dtype=np.float64)
+
+
+def evaluate_layout(sf_dir: str):
+    """Per-image mAP[0.5:0.95] (layout_evaluator M20/G3 analogue) over
+    deterministic per-doc box layouts; prediction boxes are jittered for
+    mutated docs (shift → lower IoU)."""
+    from ..functions.layout import image_map
+
+    ds = eval_records(sf_dir)
+
+    def metric(t: pa.Table) -> pa.Table:
+        t = _status_filter(t)
+        rows = []
+        for r in t.to_pylist():
+            doc_num = int(r["doc_id"].split("-")[1])
+            gt_spans = r["gt_spans"]
+            n = len(gt_spans)
+            if n == 0:
+                continue
+            gt_boxes = _doc_boxes(doc_num, n)
+            gt_labels = np.array([s["kind"] for s in gt_spans])
+            shift = 2.0 if doc_num % 10 in (0, 1, 2) else 0.0
+            pred_boxes = gt_boxes + shift
+            pred_labels = gt_labels.copy()
+            scores = np.linspace(0.95, 0.5, n)
+            m = image_map(gt_boxes, gt_labels, pred_boxes, pred_labels,
+                          scores)
+            rows.append(
+                {"doc_id": r["doc_id"],
+                 "image_map": round(float(m), 6) if not np.isnan(m) else None}
+            )
+        return pa.Table.from_pylist(rows)
+
+    return ds.map_batches(metric, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# table evaluation (F4): OTSL/HTML fixtures → TEDS
+# ---------------------------------------------------------------------------
+
+
+def _doc_table_html(doc_num: int) -> tuple[str, str, bool]:
+    """Deterministic (gt_html, pred_html, is_complex) per doc."""
+    n_rows = 2 + doc_num % 3
+    n_cols = 2 + (doc_num // 3) % 3
+    complex_ = doc_num % 4 == 0
+
+    def cell(r, c):
+        return f"c{doc_num % 7}r{r}c{c}"
+
+    rows = []
+    for r in range(n_rows):
+        tds = []
+        c = 0
+        while c < n_cols:
+            if complex_ and r == 0 and c == 0:
+                tds.append(f'<td colspan="2">{cell(r, c)}</td>')
+                c += 2
+            else:
+                tds.append(f"<td>{cell(r, c)}</td>")
+                c += 1
+        rows.append("<tr>" + "".join(tds) + "</tr>")
+    gt = "<table>" + "".join(rows) + "</table>"
+    if doc_num % 10 == 2:
+        pred = gt.replace(cell(1, 1), cell(1, 1) + "x", 1)
+    elif doc_num % 10 == 0:
+        pred = gt.replace(f"<td>{cell(n_rows - 1, n_cols - 1)}</td>", "", 1)
+    else:
+        pred = gt
+    return gt, pred, complex_
+
+
+def evaluate_tables(sf_dir: str):
+    """TEDS per synthesized table, struct-only and struct+text, plus the
+    complexity split key (table_evaluator G7) and row/col deltas (G8)."""
+    import ray.data as rd
+
+    from ..functions.tables import grid_shape, parse_html_table, teds
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def metric(t: pa.Table) -> pa.Table:
+        rows = []
+        for doc_num in t["doc_id"].to_pylist():
+            gt, pred, complex_ = _doc_table_html(int(doc_num))
+            g_cells = parse_html_table(gt)
+            p_cells = parse_html_table(pred)
+            gr, gc = grid_shape(g_cells)
+            pr, pc_ = grid_shape(p_cells)
+            rows.append(
+                {
+                    "doc_id": int(doc_num),
+                    "teds_struct": round(
+                        teds(gt, pred, structure_only=True), 6
+                    ),
+                    "teds": round(teds(gt, pred, structure_only=False), 6),
+                    "is_complex": bool(complex_),
+                    "delta_rows": gr - pr,
+                    "delta_cols": gc - pc_,
+                }
+            )
+        return pa.Table.from_pylist(rows)
+
+    return docs.map_batches(metric, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# consolidation (G10/J5): tiny driver-side matrix over the aggregates
+# ---------------------------------------------------------------------------
+
+
+def evaluation_summary(sf_dir: str) -> pd.DataFrame:
+    """The consolidation matrix (aggregations/consolidator.py analogue):
+    one row per (modality, metric) with the corpus mean — computed from
+    the streamed evaluator outputs, pivoted driver-side (the result is
+    tiny)."""
+    parts = []
+    for modality, ds, cols in [
+        ("markdown", evaluate_markdown(sf_dir),
+         ["bleu", "f1", "precision", "recall", "edit_distance"]),
+        ("ocr", evaluate_ocr(sf_dir), ["cer", "char_accuracy"]),
+        ("reading_order", evaluate_reading_order(sf_dir), ["ard_norm"]),
+        ("layout", evaluate_layout(sf_dir), ["image_map"]),
+        ("tables", evaluate_tables(sf_dir), ["teds_struct", "teds"]),
+    ]:
+        df = ds.to_pandas()
+        for c in cols:
+            parts.append(
+                {
+                    "modality": modality,
+                    "metric": c,
+                    "mean": round(float(df[c].dropna().mean()), 6),
+                    "n": int(df[c].notna().sum()),
+                }
+            )
+    return pd.DataFrame(parts).sort_values(
+        ["modality", "metric"]).reset_index(drop=True)

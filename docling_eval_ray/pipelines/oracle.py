@@ -152,6 +152,19 @@ ORACLE_SQL: dict[str, str] = {
                      / CAST(n_chars AS DOUBLE), 6) AS alpha_ratio
         FROM documents
     """,
+    "text_edit_distance": """
+        SELECT doc_id,
+               CAST(levenshtein(text, replace(text, 'data', 'info'))
+                    AS BIGINT) AS edit_dist
+        FROM documents
+    """,
+    "rejection_counts": """
+        SELECT CASE WHEN doc_id % 10 = 3 THEN 'failure'
+                    ELSE 'success' END AS status,
+               count(*) AS n
+        FROM documents
+        GROUP BY 1
+    """,
     "events_hourly": """
         SELECT event_type,
                strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

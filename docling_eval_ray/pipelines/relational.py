@@ -449,6 +449,25 @@ def token_counts(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def text_edit_distance(sf_dir: str):
+    """Char-level Levenshtein kernel (§2.8 distance functions), oracled
+    against DuckDB's levenshtein(): distance between each text and a
+    SQL-expressible mutation of it."""
+    from ..functions.textmetrics import edit_distance
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        muts = [s.replace("data", "info") for s in texts]
+        d = [edit_distance(list(a), list(b)) for a, b in zip(texts, muts)]
+        return pa.table(
+            {"doc_id": t["doc_id"], "edit_dist": pa.array(d, pa.int64())}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def quality_scores(sf_dir: str):
     """Length/alpha-ratio quality scoring (text-quality op; vectorized)."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])

@@ -1,0 +1,76 @@
+"""Distributed ``compute_stats`` — the reference's per-metric statistics
+kernel (evaluators/stats.py:77-97): count/mean/median/std + fixed-range
+histogram.
+
+Decomposition: count/sum/sumsq/min/max and the fixed-bin histogram are
+partial+final mergeable (one row of partials per batch crosses the
+wire). Median is exact here via a distributed sort + index probe —
+acceptable for evaluation-sized outputs; at 10^12 rows swap in a
+quantile sketch (t-digest / KLL) merged the same way, with documented
+error bounds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def compute_stats(ds, col: str, *, max_value_is_one: bool = True,
+                  nr_bins: int = 20) -> dict:
+    """Returns the reference's DatasetStatistics dict:
+    {total, mean, median, std, bins, hist}. ``std`` is the sample
+    stdev (statistics.stdev), histogram range is [0, 1] or [0, max]."""
+    if max_value_is_one:
+        max_value = 1.0
+    else:
+        m = ds.max(col)
+        max_value = float(m) if m is not None else 1.0
+
+    edges = np.histogram_bin_edges([], bins=nr_bins, range=(0.0, max_value))
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        hist, _ = np.histogram(v, bins=nr_bins, range=(0.0, max_value))
+        return pa.table(
+            {
+                "n": pa.array([len(v)], pa.int64()),
+                "s": pa.array([float(v.sum())], pa.float64()),
+                "ss": pa.array([float((v * v).sum())], pa.float64()),
+                "hist": pa.array([hist.astype(np.int64)],
+                                 pa.list_(pa.int64())),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    total = int(sum(p["n"] for p in parts))
+    if total == 0:
+        return {
+            "total": 0, "mean": -1.0, "median": -1.0, "std": 0.0,
+            "bins": edges.tolist(), "hist": [0] * nr_bins,
+        }
+    s = float(sum(p["s"] for p in parts))
+    ss = float(sum(p["ss"] for p in parts))
+    hist = np.sum([np.asarray(p["hist"]) for p in parts], axis=0)
+    mean = s / total
+    var = (ss - total * mean * mean) / (total - 1) if total > 1 else 0.0
+    std = float(np.sqrt(max(var, 0.0)))
+
+    # exact median: distributed sort + middle probe (sketch at scale)
+    sorted_vals = ds.sort(col)
+    mid = (total - 1) // 2
+    take = sorted_vals.limit(mid + 2).take_all()
+    vals = [row[col] for row in take]
+    if total % 2 == 1:
+        median = float(vals[mid])
+    else:
+        median = float((vals[mid] + vals[mid + 1]) / 2.0)
+
+    return {
+        "total": total,
+        "mean": mean,
+        "median": median,
+        "std": std,
+        "bins": edges.tolist(),
+        "hist": hist.astype(int).tolist(),
+    }

@@ -1,0 +1,81 @@
+"""Evaluator pipelines: controlled-mutation fixtures → known metric
+behavior per mutation class (F2 strategy)."""
+
+import numpy as np
+import pytest
+
+from docling_eval_ray.pipelines.evaluate import (
+    evaluate_markdown,
+    evaluate_ocr,
+    evaluate_reading_order,
+    evaluate_tables,
+    evaluation_summary,
+    rejection_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _mode(df):
+    return df["doc_id"].str.split("-").str[1].astype(int) % 10
+
+
+def test_markdown_metrics_by_mutation(ray_session):
+    df = evaluate_markdown(SF_DIR).to_pandas()
+    mode = _mode(df)
+    assert (mode != 3).all()  # failures filtered
+    identical = df[mode >= 4]
+    assert (identical["f1"] == 1.0).all()
+    assert (identical["edit_distance"] == 0.0).all()
+    edited = df[mode == 2]
+    assert (edited["edit_distance"] > 0).all()
+    # dropping the middle span usually changes the markdown — but the
+    # dropped span can be a pure-media one (no text), a no-op projection
+    dropped = df[mode == 0]
+    assert (dropped["bleu"] < 1.0).mean() > 0.7
+
+
+def test_ocr_cer_by_mutation(ray_session):
+    df = evaluate_ocr(SF_DIR).to_pandas()
+    mode = _mode(df)
+    assert (df[mode >= 4]["cer"] == 0.0).all()
+    assert (df[mode == 2]["cer"] > 0.0).all()
+    assert np.allclose(df["cer"] + df["char_accuracy"], 1.0)
+
+
+def test_reading_order_by_mutation(ray_session):
+    df = evaluate_reading_order(SF_DIR).to_pandas()
+    mode = _mode(df)
+    assert (df[mode >= 4]["ard_norm"] == 1.0).all()
+    # swapping two identical spans is a no-op for order equality
+    swapped = df[mode == 1]
+    assert (swapped["ard_norm"] < 1.0).mean() > 0.9
+
+
+def test_tables_teds_by_mutation(ray_session):
+    df = evaluate_tables(SF_DIR).to_pandas()
+    mode = df["doc_id"] % 10
+    identical = df[~mode.isin([0, 2])]
+    assert (identical["teds"] == 1.0).all()
+    text_edit = df[mode == 2]
+    assert (text_edit["teds_struct"] == 1.0).all()
+    assert (text_edit["teds"] < 1.0).all()
+    dropped = df[mode == 0]
+    assert (dropped["teds_struct"] < 1.0).all()
+    assert df["is_complex"].any() and (~df["is_complex"]).any()
+
+
+def test_rejection_counts(ray_session):
+    df = rejection_counts(SF_DIR).to_pandas()
+    counts = dict(zip(df["status"], df["n"]))
+    assert counts["failure"] == 50  # doc_id%10==3 of 500
+    assert counts["success"] == 450
+
+
+def test_evaluation_summary(ray_session):
+    df = evaluation_summary(SF_DIR)
+    assert set(df["modality"]) == {
+        "markdown", "ocr", "reading_order", "layout", "tables"
+    }
+    assert ((df["mean"] >= -1.0) & (df["mean"] <= 1.0)).all()
+    assert (df["n"] > 0).all()

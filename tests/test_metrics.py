@@ -1,0 +1,170 @@
+"""Metric kernels: text metrics, CER, ARD, layout AP, KV classify,
+stats kernel — known-answer cases mirroring the reference's unit-test
+style (SURVEY.md §5)."""
+
+import numpy as np
+import pytest
+
+from docling_eval_ray.functions.graphs import (
+    KEY,
+    UNSPECIFIED,
+    VALUE,
+    classify_cells,
+    distinct_links,
+    normalize_cell_ids,
+)
+from docling_eval_ray.functions.geometry import greedy_iou_match, iou_matrix
+from docling_eval_ray.functions.layout import corpus_map, image_map
+from docling_eval_ray.functions.textmetrics import (
+    ard_norm,
+    bleu,
+    cer,
+    edit_distance,
+    text_metrics,
+    tokenize,
+)
+
+
+# --- text metrics ----------------------------------------------------------
+
+def test_text_metrics_identical():
+    m = text_metrics("hello world foo", "hello world foo")
+    assert m["f1"] == m["precision"] == m["recall"] == 1.0
+    assert m["edit_distance"] == 0.0
+    assert m["bleu"] == pytest.approx(1.0)
+
+
+def test_text_metrics_known_edit():
+    m = text_metrics("a b c d", "a b x d")
+    assert m["edit_distance"] == pytest.approx(0.25)
+    assert m["precision"] == pytest.approx(0.75)
+    assert m["recall"] == pytest.approx(0.75)
+
+
+def test_bleu_degenerate():
+    assert bleu([], ["a"]) == 0.0
+    assert bleu(["a", "b"], []) == 0.0
+    assert bleu(list("abcd"), list("abcd")) == pytest.approx(1.0)
+
+
+def test_edit_distance_basic():
+    assert edit_distance(list("kitten"), list("sitting")) == 3
+    assert edit_distance([], list("ab")) == 2
+
+
+def test_cer():
+    assert cer("abcd", "abcd") == 0.0
+    assert cer("abcd", "abxd") == 0.25
+    assert cer("abcd", "") == 1.0
+    assert cer("", "x") == 1.0
+
+
+# --- reading order ---------------------------------------------------------
+
+def test_ard_perfect():
+    assert ard_norm([0, 1, 2, 3])[0] == 1.0
+
+
+def test_ard_known_swap():
+    # swap adjacent: sum|d| = 2, n=4 → 1 - 2/16 = 0.875
+    assert ard_norm([1, 0, 2, 3])[0] == pytest.approx(0.875)
+
+
+def test_ard_weighted():
+    _, w = ard_norm([1, 0], weights=[1.0, 0.0])
+    # w_ard = |0-1|*1 + |1-0|*0 = 1 → 1 - 1/4 = 0.75
+    assert w == pytest.approx(0.75)
+
+
+def test_ard_empty():
+    assert ard_norm([]) == (0.0, 0.0)
+
+
+# --- geometry / layout -----------------------------------------------------
+
+def test_iou_matrix():
+    a = np.array([[0, 0, 10, 10]], dtype=float)
+    b = np.array([[0, 0, 10, 10], [5, 5, 15, 15], [20, 20, 30, 30]],
+                 dtype=float)
+    m = iou_matrix(a, b)
+    assert m[0, 0] == pytest.approx(1.0)
+    assert m[0, 1] == pytest.approx(25 / 175)
+    assert m[0, 2] == 0.0
+
+
+def test_greedy_match():
+    gt = np.array([[0, 0, 10, 10], [20, 0, 30, 10]], dtype=float)
+    pred = np.array([[19, 0, 29, 10], [1, 0, 11, 10]], dtype=float)
+    pairs, un_g, un_p = greedy_iou_match(gt, pred, 0.5)
+    assert {(g, p) for g, p, _ in pairs} == {(0, 1), (1, 0)}
+    assert not un_g and not un_p
+
+
+def test_image_map_perfect_and_miss():
+    boxes = np.array([[0, 0, 10, 10], [20, 20, 40, 40]], dtype=float)
+    labels = np.array(["a", "b"])
+    scores = np.array([0.9, 0.8])
+    assert image_map(boxes, labels, boxes, labels, scores) == pytest.approx(1.0)
+    far = boxes + 100
+    assert image_map(boxes, labels, far, labels, scores) == 0.0
+
+
+def test_corpus_map_pools_across_images():
+    b1 = np.array([[0, 0, 10, 10]], dtype=float)
+    inputs = {"a": [(b1, b1, np.array([0.9])),
+                    (b1, b1 + 100, np.array([0.8]))]}
+    out = corpus_map(inputs)
+    # one perfect image + one total miss → AP 0.5 at every threshold
+    assert out["per_class"]["a"] == pytest.approx(0.5, abs=0.01)
+
+
+# --- KV graph --------------------------------------------------------------
+
+def test_classify_cells_rules():
+    # 0 -> 1 -> 2 ; 3 isolated
+    labels = classify_cells([0, 1, 2, 3], [(0, 1), (1, 2)])
+    assert labels[0] == KEY          # no incoming, has outgoing
+    assert labels[1] == KEY          # in+out, target is leaf
+    assert labels[2] == VALUE        # leaf
+    assert labels[3] == VALUE        # isolated: outdegree 0
+
+    # mid node pointing at a non-leaf → UNSPECIFIED
+    labels = classify_cells([0, 1, 2, 3], [(0, 1), (1, 2), (2, 3)])
+    assert labels[1] == UNSPECIFIED
+
+
+def test_normalize_and_distinct():
+    ids, links = normalize_cell_ids([10, 5, 7], [(10, 5), (5, 7)])
+    assert ids == [0, 1, 2]
+    assert links == [(0, 1), (1, 2)]
+    assert distinct_links([(1, 2), (1, 2), (2, 3)]) == [(1, 2), (2, 3)]
+
+
+# --- stats kernel ----------------------------------------------------------
+
+def test_compute_stats_matches_reference_formula(ray_session):
+    import ray.data as rd
+    import statistics
+
+    from docling_eval_ray.stages.stats import compute_stats
+
+    vals = [0.1, 0.5, 0.5, 0.9, 0.25, 0.75, 1.0, 0.0]
+    ds = rd.from_items([{"v": v} for v in vals])
+    out = compute_stats(ds, "v")
+    assert out["total"] == len(vals)
+    assert out["mean"] == pytest.approx(statistics.mean(vals))
+    assert out["median"] == pytest.approx(statistics.median(vals))
+    assert out["std"] == pytest.approx(statistics.stdev(vals))
+    ref_hist, ref_bins = np.histogram(vals, bins=20, range=(0, 1))
+    assert out["hist"] == ref_hist.tolist()
+    assert out["bins"] == pytest.approx(ref_bins.tolist())
+
+
+def test_compute_stats_empty(ray_session):
+    import ray.data as rd
+
+    from docling_eval_ray.stages.stats import compute_stats
+
+    ds = rd.from_items([{"v": 1.0}]).filter(lambda r: False)
+    out = compute_stats(ds, "v")
+    assert out["total"] == 0 and out["mean"] == -1.0
