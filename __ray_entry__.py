@@ -114,6 +114,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "rejection_counts": rejection_counts,         # oracled
         }
     )
+    # multimodal stub pipeline (schema/actor plumbing real, codec stubbed)
+    from docling_eval_ray.stages.media import media_decode_stats
+
+    q["media_decode_stats"] = media_decode_stats
     # non-SQL-expressible pipelines (rows-only checks; fixture-tested in
     # tests/): flagship extraction + span ops
     from docling_eval_ray.pipelines.flagship import flagship

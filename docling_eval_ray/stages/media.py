@@ -1,0 +1,151 @@
+"""Multimodal column stages: opaque binary payloads + typed metadata.
+
+Media rides as ``binary`` columns with a ``media_ref`` key — never
+inlined into JSON (the reference base64-inlines page images,
+utils/utils.py:107-113, which explodes row width; here refs point into a
+side table). Decode/resize/feature-extract run as actor-pool
+``map_batches`` stages with SMALL batch sizes (fat rows × batch ×
+concurrency must fit the worker heap).
+
+The image/audio codec libraries are not in this container, so the codec
+itself is stubbed: payloads use a deterministic 16-byte header
+(``DERIMG`` magic + width + height + seed) that the "decoder" parses,
+and pixel statistics are derived deterministically from the seed. The
+Ray-side plumbing — schema, actor signature, batch sizing, output
+layout — is real and tested; swapping in PIL/ffmpeg changes only the
+bodies marked STUB.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+_MAGIC = b"DERIMG"
+# format string, not a struct.Struct instance: the module ships by-value
+# with cloudpickle, and _struct.Struct objects don't pickle
+_FMT = ">6sHHI"  # magic, width, height, seed
+HEADER_SIZE = struct.calcsize(_FMT)
+
+
+def synth_media_payload(media_ref: str) -> bytes:
+    """Deterministic fake image payload for a media_ref: header + bytes
+    derived from the ref hash (stand-in for real encoded pixels)."""
+    h = hashlib.blake2b(media_ref.encode(), digest_size=8).digest()
+    seed = int.from_bytes(h[:4], "big")
+    width = 64 + (seed % 192)
+    height = 64 + ((seed >> 8) % 192)
+    body = hashlib.blake2b(h, digest_size=32).digest() * 4
+    return struct.pack(_FMT, _MAGIC, width, height, seed) + body
+
+
+def media_table_for_documents(ds):
+    """Explode a documents Dataset into its media side table
+    (media_ref, payload, n_bytes) — one row per media span."""
+    import pyarrow.compute as pc
+
+    def explode(t: pa.Table) -> pa.Table:
+        spans = t.column("spans").combine_chunks()
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.chunk(0)
+        flat = spans.flatten()
+        refs = flat.field("media_ref")
+        refs = refs.filter(pc.not_equal(refs, "")).to_pylist()
+        payloads = [synth_media_payload(r) for r in refs]
+        return pa.table(
+            {
+                "media_ref": pa.array(refs, pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+                "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+class DecodeImage:
+    """Actor-pool decode stage: payload → (width, height, ok).
+
+    STUB: parses the deterministic header instead of a real codec. A
+    real implementation imports PIL in ``__init__`` (once per actor) and
+    decodes in ``__call__``; bad payloads become ok=False rows
+    (skip-and-count), never raised."""
+
+    def __init__(self):
+        try:  # real codec if present (not in this container)
+            from PIL import Image  # noqa: F401
+
+            self._pil = True
+        except ImportError:
+            self._pil = False
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        widths, heights, ok = [], [], []
+        for payload in t["payload"].to_pylist():
+            try:
+                magic, w, h, _seed = struct.unpack(_FMT, payload[:HEADER_SIZE])
+                if magic != _MAGIC:
+                    raise ValueError("bad magic")
+                widths.append(w)
+                heights.append(h)
+                ok.append(True)
+            except Exception:
+                widths.append(0)
+                heights.append(0)
+                ok.append(False)
+        return (
+            t.select(["media_ref", "n_bytes"])
+            .append_column("width", pa.array(widths, pa.int32()))
+            .append_column("height", pa.array(heights, pa.int32()))
+            .append_column("decode_ok", pa.array(ok, pa.bool_()))
+        )
+
+
+class ImageFeatures:
+    """Actor-pool feature extraction: payload → small feature vector.
+
+    STUB: 8-dim byte-histogram of the payload body (deterministic);
+    a real stage would run batched model inference here, with
+    ``num_cpus`` matched to the model's thread pool (reference A1/A2)."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        feats = []
+        for payload in t["payload"].to_pylist():
+            body = np.frombuffer(payload[HEADER_SIZE:], dtype=np.uint8)
+            hist, _ = np.histogram(body, bins=8, range=(0, 256))
+            total = max(1, len(body))
+            feats.append((hist / total).astype(np.float32))
+        return pa.table(
+            {
+                "media_ref": t["media_ref"],
+                "features": pa.array(
+                    [f.tolist() for f in feats], pa.list_(pa.float32())
+                ),
+            }
+        )
+
+
+def media_pipeline(sf_dir: str, *, batch_size: int = 256, concurrency=None):
+    """documents → media side table → decode → features.
+
+    ``batch_size`` is deliberately small: payload rows are wide, and
+    batch × concurrency bounds stage memory."""
+    from ..sources.interleaved import read_interleaved_documents
+    from .util import stage
+
+    docs = read_interleaved_documents(sf_dir)
+    media = media_table_for_documents(docs)
+    decoded = stage(media, DecodeImage, batch_size=batch_size,
+                    concurrency=concurrency)
+    feats = stage(media, ImageFeatures, batch_size=batch_size,
+                  concurrency=concurrency)
+    return decoded, feats
+
+
+def media_decode_stats(sf_dir: str):
+    """Rows-only query: decode metadata for every media span."""
+    decoded, _ = media_pipeline(sf_dir)
+    return decoded
