@@ -118,6 +118,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from docling_eval_ray.stages.media import media_decode_stats
 
     q["media_decode_stats"] = media_decode_stats
+    # slicer (S9), timings evaluator (G6), corpus mAP gather (G2)
+    from docling_eval_ray.pipelines.evaluate import (
+        corpus_layout_map,
+        evaluate_timings,
+    )
+    from docling_eval_ray.stages.slicer import sliced_documents
+
+    q["sliced_documents"] = sliced_documents
+    q["evaluate_timings"] = evaluate_timings
+    q["corpus_layout_map"] = corpus_layout_map
     # non-SQL-expressible pipelines (rows-only checks; fixture-tested in
     # tests/): flagship extraction + span ops
     from docling_eval_ray.pipelines.flagship import flagship

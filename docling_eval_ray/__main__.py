@@ -1,0 +1,128 @@
+"""CLI — the reference's verb surface (cli/main.py:841-1083) on Ray Data.
+
+    python -m docling_eval_ray create-gt   --sf-dir D --output O
+    python -m docling_eval_ray create-eval --sf-dir D --output O [--partitions N]
+    python -m docling_eval_ray evaluate    --sf-dir D --output O [--modality M ...]
+    python -m docling_eval_ray visualize   --output O [--modality M ...]
+    python -m docling_eval_ray create-sliced --sf-dir D --output O
+                                             [--slice-length K --overlap V]
+
+Owns its Ray session (unlike the library): init on start, shutdown on
+exit.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_session() -> bool:
+    """Init Ray if needed; returns True iff WE started it (and should
+    shut it down — never tear down a caller's session)."""
+    import ray
+
+    started = not ray.is_initialized()
+    if started:
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return started
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="docling_eval_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    for cmd in ("create-gt", "create-eval", "evaluate", "create-sliced"):
+        sp = sub.add_parser(cmd)
+        sp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+        sp.add_argument("--output", required=True)
+        if cmd == "create-eval":
+            sp.add_argument("--partitions", type=int, default=8)
+        if cmd == "evaluate":
+            sp.add_argument("--modality", action="append", default=None)
+        if cmd == "create-sliced":
+            sp.add_argument("--slice-length", type=int, default=8)
+            sp.add_argument("--overlap", type=int, default=2)
+
+    vp = sub.add_parser("visualize")
+    vp.add_argument("--output", required=True)
+    vp.add_argument("--modality", action="append", default=None)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "visualize":
+        # re-reads cached evaluation JSON; no Ray needed
+        from pathlib import Path
+
+        from .functions.viz import ascii_histogram, render_table, stats_to_table
+
+        for f in sorted(Path(args.output).glob("evaluation_*.json")):
+            modality = f.stem.replace("evaluation_", "")
+            if args.modality and modality not in args.modality:
+                continue
+            summary = json.loads(f.read_text())
+            for metric, stats in sorted(summary.get("metrics", {}).items()):
+                print(f"== {modality} / {metric} ==")
+                table, headers = stats_to_table(stats, metric)
+                print(render_table(table, headers))
+                print(ascii_histogram(stats))
+        return 0
+
+    started = _ray_session()
+    import ray
+
+    try:
+        if args.cmd == "create-gt":
+            from .sources.files import write_dataset_info
+            from .sources.interleaved import read_interleaved_documents
+
+            # data under <output>/data so the manifest JSON never breaks
+            # a read_parquet over the dataset directory
+            ds = read_interleaved_documents(args.sf_dir)
+            ds.write_parquet(f"{args.output}/data")
+            info = write_dataset_info(
+                args.output, "gt", ray.data.read_parquet(f"{args.output}/data")
+            )
+            print(json.dumps(info))
+        elif args.cmd == "create-eval":
+            from .state.lineage import flagship_checkpointed
+
+            res = flagship_checkpointed(
+                args.sf_dir, args.output, num_partitions=args.partitions
+            )
+            print(json.dumps(res))
+        elif args.cmd == "evaluate":
+            from .pipelines.orchestrate import consolidate, run_all_evaluations
+
+            results = run_all_evaluations(
+                args.sf_dir, args.output, modalities=args.modality
+            )
+            df = consolidate(results)
+            print(df.to_string(index=False))
+        elif args.cmd == "create-sliced":
+            from .stages.slicer import sliced_documents
+
+            ds = sliced_documents(
+                args.sf_dir,
+                slice_length=args.slice_length,
+                overlap=args.overlap,
+            )
+            ds.write_parquet(args.output)
+            print(json.dumps({"slices": ds.count()}))
+    finally:
+        if started:
+            ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -319,6 +319,86 @@ def evaluate_tables(sf_dir: str):
     return docs.map_batches(metric, batch_format="pyarrow")
 
 
+def evaluate_timings(sf_dir: str):
+    """Timings evaluator (G6, evaluators/timings_evaluator.py:99-129):
+    per-doc pipeline seconds + seconds/page distributions. Timings are
+    synthesized deterministically from document size (the reference
+    reads docling profiling dicts)."""
+    ds = eval_records(sf_dir)
+
+    def metric(t: pa.Table) -> pa.Table:
+        t = _status_filter(t)
+        rows = []
+        for r in t.to_pylist():
+            doc_num = int(r["doc_id"].split("-")[1])
+            n = max(1, len(r["gt_spans"]))
+            n_pages = 1 + n // 12
+            total = round(0.01 * n + 0.005 * (doc_num % 7), 6)
+            rows.append(
+                {
+                    "doc_id": r["doc_id"],
+                    "sec_per_doc": total,
+                    "sec_per_page": round(total / n_pages, 6),
+                }
+            )
+        return pa.Table.from_pylist(rows)
+
+    return ds.map_batches(metric, batch_format="pyarrow")
+
+
+def corpus_layout_map(sf_dir: str):
+    """Corpus-level mAP (G2): the one non-decomposable gather-aggregate.
+    Per-batch stages emit MINIMIZED (class → per-image box arrays)
+    payloads; the final COCO computation pools them on the driver
+    (reference gathers everything into one torchmetrics state,
+    layout_evaluator.py:246-266 — same shape, tensors minimized)."""
+    from ..functions.layout import corpus_map
+
+    ds = eval_records(sf_dir)
+
+    def gather(t: pa.Table) -> pa.Table:
+        t = _status_filter(t)
+        rows = []
+        for r in t.to_pylist():
+            doc_num = int(r["doc_id"].split("-")[1])
+            n = len(r["gt_spans"])
+            if n == 0:
+                continue
+            gt_boxes = _doc_boxes(doc_num, n)
+            labels = [s["kind"] for s in r["gt_spans"]]
+            shift = 2.0 if doc_num % 10 in (0, 1, 2) else 0.0
+            rows.append(
+                {
+                    "labels": labels,
+                    "gt": gt_boxes.ravel().tolist(),
+                    "pred": (gt_boxes + shift).ravel().tolist(),
+                    "scores": np.linspace(0.95, 0.5, n).tolist(),
+                }
+            )
+        return pa.Table.from_pylist(rows)
+
+    gathered = ds.map_batches(gather, batch_format="pyarrow").take_all()
+    per_class: dict = {}
+    for row in gathered:
+        gt = np.asarray(row["gt"]).reshape(-1, 4)
+        pred = np.asarray(row["pred"]).reshape(-1, 4)
+        scores = np.asarray(row["scores"])
+        labels = np.asarray(row["labels"])
+        for cls in np.unique(labels):
+            m = labels == cls
+            per_class.setdefault(str(cls), []).append(
+                (gt[m], pred[m], scores[m])
+            )
+    out = corpus_map(per_class)
+    rows = [
+        {"label": "__overall__", "ap": round(out["map"], 6)}
+    ] + [
+        {"label": k, "ap": round(v, 6)}
+        for k, v in sorted(out["per_class"].items())
+    ]
+    return pa.Table.from_pylist(rows)
+
+
 # ---------------------------------------------------------------------------
 # consolidation (G10/J5): tiny driver-side matrix over the aggregates
 # ---------------------------------------------------------------------------

@@ -20,7 +20,19 @@ def compute_stats(ds, col: str, *, max_value_is_one: bool = True,
                   nr_bins: int = 20) -> dict:
     """Returns the reference's DatasetStatistics dict:
     {total, mean, median, std, bins, hist}. ``std`` is the sample
-    stdev (statistics.stdev), histogram range is [0, 1] or [0, max]."""
+    stdev (statistics.stdev), histogram range is [0, 1] or [0, max].
+    Null/NaN rows are dropped first (evaluators emit None for
+    not-applicable docs)."""
+    import pyarrow.compute as pc
+
+    def dropnull(t: pa.Table) -> pa.Table:
+        col_arr = t[col]
+        mask = pc.is_valid(col_arr)
+        if pa.types.is_floating(col_arr.type):
+            mask = pc.and_(mask, pc.invert(pc.is_nan(col_arr)))
+        return t.filter(mask)
+
+    ds = ds.map_batches(dropnull, batch_format="pyarrow")
     if max_value_is_one:
         max_value = 1.0
     else:
