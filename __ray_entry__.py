@@ -53,6 +53,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # joins (J1-J3)
         "orders_by_segment": r.orders_by_segment,
         "revenue_by_nation": r.revenue_by_nation,
+        "supplier_balance_by_region": r.supplier_balance_by_region,
+        "part_size_stats": r.part_size_stats,
+        "shipping_priority": r.shipping_priority,
+        "events_error_rate": r.events_error_rate,
         # filters / set ops (M12/M13, §2.7)
         "documents_blacklist_filter": r.documents_blacklist_filter,
         "distinct_segments": r.distinct_segments,

@@ -105,8 +105,17 @@ def hash_join(left_ds, right_ds, on: str, *, num_buckets: int = 32):
     before joining); output dtypes are restored from the input schemas
     (the union's typed nulls would otherwise decay int→float in pandas).
     """
-    left_schema: pa.Schema = left_ds.schema().base_schema
-    right_schema: pa.Schema = right_ds.schema().base_schema
+    def _ensure_arrow(ds):
+        # upstream pandas-format stages yield PandasBlockSchema; a
+        # pass-through pyarrow map normalizes blocks AND schema
+        sch = ds.schema().base_schema
+        if not isinstance(sch, pa.Schema):
+            ds = ds.map_batches(lambda t: t, batch_format="pyarrow")
+            sch = ds.schema().base_schema
+        return ds, sch
+
+    left_ds, left_schema = _ensure_arrow(left_ds)
+    right_ds, right_schema = _ensure_arrow(right_ds)
     left_cols = left_schema.names
     right_cols = right_schema.names
     overlap = (set(left_cols) & set(right_cols)) - {on}

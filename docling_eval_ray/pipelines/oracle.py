@@ -152,6 +152,51 @@ ORACLE_SQL: dict[str, str] = {
                      / CAST(n_chars AS DOUBLE), 6) AS alpha_ratio
         FROM documents
     """,
+    "supplier_balance_by_region": """
+        SELECT r_name,
+               count(*)                          AS n_suppliers,
+               round_even(sum(s_acctbal), 2)     AS sum_bal,
+               round_even(min(s_acctbal), 2)     AS min_bal,
+               round_even(max(s_acctbal), 2)     AS max_bal
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    "part_size_stats": """
+        SELECT p_brand,
+               p_size >= 25                       AS is_large,
+               count(*)                           AS n_parts,
+               round_even(sum(p_retailprice), 2)  AS sum_price
+        FROM part
+        GROUP BY 1, 2
+    """,
+    "shipping_priority": """
+        SELECT o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               round_even(sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-06-15'
+          AND l_shipdate  > TIMESTAMP '1998-06-15'
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, o_orderkey
+        LIMIT 10
+    """,
+    "events_error_rate": """
+        SELECT user_id,
+               count(*) AS n_events,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_errors,
+               round_even(
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                        AS DOUBLE) / count(*), 6) AS error_rate
+        FROM events
+        GROUP BY user_id
+    """,
     "text_edit_distance": """
         SELECT doc_id,
                CAST(levenshtein(text, replace(text, 'data', 'info'))

@@ -398,6 +398,182 @@ def lang_source_census(sf_dir: str):
     return _final_groupby(partials, ["lang", "source"], ["n"])
 
 
+def supplier_balance_by_region(sf_dir: str):
+    """supplier ⋈ nation ⋈ region (all-broadcast dimension chain) →
+    per-region account-balance rollup with min/max (G7-ish conditional
+    shapes exercised via the split column)."""
+    sup = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey",
+                                             "s_acctbal"])
+    nation = _read(sf_dir, "nation",
+                   columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region",
+                   columns=["r_regionkey", "r_name"]).to_pandas()
+    small = nation.merge(
+        region, left_on="n_regionkey", right_on="r_regionkey"
+    )[["n_nationkey", "r_name"]].rename(columns={"n_nationkey": "s_nationkey"})
+    joined = broadcast_join(sup, small, on="s_nationkey")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("r_name", as_index=False).agg(
+            n_suppliers=("s_suppkey", "size"),
+            sum_bal=("s_acctbal", "sum"),
+            min_bal=("s_acctbal", "min"),
+            max_bal=("s_acctbal", "max"),
+        )
+
+    partials = joined.map_batches(partial, batch_format="pandas")
+    from ray.data.aggregate import Max, Min, Sum
+
+    final = partials.groupby("r_name").aggregate(
+        Sum("n_suppliers", alias_name="n_suppliers"),
+        Sum("sum_bal", alias_name="sum_bal"),
+        Min("min_bal", alias_name="min_bal"),
+        Max("max_bal", alias_name="max_bal"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = _round_cols(t, {"sum_bal": 2, "min_bal": 2, "max_bal": 2})
+        return t.set_column(
+            t.column_names.index("n_suppliers"),
+            "n_suppliers",
+            pc.cast(t["n_suppliers"], pa.int64()),
+        )
+
+    return final.map_batches(finish, batch_format="pyarrow")
+
+
+def part_size_stats(sf_dir: str):
+    """Per-brand part statistics with a conditional split (large vs
+    small parts — the reference's TEDS complexity-split shape G7)."""
+    ds = _read(sf_dir, "part",
+               columns=["p_brand", "p_size", "p_retailprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(is_large=(b["p_size"] >= 25))
+        return b.groupby(["p_brand", "is_large"], as_index=False).agg(
+            n_parts=("p_size", "size"),
+            sum_price=("p_retailprice", "sum"),
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    from ray.data.aggregate import Sum
+
+    final = partials.groupby(["p_brand", "is_large"]).aggregate(
+        Sum("n_parts", alias_name="n_parts"),
+        Sum("sum_price", alias_name="sum_price"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = _round_cols(t, {"sum_price": 2})
+        return t.set_column(
+            t.column_names.index("n_parts"),
+            "n_parts",
+            pc.cast(t["n_parts"], pa.int64()),
+        )
+
+    return final.map_batches(finish, batch_format="pyarrow")
+
+
+def shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem with date + segment
+    predicates, revenue per order, top-10 by (revenue, orderdate)."""
+    cutoff = pd.Timestamp("1998-06-15")
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    building = cust[cust["c_mktsegment"] == "BUILDING"][["c_custkey"]]
+    building = building.rename(columns={"c_custkey": "o_custkey"})
+    building["is_building"] = True
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def filter_orders(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["o_orderdate"] < cutoff]
+
+    orders_f = orders.map_batches(filter_orders, batch_format="pandas")
+    orders_b = broadcast_join(orders_f, building, on="o_custkey")
+
+    line = _read(sf_dir, "lineitem",
+                 columns=["l_orderkey", "l_extendedprice", "l_discount",
+                          "l_shipdate"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_shipdate"] > cutoff]
+        return pd.DataFrame(
+            {
+                "o_orderkey": b["l_orderkey"],
+                "revenue": b["l_extendedprice"] * (1 - b["l_discount"]),
+            }
+        )
+
+    line_rev = line.map_batches(derive, batch_format="pandas")
+    joined = hash_join(
+        line_rev,
+        orders_b.select_columns(["o_orderkey", "o_orderdate"]),
+        on="o_orderkey",
+        num_buckets=16,
+    )
+    partials = joined.map_batches(
+        _partial_groupby(["o_orderkey", "o_orderdate"],
+                         {"revenue": "revenue"}),
+        batch_format="pyarrow",
+    )
+    final = _final_groupby(partials, ["o_orderkey", "o_orderdate"],
+                           ["revenue"])
+    top = final.sort(["revenue", "o_orderkey"],
+                     descending=[True, False]).limit(10)
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = _round_cols(t, {"revenue": 2})
+        # hash-stable window key (timestamp-unit drift, see events_hourly)
+        dates = [
+            str(pd.Timestamp(x).date())
+            for x in t["o_orderdate"].to_pylist()
+        ]
+        return t.set_column(
+            t.column_names.index("o_orderdate"),
+            "o_orderdate",
+            pa.array(dates, pa.string()),
+        )
+
+    return top.map_batches(finish, batch_format="pyarrow")
+
+
+def events_error_rate(sf_dir: str):
+    """Per-user conditional aggregate over the event stream: error count
+    and rate (CASE-style counters, G9 flavor on the stream table)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(is_err=(b["event_type"] == "error").astype("int64"))
+        return b.groupby("user_id", as_index=False).agg(
+            n_events=("is_err", "size"), n_errors=("is_err", "sum")
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    from ray.data.aggregate import Sum
+
+    final = partials.groupby("user_id").aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("n_errors", alias_name="n_errors"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["n_events"], pa.float64())
+        e = pc.cast(t["n_errors"], pa.float64())
+        out = pa.table(
+            {
+                "user_id": t["user_id"],
+                "n_events": pc.cast(t["n_events"], pa.int64()),
+                "n_errors": pc.cast(t["n_errors"], pa.int64()),
+                "error_rate": pc.divide(e, n),
+            }
+        )
+        return _round_cols(out, {"error_rate": 6})
+
+    return final.map_batches(finish, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # text functions over documents (fingerprint / tokens / quality)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,145 @@
+"""Property-based tests (hypothesis) for the pure kernels."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from docling_eval_ray.functions.tables import (
+    cells_to_html,
+    parse_html_table,
+    teds,
+)
+from docling_eval_ray.functions.textmetrics import (
+    ard_norm,
+    bleu,
+    cer,
+    edit_distance,
+    tokenize,
+)
+
+words = st.lists(
+    st.text(alphabet="abcdefg", min_size=1, max_size=5), min_size=0,
+    max_size=12
+)
+texts = words.map(" ".join)
+
+
+@given(texts, texts)
+@settings(max_examples=60, deadline=None)
+def test_edit_distance_metric_properties(a, b):
+    d = edit_distance(list(a), list(b))
+    assert d == edit_distance(list(b), list(a))          # symmetry
+    assert d >= abs(len(a) - len(b))                     # lower bound
+    assert d <= max(len(a), len(b))                      # upper bound
+    assert (d == 0) == (a == b)                          # identity
+
+
+@given(texts, texts, texts)
+@settings(max_examples=30, deadline=None)
+def test_edit_distance_triangle(a, b, c):
+    ab = edit_distance(list(a), list(b))
+    bc = edit_distance(list(b), list(c))
+    ac = edit_distance(list(a), list(c))
+    assert ac <= ab + bc
+
+
+@given(texts, texts)
+@settings(max_examples=40, deadline=None)
+def test_cer_bounds(a, b):
+    v = cer(a, b)
+    assert 0.0 <= v <= 1.0
+    if a and a == b:
+        assert v == 0.0
+
+
+@given(words, words)
+@settings(max_examples=40, deadline=None)
+def test_bleu_bounds(ref, hyp):
+    v = bleu(ref, hyp)
+    assert 0.0 <= v <= 1.0 + 1e-12
+    if ref and ref == hyp:
+        assert v == 1.0 or abs(v - 1.0) < 1e-9
+
+
+@given(st.permutations(list(range(8))))
+@settings(max_examples=40, deadline=None)
+def test_ard_bounds_and_identity(perm):
+    v, _ = ard_norm(list(perm))
+    assert 0.0 <= v <= 1.0
+    if list(perm) == list(range(8)):
+        assert v == 1.0
+
+
+@st.composite
+def tables_html(draw):
+    n_rows = draw(st.integers(1, 4))
+    n_cols = draw(st.integers(1, 4))
+    rows = []
+    for r in range(n_rows):
+        tds = "".join(
+            f"<td>{draw(st.text(alphabet='xyz', max_size=3))}</td>"
+            for _ in range(n_cols)
+        )
+        rows.append(f"<tr>{tds}</tr>")
+    return "<table>" + "".join(rows) + "</table>"
+
+
+@given(tables_html())
+@settings(max_examples=25, deadline=None)
+def test_teds_identity_and_roundtrip(html):
+    assert teds(html, html) == 1.0
+    cells = parse_html_table(html)
+    rebuilt = cells_to_html(cells)
+    assert teds(html, rebuilt) == 1.0
+
+
+@given(tables_html(), tables_html())
+@settings(max_examples=25, deadline=None)
+def test_teds_bounds_and_symmetric_structure(a, b):
+    v = teds(a, b, structure_only=True)
+    assert 0.0 <= v <= 1.0
+
+
+def test_extraction_idempotent():
+    """extract(extract(x)) == extract(x): the output contains no
+    furniture/boilerplate, so a second pass is the identity."""
+    import pyarrow as pa
+
+    from docling_eval_ray.datamodel.schema import SPAN_STRUCT
+    from docling_eval_ray.sources.interleaved import synth_spans_for_doc
+    from docling_eval_ray.stages.extract import ExtractMainContent
+
+    rows = [
+        {"doc_id": f"doc-{i:06d}",
+         "spans": synth_spans_for_doc(i, "alpha beta gamma delta " * (i + 1))}
+        for i in range(25)
+    ]
+    t = pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [pa.field("doc_id", pa.string()),
+             pa.field("spans", pa.list_(SPAN_STRUCT))]
+        ),
+    )
+    ex = ExtractMainContent()
+    once = ex._extract(t, status="success")
+    twice = ex._extract(once.select(["doc_id", "spans"]), status="success")
+    assert once["spans"].to_pylist() == twice["spans"].to_pylist()
+
+
+def test_minhash_estimate_accuracy_sweep():
+    """MinHash signature agreement tracks true Jaccard within ~0.15
+    across a similarity sweep (128 permutations)."""
+    from docling_eval_ray.stages.dedup import MinHasher, _shingles
+
+    mh = MinHasher()
+    base_words = [f"w{i}" for i in range(120)]
+    base = " ".join(base_words)
+    sig_base = mh.signature(base)
+    for k in (0, 20, 60, 100):
+        other_words = base_words[k:] + [f"z{i}" for i in range(k)]
+        other = " ".join(other_words)
+        sa, sb = _shingles(base), _shingles(other)
+        true_j = len(sa & sb) / len(sa | sb)
+        est = float((sig_base == mh.signature(other)).mean())
+        assert abs(est - true_j) < 0.15
