@@ -132,6 +132,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["sliced_documents"] = sliced_documents
     q["evaluate_timings"] = evaluate_timings
     q["corpus_layout_map"] = corpus_layout_map
+    # raw-HTML boilerplate-stripped extraction + XY-cut reading order
+    from docling_eval_ray.functions.html_extract import html_extraction
+    from docling_eval_ray.functions.reading_order import (
+        reading_order_reconstruction,
+    )
+
+    q["html_extraction"] = html_extraction
+    q["reading_order_reconstruction"] = reading_order_reconstruction
     # non-SQL-expressible pipelines (rows-only checks; fixture-tested in
     # tests/): flagship extraction + span ops
     from docling_eval_ray.pipelines.flagship import flagship
