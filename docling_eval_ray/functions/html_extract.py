@@ -19,9 +19,12 @@ from html.parser import HTMLParser
 
 _WS = re.compile(r"\s+")
 
+#: td/th are NOT block tags here: cell text must aggregate into the
+#: enclosing <table> block (which becomes one table-placeholder span),
+#: not leak into the main-content text stream
 _BLOCK_TAGS = {
     "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "pre",
-    "blockquote", "figcaption", "td", "th", "article", "section",
+    "blockquote", "figcaption", "article", "section",
 }
 _SKIP_SUBTREES = {"script", "style", "nav", "header", "footer", "aside"}
 _KIND_BY_TAG = {

@@ -145,17 +145,37 @@ def hash_join(left_ds, right_ds, on: str, *, num_buckets: int = 32):
         )
     )
 
-    right_keep = [on] + [c for c in right_cols if c != on]
+    right_only = [c for c in right_cols if c != on]
 
-    def merge_bucket(g: pd.DataFrame) -> pa.Table:
-        left = g.loc[g[_SIDE_COL] == "l", left_cols]
-        right = g.loc[g[_SIDE_COL] == "r", right_keep]
-        out = left.merge(right, on=on, how="inner")
-        # restore exact dtypes (nulls from padding decay ints to floats)
-        return pa.Table.from_pandas(
-            out[out_cols], schema=out_schema, preserve_index=False
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        # join INDICES via pandas on the key column only; payload columns
+        # are taken from the Arrow table directly, so non-key values
+        # never round-trip through pandas (the typed-null padding would
+        # decay int64 → float64 and silently corrupt ids above 2^53)
+        import pyarrow.compute as pc
+
+        lmask = pc.equal(g[_SIDE_COL], "l")
+        left = g.filter(lmask)
+        right = g.filter(pc.invert(lmask))
+        li = pd.DataFrame(
+            {on: left[on].to_numpy(zero_copy_only=False),
+             "__li": np.arange(left.num_rows)}
+        )
+        ri = pd.DataFrame(
+            {on: right[on].to_numpy(zero_copy_only=False),
+             "__ri": np.arange(right.num_rows)}
+        )
+        pairs = li.merge(ri, on=on, how="inner")
+        ltake = pa.array(pairs["__li"].to_numpy())
+        rtake = pa.array(pairs["__ri"].to_numpy())
+        cols = [left[c].take(ltake) for c in left_cols]
+        cols += [right[c].take(rtake) for c in right_only]
+        return pa.Table.from_arrays(
+            [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+             for c in cols],
+            schema=out_schema,
         )
 
     return tagged.groupby(_BUCKET_COL).map_groups(
-        merge_bucket, batch_format="pandas"
+        merge_bucket, batch_format="pyarrow"
     )

@@ -24,6 +24,17 @@ from html.parser import HTMLParser
 # ---------------------------------------------------------------------------
 
 
+def _span_attr(attrs: dict, name: str) -> int:
+    """rowspan/colspan parse that degrades to 1 on junk values
+    (``colspan=""`` / ``colspan="50%"`` occur in scraped HTML; a batch
+    kernel must not throw on one bad attribute)."""
+    try:
+        v = int(str(attrs.get(name, 1)).strip().rstrip("%") or 1)
+        return max(1, v)
+    except (ValueError, TypeError):
+        return 1
+
+
 @dataclass
 class TableCell:
     row: int
@@ -40,24 +51,38 @@ class _TableHTMLParser(HTMLParser):
         self.rows: list[list[dict]] = []
         self._cell: dict | None = None
 
+    def _flush_cell(self) -> None:
+        # </td>/</tr> are OPTIONAL in HTML: a new <td>/<tr> implies the
+        # end of the open cell, so flush before opening the next one
+        if self._cell is not None:
+            if not self.rows:
+                self.rows.append([])
+            self.rows[-1].append(self._cell)
+            self._cell = None
+
     def handle_starttag(self, tag, attrs):
         a = dict(attrs)
         if tag == "tr":
+            self._flush_cell()
             self.rows.append([])
         elif tag in ("td", "th"):
+            self._flush_cell()
             self._cell = {
-                "rowspan": int(a.get("rowspan", 1)),
-                "colspan": int(a.get("colspan", 1)),
+                "rowspan": _span_attr(a, "rowspan"),
+                "colspan": _span_attr(a, "colspan"),
                 "text": "",
                 "is_header": tag == "th",
             }
 
     def handle_endtag(self, tag):
-        if tag in ("td", "th") and self._cell is not None:
-            if not self.rows:
-                self.rows.append([])
-            self.rows[-1].append(self._cell)
-            self._cell = None
+        if tag in ("td", "th"):
+            self._flush_cell()
+        elif tag in ("tr", "table"):
+            self._flush_cell()
+
+    def close(self):
+        super().close()
+        self._flush_cell()
 
     def handle_data(self, data):
         if self._cell is not None:
@@ -69,6 +94,7 @@ def parse_html_table(html_str: str) -> list[TableCell]:
     anchoring: a pending rowspan occupies its columns in later rows."""
     p = _TableHTMLParser()
     p.feed(html_str)
+    p.close()
     occupied: set[tuple[int, int]] = set()
     cells: list[TableCell] = []
     for r, row in enumerate(p.rows):
@@ -206,14 +232,21 @@ class _TreeBuilder(HTMLParser):
     def handle_starttag(self, tag, attrs):
         a = dict(attrs)
         if self._in_cell is not None:
-            return  # nested markup inside a cell treated as text-free
+            # a new <td>/<th>/<tr> implies the open cell's end (optional
+            # end tags); any other nested markup stays text-only
+            if tag in ("td", "th", "tr"):
+                self._in_cell = None
+            else:
+                return
         if tag in ("td", "th"):
-            node = _Node("td", int(a.get("colspan", 1)),
-                         int(a.get("rowspan", 1)), "")
+            node = _Node("td", _span_attr(a, "colspan"),
+                         _span_attr(a, "rowspan"), "")
             if self._stack:
                 self._stack[-1].children.append(node)
             self._in_cell = node
         else:
+            if tag == "tr" and self._stack and self._stack[-1].tag == "tr":
+                self._stack.pop()  # implied </tr>
             node = _Node(tag)
             if self._stack:
                 self._stack[-1].children.append(node)
@@ -225,6 +258,7 @@ class _TreeBuilder(HTMLParser):
         if tag in ("td", "th"):
             self._in_cell = None
         elif self._stack and self._stack[-1].tag == tag:
+            self._in_cell = None
             self._stack.pop()
 
     def handle_data(self, data):
@@ -256,20 +290,9 @@ def _postorder(root: _Node):
 
 
 def _levenshtein(a: str, b: str) -> int:
-    if a == b:
-        return 0
-    if not a:
-        return len(b)
-    if not b:
-        return len(a)
-    prev = list(range(len(b) + 1))
-    for i, ca in enumerate(a, 1):
-        cur = [i]
-        for j, cb in enumerate(b, 1):
-            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
-                           prev[j - 1] + (ca != cb)))
-        prev = cur
-    return prev[-1]
+    from .textmetrics import edit_distance
+
+    return edit_distance(list(a), list(b))
 
 
 def _rename_cost(a: _Node, b: _Node, structure_only: bool) -> float:

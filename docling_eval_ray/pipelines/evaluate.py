@@ -49,6 +49,28 @@ def _mutate(spans: list[dict], mode: int) -> list[dict]:
     return out
 
 
+#: explicit schema: a failure-only batch would otherwise infer
+#: pred_spans as list<null> (Table.from_pylist) and split the dataset
+#: into incompatible block schemas
+_EVAL_SCHEMA = None
+
+
+def _eval_schema() -> pa.Schema:
+    global _EVAL_SCHEMA
+    if _EVAL_SCHEMA is None:
+        from ..datamodel.schema import SPAN_STRUCT
+
+        _EVAL_SCHEMA = pa.schema(
+            [
+                pa.field("doc_id", pa.string()),
+                pa.field("gt_spans", pa.list_(SPAN_STRUCT)),
+                pa.field("pred_spans", pa.list_(SPAN_STRUCT)),
+                pa.field("status", pa.string()),
+            ]
+        )
+    return _EVAL_SCHEMA
+
+
 def eval_records(sf_dir: str):
     """documents → (doc_id, gt_spans, pred_spans, status) eval table."""
     gt = flagship(sf_dir)
@@ -77,7 +99,7 @@ def eval_records(sf_dir: str):
                         "status": "success",
                     }
                 )
-        return pa.Table.from_pylist(out)
+        return pa.Table.from_pylist(out, schema=_eval_schema())
 
     return gt.map_batches(derive, batch_format="pyarrow")
 
@@ -159,11 +181,20 @@ def evaluate_reading_order(sf_dir: str):
     def metric(t: pa.Table) -> pa.Table:
         t = _status_filter(t)
         rows = []
+        from collections import defaultdict, deque
+
         for r in t.to_pylist():
             gt, pred = r["gt_spans"], r["pred_spans"]
             key = lambda s: (s["kind"], s["text"], s["media_ref"])
-            pred_pos = {key(s): i for i, s in enumerate(pred)}
-            order = [pred_pos.get(key(s), i) for i, s in enumerate(gt)]
+            # positional alignment: duplicate spans match in order (a
+            # plain dict would collapse duplicates onto one index)
+            pred_pos = defaultdict(deque)
+            for i, s in enumerate(pred):
+                pred_pos[key(s)].append(i)
+            order = [
+                pred_pos[key(s)].popleft() if pred_pos[key(s)] else i
+                for i, s in enumerate(gt)
+            ]
             ard, _ = ard_norm(order)
             rows.append({"doc_id": r["doc_id"], "ard_norm": round(ard, 6)})
         return pa.Table.from_pylist(rows)

@@ -33,12 +33,17 @@ import pandas as pd
 import pyarrow as pa
 
 _MERSENNE = (1 << 61) - 1
+_MERSENNE31 = np.uint64((1 << 31) - 1)
 
 
 def _shingles(text: str, k: int = 3) -> set[str]:
+    """k-word shingles; an empty/short document yields the single
+    shingle of its joined tokens ("" when empty) — matching the SQL
+    oracle's regexp_split_to_array(trim('')) == [''] so blank rows pair
+    identically on both sides."""
     toks = text.split()
     if len(toks) < k:
-        return {" ".join(toks)} if toks else set()
+        return {" ".join(toks)}
     return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
 
 
@@ -164,8 +169,15 @@ class MinHasher:
     def __init__(self, num_perm: int = 128, bands: int = 32, k: int = 3,
                  seed: int = 42):
         rng = np.random.default_rng(seed)
-        self._a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-        self._b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        # EXACT universal hashing over GF(2^31−1): a, b, x all < 2^31,
+        # so a·x + b < 2^62 — no silent uint64 wrap — while the mod-p
+        # reduction still wraps the products many times over (a real
+        # permutation-like family). Full-width 61-bit params overflowed
+        # uint64 and broke min-wise independence; a too-small `a` with
+        # no wrap at all degenerates to a monotone map whose min always
+        # picks the same element.
+        self._a = rng.integers(1, _MERSENNE31, size=num_perm, dtype=np.uint64)
+        self._b = rng.integers(0, _MERSENNE31, size=num_perm, dtype=np.uint64)
         self._bands = bands
         self._rows = num_perm // bands
         self._k = k
@@ -174,9 +186,11 @@ class MinHasher:
         sh = _shingles(text.strip(), self._k)
         if not sh:
             return np.zeros(len(self._a), dtype=np.uint64)
-        x = np.array([_hash64(s) for s in sh], dtype=np.uint64)
-        # h_i(x) = (a_i * x + b_i) mod p, vectorized over (perm, shingle)
-        prod = (self._a[:, None] * x[None, :] + self._b[:, None]) % _MERSENNE
+        x = np.array(
+            [_hash64(s) % _MERSENNE31 for s in sh], dtype=np.uint64
+        )
+        # h_i(x) = (a_i·x + b_i) mod p — exact in uint64
+        prod = (self._a[:, None] * x[None, :] + self._b[:, None]) % _MERSENNE31
         return prod.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -297,8 +311,11 @@ def minhash_near_dups(sf_dir: str, *, threshold: float = 0.5):
     ref = ray.put(index)
     from .util import stage
 
+    # actor pool (NOT task mode): the broadcast shingle index is a big
+    # Python dict — per-task construction would re-unpickle it from the
+    # object store once per batch; two actors resolve it once each
     return stage(cands, JaccardVerifier, args=(ref, threshold),
-                 batch_format="pandas")
+                 batch_format="pandas", concurrency=2)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,123 @@
+"""Regression tests for code-review findings: implied HTML end tags,
+junk span attributes, table-cell text leak, hash_join int64 precision,
+failure-only batch schema, minhash hash-family exactness."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from docling_eval_ray.functions.tables import (
+    grid_shape,
+    parse_html_table,
+    teds,
+)
+
+
+def test_html_implied_end_tags():
+    """</td> and </tr> are optional in HTML; cells must not be lost."""
+    implicit = "<table><tr><td>a<td>b<tr><td>c<td>d</table>"
+    explicit = ("<table><tr><td>a</td><td>b</td></tr>"
+                "<tr><td>c</td><td>d</td></tr></table>")
+    cells = parse_html_table(implicit)
+    assert len(cells) == 4
+    assert grid_shape(cells) == (2, 2)
+    assert [c.text for c in cells] == ["a", "b", "c", "d"]
+    assert teds(explicit, implicit) == 1.0
+
+
+def test_html_junk_span_attributes():
+    for junk in ('colspan=""', 'colspan="50%"', 'rowspan="abc"',
+                 'colspan="-3"'):
+        cells = parse_html_table(f"<table><tr><td {junk}>x</td></tr></table>")
+        assert len(cells) == 1
+        assert cells[0].colspan >= 1 and cells[0].rowspan >= 1
+
+
+def test_html_extract_table_cells_do_not_leak():
+    from docling_eval_ray.functions.html_extract import html_to_spans
+
+    spans = html_to_spans(
+        "<p>intro paragraph text</p>"
+        "<table><tr><td>cell one content</td><td>cell two content</td></tr>"
+        "</table>"
+    )
+    kinds = [s["kind"] for s in spans]
+    assert kinds.count("table") == 1
+    text_spans = [s["text"] for s in spans if s["kind"] == "text"]
+    assert text_spans == ["intro paragraph text"]
+    table_span = next(s for s in spans if s["kind"] == "table")
+    assert "cell one content" in table_span["text"]
+
+
+def test_hash_join_preserves_large_int64(ray_session):
+    import ray.data as rd
+
+    from docling_eval_ray.functions.joins import hash_join
+
+    big = 9007199254740993  # 2^53 + 1: not representable in float64
+    left = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2], pa.int64()),
+                  "payload": pa.array([big, big + 2], pa.int64())})
+    )
+    right = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2], pa.int64()),
+                  "other": pa.array([10, 20], pa.int64())})
+    )
+    out = hash_join(left, right, on="k").to_pandas().sort_values("k")
+    assert out["payload"].tolist() == [big, big + 2]
+    assert out["payload"].dtype == np.int64
+
+
+def test_eval_records_failure_only_batch_schema():
+    """A batch of only failure rows must still carry the canonical
+    list<struct> pred_spans type, not list<null>."""
+    from docling_eval_ray.pipelines.evaluate import _eval_schema
+
+    rows = [
+        {"doc_id": "doc-000003", "gt_spans": [
+            {"kind": "text", "text": "x", "media_ref": "", "offset": 0}
+        ], "pred_spans": [], "status": "failure"}
+    ]
+    t = pa.Table.from_pylist(rows, schema=_eval_schema())
+    assert str(t.schema.field("pred_spans").type).startswith("list<")
+    assert "null" not in str(t.schema.field("pred_spans").type)
+
+
+def test_minhash_params_never_overflow():
+    from docling_eval_ray.stages.dedup import _MERSENNE31, MinHasher
+
+    mh = MinHasher()
+    a_max = int(mh._a.max())
+    p = int(_MERSENNE31)
+    assert a_max < p
+    # worst case a*x+b fits uint64 exactly
+    assert a_max * (p - 1) + (p - 1) < 2 ** 64
+
+
+def test_empty_doc_shingle_matches_sql_semantics():
+    from docling_eval_ray.stages.dedup import _shingles
+
+    # SQL: regexp_split_to_array(trim('')) == [''] → one empty shingle
+    assert _shingles("") == {""}
+    assert _shingles("   ".strip()) == {""}
+    assert _shingles("one two") == {"one two"}
+
+
+def test_reading_order_duplicate_spans(ray_session):
+    """Duplicate identical spans must align positionally, not collapse."""
+    from docling_eval_ray.functions.textmetrics import ard_norm
+
+    # direct check of the alignment logic shape: identical pred == gt
+    # with duplicates → perfect order
+    from collections import defaultdict, deque
+
+    gt = [{"kind": "text", "text": "dup", "media_ref": ""}] * 3
+    pred = list(gt)
+    key = lambda s: (s["kind"], s["text"], s["media_ref"])
+    pred_pos = defaultdict(deque)
+    for i, s in enumerate(pred):
+        pred_pos[key(s)].append(i)
+    order = [pred_pos[key(s)].popleft() if pred_pos[key(s)] else i
+             for i, s in enumerate(gt)]
+    assert ard_norm(order)[0] == 1.0
