@@ -43,6 +43,20 @@ import sys
 import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_value() -> float:
+    """Scale factor from the dir name; 0.0 for non-sf-named inputs
+    (never crash at report time after the measurement completed)."""
+    import re as _re
+
+    m = _re.search(r"sf([0-9.]+)$", SF_DIR.rstrip("/"))
+    try:
+        return float(m.group(1)) if m else 0.0
+    except ValueError:
+        return 0.0
+
+
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 REP = int(os.environ.get("GRAFT_BENCH_REP", "1000"))
 
@@ -175,7 +189,7 @@ def run_benchmarks() -> dict:
         timings[name] = round(time.time() - t0, 3)
 
     ray.shutdown()
-    sf = float(SF_DIR.rstrip("/").split("sf")[-1])
+    sf = _sf_value()
     return {
         "metric": "flagship extraction wall time (+ operator suite)",
         "value": round(headline, 3),
@@ -288,7 +302,7 @@ def run_headline_only() -> dict:
         "docs_per_sec": round(n_docs / headline, 1),
         "n_docs": n_docs,
         "total_spans": int(total_spans),
-        "sf": float(SF_DIR.rstrip("/").split("sf")[-1]),
+        "sf": _sf_value(),
         "num_cpus": NUM_CPUS,
     }
 

@@ -56,6 +56,12 @@ class _Block:
         self.media_ref = ""
 
 
+#: non-container blocks whose end tag is optional in HTML: a new block
+#: start implies their end (real pages routinely omit </p>/</li>)
+_IMPLIED_CLOSE = {"p", "li", "h1", "h2", "h3", "h4", "h5", "h6",
+                  "figcaption", "pre"}
+
+
 class _Extractor(HTMLParser):
     def __init__(self):
         super().__init__()
@@ -63,6 +69,7 @@ class _Extractor(HTMLParser):
         self._stack: list[_Block] = []
         self._skip_depth = 0
         self._anchor_depth = 0
+        self._table_depth = 0
 
     def handle_starttag(self, tag, attrs):
         if tag in _SKIP_SUBTREES:
@@ -73,14 +80,26 @@ class _Extractor(HTMLParser):
         if tag == "a":
             self._anchor_depth += 1
         elif tag == "img":
+            if self._table_depth:
+                return  # images inside tables stay with the table
             src = dict(attrs).get("src", "")
             blk = _Block("img")
             blk.media_ref = src
             self.blocks.append(blk)
         elif tag == "table":
-            self.blocks.append(_Block("table"))
-            self._stack.append(self.blocks[-1])
+            self._table_depth += 1
+            if self._table_depth == 1:
+                self.blocks.append(_Block("table"))
+                self._stack.append(self.blocks[-1])
         elif tag in _BLOCK_TAGS:
+            if self._table_depth:
+                return  # blocks inside cells are transparent: text
+                # aggregates into the enclosing table block
+            # implied end: <p>/<li>/<h*> cannot nest — a new block
+            # closes them (otherwise later body text is appended to a
+            # stale block forever)
+            while self._stack and self._stack[-1].tag in _IMPLIED_CLOSE:
+                self._stack.pop()
             blk = _Block(tag)
             self.blocks.append(blk)
             self._stack.append(blk)
@@ -93,11 +112,20 @@ class _Extractor(HTMLParser):
             return
         if tag == "a":
             self._anchor_depth = max(0, self._anchor_depth - 1)
-        elif (tag in _BLOCK_TAGS or tag == "table") and self._stack:
-            if self._stack[-1].tag == tag or (
-                tag == "table" and self._stack[-1].tag == "table"
-            ):
-                self._stack.pop()
+        elif tag == "table":
+            if self._table_depth:
+                self._table_depth -= 1
+                if self._table_depth == 0 and self._stack and (
+                    self._stack[-1].tag == "table"
+                ):
+                    self._stack.pop()
+        elif tag in _BLOCK_TAGS and not self._table_depth:
+            # pop up to and including the nearest matching open block
+            # (mismatched markup: intermediates were implicitly closed)
+            for i in range(len(self._stack) - 1, -1, -1):
+                if self._stack[i].tag == tag:
+                    del self._stack[i:]
+                    break
 
     def handle_data(self, data):
         if self._skip_depth or not self._stack:
@@ -158,6 +186,8 @@ def synth_html_for_doc(doc_id: int, text: str) -> str:
     """Deterministic HTML rendition of a document (pure function), with
     realistic chrome: nav bar, header/footer, sidebar links, inline
     anchors — so the extractor has real boilerplate to strip."""
+    from ..sources.interleaved import chunk_plan
+
     words = text.split()
     parts = [
         "<html><head><style>.x{}</style>",
@@ -167,13 +197,7 @@ def synth_html_for_doc(doc_id: int, text: str) -> str:
         f"<header>corpus {doc_id % 7} masthead</header>",
         f"<h1>{' '.join(words[:3]) if words else 'untitled'}</h1>",
     ]
-    i = 3
-    para = 0
-    while i < len(words):
-        k = 4 + (doc_id + 3 * para) % 6
-        chunk = " ".join(words[i : i + k])
-        i += k
-        r = (doc_id * 31 + para * 7) % 10
+    for r, chunk, para in chunk_plan(doc_id, words):
         if r == 0:
             parts.append(f"<h2>{chunk}</h2>")
         elif r == 1:
@@ -188,7 +212,6 @@ def synth_html_for_doc(doc_id: int, text: str) -> str:
             )
         else:
             parts.append(f"<p>{chunk}</p>")
-        para += 1
     parts.append('<aside><a href="/ads">sponsored</a></aside>')
     parts.append(f"<footer>page 1 — doc {doc_id}</footer></body></html>")
     return "".join(parts)

@@ -26,13 +26,18 @@ def _gaps(starts: np.ndarray, ends: np.ndarray) -> list[tuple[float, float]]:
 
 
 def xy_cut_order(boxes: np.ndarray) -> list[int]:
-    """Reading order of (n, 4) ltrb boxes as a permutation of 0..n−1."""
-    boxes = np.asarray(boxes, dtype=np.float64)
-    idx = np.arange(len(boxes))
+    """Reading order of (n, 4) ltrb boxes as a permutation of 0..n−1.
 
-    def recurse(ids: np.ndarray) -> list[int]:
-        if len(ids) <= 1:
-            return ids.tolist()
+    Iterative (explicit work stack): with uniform spacing every split
+    peels one box, so recursion depth would be O(n) — a ~2000-box page
+    (an ~80k-char document) blew the interpreter recursion limit.
+    """
+    boxes = np.asarray(boxes, dtype=np.float64)
+    out: list[int] = []
+    work: list[np.ndarray] = [np.arange(len(boxes))]
+
+    def split(ids: np.ndarray):
+        """Return (first, second) sub-regions or None for a leaf."""
         b = boxes[ids]
         # candidate splits: widest empty y-gap (stacked regions) vs
         # widest empty x-gap (column gutter); take the WIDER one — a
@@ -49,24 +54,38 @@ def xy_cut_order(boxes: np.ndarray) -> list[int]:
             top = ids[b[:, 3] <= mid]
             bot = ids[b[:, 1] >= mid]
             if len(top) and len(bot):
-                return recurse(top) + recurse(bot)
+                return top, bot
         if xcut is not None:
             mid = (xcut[0] + xcut[1]) / 2
             left = ids[b[:, 2] <= mid]
             right = ids[b[:, 0] >= mid]
             if len(left) and len(right):
-                return recurse(left) + recurse(right)
+                return left, right
         if ycut is not None and yw < xw:
             mid = (ycut[0] + ycut[1]) / 2
             top = ids[b[:, 3] <= mid]
             bot = ids[b[:, 1] >= mid]
             if len(top) and len(bot):
-                return recurse(top) + recurse(bot)
-        # leaf: top-to-bottom, then left-to-right, then stable index
-        order = np.lexsort((ids, b[:, 0], b[:, 1]))
-        return ids[order].tolist()
+                return top, bot
+        return None
 
-    return recurse(idx)
+    while work:
+        ids = work.pop()
+        if len(ids) <= 1:
+            out.extend(ids.tolist())
+            continue
+        parts = split(ids)
+        if parts is None:
+            # leaf: top-to-bottom, then left-to-right, then stable index
+            b = boxes[ids]
+            order = np.lexsort((ids, b[:, 0], b[:, 1]))
+            out.extend(ids[order].tolist())
+        else:
+            first, second = parts
+            work.append(second)
+            work.append(first)  # LIFO: first region is processed first
+
+    return out
 
 
 def reading_order_reconstruction(sf_dir: str):

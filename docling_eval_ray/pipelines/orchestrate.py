@@ -71,9 +71,13 @@ def run_all_evaluations(sf_dir: str, out_dir: str,
     for name in modalities or sorted(EVALUATOR_REGISTRY):
         cache = Path(out_dir) / f"evaluation_{name}.json"
         if cache.exists():
-            results[name] = json.loads(cache.read_text())
-            results[name]["cached"] = True
-            continue
+            try:
+                results[name] = json.loads(cache.read_text())
+                results[name]["cached"] = True
+                continue
+            except json.JSONDecodeError:
+                # truncated cache from a crash mid-write: recompute
+                cache.unlink()
         ds = EVALUATOR_REGISTRY[name](sf_dir)
         schema = ds.schema()
         metric_cols = [
@@ -85,7 +89,13 @@ def run_all_evaluations(sf_dir: str, out_dir: str,
         mat = ds.materialize()  # small per-doc metric table, reused per col
         for col in metric_cols:
             summary["metrics"][col] = compute_stats(mat, col)
-        cache.write_text(json.dumps(summary))
+        # atomic cache write: temp + rename, so a crash never leaves a
+        # truncated JSON behind
+        import os
+
+        tmp = cache.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(summary))
+        os.replace(tmp, cache)
         summary["cached"] = False
         results[name] = summary
     return results

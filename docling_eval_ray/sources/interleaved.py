@@ -25,6 +25,23 @@ import pyarrow as pa
 from ..datamodel.schema import SPAN_STRUCT
 
 
+def chunk_plan(doc_id: int, words: list[str]):
+    """Shared deterministic chunking plan: yields (branch, chunk, para)
+    for every content chunk after the 3-word title. Both the span
+    rendition (below) and the HTML rendition
+    (functions/html_extract.synth_html_for_doc) consume THIS iterator so
+    the two can never desynchronize."""
+    i = 3
+    para = 0
+    while i < len(words):
+        k = 4 + (doc_id + 3 * para) % 6  # 4..9 words per span
+        chunk = " ".join(words[i : i + k])
+        i += k
+        r = (doc_id * 31 + para * 7) % 10
+        yield r, chunk, para
+        para += 1
+
+
 def synth_spans_for_doc(doc_id: int, text: str) -> list[dict]:
     """Pure, deterministic: (doc_id, text) -> ordered span dicts.
 
@@ -45,13 +62,7 @@ def synth_spans_for_doc(doc_id: int, text: str) -> list[dict]:
     add("page_header", f"corpus-{doc_id % 7} · internal use only")
     add("title", " ".join(words[:3]) if words else "untitled")
 
-    i = 3
-    para = 0
-    while i < len(words):
-        k = 4 + (doc_id + 3 * para) % 6  # 4..9 words per span
-        chunk = " ".join(words[i : i + k])
-        i += k
-        r = (doc_id * 31 + para * 7) % 10
+    for r, chunk, para in chunk_plan(doc_id, words):
         if r == 0:
             add("section_header", chunk)
         elif r == 1:
@@ -68,7 +79,6 @@ def synth_spans_for_doc(doc_id: int, text: str) -> list[dict]:
             add("text", "  " + chunk.replace(" ", "   ", 2) + " ")
         else:
             add("text", chunk)
-        para += 1
 
     add("page_footer", f"page 1 of 1 — doc {doc_id}")
     return spans

@@ -137,7 +137,10 @@ def media_pipeline(sf_dir: str, *, batch_size: int = 256, concurrency=None):
     from .util import stage
 
     docs = read_interleaved_documents(sf_dir)
-    media = media_table_for_documents(docs)
+    # materialize the (small) media side table once: the two branches
+    # would otherwise each re-run synthesis + span explosion + payload
+    # generation (Ray Data does not share sub-plans across Datasets)
+    media = media_table_for_documents(docs).materialize()
     decoded = stage(media, DecodeImage, batch_size=batch_size,
                     concurrency=concurrency)
     feats = stage(media, ImageFeatures, batch_size=batch_size,

@@ -30,6 +30,13 @@ def slice_documents(ds, *, slice_length: int = 8, overlap: int = 2):
         for r in t.to_pylist():
             spans = r["spans"]
             n = len(spans)
+            if n == 0:
+                # zero-span docs (extraction failures, fully-stripped
+                # boilerplate) keep one empty slice — rows must never
+                # silently vanish from the corpus accounting
+                out_ids.append(f"{r['doc_id']}#0")
+                list_offsets.append(len(kinds))
+                continue
             starts = list(range(0, max(1, n - overlap), stride)) or [0]
             for k, s0 in enumerate(starts):
                 window = spans[s0 : s0 + slice_length]

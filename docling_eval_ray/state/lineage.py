@@ -39,7 +39,13 @@ def committed_partitions(out_dir: str) -> dict[int, dict]:
         for line in path.read_text().splitlines():
             if not line.strip():
                 continue
-            rec = json.loads(line)
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                # torn tail line from a crash mid-append: that commit
+                # never happened — treat its partition as uncommitted
+                # (this module exists to survive exactly such crashes)
+                continue
             if rec.get("status") == "committed":
                 done[rec["partition_id"]] = rec
     return done
@@ -74,18 +80,35 @@ def run_partitioned(partition_ids: list[int], make_ds, out_dir: str,
         shutil.rmtree(tmp_dir, ignore_errors=True)
         shutil.rmtree(final_dir, ignore_errors=True)
         ds.write_parquet(str(tmp_dir))
-        # gather partition stats from the written files (no re-read of data)
+        # gather partition stats from the written files' parquet metadata
+        # (row counts + doc_id range from column statistics — no re-read)
         import pyarrow.parquet as pq
 
         n_rows = 0
+        doc_min: str | None = None
+        doc_max: str | None = None
         for f in tmp_dir.glob("*.parquet"):
-            n_rows += pq.read_metadata(f).num_rows
+            md = pq.read_metadata(f)
+            n_rows += md.num_rows
+            try:
+                ci = md.schema.to_arrow_schema().get_field_index("doc_id")
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    lo, hi = str(st.min), str(st.max)
+                    doc_min = lo if doc_min is None else min(doc_min, lo)
+                    doc_max = hi if doc_max is None else max(doc_max, hi)
+            except Exception:
+                pass  # stats optional: commit still valid without range
         os.rename(tmp_dir, final_dir)
         commit_partition(
             out_dir,
             {
                 "partition_id": pid,
                 "stage": stage,
+                "doc_id_min": doc_min,
+                "doc_id_max": doc_max,
                 "row_count": n_rows,
                 "wall_s": round(time.time() - t0, 3),
                 "status": "committed",
