@@ -140,6 +140,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["html_extraction"] = html_extraction
     q["reading_order_reconstruction"] = reading_order_reconstruction
+    # mergeable-sketch path (HLL distinct; accuracy tested vs exact)
+    from docling_eval_ray.stages.sketches import approx_token_vocabulary
+
+    q["approx_token_vocabulary"] = approx_token_vocabulary
     # non-SQL-expressible pipelines (rows-only checks; fixture-tested in
     # tests/): flagship extraction + span ops
     from docling_eval_ray.pipelines.flagship import flagship
