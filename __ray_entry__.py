@@ -144,6 +144,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from docling_eval_ray.stages.sketches import approx_token_vocabulary
 
     q["approx_token_vocabulary"] = approx_token_vocabulary
+    # F3-F7 fixture-schema evaluators (FIXTURES.md parity; known-answer
+    # behavior tested)
+    from docling_eval_ray.pipelines.fixture_eval import (
+        fixture_kv_eval,
+        fixture_layout_eval,
+        fixture_ocr_eval,
+        fixture_reading_order_eval,
+        fixture_table_eval,
+    )
+
+    q.update(
+        {
+            "fixture_layout_eval": fixture_layout_eval,
+            "fixture_table_eval": fixture_table_eval,
+            "fixture_ocr_eval": fixture_ocr_eval,
+            "fixture_kv_eval": fixture_kv_eval,
+            "fixture_reading_order_eval": fixture_reading_order_eval,
+        }
+    )
     # non-SQL-expressible pipelines (rows-only checks; fixture-tested in
     # tests/): flagship extraction + span ops
     from docling_eval_ray.pipelines.flagship import flagship
