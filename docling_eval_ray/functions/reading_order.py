@@ -88,6 +88,35 @@ def xy_cut_order(boxes: np.ndarray) -> list[int]:
     return out
 
 
+def column_major_boxes(n: int) -> np.ndarray:
+    """Two-column page layout in true reading order: left column
+    top-to-bottom, then right column (the order XY-cut defines). Shared
+    by the reconstruction query and the F7 fixture generator."""
+    per_col = (n + 1) // 2
+    boxes = []
+    for i in range(n):
+        col = 0 if i < per_col else 1
+        row = i if col == 0 else i - per_col
+        l = 5.0 + col * 50.0
+        t_ = 5.0 + row * 12.0
+        boxes.append([l, t_, l + 40.0, t_ + 10.0])
+    return np.asarray(boxes)
+
+
+def score_reconstruction(boxes: np.ndarray, perm: np.ndarray) -> float:
+    """Shuffle ``boxes`` (in true order) by ``perm``, reconstruct with
+    XY-cut, and return ARD_norm of the recovered order vs truth."""
+    from .textmetrics import ard_norm
+
+    pred = xy_cut_order(np.asarray(boxes)[perm])
+    # pred[i] = position in shuffled order; map back to true element ids
+    recovered = [int(perm[j]) for j in pred]
+    # order[true_idx] = predicted rank of that element
+    rank = {elem: r for r, elem in enumerate(recovered)}
+    order = [rank[i] for i in range(len(boxes))]
+    return ard_norm(order)[0]
+
+
 def reading_order_reconstruction(sf_dir: str):
     """Rows-only query: shuffle each doc's deterministic layout boxes
     with a doc-seeded permutation, reconstruct reading order with
@@ -98,40 +127,18 @@ def reading_order_reconstruction(sf_dir: str):
     import pyarrow as pa
     import ray.data as rd
 
-    from .textmetrics import ard_norm
-
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "n_chars"])
-
-    def column_major_boxes(doc_id: int, n: int) -> np.ndarray:
-        """True reading order for a two-column page: left column
-        top-to-bottom, then right column (the order XY-cut defines)."""
-        per_col = (n + 1) // 2
-        boxes = []
-        for i in range(n):
-            col = 0 if i < per_col else 1
-            row = i if col == 0 else i - per_col
-            l = 5.0 + col * 50.0
-            t_ = 5.0 + row * 12.0
-            boxes.append([l, t_, l + 40.0, t_ + 10.0])
-        return np.asarray(boxes)
 
     def fn(t: pa.Table) -> pa.Table:
         rows = []
         for did, n_chars in zip(t["doc_id"].to_pylist(),
                                 t["n_chars"].to_pylist()):
             n = max(2, int(n_chars) // 40)
-            boxes = column_major_boxes(int(did), n)
+            boxes = column_major_boxes(n)
             rng = np.random.default_rng(int(did))  # seeded per doc
             perm = rng.permutation(n)
-            shuffled = boxes[perm]
-            pred = xy_cut_order(shuffled)
-            # pred[i] = position in shuffled order; map back to true ids
-            recovered = [int(perm[j]) for j in pred]
-            # pred_order[true_idx] = predicted rank of that element
-            pred_rank = {elem: rank for rank, elem in enumerate(recovered)}
-            order = [pred_rank[i] for i in range(n)]
-            ard, _ = ard_norm(order)
+            ard = score_reconstruction(boxes, perm)
             rows.append(
                 {"doc_id": f"doc-{int(did):06d}", "n_elements": n,
                  "ard_norm": round(ard, 6)}

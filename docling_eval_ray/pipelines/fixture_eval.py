@@ -13,9 +13,8 @@ import pyarrow as pa
 
 from ..functions.graphs import classify_cells
 from ..functions.layout import image_map
-from ..functions.reading_order import xy_cut_order
 from ..functions.tables import parse_otsl, teds
-from ..functions.textmetrics import ard_norm, cer
+from ..functions.textmetrics import cer
 from ..sources.fixtures import (
     kv_graph_fixture,
     layout_boxes_fixture,
@@ -137,18 +136,15 @@ def fixture_reading_order_eval(sf_dir: str = ""):
     """F7 → apply the seeded permutation, reconstruct with XY-cut, score
     ARD_norm against true_order (expected 1.0 on column layouts)."""
 
+    from ..functions.reading_order import score_reconstruction
+
     def metric(t: pa.Table) -> pa.Table:
         rows = []
         for r in t.to_pylist():
             els = sorted(r["elements"], key=lambda e: e["true_order"])
             boxes = np.array([[e["l"], e["t"], e["r"], e["b"]] for e in els])
             perm = np.array(r["perm"])
-            shuffled = boxes[perm]
-            pred = xy_cut_order(shuffled)
-            recovered = [int(perm[j]) for j in pred]
-            rank = {e: i for i, e in enumerate(recovered)}
-            order = [rank[i] for i in range(len(els))]
-            ard, _ = ard_norm(order)
+            ard = score_reconstruction(boxes, perm)
             rows.append({"doc_id": r["doc_id"], "ard_norm": round(ard, 6)})
         return pa.Table.from_pylist(rows)
 

@@ -70,12 +70,6 @@ F7_SCHEMA = pa.schema([
 _LABELS = ("text", "section_header", "table", "picture", "list_item")
 
 
-def _rng(seed_parts) -> np.random.Generator:
-    return np.random.default_rng(
-        abs(hash(tuple(seed_parts))) % (2**32)
-    )
-
-
 def _det_rng(i: int, salt: int) -> np.random.Generator:
     # hash() is salted per process — use an explicit mix instead
     return np.random.default_rng((i * 1_000_003 + salt * 7919 + 42) % (2**31))
@@ -152,7 +146,7 @@ def tables_otsl_html_fixture(n_tables: int = 40) -> pa.Table:
 
 
 def ocr_pages_fixture(n_pages: int = 50) -> pa.Table:
-    """F5: identical text (CER=0) for i%3==0, k-char edits for i%3==1,
+    """F5: identical text (CER=0) for i%3==0, a one-char edit for i%3==1,
     missing pred page (CER=1) for i%3==2."""
     rows = []
     for i in range(n_pages):
@@ -203,21 +197,19 @@ def kv_graph_fixture(n_docs: int = 40) -> pa.Table:
 def reading_order_fixture(n_docs: int = 50) -> pa.Table:
     """F7: column-major elements with true_order + a seeded permutation;
     ARD of a perfect reconstruction = 1.0."""
+    from ..functions.reading_order import column_major_boxes
+
     rows = []
     for i in range(n_docs):
         rng = _det_rng(i, 7)
         n = int(rng.integers(4, 12))
-        per_col = (n + 1) // 2
-        elements = []
-        for k in range(n):
-            col = 0 if k < per_col else 1
-            row = k if col == 0 else k - per_col
-            l = float(5 + col * 50)
-            t = float(5 + row * 12)
-            elements.append(
-                {"l": l, "t": t, "r": l + 40.0, "b": t + 10.0,
-                 "label": _LABELS[k % len(_LABELS)], "true_order": k}
-            )
+        boxes = column_major_boxes(n)
+        elements = [
+            {"l": float(b[0]), "t": float(b[1]), "r": float(b[2]),
+             "b": float(b[3]), "label": _LABELS[k % len(_LABELS)],
+             "true_order": k}
+            for k, b in enumerate(boxes)
+        ]
         perm = rng.permutation(n).astype(np.int32).tolist()
         rows.append({"doc_id": f"doc-{i:06d}", "page_no": 1,
                      "elements": elements, "perm": perm})

@@ -18,8 +18,6 @@ against the exact answers in tests.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 
@@ -34,15 +32,9 @@ class HyperLogLog:
 
     @staticmethod
     def _hash(values: list[str]) -> np.ndarray:
-        return np.array(
-            [
-                int.from_bytes(
-                    hashlib.blake2b(v.encode(), digest_size=8).digest(), "big"
-                )
-                for v in values
-            ],
-            dtype=np.uint64,
-        )
+        from .dedup import _hash64  # the project's canonical 64-bit hash
+
+        return np.array([_hash64(v) for v in values], dtype=np.uint64)
 
     def add_many(self, values: list[str]) -> None:
         if not values:
@@ -96,7 +88,10 @@ def approx_distinct(ds, col: str, *, p: int = 12) -> float:
 
     def partial(t: pa.Table) -> pa.Table:
         hll = HyperLogLog(p)
-        hll.add_many([str(v) for v in t[col].to_pylist()])
+        # nulls are dropped, matching COUNT(DISTINCT) and the exact
+        # stats kernel's dropnull semantics (str(None) would conflate
+        # NULL with the literal string "None")
+        hll.add_many([str(v) for v in t[col].to_pylist() if v is not None])
         return pa.table({"sketch": pa.array([hll.to_bytes()], pa.binary())})
 
     parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
@@ -109,7 +104,11 @@ def approx_distinct(ds, col: str, *, p: int = 12) -> float:
 def quantile_from_histogram(bins: list[float], hist: list[int],
                             q: float) -> float:
     """Linear-interpolated quantile from a fixed-bin histogram; error is
-    bounded by one bin width."""
+    bounded by one bin width. A target rank landing exactly on a bin
+    boundary followed by empty bins interpolates to the midpoint of the
+    gap (mirroring np.quantile's behavior between order statistics —
+    returning the lower edge alone would be off by the whole empty run).
+    """
     total = sum(hist)
     if total == 0:
         return float("nan")
@@ -118,6 +117,12 @@ def quantile_from_histogram(bins: list[float], hist: list[int],
     for i, h in enumerate(hist):
         if cum + h >= target and h > 0:
             frac = (target - cum) / h
+            if frac >= 1.0:
+                # boundary rank: bridge to the next non-empty bin
+                for j in range(i + 1, len(hist)):
+                    if hist[j] > 0:
+                        return (bins[i + 1] + bins[j]) / 2.0
+                return bins[i + 1]
             return bins[i] + frac * (bins[i + 1] - bins[i])
         cum += h
     return bins[-1]
