@@ -26,7 +26,8 @@ Tuning notes (measured, see BASELINE.md):
     read→synth→extract per block, no actor pool: pools stall on ramp-up
     for short jobs and reserve CPUs away from the read stage
     (8→32 efficiency was ~0.25 with a pool, 0.93 with fused tasks);
-  * ``override_num_blocks = cpus × 8`` at the read: the replicated
+  * ``override_num_blocks = 128`` at the read (FIXED across scaling
+    levels so only parallelism varies): the replicated
     input compresses ~50×, so byte-based task sizing would otherwise
     coalesce the whole corpus into a handful of tasks;
   * consumption is an aggregate (sum of span counts), not a driver
@@ -161,7 +162,7 @@ def run_benchmarks() -> dict:
 
     # --- headline: flagship extraction over the replicated corpus -------
     t0 = time.time()
-    ds = rd.read_parquet(bench_input, override_num_blocks=NUM_CPUS * 4)
+    ds = rd.read_parquet(bench_input, override_num_blocks=128)
     inter = ds.map_batches(_synth_batch, batch_format="pyarrow")
     out = extract_main_content(inter, batch_size=1024)  # fused task mode
     total_spans = out.sum("n_spans")
@@ -231,15 +232,21 @@ def run_scaling() -> dict:
         while time.time() - t0 < max_wait and os.getloadavg()[0] > 8.0:
             time.sleep(5)
 
-    def run(ncpu: int) -> dict:
-        quiesce()
-        a = run_once(ncpu)
-        quiesce()
-        b = run_once(ncpu)
-        return a if a["value"] <= b["value"] else b
+    # interleave attempts (lo,hi,lo,hi) so both levels sample the same
+    # noise windows, then take the per-level best — back-to-back pairs
+    # of the same level can both land in a co-tenant load spike and
+    # produce nonsense ratios (observed 0.63..1.45 on this host)
+    attempts: dict[int, list[dict]] = {lo: [], hi: []}
+    for _ in range(2):
+        for level in (lo, hi):
+            quiesce()
+            attempts[level].append(run_once(level))
 
-    r_lo = run(lo)
-    r_hi = run(hi)
+    def best(level: int) -> dict:
+        return min(attempts[level], key=lambda r: r["value"])
+
+    r_lo = best(lo)
+    r_hi = best(hi)
     speedup = r_lo["value"] / r_hi["value"] if r_hi["value"] else 0.0
     eff = speedup / (hi / lo)
     return {
@@ -290,7 +297,7 @@ def run_headline_only() -> dict:
     ).count()
 
     t0 = time.time()
-    ds = rd.read_parquet(bench_input, override_num_blocks=NUM_CPUS * 4)
+    ds = rd.read_parquet(bench_input, override_num_blocks=128)
     inter = ds.map_batches(_synth_batch, batch_format="pyarrow")
     out = extract_main_content(inter, batch_size=1024)
     total_spans = out.sum("n_spans")
