@@ -27,12 +27,12 @@ from html.parser import HTMLParser
 def _span_attr(attrs: dict, name: str) -> int:
     """rowspan/colspan parse that degrades to 1 on junk values
     (``colspan=""`` / ``colspan="50%"`` occur in scraped HTML; a batch
-    kernel must not throw on one bad attribute)."""
-    try:
-        v = int(str(attrs.get(name, 1)).strip().rstrip("%") or 1)
-        return max(1, v)
-    except (ValueError, TypeError):
-        return 1
+    kernel must not throw on one bad attribute). Any value that is not a
+    plain positive integer — including percentages — degrades to 1
+    rather than being coerced (``"50%"`` must NOT become 50: that would
+    inflate grid occupancy and TEDS span-mismatch costs)."""
+    v = str(attrs.get(name, 1) or "").strip()
+    return int(v) if v.isdigit() and int(v) >= 1 else 1
 
 
 @dataclass
@@ -185,7 +185,10 @@ def parse_otsl(tokens: list[str] | str) -> list[TableCell]:
 
 def cells_to_html(cells: list[TableCell]) -> str:
     """Grid cells → minimal ``<table>`` markup (inverse of
-    ``parse_html_table``; used to route any grid into TEDS)."""
+    ``parse_html_table``; used to route any grid into TEDS). Cell text
+    is HTML-escaped so '<'/'>'/'&' in content round-trips through the
+    TEDS tree parser (html.parser unescapes charrefs on parse)."""
+    import html as _html
     n_rows, _ = grid_shape(cells)
     by_row: dict[int, list[TableCell]] = {}
     for c in cells:
@@ -200,7 +203,7 @@ def cells_to_html(cells: list[TableCell]) -> str:
                 attrs += f' rowspan="{c.rowspan}"'
             if c.colspan > 1:
                 attrs += f' colspan="{c.colspan}"'
-            parts.append(f"<{tag}{attrs}>{c.text}</{tag}>")
+            parts.append(f"<{tag}{attrs}>{_html.escape(c.text)}</{tag}>")
         parts.append("</tr>")
     parts.append("</table>")
     return "".join(parts)
@@ -365,7 +368,15 @@ def _count_nodes(n: _Node) -> int:
 def teds(gt_html: str, pred_html: str, *, structure_only: bool = False) -> float:
     """Tree-Edit-Distance Score ∈ [0, 1] (1 = identical). Mirrors the
     reference normalization 1 − dist/max(#descendant nodes)
-    (teds.py:74-84: node count excludes the <table> root)."""
+    (teds.py:74-84: node count excludes the <table> root).
+
+    Known divergence from the reference: markup nested INSIDE a cell
+    (e.g. ``<b>``/``<br>`` within ``<td>``) is treated as cell text —
+    the tree has td leaves only — while the reference counts all element
+    descendants via ``xpath('.//*')`` and tokenizes cell tags
+    (teds.py:86-129). Tables whose cells contain inline markup therefore
+    score slightly differently; structure and span semantics match.
+    """
     ta, tb = _TreeBuilder(), _TreeBuilder()
     ta.feed(gt_html)
     tb.feed(pred_html)

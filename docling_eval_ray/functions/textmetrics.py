@@ -85,15 +85,50 @@ def bleu(reference: list[str], hypothesis: list[str],
     return bp * math.exp(log_sum)
 
 
+def meteor(reference: list[str], hypothesis: list[str]) -> float:
+    """Exact-match METEOR (Banerjee & Lavie 2005, the public formula
+    the reference's nltk meteor_score implements,
+    markdown_text_evaluator.py:203-239): unigram alignment → harmonic
+    Fmean weighted 9:1 toward recall × a fragmentation penalty
+    0.5·(chunks/m)³. This variant uses the exact-match stage only (no
+    WordNet stem/synonym stages — those corpora aren't in this
+    container); alignment is the in-order greedy map, each reference
+    token consumed at most once."""
+    if not reference or not hypothesis:
+        return 0.0
+    # greedy in-order alignment: hyp position -> ref position
+    avail: dict[str, list[int]] = {}
+    for j in range(len(reference) - 1, -1, -1):
+        avail.setdefault(reference[j], []).append(j)  # ascending pops
+    mapping: list[tuple[int, int]] = []
+    for i, w in enumerate(hypothesis):
+        slots = avail.get(w)
+        if slots:
+            mapping.append((i, slots.pop()))
+    m = len(mapping)
+    if m == 0:
+        return 0.0
+    p = m / len(hypothesis)
+    r = m / len(reference)
+    fmean = 10 * p * r / (r + 9 * p)
+    chunks = 1
+    for (i0, j0), (i1, j1) in zip(mapping, mapping[1:]):
+        if i1 != i0 + 1 or j1 != j0 + 1:
+            chunks += 1
+    penalty = 0.5 * (chunks / m) ** 3
+    return fmean * (1 - penalty)
+
+
 def text_metrics(true_txt: str, pred_txt: str) -> dict:
     """The reference's per-doc markdown metric bundle
     (markdown_text_evaluator.py:203-239): bleu, f1, precision, recall,
-    normalized token edit distance."""
+    normalized token edit distance, meteor."""
     tt, pt = tokenize(true_txt), tokenize(pred_txt)
     out = set_prf(tt, pt)
     denom = max(len(tt), len(pt))
     out["edit_distance"] = edit_distance(pt, tt) / denom if denom else 0.0
     out["bleu"] = bleu(tt, pt)
+    out["meteor"] = meteor(tt, pt)
     return out
 
 

@@ -72,36 +72,121 @@ def _eval_schema() -> pa.Schema:
 
 
 def eval_records(sf_dir: str):
-    """documents → (doc_id, gt_spans, pred_spans, status) eval table."""
+    """documents → (doc_id, gt_spans, pred_spans, status) eval table.
+
+    The drop/swap/edit mutations are expressed on the FLATTENED span
+    arrays (take-index arithmetic over ``ListArray.flatten`` +
+    per-row offsets, the same pattern as stages/extract.py) — no
+    per-row Python dict rebuilding on this widest-path stage. ``_mutate``
+    above remains the row-level specification; a property test asserts
+    the vectorized form matches it."""
+    import pyarrow.compute as pc
+
     gt = flagship(sf_dir)
 
     def derive(t: pa.Table) -> pa.Table:
-        rows = t.to_pylist()
-        out = []
-        for r in rows:
-            doc_num = int(r["doc_id"].split("-")[1])
-            mode = doc_num % 10
-            if mode == 3:
-                out.append(
-                    {
-                        "doc_id": r["doc_id"],
-                        "gt_spans": r["spans"],
-                        "pred_spans": [],
-                        "status": "failure",
-                    }
-                )
-            else:
-                out.append(
-                    {
-                        "doc_id": r["doc_id"],
-                        "gt_spans": r["spans"],
-                        "pred_spans": _mutate(r["spans"], mode),
-                        "status": "success",
-                    }
-                )
-        return pa.Table.from_pylist(out, schema=_eval_schema())
+        spans = t.column("spans").combine_chunks()
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.chunk(0)
+        n_rows = len(spans)
+        flat = spans.flatten()
+
+        doc_num = (
+            pc.cast(pc.list_element(pc.split_pattern(t["doc_id"], "-"), 1),
+                    pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        mode = doc_num % 10
+        L = pc.list_value_length(spans).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        starts = np.zeros(n_rows + 1, dtype=np.int64)
+        np.cumsum(L, out=starts[1:])
+
+        out_len = L.copy()
+        out_len[(mode == 0) & (L > 2)] -= 1
+        out_len[mode == 3] = 0
+        new_offsets = np.zeros(n_rows + 1, dtype=np.int64)
+        np.cumsum(out_len, out=new_offsets[1:])
+        total = int(new_offsets[-1])
+
+        row = np.repeat(np.arange(n_rows), out_len)
+        j = np.arange(total, dtype=np.int64) - np.repeat(
+            new_offsets[:-1], out_len
+        )
+        take_idx = starts[row] + j
+
+        # mode 0: drop the middle span — indices past it shift right
+        drop_rows = (mode == 0) & (L > 2)
+        take_idx += ((drop_rows[row]) & (j >= (L[row] // 2))).astype(np.int64)
+        # mode 1: swap adjacent spans at L//3
+        swap_rows = (mode == 1) & (L > 2)
+        swap_pos = L[row] // 3
+        take_idx += (swap_rows[row] & (j == swap_pos)).astype(np.int64)
+        take_idx -= (swap_rows[row] & (j == swap_pos + 1)).astype(np.int64)
+        # mode 2: text edit at the middle span (index unchanged)
+        edit_mask = (mode == 2)[row] & (j == (L[row] // 2)) & (L[row] > 0)
+
+        taken_kind = flat.field("kind").take(pa.array(take_idx))
+        taken_text = flat.field("text").take(pa.array(take_idx))
+        taken_media = flat.field("media_ref").take(pa.array(take_idx))
+        if edit_mask.any():
+            taken_text = pc.if_else(
+                pa.array(edit_mask),
+                pc.binary_join_element_wise(taken_text, "xq", " "),
+                taken_text,
+            )
+        pred_struct = pa.StructArray.from_arrays(
+            [taken_kind.combine_chunks()
+             if isinstance(taken_kind, pa.ChunkedArray) else taken_kind,
+             taken_text.combine_chunks()
+             if isinstance(taken_text, pa.ChunkedArray) else taken_text,
+             taken_media.combine_chunks()
+             if isinstance(taken_media, pa.ChunkedArray) else taken_media,
+             pa.array(j.astype(np.int32), pa.int32())],
+            fields=list(_eval_schema().field("pred_spans").type.value_type),
+        )
+        pred_spans = pa.ListArray.from_arrays(
+            pa.array(new_offsets.astype(np.int32), pa.int32()), pred_struct
+        )
+        status = pa.array(
+            np.where(mode == 3, "failure", "success"), pa.string()
+        )
+        return pa.Table.from_arrays(
+            [t["doc_id"].combine_chunks()
+             if isinstance(t["doc_id"], pa.ChunkedArray) else t["doc_id"],
+             spans, pred_spans, status],
+            schema=_eval_schema(),
+        )
 
     return gt.map_batches(derive, batch_format="pyarrow")
+
+
+def _metric_schema(**fields: pa.DataType) -> pa.Schema:
+    """Explicit output schema for metric map_batches fns: a batch whose
+    rows all filtered out (e.g. every row status=failure) must still
+    yield a table with the full column set, or the dataset splits into
+    incompatible block schemas (same hazard _eval_schema guards)."""
+    return pa.schema([pa.field(n, t) for n, t in fields.items()])
+
+
+_MARKDOWN_SCHEMA = _metric_schema(
+    doc_id=pa.string(), bleu=pa.float64(), f1=pa.float64(),
+    precision=pa.float64(), recall=pa.float64(), edit_distance=pa.float64(),
+    meteor=pa.float64(),
+)
+_OCR_SCHEMA = _metric_schema(
+    doc_id=pa.string(), cer=pa.float64(), char_accuracy=pa.float64()
+)
+_RO_SCHEMA = _metric_schema(doc_id=pa.string(), ard_norm=pa.float64())
+_LAYOUT_SCHEMA = _metric_schema(doc_id=pa.string(), image_map=pa.float64())
+_TABLES_SCHEMA = _metric_schema(
+    doc_id=pa.int64(), teds_struct=pa.float64(), teds=pa.float64(),
+    is_complex=pa.bool_(), delta_rows=pa.int64(), delta_cols=pa.int64(),
+)
+_TIMINGS_SCHEMA = _metric_schema(
+    doc_id=pa.string(), sec_per_doc=pa.float64(), sec_per_page=pa.float64()
+)
 
 
 def _md(t: pa.Table, col: str) -> list[str]:
@@ -122,8 +207,9 @@ def _status_filter(t: pa.Table) -> pa.Table:
 
 def evaluate_markdown(sf_dir: str):
     """Markdown text metrics per doc (markdown_text_evaluator analogue):
-    bleu / f1 / precision / recall / edit_distance over the span→markdown
-    projection."""
+    bleu / f1 / precision / recall / edit_distance / meteor over the
+    span→markdown projection (reference bundle incl. METEOR,
+    markdown_text_evaluator.py:203-239)."""
     ds = eval_records(sf_dir)
 
     def metric(t: pa.Table) -> pa.Table:
@@ -141,9 +227,10 @@ def evaluate_markdown(sf_dir: str):
                     "precision": round(m["precision"], 6),
                     "recall": round(m["recall"], 6),
                     "edit_distance": round(m["edit_distance"], 6),
+                    "meteor": round(m["meteor"], 6),
                 }
             )
-        return pa.Table.from_pylist(rows)
+        return pa.Table.from_pylist(rows, schema=_MARKDOWN_SCHEMA)
 
     return ds.map_batches(metric, batch_format="pyarrow")
 
@@ -167,7 +254,7 @@ def evaluate_ocr(sf_dir: str):
                     "char_accuracy": round(1.0 - c, 6),
                 }
             )
-        return pa.Table.from_pylist(rows)
+        return pa.Table.from_pylist(rows, schema=_OCR_SCHEMA)
 
     return ds.map_batches(metric, batch_format="pyarrow")
 
@@ -197,7 +284,7 @@ def evaluate_reading_order(sf_dir: str):
             ]
             ard, _ = ard_norm(order)
             rows.append({"doc_id": r["doc_id"], "ard_norm": round(ard, 6)})
-        return pa.Table.from_pylist(rows)
+        return pa.Table.from_pylist(rows, schema=_RO_SCHEMA)
 
     return ds.map_batches(metric, batch_format="pyarrow")
 
@@ -275,7 +362,7 @@ def evaluate_layout(sf_dir: str):
                 {"doc_id": r["doc_id"],
                  "image_map": round(float(m), 6) if not np.isnan(m) else None}
             )
-        return pa.Table.from_pylist(rows)
+        return pa.Table.from_pylist(rows, schema=_LAYOUT_SCHEMA)
 
     return ds.map_batches(metric, batch_format="pyarrow")
 
@@ -345,7 +432,7 @@ def evaluate_tables(sf_dir: str):
                     "delta_cols": gc - pc_,
                 }
             )
-        return pa.Table.from_pylist(rows)
+        return pa.Table.from_pylist(rows, schema=_TABLES_SCHEMA)
 
     return docs.map_batches(metric, batch_format="pyarrow")
 
@@ -372,7 +459,7 @@ def evaluate_timings(sf_dir: str):
                     "sec_per_page": round(total / n_pages, 6),
                 }
             )
-        return pa.Table.from_pylist(rows)
+        return pa.Table.from_pylist(rows, schema=_TIMINGS_SCHEMA)
 
     return ds.map_batches(metric, batch_format="pyarrow")
 
@@ -435,28 +522,63 @@ def corpus_layout_map(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def _metric_means(ds, cols: list[str]) -> dict[str, tuple[float, int]]:
+    """col → (mean-over-non-null, n-non-null) via a streamed
+    partial+final aggregate: each batch emits one row of per-column
+    (sum, count) partials; one tiny global Sum merges them. Nothing
+    corpus-sized ever reaches the driver."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        data = {}
+        for c in cols:
+            arr = pc.cast(t[c], pa.float64())
+            s = pc.sum(arr)  # null-skipping
+            n = pc.count(arr, mode="only_valid")
+            data[f"{c}__sum"] = pa.array(
+                [s.as_py() if s.is_valid else 0.0], pa.float64()
+            )
+            data[f"{c}__n"] = pa.array([n.as_py()], pa.int64())
+        return pa.table(data)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    aggs = []
+    for c in cols:
+        aggs.append(Sum(f"{c}__sum", alias_name=f"{c}__sum"))
+        aggs.append(Sum(f"{c}__n", alias_name=f"{c}__n"))
+    res = partials.aggregate(*aggs)
+    out = {}
+    for c in cols:
+        n = int(res[f"{c}__n"])
+        out[c] = (float(res[f"{c}__sum"]) / n if n else float("nan"), n)
+    return out
+
+
 def evaluation_summary(sf_dir: str) -> pd.DataFrame:
     """The consolidation matrix (aggregations/consolidator.py analogue):
-    one row per (modality, metric) with the corpus mean — computed from
-    the streamed evaluator outputs, pivoted driver-side (the result is
-    tiny)."""
+    one row per (modality, metric) with the corpus mean. Each modality's
+    per-doc table is reduced by a distributed (sum, count) aggregate —
+    at corpus scale these tables are corpus-sized, so no ``to_pandas``
+    — and only the tiny (modality × metric) pivot is driver-side."""
     parts = []
     for modality, ds, cols in [
         ("markdown", evaluate_markdown(sf_dir),
-         ["bleu", "f1", "precision", "recall", "edit_distance"]),
+         ["bleu", "f1", "precision", "recall", "edit_distance", "meteor"]),
         ("ocr", evaluate_ocr(sf_dir), ["cer", "char_accuracy"]),
         ("reading_order", evaluate_reading_order(sf_dir), ["ard_norm"]),
         ("layout", evaluate_layout(sf_dir), ["image_map"]),
         ("tables", evaluate_tables(sf_dir), ["teds_struct", "teds"]),
     ]:
-        df = ds.to_pandas()
+        means = _metric_means(ds, cols)
         for c in cols:
+            mean, n = means[c]
             parts.append(
                 {
                     "modality": modality,
                     "metric": c,
-                    "mean": round(float(df[c].dropna().mean()), 6),
-                    "n": int(df[c].notna().sum()),
+                    "mean": round(mean, 6),
+                    "n": n,
                 }
             )
     return pd.DataFrame(parts).sort_values(

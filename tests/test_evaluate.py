@@ -79,3 +79,37 @@ def test_evaluation_summary(ray_session):
     }
     assert ((df["mean"] >= -1.0) & (df["mean"] <= 1.0)).all()
     assert (df["n"] > 0).all()
+
+
+def test_eval_records_vectorized_matches_mutate_spec(ray_session):
+    """The flattened-array mutation synthesis must reproduce the row-level
+    _mutate specification exactly (spans, offsets, status)."""
+    from docling_eval_ray.pipelines.evaluate import _mutate, eval_records
+    from docling_eval_ray.pipelines.flagship import flagship
+
+    gt = {r["doc_id"]: r["spans"] for r in flagship(SF_DIR).take_all()}
+    got = eval_records(SF_DIR).take_all()
+    assert len(got) == len(gt)
+    for r in got:
+        mode = int(r["doc_id"].split("-")[1]) % 10
+        assert r["gt_spans"] == gt[r["doc_id"]]
+        if mode == 3:
+            assert r["status"] == "failure" and r["pred_spans"] == []
+        else:
+            assert r["status"] == "success"
+            assert r["pred_spans"] == _mutate(gt[r["doc_id"]], mode)
+
+
+def test_evaluation_summary_matches_driver_side_means(ray_session):
+    """Distributed (sum, count) aggregate == pandas mean of the per-doc
+    tables (the pre-refactor driver-side computation)."""
+    from docling_eval_ray.pipelines.evaluate import evaluate_markdown
+
+    df = evaluate_markdown(SF_DIR).to_pandas()
+    summary = evaluation_summary(SF_DIR)
+    md = summary[summary["modality"] == "markdown"].set_index("metric")
+    for c in ["bleu", "f1", "meteor", "edit_distance"]:
+        assert md.loc[c, "mean"] == pytest.approx(
+            round(float(df[c].dropna().mean()), 6), abs=2e-6
+        )
+        assert md.loc[c, "n"] == int(df[c].notna().sum())

@@ -168,3 +168,34 @@ def test_compute_stats_empty(ray_session):
     ds = rd.from_items([{"v": 1.0}]).filter(lambda r: False)
     out = compute_stats(ds, "v")
     assert out["total"] == 0 and out["mean"] == -1.0
+
+
+# --- METEOR ----------------------------------------------------------------
+
+def test_meteor_known_answers():
+    from docling_eval_ray.functions.textmetrics import meteor
+
+    # identical: m=n, P=R=1, Fmean=1, chunks=1, penalty=0.5/n^3
+    ref = "the cat sat on the mat".split()
+    assert meteor(ref, ref) == pytest.approx(1 - 0.5 * (1 / 6) ** 3)
+    # no overlap
+    assert meteor(ref, "dogs bark loudly".split()) == 0.0
+    # empty sides
+    assert meteor([], ref) == 0.0 and meteor(ref, []) == 0.0
+    # hand-computed: ref="a b c d", hyp="a b d c" → m=4, P=R=1,
+    # Fmean=1; alignment (0,0)(1,1)(2,3)(3,2) → chunks=3
+    got = meteor("a b c d".split(), "a b d c".split())
+    assert got == pytest.approx(1.0 * (1 - 0.5 * (3 / 4) ** 3))
+    # recall-weighted: hyp covers half the ref contiguously
+    # m=2, P=1, R=0.5, Fmean=10*0.5/(0.5+9)≈0.5263, chunks=1
+    got = meteor("a b c d".split(), "a b".split())
+    fmean = 10 * 1.0 * 0.5 / (0.5 + 9 * 1.0)
+    assert got == pytest.approx(fmean * (1 - 0.5 * (1 / 2) ** 3))
+
+
+def test_meteor_in_text_metrics_bundle():
+    from docling_eval_ray.functions.textmetrics import text_metrics
+
+    m = text_metrics("the cat sat", "the cat sat")
+    assert m["meteor"] == pytest.approx(1 - 0.5 * (1 / 3) ** 3)
+    assert m["bleu"] == pytest.approx(1.0)

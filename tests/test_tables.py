@@ -93,3 +93,33 @@ def test_cells_roundtrip():
     cells = parse_html_table(SPANNED)
     html2 = cells_to_html(cells)
     assert teds(SPANNED, html2, structure_only=False) == 1.0
+
+
+def test_span_attr_junk_values_degrade_to_one():
+    from docling_eval_ray.functions.tables import parse_html_table
+
+    # percentage / junk colspan must degrade to 1, not parse to 50
+    cells = parse_html_table(
+        '<table><tr><td colspan="50%">a</td><td>b</td></tr></table>'
+    )
+    assert [(c.row, c.col, c.colspan) for c in cells] == [(0, 0, 1), (0, 1, 1)]
+    cells = parse_html_table(
+        '<table><tr><td colspan="">a</td><td rowspan="junk">b</td>'
+        '<td rowspan="0">c</td></tr></table>'
+    )
+    assert all(c.colspan == 1 and c.rowspan == 1 for c in cells)
+
+
+def test_cells_to_html_escapes_special_chars():
+    from docling_eval_ray.functions.tables import (
+        cells_to_html,
+        parse_html_table,
+        teds,
+    )
+
+    cells = parse_html_table("<table><tr><td>a &lt; b &amp; c</td></tr></table>")
+    assert cells[0].text == "a < b & c"
+    html = cells_to_html(cells)
+    # round-trip preserves the text through escaping
+    assert parse_html_table(html)[0].text == "a < b & c"
+    assert teds(html, html) == 1.0
