@@ -68,7 +68,10 @@ def broadcast_join(ds, small_df: pd.DataFrame, on: str, *, how: str = "inner",
                  concurrency=concurrency)
 
 
-def _pad_tag_bucket(side: str, on: str, out_schema: pa.Schema,
+_KEY_PRIME = np.uint64(1000003)
+
+
+def _pad_tag_bucket(side: str, on: list[str], out_schema: pa.Schema,
                     num_buckets: int):
     """Project a batch onto the aligned union schema (typed nulls for the
     other side's columns), tag the side, and add the hash bucket."""
@@ -80,9 +83,15 @@ def _pad_tag_bucket(side: str, on: str, out_schema: pa.Schema,
             if field.name == _SIDE_COL:
                 cols.append(pa.array([side] * n, pa.string()))
             elif field.name == _BUCKET_COL:
-                key = batch[on].to_numpy(zero_copy_only=False)
-                b = pd.util.hash_array(np.ascontiguousarray(key)) % num_buckets
-                cols.append(pa.array(b.astype(np.int64), pa.int64()))
+                h = np.zeros(n, np.uint64)
+                for k in on:
+                    key = batch[k].to_numpy(zero_copy_only=False)
+                    h = h * _KEY_PRIME + pd.util.hash_array(
+                        np.ascontiguousarray(key)
+                    )
+                cols.append(
+                    pa.array((h % num_buckets).astype(np.int64), pa.int64())
+                )
             elif field.name in batch.column_names:
                 cols.append(batch[field.name].cast(field.type))
             else:
@@ -92,10 +101,11 @@ def _pad_tag_bucket(side: str, on: str, out_schema: pa.Schema,
     return fn
 
 
-def hash_join(left_ds, right_ds, on: str, *, num_buckets: int = 32):
-    """Explicit partitioned hash join of two Datasets on one key.
+def hash_join(left_ds, right_ds, on: str | list[str], *,
+              num_buckets: int = 32):
+    """Explicit partitioned hash join of two Datasets on one or more keys.
 
-    Both sides are bucketed by ``hash(key) % num_buckets`` and merged
+    Both sides are bucketed by ``hash(keys) % num_buckets`` and merged
     per-bucket inside ``map_groups`` — the portable Ray Data hash-join
     pattern (exactly one shuffle, keyed on the bucket). ``num_buckets``
     bounds per-group memory: size it so the larger side's
@@ -105,6 +115,8 @@ def hash_join(left_ds, right_ds, on: str, *, num_buckets: int = 32):
     before joining); output dtypes are restored from the input schemas
     (the union's typed nulls would otherwise decay int→float in pandas).
     """
+    keys = [on] if isinstance(on, str) else list(on)
+
     def _ensure_arrow(ds):
         # upstream pandas-format stages yield PandasBlockSchema; a
         # pass-through pyarrow map normalizes blocks AND schema
@@ -118,12 +130,13 @@ def hash_join(left_ds, right_ds, on: str, *, num_buckets: int = 32):
     right_ds, right_schema = _ensure_arrow(right_ds)
     left_cols = left_schema.names
     right_cols = right_schema.names
-    overlap = (set(left_cols) & set(right_cols)) - {on}
+    overlap = (set(left_cols) & set(right_cols)) - set(keys)
     if overlap:
         raise ValueError(f"non-key columns overlap: {sorted(overlap)}")
 
     union_fields = [left_schema.field(c) for c in left_cols]
-    union_fields += [right_schema.field(c) for c in right_cols if c != on]
+    union_fields += [right_schema.field(c) for c in right_cols
+                     if c not in keys]
     union_fields += [
         pa.field(_SIDE_COL, pa.string()),
         pa.field(_BUCKET_COL, pa.int64()),
@@ -131,41 +144,41 @@ def hash_join(left_ds, right_ds, on: str, *, num_buckets: int = 32):
     union_schema = pa.schema(union_fields)
 
     out_fields = [left_schema.field(c) for c in left_cols]
-    out_fields += [right_schema.field(c) for c in right_cols if c != on]
+    out_fields += [right_schema.field(c) for c in right_cols
+                   if c not in keys]
     out_schema = pa.schema(out_fields)
-    out_cols = out_schema.names
 
     tagged = left_ds.map_batches(
-        _pad_tag_bucket("l", on, union_schema, num_buckets),
+        _pad_tag_bucket("l", keys, union_schema, num_buckets),
         batch_format="pyarrow",
     ).union(
         right_ds.map_batches(
-            _pad_tag_bucket("r", on, union_schema, num_buckets),
+            _pad_tag_bucket("r", keys, union_schema, num_buckets),
             batch_format="pyarrow",
         )
     )
 
-    right_only = [c for c in right_cols if c != on]
+    right_only = [c for c in right_cols if c not in keys]
 
     def merge_bucket(g: pa.Table) -> pa.Table:
-        # join INDICES via pandas on the key column only; payload columns
-        # are taken from the Arrow table directly, so non-key values
-        # never round-trip through pandas (the typed-null padding would
-        # decay int64 → float64 and silently corrupt ids above 2^53)
+        # join INDICES via pandas on the key columns only; payload
+        # columns are taken from the Arrow table directly, so non-key
+        # values never round-trip through pandas (the typed-null padding
+        # would decay int64 → float64 and silently corrupt ids > 2^53)
         import pyarrow.compute as pc
 
         lmask = pc.equal(g[_SIDE_COL], "l")
         left = g.filter(lmask)
         right = g.filter(pc.invert(lmask))
         li = pd.DataFrame(
-            {on: left[on].to_numpy(zero_copy_only=False),
+            {**{k: left[k].to_numpy(zero_copy_only=False) for k in keys},
              "__li": np.arange(left.num_rows)}
         )
         ri = pd.DataFrame(
-            {on: right[on].to_numpy(zero_copy_only=False),
+            {**{k: right[k].to_numpy(zero_copy_only=False) for k in keys},
              "__ri": np.arange(right.num_rows)}
         )
-        pairs = li.merge(ri, on=on, how="inner")
+        pairs = li.merge(ri, on=keys, how="inner")
         ltake = pa.array(pairs["__li"].to_numpy())
         rtake = pa.array(pairs["__ri"].to_numpy())
         cols = [left[c].take(ltake) for c in left_cols]

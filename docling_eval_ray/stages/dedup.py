@@ -58,14 +58,23 @@ def _hash64(s: str) -> int:
 # ---------------------------------------------------------------------------
 
 
-def ngram_jaccard_pairs(sf_dir: str, *, k: int = 3, threshold: float = 0.1):
+def ngram_jaccard_pairs(sf_dir: str, *, k: int = 3, threshold: float = 0.1,
+                        max_df: int | None = None):
     """All document pairs with k-word-shingle Jaccard ≥ threshold.
 
     Distributed shape: shingle explode (map_batches) → groupby(shingle)
     emits co-occurring pairs → groupby(pair) sums intersections →
-    row-local Jaccard from carried set sizes. Exact (no sampling), so it
-    hash-matches the SQL oracle; at 100 TB you bound the hot-shingle
-    groups with a document-frequency cap and salt the pair groupby.
+    row-local Jaccard from carried set sizes. Exact (no sampling) at the
+    default ``max_df=None``, so it hash-matches the SQL oracle.
+
+    ``max_df`` is the hot-shingle skew control for corpus scale: a
+    shingle occurring in more than ``max_df`` documents is a
+    stop-shingle — it would emit O(df²) pairs from one group — and is
+    dropped before pair emission. All of a shingle's postings meet in
+    one bucket, so the document frequency is known exactly there: the
+    cap costs no extra shuffle. With a cap the result is a lower bound
+    on each pair's intersection (standard stop-shingle semantics in
+    near-dup mining).
     """
     import ray.data as rd
 
@@ -102,7 +111,11 @@ def ngram_jaccard_pairs(sf_dir: str, *, k: int = 3, threshold: float = 0.1):
         counts = np.bincount(codes)
         starts = np.concatenate([[0], np.cumsum(counts)])
         A, B, NA, NB = [], [], [], []
-        for gi in np.nonzero(counts >= 2)[0]:
+        eligible = np.nonzero(
+            (counts >= 2)
+            & ((counts <= max_df) if max_df is not None else True)
+        )[0]
+        for gi in eligible:
             s, e = starts[gi], starts[gi + 1]
             ia, ib = np.triu_indices(e - s, k=1)
             A.append(ids[s:e][ia])
@@ -271,51 +284,99 @@ def minhash_candidates(ds, *, num_perm: int = 128, bands: int = 32,
     )
 
 
-class JaccardVerifier:
-    """Exact-Jaccard verification of candidate pairs against a broadcast
-    doc_id → shingle-set index (fine while the corpus slice fits the
-    object store; at full scale verify via a signature hash-join
-    instead)."""
+def _shingle_hash_table(ds, *, k: int = 3):
+    """documents → (doc_id, sh: int64, n_sh) — one row per DISTINCT
+    shingle per doc, shingles as 64-bit content hashes (``_hash64``;
+    collision probability ~n²/2⁶⁴, negligible). This is the
+    distributable form of the per-doc shingle set."""
 
-    def __init__(self, shingle_index_ref, threshold: float):
-        import ray
+    def explode(t: pa.Table) -> pa.Table:
+        doc_ids, hashes, sizes = [], [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            sh = _shingles(text.strip(), k)
+            for s in sh:
+                doc_ids.append(did)
+                hashes.append(_hash64(s))
+                sizes.append(len(sh))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "sh": pa.array(
+                    np.array(hashes, dtype=np.uint64).view(np.int64),
+                    pa.int64(),
+                ),
+                "n_sh": pa.array(sizes, pa.int64()),
+            }
+        )
 
-        self._index = ray.get(shingle_index_ref)
-        self._t = threshold
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        a = batch["doc_id_a"].to_numpy()
-        b = batch["doc_id_b"].to_numpy()
-        js = np.empty(len(a), dtype=np.float64)
-        for i in range(len(a)):
-            sa, sb = self._index[a[i]], self._index[b[i]]
-            inter = len(sa & sb)
-            js[i] = inter / (len(sa) + len(sb) - inter) if sa or sb else 0.0
-        out = batch.assign(jaccard=np.round(js, 6))
-        return out[out["jaccard"] >= self._t]
+    return ds.map_batches(explode, batch_format="pyarrow")
 
 
-def minhash_near_dups(sf_dir: str, *, threshold: float = 0.5):
-    """MinHash-LSH near-dup pairs (candidates) with exact verification."""
-    import ray
+def minhash_near_dups(sf_dir: str, *, threshold: float = 0.5, k: int = 3):
+    """MinHash-LSH near-dup pairs (candidates) with exact verification.
+
+    Fully distributed — NOTHING corpus-sized touches the driver:
+
+      candidates (LSH banding, `minhash_candidates`)
+        ⋈ shingle-hash table on doc_id_a      (bucketed hash join)
+        ⋈ shingle-hash table on (doc_id_b, sh) (bucketed hash join →
+                                                intersection rows)
+        → groupby(pair): |A∩B| = row count, Jaccard from carried set
+          sizes, threshold filter.
+
+    The old implementation built a doc_id→shingle-set dict on the driver
+    (``ds.to_pandas()``) and broadcast it — a whole-corpus
+    materialization that cannot scale; this replaces it with two
+    bucketed shuffles over only the CANDIDATE pairs' shingle rows.
+    Pairs with an empty intersection drop out of the inner join, which
+    is correct for any threshold > 0.
+    """
     import ray.data as rd
+
+    from ..functions.joins import hash_join
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     cands = minhash_candidates(ds)
 
-    docs = ds.to_pandas()
-    index = {
-        int(r.doc_id): _shingles(r.text.strip()) for r in docs.itertuples()
-    }
-    ref = ray.put(index)
-    from .util import stage
+    sh = _shingle_hash_table(ds, k=k)
+    sh_a = sh.map_batches(
+        lambda t: t.rename_columns(["doc_id_a", "sh", "na"]),
+        batch_format="pyarrow",
+    )
+    sh_b = sh.map_batches(
+        lambda t: t.rename_columns(["doc_id_b", "sh", "nb"]),
+        batch_format="pyarrow",
+    )
 
-    # actor pool (NOT task mode): the broadcast shingle index is a big
-    # Python dict — per-task construction would re-unpickle it from the
-    # object store once per batch; two actors resolve it once each
-    return stage(cands, JaccardVerifier, args=(ref, threshold),
-                 batch_format="pandas", concurrency=2)
+    # pair × shingles-of-a, then inner join on (doc_id_b, sh): one row
+    # per common shingle of the pair
+    with_a = hash_join(cands, sh_a, on="doc_id_a")
+    inter = hash_join(with_a, sh_b, on=["doc_id_b", "sh"])
+
+    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(
+            ["doc_id_a", "doc_id_b"], as_index=False, sort=False
+        ).agg(c=("sh", "size"), na=("na", "first"), nb=("nb", "first"))
+        j = out["c"].to_numpy(np.float64) / (
+            out["na"].to_numpy(np.float64)
+            + out["nb"].to_numpy(np.float64)
+            - out["c"].to_numpy(np.float64)
+        )
+        j = np.round(j, 6)
+        keep = j >= threshold
+        return pd.DataFrame(
+            {
+                "doc_id_a": out["doc_id_a"].to_numpy()[keep],
+                "doc_id_b": out["doc_id_b"].to_numpy()[keep],
+                "jaccard": j[keep],
+            }
+        )
+
+    from ..functions.groups import bucketed_group_apply
+
+    return bucketed_group_apply(inter, ["doc_id_a", "doc_id_b"],
+                                verify_bucket)
 
 
 # ---------------------------------------------------------------------------

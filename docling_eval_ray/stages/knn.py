@@ -4,14 +4,17 @@
   broadcast once; each batch computes a vectorized matmul and emits its
   LOCAL top-k, so only k rows per batch reach the final sort (the
   partial-top-k pattern; the global sort sees ~k × n_batches rows, not n).
-* ``embedding_near_dups`` — all pairs above a cosine threshold: the
-  normalized corpus matrix is broadcast (``ray.put`` once, read per
-  actor), each batch does a block × corpus matmul. O(n²/B) flops per
-  batch but fully vectorized; the documented scale path replaces the
-  broadcast with IVF/LSH bucketing (see ``embedding_knn_ivf``).
-* ``embedding_knn_ivf`` — the scale path: partition vectors into
-  coarse cells (deterministic centroids), probe only the closest
-  ``nprobe`` cells. Approximate; recall measured in tests.
+* ``embedding_near_dups`` — all pairs above a cosine threshold,
+  size-routed: ≤ ``EXACT_NEAR_DUP_MAX`` rows → exact tier (normalized
+  corpus matrix broadcast once, block × corpus matmul, DuckDB-oracled);
+  above it → ``embedding_near_dups_ivf`` (cell-local pair search, no
+  broadcast).
+* ``embedding_knn_ivf`` — the ANN scale path, fully distributed:
+  spherical-k-means centroids from a BOUNDED driver sample, vectors
+  shuffle-assigned to cells, queries replicated to their ``nprobe``
+  nearest cells, cell-local top-k, bucketed global merge. Approximate;
+  recall measured in tests (≈0.69 on the random sf0.001 corpus at
+  nprobe=4 of 10 cells).
 
 Float discipline: all math in float64 so results bit-match the DuckDB
 oracle's ``list_cosine_similarity(CAST(embedding AS DOUBLE[]), ...)``
@@ -28,6 +31,10 @@ import pyarrow as pa
 KNN_QUERY = [0.125] * 64
 KNN_K = 10
 NEAR_DUP_THRESHOLD = 0.45
+#: centroid sampling bound: at most this many vectors ever reach the
+#: driver (the ONLY driver-side step of the IVF family)
+IVF_SAMPLE_MAX = 4096
+IVF_CELLS = 10
 
 
 def _emb_matrix(t: pa.Table) -> np.ndarray:
@@ -111,15 +118,30 @@ class _BlockPairwise:
         )
 
 
-def embedding_near_dups(sf_dir: str, *, threshold: float = NEAR_DUP_THRESHOLD):
+#: above this corpus size the exact all-pairs path (which must broadcast
+#: the full normalized matrix) is refused and near-dups route through
+#: the IVF-bucketed variant — the broadcast stops being "small side"
+#: around the point a worker heap can't hold corpus × 8 bytes × dim
+EXACT_NEAR_DUP_MAX = 100_000
+
+
+def embedding_near_dups(sf_dir: str, *, threshold: float = NEAR_DUP_THRESHOLD,
+                        exact_max: int = EXACT_NEAR_DUP_MAX):
     """All embedding pairs with cosine ≥ threshold (embedding-cosine
-    near-dup detection). Broadcast-matrix block matmul; see module
-    docstring for the at-scale variant."""
+    near-dup detection).
+
+    Size-routed: corpora ≤ ``exact_max`` run the EXACT tier (normalized
+    corpus matrix broadcast once via ``ray.put``, per-batch block×corpus
+    matmul — this is the DuckDB-oracled path); larger corpora route
+    through ``embedding_near_dups_ivf`` (cell-local pair search,
+    approximate near the cell boundaries, nothing broadcast)."""
     import ray
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
+    if ds.count() > exact_max:  # metadata count: no scan
+        return embedding_near_dups_ivf(sf_dir, threshold=threshold)
     full = ds.to_pandas()
     ids = full["vec_id"].to_numpy().astype(np.int64)
     mat = _normalize(
@@ -131,75 +153,195 @@ def embedding_near_dups(sf_dir: str, *, threshold: float = NEAR_DUP_THRESHOLD):
     return stage(ds, _BlockPairwise, args=(ref, threshold))
 
 
-class _IVFSearcher:
-    """IVF probe: assign each query row to its ``nprobe`` nearest
-    centroids and scan only those cells of the broadcast index."""
+def embedding_near_dups_ivf(sf_dir: str, *,
+                            threshold: float = NEAR_DUP_THRESHOLD,
+                            n_cells: int = IVF_CELLS, nassign: int = 2):
+    """Near-dup pairs at corpus scale: multi-assign each vector to its
+    ``nassign`` nearest cells, find pairs cell-locally, dedupe pairs
+    that met in more than one shared cell. Approximate: a pair is found
+    iff the two vectors share at least one assigned cell (multi-assign
+    covers cell boundaries; raise ``nassign`` for recall)."""
+    import ray.data as rd
 
-    def __init__(self, index_ref, k: int, nprobe: int):
-        import ray
+    from ..functions.groups import bucketed_group_apply
 
-        self._centroids, self._cells = ray.get(index_ref)
-        self._k = k
-        self._nprobe = nprobe
+    cents = sample_centroids(sf_dir, n_cells=n_cells)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
 
-    def __call__(self, t: pa.Table) -> pa.Table:
+    def assign(t: pa.Table) -> pa.Table:
         block = _normalize(_emb_matrix(t))
-        block_ids = t["vec_id"].to_numpy(zero_copy_only=False)
-        out_q, out_n, out_s = [], [], []
-        cent_sims = block @ self._centroids.T
-        probe = np.argsort(-cent_sims, axis=1)[:, : self._nprobe]
-        for i in range(len(block)):
-            cand_ids = np.concatenate(
-                [self._cells[c][0] for c in probe[i]]
-            )
-            cand_mat = np.concatenate(
-                [self._cells[c][1] for c in probe[i]], axis=0
-            )
-            sims = cand_mat @ block[i]
-            mask = cand_ids != block_ids[i]
-            sims, cand = sims[mask], cand_ids[mask]
-            order = np.argsort(-sims, kind="stable")[: self._k]
-            out_q.extend([block_ids[i]] * len(order))
-            out_n.extend(cand[order].tolist())
-            out_s.extend(np.round(sims[order], 6).tolist())
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = block @ cents.T
+        cells = np.argsort(-sims, axis=1)[:, :nassign]
+        n, d = block.shape
+        flat = pa.array(
+            np.repeat(block, nassign, axis=0).ravel(), pa.float64()
+        )
         return pa.table(
             {
-                "vec_id": pa.array(out_q, pa.int64()),
-                "neighbor_id": pa.array(out_n, pa.int64()),
-                "sim": pa.array(out_s, pa.float64()),
+                "cell": pa.array(cells.ravel().astype(np.int64), pa.int64()),
+                "vec_id": pa.array(np.repeat(ids, nassign), pa.int64()),
+                "emb": pa.FixedSizeListArray.from_arrays(flat, d),
             }
         )
 
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
 
-def build_ivf_index(sf_dir: str):
-    """Coarse-quantize the corpus into cells keyed by the ``label``
-    column (deterministic stand-in for k-means centroids: cell centroid =
-    mean of its members). Returns (centroids, {cell: (ids, matrix)})."""
-    import pyarrow.parquet as pq
+    def cell_pairs(g: pa.Table) -> pa.Table:
+        ids = g["vec_id"].to_numpy(zero_copy_only=False)
+        emb = g["emb"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        mat = emb.flatten().to_numpy(zero_copy_only=False).reshape(
+            len(g), -1
+        )
+        sims = mat @ mat.T
+        ai, bi = np.nonzero(sims >= threshold)
+        a, b = ids[ai], ids[bi]
+        keep = a < b
+        return pa.table(
+            {
+                "vec_id_a": pa.array(a[keep], pa.int64()),
+                "vec_id_b": pa.array(b[keep], pa.int64()),
+                "sim": pa.array(np.round(sims[ai, bi][keep], 6),
+                                pa.float64()),
+            }
+        )
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    labels = t["label"].to_numpy(zero_copy_only=False)
-    mat = _normalize(np.array(t["embedding"].to_pylist(), dtype=np.float64))
-    cells = {}
-    cents = []
-    for li, lab in enumerate(np.unique(labels)):
-        m = labels == lab
-        cells[li] = (ids[m], mat[m])
-        cents.append(mat[m].mean(axis=0))
-    centroids = _normalize(np.array(cents))
-    return centroids, cells
+    pairs = assigned.groupby("cell").map_groups(
+        cell_pairs, batch_format="pyarrow"
+    )
+    return bucketed_group_apply(
+        pairs,
+        ["vec_id_a", "vec_id_b"],
+        lambda g: g.drop_duplicates(["vec_id_a", "vec_id_b"]),
+    )
 
 
-def embedding_knn_ivf(sf_dir: str, *, k: int = KNN_K, nprobe: int = 4):
-    """Approximate per-vector k-NN via IVF cells (the ANN scale path)."""
-    import ray
+def sample_centroids(sf_dir: str, *, n_cells: int = IVF_CELLS,
+                     sample_max: int = IVF_SAMPLE_MAX,
+                     seed: int = 42, iters: int = 10) -> np.ndarray:
+    """Spherical k-means centroids from a BOUNDED sample.
+
+    ``ds.limit(sample_max)`` reads only the blocks needed for the sample
+    — the corpus itself never reaches the driver (the old build read the
+    whole embeddings table here). Deterministic: seeded init, fixed
+    Lloyd iteration count.
+    """
     import ray.data as rd
 
-    index = build_ivf_index(sf_dir)
-    ref = ray.put(index)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["embedding"])
+    sample = ds.limit(sample_max).to_pandas()
+    m = _normalize(np.array(sample["embedding"].to_list(), dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    cents = m[rng.choice(len(m), size=min(n_cells, len(m)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(m @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = m[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+def embedding_knn_ivf(sf_dir: str, *, k: int = KNN_K, nprobe: int = 4,
+                      n_cells: int = IVF_CELLS):
+    """Approximate per-vector k-NN via IVF cells — the ANN scale path,
+    fully distributed:
+
+      1. centroids from a bounded driver sample (``sample_centroids``);
+         shipped to tasks in the closure (KBs).
+      2. one map_batches emits, per vector, its MEMBER row (owner =
+         nearest centroid) and ``nprobe`` QUERY rows (nearest cells) —
+         the shuffle-assign step.
+      3. ``groupby(cell)`` co-locates each cell's members with the
+         queries probing it; the cell-local matmul emits per-query local
+         top-k (k rows per probed cell, not the cell).
+      4. a bucketed groupby on vec_id merges local top-ks → global top-k.
+
+    Nothing corpus-sized is ever held by one process; per-task memory is
+    bounded by the largest cell (the IVF contract — raise ``n_cells`` to
+    shrink cells).
+    """
+    import ray.data as rd
+
+    from ..functions.groups import bucketed_group_apply
+
+    cents = sample_centroids(sf_dir, n_cells=n_cells)
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
-    from .util import stage
 
-    return stage(ds, _IVFSearcher, args=(ref, k, nprobe))
+    def assign(t: pa.Table) -> pa.Table:
+        block = _normalize(_emb_matrix(t))
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = block @ cents.T
+        probe = np.argsort(-sims, axis=1)[:, :nprobe]  # col 0 == owner
+        n, d = block.shape
+        # member rows (owner cell) + nprobe query rows per vector
+        cell = np.concatenate([probe[:, 0], probe.ravel()])
+        out_ids = np.concatenate([ids, np.repeat(ids, nprobe)])
+        role = np.concatenate(
+            [np.zeros(n, np.int8), np.ones(n * nprobe, np.int8)]
+        )
+        emb = np.concatenate([block, np.repeat(block, nprobe, axis=0)])
+        flat = pa.array(emb.ravel(), pa.float64())
+        emb_col = pa.FixedSizeListArray.from_arrays(flat, d)
+        return pa.table(
+            {
+                "cell": pa.array(cell.astype(np.int64), pa.int64()),
+                "vec_id": pa.array(out_ids, pa.int64()),
+                "role": pa.array(role, pa.int8()),
+                "emb": emb_col,
+            }
+        )
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+
+    def cell_search(g: pa.Table) -> pa.Table:
+        role = g["role"].to_numpy(zero_copy_only=False)
+        ids = g["vec_id"].to_numpy(zero_copy_only=False)
+        emb = g["emb"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        mat = emb.flatten().to_numpy(zero_copy_only=False).reshape(
+            len(g), -1
+        )
+        mem = role == 0
+        m_ids, m_mat = ids[mem], mat[mem]
+        q_ids, q_mat = ids[~mem], mat[~mem]
+        if not len(m_ids) or not len(q_ids):
+            z = np.array([], dtype=np.int64)
+            return pa.table(
+                {"vec_id": pa.array(z), "neighbor_id": pa.array(z),
+                 "sim": pa.array(np.array([], dtype=np.float64))}
+            )
+        sims = q_mat @ m_mat.T
+        sims[m_ids[None, :] == q_ids[:, None]] = -np.inf  # self-exclude
+        # local top-k per query (bounded by cell size)
+        topn = min(k, sims.shape[1])
+        part = np.argpartition(-sims, topn - 1, axis=1)[:, :topn]
+        rows = np.repeat(np.arange(len(q_ids)), topn)
+        cols = part.ravel()
+        s = sims[rows, cols]
+        keep = s > -np.inf
+        return pa.table(
+            {
+                "vec_id": pa.array(q_ids[rows][keep], pa.int64()),
+                "neighbor_id": pa.array(m_ids[cols][keep], pa.int64()),
+                "sim": pa.array(np.round(s[keep], 6), pa.float64()),
+            }
+        )
+
+    local = assigned.groupby("cell").map_groups(
+        cell_search, batch_format="pyarrow"
+    )
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["vec_id", "sim", "neighbor_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        return g.groupby("vec_id", sort=False).head(k)
+
+    return bucketed_group_apply(local, ["vec_id"], merge_topk)

@@ -73,3 +73,63 @@ def test_winnow_fingerprints():
     # edge cases
     assert len(winnow_fingerprints("")) == 0
     assert len(winnow_fingerprints("short")) == 1
+
+
+def test_minhash_near_dups_distributed_and_exact(ray_session, monkeypatch):
+    """Verification must be fully distributed (no driver-side corpus
+    materialization) and exact: every emitted pair carries its true
+    shingle Jaccard and every true near-dup pair the LSH surfaced is
+    kept."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from docling_eval_ray.stages.dedup import minhash_near_dups
+
+    def boom(self, *a, **k):
+        raise AssertionError(
+            "minhash_near_dups must not materialize a Dataset on the driver"
+        )
+
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", boom)
+    rows = minhash_near_dups("/root/testdata/sf0.001").take_all()
+    assert rows, "expected planted near-dups in the synthetic corpus"
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "text"])
+    shs = {
+        int(d): _shingles(x.strip())
+        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+    }
+    for r in rows:
+        sa, sb = shs[r["doc_id_a"]], shs[r["doc_id_b"]]
+        true_j = len(sa & sb) / len(sa | sb)
+        assert r["jaccard"] == pytest.approx(round(true_j, 6))
+        assert true_j >= 0.5
+
+
+def test_ngram_jaccard_max_df_caps_hot_shingles(ray_session, tmp_path):
+    """A stop-shingle shared by every doc must not emit O(n^2) pairs when
+    max_df is set; pairs sharing rare shingles survive."""
+    import pandas as pd
+
+    from docling_eval_ray.stages.dedup import ngram_jaccard_pairs
+
+    stop = "the common boilerplate footer"
+    docs = [f"unique{i} token{i} word{i} {stop}" for i in range(20)]
+    # two genuinely near-dup docs sharing rare shingles
+    docs.append("alpha beta gamma delta epsilon zeta")
+    docs.append("alpha beta gamma delta epsilon eta")
+    df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs,
+                       "n_chars": [len(d) for d in docs]})
+    df.to_parquet(tmp_path / "documents.parquet")
+
+    uncapped = ngram_jaccard_pairs(str(tmp_path), threshold=0.05).to_pandas()
+    capped = ngram_jaccard_pairs(
+        str(tmp_path), threshold=0.05, max_df=5
+    ).to_pandas()
+    # the stop-shingle links all 20 boilerplate docs pairwise; the cap
+    # removes those pairs but keeps the rare-shingle near-dup pair
+    assert len(uncapped) >= 190
+    got = set(map(tuple, capped[["doc_id_a", "doc_id_b"]].to_numpy()))
+    assert (20, 21) in got
+    assert len(capped) < 20
