@@ -11,6 +11,84 @@ from ..stages.knn import KNN_K, KNN_QUERY, NEAR_DUP_THRESHOLD
 from .relational import BLACKLISTED_DOC_IDS, SESSION_GAP_S
 
 ORACLE_SQL: dict[str, str] = {
+    # --- span pipeline oracles: the deterministic interleave lift
+    # (sources/interleaved.py chunk_plan/synth_spans_for_doc) + flagship
+    # extraction are re-expressed as a recursive CTE over the flat
+    # documents table: the chunker's (i += 4 + (doc_id+3*para)%6) walk is
+    # the recursion, r = (doc_id*31+para*7)%10 picks the span kind,
+    # r==3 (nav boilerplate) and page furniture are the stripped rows ---
+    "span_kind_census": r"""
+        WITH RECURSIVE doc AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                   END AS n_words
+            FROM documents
+        ),
+        chunk AS (
+            SELECT doc_id, n_words, 3 AS i, 0 AS para FROM doc
+            UNION ALL
+            SELECT doc_id, n_words, i + 4 + (doc_id + 3 * para) % 6, para + 1
+            FROM chunk WHERE i < n_words
+        ),
+        span AS (
+            SELECT doc_id, para, (doc_id * 31 + para * 7) % 10 AS r
+            FROM chunk WHERE i < n_words
+        ),
+        kinds AS (
+            SELECT CASE WHEN r = 0 THEN 'section_header'
+                        WHEN r = 1 THEN 'list_item'
+                        WHEN r = 2 THEN 'picture'
+                        ELSE 'text' END AS kind
+            FROM span WHERE r <> 3
+            UNION ALL
+            SELECT 'caption' FROM span WHERE r = 2
+            UNION ALL
+            SELECT 'title' FROM doc
+        )
+        SELECT kind, count(*) AS n FROM kinds GROUP BY kind
+    """,
+    "markdown_export": r"""
+        WITH RECURSIVE doc AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(trim(text), '\s+')
+                   END AS w
+            FROM documents
+        ),
+        doc2 AS (SELECT doc_id, w, len(w) AS n_words FROM doc),
+        chunk AS (
+            SELECT doc_id, n_words, 3 AS i, 0 AS para FROM doc2
+            UNION ALL
+            SELECT doc_id, n_words, i + 4 + (doc_id + 3 * para) % 6, para + 1
+            FROM chunk WHERE i < n_words
+        ),
+        piece AS (
+            SELECT c.doc_id, c.para,
+                   (c.doc_id * 31 + c.para * 7) % 10 AS r,
+                   array_to_string(
+                       d.w[c.i + 1 : c.i + 4 + (c.doc_id + 3 * c.para) % 6],
+                       ' '
+                   ) AS chunk
+            FROM chunk c JOIN doc2 d USING (doc_id) WHERE c.i < c.n_words
+        ),
+        agg AS (
+            SELECT doc_id,
+                   string_agg(
+                       CASE WHEN r = 0 THEN '## ' || chunk
+                            WHEN r = 1 THEN '- ' || chunk
+                            ELSE chunk END,
+                       chr(10) || chr(10) ORDER BY para) AS body
+            FROM piece WHERE r <> 3
+            GROUP BY doc_id
+        )
+        SELECT printf('doc-%06d', d.doc_id) AS doc_id,
+               '# ' || CASE WHEN d.n_words = 0 THEN 'untitled'
+                            ELSE array_to_string(d.w[1:3], ' ') END
+                    || COALESCE(chr(10) || chr(10) || a.body, '')
+                   AS markdown
+        FROM doc2 d LEFT JOIN agg a USING (doc_id)
+    """,
     # --- dedup / similarity (training-data ops) ---
     "ngram_jaccard_pairs": """
         WITH toks AS (
