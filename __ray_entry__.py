@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # evaluator pipelines (M20/G1-G9: per-doc metrics over synthesized
     # gt/pred pairs; non-SQL except the status counters)
     from docling_eval_ray.pipelines.evaluate import (
+        evaluate_bbox_text,
         evaluate_layout,
         evaluate_markdown,
         evaluate_ocr,
@@ -114,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "evaluate_reading_order": evaluate_reading_order,
             "evaluate_layout": evaluate_layout,
             "evaluate_tables": evaluate_tables,
+            "evaluate_bbox_text": evaluate_bbox_text,
             "evaluation_summary": evaluation_summary,
             "rejection_counts": rejection_counts,         # oracled
         }

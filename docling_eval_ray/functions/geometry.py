@@ -62,6 +62,34 @@ def areas(boxes: np.ndarray) -> np.ndarray:
     )
 
 
+def pivot_iou_mapping(true_boxes: np.ndarray, pred_boxes: np.ndarray):
+    """The bbox-text matching scheme (reference
+    bbox_text_evaluator.py:181-292): the side with FEWER boxes is the
+    pivot; every box of the other side maps to its max-IoU pivot box
+    (no threshold — even IoU 0 maps); true boxes that end up in no
+    mapping are orphans.
+
+    Returns ``(pivot_is_true, mappings, orphan_trues)`` where
+    ``mappings`` is pivot_id → [other ids] in other-side order and
+    ``orphan_trues`` lists unmatched TRUE box indices.
+    """
+    nt, npred = len(true_boxes), len(pred_boxes)
+    pivot_is_true = nt <= npred
+    piv = true_boxes if pivot_is_true else pred_boxes
+    oth = pred_boxes if pivot_is_true else true_boxes
+    mappings: dict[int, list[int]] = {}
+    if len(piv) and len(oth):
+        best = iou_matrix(oth, piv).argmax(axis=1)
+        for oid, pid in enumerate(best):
+            mappings.setdefault(int(pid), []).append(oid)
+    if pivot_is_true:
+        orphan_trues = [i for i in range(nt) if i not in mappings]
+    else:
+        mapped = {o for v in mappings.values() for o in v}
+        orphan_trues = [i for i in range(nt) if i not in mapped]
+    return pivot_is_true, mappings, orphan_trues
+
+
 def greedy_iou_match(gt: np.ndarray, pred: np.ndarray,
                      iou_threshold: float = 0.5):
     """Greedy max-IoU matching (reference bbox_text_evaluator.py:181-292

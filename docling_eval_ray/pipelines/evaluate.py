@@ -367,6 +367,81 @@ def evaluate_layout(sf_dir: str):
     return ds.map_batches(metric, batch_format="pyarrow")
 
 
+_BBOX_TEXT_SCHEMA = None
+
+
+def evaluate_bbox_text(sf_dir: str):
+    """Matched-bbox text evaluation (reference
+    bbox_text_evaluator.py:100-327): per doc, text-bearing GT and pred
+    spans get deterministic page boxes; the fewer-box side pivots, every
+    other-side box maps to its max-IoU pivot box, orphan TRUE boxes
+    become empty-prediction matches; each match scores the full text
+    metric bundle (bleu/f1/precision/recall/edit_distance/meteor,
+    None→0). One output row per match."""
+    from ..functions.geometry import pivot_iou_mapping
+
+    global _BBOX_TEXT_SCHEMA
+    if _BBOX_TEXT_SCHEMA is None:
+        _BBOX_TEXT_SCHEMA = _metric_schema(
+            doc_id=pa.string(), match_idx=pa.int32(), n_true=pa.int64(),
+            n_pred=pa.int64(), is_orphan=pa.bool_(), bleu=pa.float64(),
+            f1=pa.float64(), precision=pa.float64(), recall=pa.float64(),
+            edit_distance=pa.float64(), meteor=pa.float64(),
+        )
+    schema = _BBOX_TEXT_SCHEMA
+    ds = eval_records(sf_dir)
+
+    def metric(t: pa.Table) -> pa.Table:
+        t = _status_filter(t)
+        rows = []
+        for r in t.to_pylist():
+            doc_num = int(r["doc_id"].split("-")[1])
+            gt = [s for s in r["gt_spans"] if s["text"]]
+            pred = [s for s in r["pred_spans"] if s["text"]]
+            shift = 2.0 if doc_num % 10 in (0, 1, 2) else 0.0
+            gt_boxes = _doc_boxes(doc_num, len(gt))
+            pred_boxes = _doc_boxes(doc_num, len(pred)) + shift
+            pivot_is_true, mappings, orphans = pivot_iou_mapping(
+                gt_boxes, pred_boxes
+            )
+            texts_piv = gt if pivot_is_true else pred
+            texts_oth = pred if pivot_is_true else gt
+            match_idx = 0
+            for pid, oids in mappings.items():
+                piv_txt = texts_piv[pid]["text"]
+                oth_txt = " ".join(texts_oth[o]["text"] for o in oids)
+                true_txt = piv_txt if pivot_is_true else oth_txt
+                pred_txt = oth_txt if pivot_is_true else piv_txt
+                m = text_metrics(true_txt, pred_txt)
+                rows.append(
+                    {
+                        "doc_id": r["doc_id"], "match_idx": match_idx,
+                        "n_true": 1 if pivot_is_true else len(oids),
+                        "n_pred": len(oids) if pivot_is_true else 1,
+                        "is_orphan": False,
+                        **{k: round(m[k], 6)
+                           for k in ("bleu", "f1", "precision", "recall",
+                                     "edit_distance", "meteor")},
+                    }
+                )
+                match_idx += 1
+            for tid in orphans:
+                m = text_metrics(gt[tid]["text"], "")
+                rows.append(
+                    {
+                        "doc_id": r["doc_id"], "match_idx": match_idx,
+                        "n_true": 1, "n_pred": 0, "is_orphan": True,
+                        **{k: round(m[k], 6)
+                           for k in ("bleu", "f1", "precision", "recall",
+                                     "edit_distance", "meteor")},
+                    }
+                )
+                match_idx += 1
+        return pa.Table.from_pylist(rows, schema=schema)
+
+    return ds.map_batches(metric, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # table evaluation (F4): OTSL/HTML fixtures → TEDS
 # ---------------------------------------------------------------------------

@@ -113,3 +113,47 @@ def test_evaluation_summary_matches_driver_side_means(ray_session):
             round(float(df[c].dropna().mean()), 6), abs=2e-6
         )
         assert md.loc[c, "n"] == int(df[c].notna().sum())
+
+
+def test_bbox_text_evaluator(ray_session):
+    """Pivot-IoU matched-box text metrics (bbox_text_evaluator.py
+    semantics): identical docs -> every match perfect, no orphans;
+    dropped-span docs -> pivot is pred side and metrics degrade; edited
+    docs -> at least one match with text error."""
+    from docling_eval_ray.pipelines.evaluate import evaluate_bbox_text
+
+    df = evaluate_bbox_text(SF_DIR).to_pandas()
+    mode = _mode(df)
+    ident = df[mode >= 4]
+    assert (ident["f1"] == 1.0).all()
+    assert (ident["edit_distance"] == 0.0).all()
+    assert not ident["is_orphan"].any()
+    # identical matches: meteor = 1 − 0.5/m³ (fragmentation penalty),
+    # which is 0.5 for single-token matches — bound from below
+    assert (ident["meteor"] >= 0.5).all()
+    assert ident["meteor"].mean() > 0.95
+    edited = df[mode == 2]
+    per_doc_err = edited.groupby(df["doc_id"])["edit_distance"].max()
+    assert (per_doc_err > 0).all()
+    # orphan rows carry zeroed metrics and n_pred == 0
+    orph = df[df["is_orphan"]]
+    if len(orph):
+        assert (orph["n_pred"] == 0).all()
+        assert (orph["f1"] == 0.0).all() and (orph["bleu"] == 0.0).all()
+
+
+def test_pivot_iou_mapping_reference_semantics():
+    from docling_eval_ray.functions.geometry import pivot_iou_mapping
+
+    true = np.array([[0, 0, 10, 10], [20, 20, 30, 30], [40, 40, 50, 50.0]])
+    pred = np.array([[1, 1, 11, 11], [21, 21, 31, 31.0]])
+    # pred has fewer boxes -> pivot=pred; every TRUE box maps to its
+    # max-IoU pred box; the far true box still maps (no threshold) so
+    # no orphans unless a true box is never an argmax... all trues map.
+    piv_is_true, mappings, orphans = pivot_iou_mapping(true, pred)
+    assert not piv_is_true
+    assert sorted(sum(mappings.values(), [])) == [0, 1, 2]
+    assert orphans == []
+    # empty pred: all trues orphaned
+    piv_is_true, mappings, orphans = pivot_iou_mapping(true, true[:0])
+    assert mappings == {} and orphans == [0, 1, 2]
