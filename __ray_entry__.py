@@ -165,6 +165,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "fixture_reading_order_eval": fixture_reading_order_eval,
         }
     )
+    # real GT builder over committed raw benchmark-style annotations
+    # (M3: read_binary_files → map_batches(build_gt))
+    from docling_eval_ray.sources.funsd import funsd_gt_build
+
+    q["funsd_gt_build"] = funsd_gt_build
     # non-SQL-expressible pipelines (rows-only checks; fixture-tested in
     # tests/): flagship extraction + span ops
     from docling_eval_ray.pipelines.flagship import flagship

@@ -1,0 +1,136 @@
+"""FUNSD-style ground-truth builder — a REAL benchmark GT builder (M3):
+raw annotation JSON files → canonical span sequence + KV graph, via
+``read_binary_files → map_batches(build_gt)``.
+
+Reference semantics (dataset_builders/funsd_builder.py:203-321):
+
+* form items with no ``linking`` whose label is ``header``/``other``
+  are skipped (funsd_builder.py:236-241);
+* each kept item is a graph cell (id, text, ltrb box — ``box: null``
+  allowed, funsd_builder.py:246-252);
+* per-item OCR ``words`` feed the segmented-page word census; words
+  missing text or box are skipped (funsd_builder.py:265-279);
+* linking pairs are DISTINCT (funsd_builder.py:283-289 builds a set;
+  here ``distinct_links`` keeps first-seen order so output is
+  deterministic — a documented divergence from the reference's
+  arbitrary set order, values identical);
+* links whose endpoints are not both kept cells are dropped
+  (funsd_builder.py:291-296);
+* cell labels come from the degree rules (``classify_cells``,
+  utils/utils.py:536-587) and cell ids are renumbered to positional
+  order (``sort_cell_ids``, utils/utils.py:590-598).
+
+Output row: ``doc_id`` (file stem), canonical ``spans`` (kind = the
+classified KEY/VALUE/UNSPECIFIED label, text = cell text, media_ref =
+"", offset = normalized cell id — the span-sequence invariant), the
+normalized ``links``, and the cell/link/word counters.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pyarrow as pa
+
+from ..datamodel.schema import SPAN_STRUCT
+from ..functions.graphs import classify_cells, distinct_links
+
+LINK_STRUCT = pa.struct(
+    [pa.field("source", pa.int32()), pa.field("target", pa.int32())]
+)
+
+FUNSD_GT_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("spans", pa.list_(SPAN_STRUCT)),
+        pa.field("links", pa.list_(LINK_STRUCT)),
+        pa.field("n_cells", pa.int32()),
+        pa.field("n_links", pa.int32()),
+        pa.field("n_words", pa.int32()),
+    ]
+)
+
+#: committed raw fixture annotations (original synthetic forms)
+SAMPLE_DIR = str(
+    Path(__file__).resolve().parents[2] / "tests/data/funsd_sample/annotations"
+)
+
+
+def _build_one(doc_id: str, raw: bytes) -> dict:
+    data = json.loads(raw)
+    if "form" not in data:
+        raise ValueError("invalid FUNSD data: missing 'form' key")
+
+    cells: list[tuple[int, str, list | None]] = []  # (orig_id, text, box)
+    links_raw: list[tuple[int, int]] = []
+    n_words = 0
+    for item in data["form"]:
+        linking = item.get("linking", []) or []
+        if not linking and item.get("label", "other") in ("header", "other"):
+            continue  # funsd_builder.py:236-241
+        cells.append((item["id"], item.get("text", ""), item.get("box")))
+        for w in item.get("words", []):
+            if w.get("text") is None or w.get("box") is None:
+                continue  # funsd_builder.py:276-279
+            n_words += 1
+    # linking pairs are collected from ALL items (kept or not) and
+    # deduped, then filtered to kept endpoints (funsd_builder.py:283-296)
+    for item in data["form"]:
+        for pair in item.get("linking", []) or []:
+            if isinstance(pair, list) and len(pair) == 2:
+                links_raw.append((pair[0], pair[1]))
+    kept_ids = {cid for cid, _, _ in cells}
+    links = [
+        (s, t)
+        for s, t in distinct_links(links_raw)
+        if s in kept_ids and t in kept_ids
+    ]
+
+    labels = classify_cells([c[0] for c in cells], links)
+    # sort_cell_ids: renumber to positional order
+    remap = {cid: i for i, (cid, _, _) in enumerate(cells)}
+    spans = [
+        {
+            "kind": labels[cid],
+            "text": text,
+            "media_ref": "",
+            "offset": remap[cid],
+        }
+        for cid, text, _ in cells
+    ]
+    return {
+        "doc_id": doc_id,
+        "spans": spans,
+        "links": [
+            {"source": remap[s], "target": remap[t]} for s, t in links
+        ],
+        "n_cells": len(cells),
+        "n_links": len(links),
+        "n_words": n_words,
+    }
+
+
+def build_funsd_gt(root: str):
+    """Annotation folder → Dataset(FUNSD_GT_SCHEMA): the
+    ``read_binary_files → map_batches(build_gt)`` GT-builder path."""
+    import ray.data as rd
+
+    paths = sorted(str(p) for p in Path(root).glob("*.json"))
+    ds = rd.read_binary_files(paths, include_paths=True)
+
+    def build(t: pa.Table) -> pa.Table:
+        rows = [
+            _build_one(Path(p).stem, b)
+            for p, b in zip(t["path"].to_pylist(), t["bytes"].to_pylist())
+        ]
+        return pa.Table.from_pylist(rows, schema=FUNSD_GT_SCHEMA)
+
+    return ds.map_batches(build, batch_format="pyarrow")
+
+
+def funsd_gt_build(sf_dir: str = ""):
+    """Driver query: build GT from the committed raw fixture
+    annotations (``sf_dir`` unused — the input is the raw benchmark
+    sample, as for the other fixture queries)."""
+    return build_funsd_gt(SAMPLE_DIR)
