@@ -72,9 +72,13 @@ def read_document_files(root: str, *, extensions: tuple[str, ...] = (),
 
 
 class PredictionFileLookup:
-    """Broadcast doc_id→path probe + payload read per batch (J2)."""
+    """Broadcast doc_id→path probe + payload read per batch (J2).
+    With ``parse=True`` the negotiated payload is parsed into the
+    canonical span sequence (doctags for ``.dt``, markdown otherwise —
+    M18/M19, reference base_evaluator.py:42-62 + file_provider
+    format dispatch)."""
 
-    def __init__(self, mapping_ref):
+    def __init__(self, mapping_ref, parse: bool = False):
         import ray
 
         self._map = (
@@ -82,27 +86,54 @@ class PredictionFileLookup:
             if isinstance(mapping_ref, ray.ObjectRef)
             else mapping_ref
         )
+        self._parse = parse
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        preds, found = [], []
+        from ..datamodel.schema import SPAN_STRUCT
+        from ..functions.doctags import parse_prediction_payload
+
+        preds, found, fmts, spans = [], [], [], []
         for did in t["doc_id"].to_pylist():
             p = self._map.get(did)
             if p is None:
                 preds.append("")
                 found.append(False)
+                fmts.append("")
+                spans.append([])
             else:
-                preds.append(Path(p).read_text())
+                payload = Path(p).read_text()
+                suffix = Path(p).suffix
+                preds.append(payload)
                 found.append(True)
-        return (
+                fmts.append(suffix)
+                if self._parse:
+                    parsed = parse_prediction_payload(payload, suffix, did)
+                    spans.append(
+                        [{k: s[k] for k in
+                          ("kind", "text", "media_ref", "offset")}
+                         for s in parsed]
+                    )
+        out = (
             t.append_column("prediction", pa.array(preds, pa.string()))
             .append_column("prediction_found", pa.array(found, pa.bool_()))
+            .append_column("prediction_format", pa.array(fmts, pa.string()))
         )
+        if self._parse:
+            out = out.append_column(
+                "pred_spans", pa.array(spans, pa.list_(SPAN_STRUCT))
+            )
+        return out
 
 
 def prediction_file_source(ds, pred_dir: str,
-                           suffixes: tuple[str, ...] = (".md", ".txt", ".json")):
+                           suffixes: tuple[str, ...] = (".dt", ".md", ".txt",
+                                                        ".json"),
+                           *, parse: bool = False):
     """Enrich a documents Dataset with per-doc prediction files keyed by
-    doc_id (format negotiation in priority order, M19)."""
+    doc_id (format negotiation in priority order, M19 — doctags ``.dt``
+    outranks markdown by default, mirroring the reference's
+    DoclingDocument > JSON > doctags ordering for the formats this
+    engine parses)."""
     import ray
 
     from ..stages.util import stage
@@ -112,7 +143,7 @@ def prediction_file_source(ds, pred_dir: str,
         for p in Path(pred_dir).glob(f"*{suffix}"):
             mapping[p.stem] = str(p)
     ref = ray.put(mapping)
-    return stage(ds, PredictionFileLookup, args=(ref,))
+    return stage(ds, PredictionFileLookup, args=(ref, parse))
 
 
 def dataset_exists(path: str) -> bool:

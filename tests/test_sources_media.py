@@ -139,3 +139,99 @@ def test_extract_skew_aware_equivalent(ray_session):
     )
     assert plain["doc_id"].tolist() == skew["doc_id"].tolist()
     assert plain["n_spans"].tolist() == skew["n_spans"].tolist()
+
+
+# --- doctags parser (M18) + format negotiation (M19) ----------------------
+
+def test_parse_doctags_known_answer():
+    from docling_eval_ray.functions.doctags import parse_doctags
+
+    dt = (
+        "<doctag>"
+        "<title><loc_10><loc_12><loc_400><loc_30>Annual Report</title>"
+        "<section_header_level_1><loc_10><loc_40><loc_200><loc_55>"
+        "Overview</section_header_level_1>"
+        "<text><loc_10><loc_60><loc_480><loc_90>First paragraph of the"
+        " body.</text>"
+        "<unordered_list>"
+        "<list_item><loc_20><loc_95><loc_300><loc_105>alpha</list_item>"
+        "<list_item><loc_20><loc_108><loc_300><loc_118>beta</list_item>"
+        "</unordered_list>"
+        "<picture><loc_50><loc_130><loc_450><loc_300></picture>"
+        "<caption><loc_50><loc_305><loc_450><loc_315>Figure 1</caption>"
+        "<page_footer><loc_200><loc_480><loc_300><loc_495>p. 1</page_footer>"
+        "</doctag>"
+    )
+    spans = parse_doctags(dt, "docA")
+    got = [(s["kind"], s["text"], s["media_ref"]) for s in spans]
+    assert got == [
+        ("title", "Annual Report", ""),
+        ("section_header", "Overview", ""),
+        ("text", "First paragraph of the body.", ""),
+        ("list_item", "alpha", ""),
+        ("list_item", "beta", ""),
+        ("picture", "", "doctags/docA/5"),
+        ("caption", "Figure 1", ""),
+        ("page_footer", "p. 1", ""),
+    ]
+    assert [s["offset"] for s in spans] == list(range(8))
+    assert spans[0]["bbox"] == [10, 12, 400, 30]
+    # lenient on junk: unknown tags become text spans, no throw
+    odd = parse_doctags("<doctag><widget>x</widget><loc_3></doctag>")
+    assert odd == [{"kind": "text", "text": "x", "media_ref": "",
+                    "offset": 0, "bbox": None}]
+
+
+def test_doctags_format_negotiation(ray_session, tmp_path):
+    """.dt must outrank .md for the same doc_id, and parse=True emits
+    canonical pred_spans for both formats."""
+    import ray.data as rd
+
+    from docling_eval_ray.sources.files import prediction_file_source
+
+    (tmp_path / "d1.dt").write_text(
+        "<doctag><title><loc_1><loc_2><loc_3><loc_4>From Doctags</title>"
+        "</doctag>"
+    )
+    (tmp_path / "d1.md").write_text("# From Markdown")
+    (tmp_path / "d2.md").write_text("# Only Markdown\n\n- item one")
+
+    ds = rd.from_items([{"doc_id": "d1"}, {"doc_id": "d2"}])
+    out = prediction_file_source(ds, str(tmp_path), parse=True).to_pandas()
+    out = out.set_index("doc_id")
+    assert out.loc["d1", "prediction_format"] == ".dt"
+    assert out.loc["d2", "prediction_format"] == ".md"
+    d1 = out.loc["d1", "pred_spans"]
+    assert [(s["kind"], s["text"]) for s in d1] == [("title", "From Doctags")]
+    d2 = out.loc["d2", "pred_spans"]
+    assert [(s["kind"], s["text"]) for s in d2] == [
+        ("title", "Only Markdown"), ("list_item", "item one")
+    ]
+
+
+def test_markdown_spans_roundtrip(ray_session):
+    """parse_markdown_spans inverts spans_to_markdown on text-only
+    spans (media spans are dropped by the projection)."""
+    import pyarrow as pa
+
+    from docling_eval_ray.datamodel.schema import SPAN_STRUCT
+    from docling_eval_ray.functions.doctags import parse_markdown_spans
+    from docling_eval_ray.functions.spans import spans_to_markdown
+
+    spans = [
+        {"kind": "title", "text": "T one", "media_ref": "", "offset": 0},
+        {"kind": "section_header", "text": "S two", "media_ref": "",
+         "offset": 1},
+        {"kind": "text", "text": "body text here", "media_ref": "",
+         "offset": 2},
+        {"kind": "list_item", "text": "li", "media_ref": "", "offset": 3},
+    ]
+    t = pa.table({
+        "doc_id": pa.array(["d"], pa.string()),
+        "spans": pa.array([spans], pa.list_(SPAN_STRUCT)),
+    })
+    md = spans_to_markdown(t)["markdown"].to_pylist()[0]
+    back = parse_markdown_spans(md)
+    assert [(s["kind"], s["text"]) for s in back] == [
+        (s["kind"], s["text"]) for s in spans
+    ]
