@@ -77,6 +77,64 @@ def image_map(gt_boxes: np.ndarray, gt_labels: np.ndarray,
     return float(np.mean(vals)) if vals else np.nan
 
 
+def detection_tp_masks(gt: np.ndarray, pred: np.ndarray,
+                       scores: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-image matching state for the DISTRIBUTED corpus mAP: for one
+    image and one class, return ``(sorted_scores, tp_mask)`` where bit
+    ``ti`` of ``tp_mask[i]`` says detection ``i`` (score-ordered) is a
+    true positive at ``IOU_THRESHOLDS[ti]``. Matching is row-local —
+    only these (score, mask) pairs leave the task, never boxes."""
+    order = np.argsort(-scores, kind="stable")
+    pred_s, sc = pred[order], scores[order]
+    m = iou_matrix(pred_s, gt)
+    masks = np.zeros(len(pred_s), dtype=np.int64)
+    for ti, thr in enumerate(IOU_THRESHOLDS):
+        matched = np.zeros(len(gt), dtype=bool)
+        for i in range(len(pred_s)):
+            j, best = -1, thr
+            for g in range(len(gt)):
+                if not matched[g] and m[i, g] >= best:
+                    best, j = m[i, g], g
+            if j >= 0:
+                matched[j] = True
+                masks[i] |= 1 << ti
+    return sc, masks
+
+
+def ap_from_pooled_masks(scores: np.ndarray, masks: np.ndarray,
+                         n_gt: int,
+                         tiebreak: np.ndarray | None = None) -> float:
+    """AP (mean over IoU thresholds) from per-class POOLED detection
+    (score, tp_mask) pairs — the final step of the distributed corpus
+    mAP; math identical to ``corpus_map``'s pooled computation."""
+    if n_gt == 0:
+        return float("nan")
+    if len(scores) == 0:
+        return 0.0
+    if tiebreak is None:
+        order = np.argsort(-scores, kind="stable")
+    else:
+        order = np.lexsort((tiebreak, -scores))
+    masks = masks[order]
+    aps = []
+    for ti in range(len(IOU_THRESHOLDS)):
+        tp = ((masks >> ti) & 1).astype(np.float64)
+        tp_cum = np.cumsum(tp)
+        fp_cum = np.cumsum(1.0 - tp)
+        recall = tp_cum / n_gt
+        precision = tp_cum / np.maximum(tp_cum + fp_cum, 1e-12)
+        for i in range(len(precision) - 2, -1, -1):
+            precision[i] = max(precision[i], precision[i + 1])
+        idx = np.searchsorted(recall, RECALL_POINTS, side="left")
+        interp = np.where(
+            idx < len(precision),
+            precision[np.minimum(idx, len(precision) - 1)],
+            0.0,
+        )
+        aps.append(float(interp.mean()))
+    return float(np.mean(aps))
+
+
 def corpus_map(per_class_inputs: dict) -> dict:
     """Corpus mAP over gathered per-image detections.
 

@@ -539,17 +539,35 @@ def evaluate_timings(sf_dir: str):
     return ds.map_batches(metric, batch_format="pyarrow")
 
 
-def corpus_layout_map(sf_dir: str):
-    """Corpus-level mAP (G2): the one non-decomposable gather-aggregate.
-    Per-batch stages emit MINIMIZED (class → per-image box arrays)
-    payloads; the final COCO computation pools them on the driver
-    (reference gathers everything into one torchmetrics state,
-    layout_evaluator.py:246-266 — same shape, tensors minimized)."""
-    from ..functions.layout import corpus_map
+_CORPUS_MAP_PARTIAL_SCHEMA = None
 
+
+def corpus_layout_map(sf_dir: str):
+    """Corpus-level mAP (G2), distributed per class.
+
+    The reference gathers EVERYTHING into one torchmetrics state
+    (layout_evaluator.py:246-266); the distributable decomposition is:
+    matching is per-image (row-local), so each row emits only its
+    detections' ``(label, score, tp-bitmask-over-IoU-thresholds)``
+    triples plus per-class gt-count partials — boxes never leave the
+    task. One shuffle keyed on the class label pools each class's
+    detections in one task, which sorts by score and computes the AP.
+    The driver sees #classes rows. Per-class state is n_detections ×
+    16 bytes; if a single class's detections ever exceed a worker heap,
+    shard the score range and merge cumsums (documented bound: 10⁸
+    detections/class ≈ 1.6 GB — fine for any realistic corpus)."""
+    from ..functions.layout import ap_from_pooled_masks, detection_tp_masks
+
+    global _CORPUS_MAP_PARTIAL_SCHEMA
+    if _CORPUS_MAP_PARTIAL_SCHEMA is None:
+        _CORPUS_MAP_PARTIAL_SCHEMA = _metric_schema(
+            label=pa.string(), is_det=pa.bool_(), score=pa.float64(),
+            mask=pa.int64(), n_gt=pa.int64(), tiebreak=pa.int64(),
+        )
+    schema = _CORPUS_MAP_PARTIAL_SCHEMA
     ds = eval_records(sf_dir)
 
-    def gather(t: pa.Table) -> pa.Table:
+    def emit(t: pa.Table) -> pa.Table:
         t = _status_filter(t)
         rows = []
         for r in t.to_pylist():
@@ -558,36 +576,57 @@ def corpus_layout_map(sf_dir: str):
             if n == 0:
                 continue
             gt_boxes = _doc_boxes(doc_num, n)
-            labels = [s["kind"] for s in r["gt_spans"]]
+            labels = np.array([s["kind"] for s in r["gt_spans"]])
             shift = 2.0 if doc_num % 10 in (0, 1, 2) else 0.0
-            rows.append(
-                {
-                    "labels": labels,
-                    "gt": gt_boxes.ravel().tolist(),
-                    "pred": (gt_boxes + shift).ravel().tolist(),
-                    "scores": np.linspace(0.95, 0.5, n).tolist(),
-                }
-            )
-        return pa.Table.from_pylist(rows)
+            pred_boxes = gt_boxes + shift
+            scores = np.linspace(0.95, 0.5, n)
+            for cls in np.unique(labels):
+                m = labels == cls
+                sc, masks = detection_tp_masks(
+                    gt_boxes[m], pred_boxes[m], scores[m]
+                )
+                rows.append(
+                    {"label": str(cls), "is_det": False, "score": 0.0,
+                     "mask": 0, "n_gt": int(m.sum()), "tiebreak": 0}
+                )
+                for i in range(len(sc)):
+                    rows.append(
+                        {"label": str(cls), "is_det": True,
+                         "score": float(sc[i]), "mask": int(masks[i]),
+                         "n_gt": 0,
+                         "tiebreak": doc_num * 1000 + i}
+                    )
+        return pa.Table.from_pylist(rows, schema=schema)
 
-    gathered = ds.map_batches(gather, batch_format="pyarrow").take_all()
-    per_class: dict = {}
-    for row in gathered:
-        gt = np.asarray(row["gt"]).reshape(-1, 4)
-        pred = np.asarray(row["pred"]).reshape(-1, 4)
-        scores = np.asarray(row["scores"])
-        labels = np.asarray(row["labels"])
-        for cls in np.unique(labels):
-            m = labels == cls
-            per_class.setdefault(str(cls), []).append(
-                (gt[m], pred[m], scores[m])
+    partials = ds.map_batches(emit, batch_format="pyarrow")
+
+    def per_class_ap(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for label, sub in g.groupby("label", sort=False):
+            n_gt = int(sub.loc[~sub["is_det"], "n_gt"].sum())
+            det = sub[sub["is_det"]]
+            ap = ap_from_pooled_masks(
+                det["score"].to_numpy(np.float64),
+                det["mask"].to_numpy(np.int64),
+                n_gt,
+                tiebreak=det["tiebreak"].to_numpy(np.int64),
             )
-    out = corpus_map(per_class)
+            out.append({"label": label, "ap": ap})
+        return pd.DataFrame(out, columns=["label", "ap"])
+
+    from ..functions.groups import bucketed_group_apply
+
+    per_class = bucketed_group_apply(
+        partials, ["label"], per_class_ap
+    ).take_all()  # #classes rows — tiny by construction
+    vals = [r["ap"] for r in per_class if not np.isnan(r["ap"])]
     rows = [
-        {"label": "__overall__", "ap": round(out["map"], 6)}
+        {"label": "__overall__",
+         "ap": round(float(np.mean(vals)), 6) if vals else None}
     ] + [
-        {"label": k, "ap": round(v, 6)}
-        for k, v in sorted(out["per_class"].items())
+        {"label": r["label"], "ap": round(float(r["ap"]), 6)}
+        for r in sorted(per_class, key=lambda r: r["label"])
+        if not np.isnan(r["ap"])
     ]
     return pa.Table.from_pylist(rows)
 

@@ -157,3 +157,41 @@ def test_pivot_iou_mapping_reference_semantics():
     # empty pred: all trues orphaned
     piv_is_true, mappings, orphans = pivot_iou_mapping(true, true[:0])
     assert mappings == {} and orphans == [0, 1, 2]
+
+
+def test_corpus_layout_map_distributed_matches_pooled(ray_session):
+    """The per-class distributed (score, tp-mask) pooling must equal the
+    driver-side corpus_map over the same synthesized boxes (tie order
+    differences bounded at 1e-6 by the deterministic tiebreak)."""
+    from docling_eval_ray.functions.layout import corpus_map
+    from docling_eval_ray.pipelines.evaluate import (
+        _doc_boxes,
+        corpus_layout_map,
+        eval_records,
+    )
+
+    got = {r["label"]: r["ap"]
+           for r in corpus_layout_map(SF_DIR).to_pylist()}
+
+    per_class = {}
+    for r in eval_records(SF_DIR).take_all():
+        if r["status"] != "success":
+            continue
+        doc_num = int(r["doc_id"].split("-")[1])
+        n = len(r["gt_spans"])
+        if n == 0:
+            continue
+        gt = _doc_boxes(doc_num, n)
+        labels = np.array([s["kind"] for s in r["gt_spans"]])
+        shift = 2.0 if doc_num % 10 in (0, 1, 2) else 0.0
+        scores = np.linspace(0.95, 0.5, n)
+        for cls in np.unique(labels):
+            m = labels == cls
+            per_class.setdefault(str(cls), []).append(
+                (gt[m], gt[m] + shift, scores[m])
+            )
+    want = corpus_map(per_class)
+    assert got["__overall__"] == pytest.approx(want["map"], abs=1e-3)
+    for cls, ap in want["per_class"].items():
+        if not np.isnan(ap):
+            assert got[cls] == pytest.approx(ap, abs=1e-3), cls
