@@ -68,6 +68,28 @@ def broadcast_join(ds, small_df: pd.DataFrame, on: str, *, how: str = "inner",
                  concurrency=concurrency)
 
 
+#: dimension-side size gate for ``dim_join``: up to this many rows the
+#: side is genuinely "small" (≈ tens of MB broadcast once per node);
+#: beyond it a broadcast stops being a broadcast and the join must
+#: shuffle. Customer-scale tables cross this line long before 100 TB.
+BROADCAST_ROW_LIMIT = 1_000_000
+
+
+def dim_join(large_ds, small_ds, on: str, *,
+             broadcast_limit: int = BROADCAST_ROW_LIMIT,
+             num_buckets: int = 32):
+    """Fact ⋈ dimension with an explicit size threshold: dimensions at
+    or under ``broadcast_limit`` rows broadcast (``ray.put`` once, probe
+    per batch — no shuffle); larger ones route through the bucketed
+    ``hash_join``. ``small_ds.count()`` on a parquet read is a metadata
+    count (no scan). This is the size-policy answer to "customer scales
+    with sf": the pattern stays a broadcast only while the side is
+    provably small."""
+    if small_ds.count() <= broadcast_limit:
+        return broadcast_join(large_ds, small_ds.to_pandas(), on=on)
+    return hash_join(large_ds, small_ds, on=on, num_buckets=num_buckets)
+
+
 _KEY_PRIME = np.uint64(1000003)
 
 

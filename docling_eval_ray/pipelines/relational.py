@@ -31,7 +31,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.joins import broadcast_join, hash_join
+from ..functions.joins import broadcast_join, dim_join, hash_join
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -209,16 +209,18 @@ def documents_slice(sf_dir: str):
 
 
 def orders_by_segment(sf_dir: str):
-    """orders ⋈ customer (broadcast small side, J2/J3 pattern) →
-    grouped rollup."""
-    cust = (
-        _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-        .to_pandas()
+    """orders ⋈ customer (J2/J3 pattern) → grouped rollup. Customer
+    scales with sf, so the join is size-routed: broadcast while the
+    dimension is provably small, bucketed hash join beyond
+    BROADCAST_ROW_LIMIT (functions.joins.dim_join)."""
+    cust = _read(
+        sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_mktsegment"]),
+        batch_format="pyarrow",
     )
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    joined = broadcast_join(
-        orders, cust.rename(columns={"c_custkey": "o_custkey"}), on="o_custkey"
-    )
+    joined = dim_join(orders, cust, on="o_custkey")
     partials = joined.map_batches(
         _partial_groupby(
             ["c_mktsegment"], {"o_totalprice": "sum_totalprice"},
@@ -261,15 +263,24 @@ def revenue_by_nation(sf_dir: str):
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     joined = hash_join(line_rev, orders, on="o_orderkey", num_buckets=16)
 
-    cust = _read(sf_dir, "customer",
-                 columns=["c_custkey", "c_nationkey"]).to_pandas()
+    # nation is genuinely tiny (25 rows) → driver pandas broadcast;
+    # customer scales with sf → enrich it distributed (broadcast nation
+    # INTO the customer scan) and size-route the customer-keyed join
     nation = _read(sf_dir, "nation",
                    columns=["n_nationkey", "n_name"]).to_pandas()
-    small = cust.merge(
-        nation, left_on="c_nationkey", right_on="n_nationkey"
-    )[["c_custkey", "n_name"]].rename(columns={"c_custkey": "o_custkey"})
-
-    enriched = broadcast_join(joined, small, on="o_custkey")
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey"])
+    cust_enriched = broadcast_join(
+        cust,
+        nation.rename(columns={"n_nationkey": "c_nationkey"}),
+        on="c_nationkey",
+    ).map_batches(
+        lambda b: b[["c_custkey", "n_name"]].rename(
+            columns={"c_custkey": "o_custkey"}
+        ),
+        batch_format="pandas",
+    )
+    enriched = dim_join(joined, cust_enriched, on="o_custkey")
     partials = enriched.map_batches(
         _partial_groupby(["n_name"], {"revenue": "revenue"}),
         batch_format="pyarrow",
@@ -478,11 +489,16 @@ def shipping_priority(sf_dir: str):
     """TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem with date + segment
     predicates, revenue per order, top-10 by (revenue, orderdate)."""
     cutoff = pd.Timestamp("1998-06-15")
-    cust = _read(sf_dir, "customer",
-                 columns=["c_custkey", "c_mktsegment"]).to_pandas()
-    building = cust[cust["c_mktsegment"] == "BUILDING"][["c_custkey"]]
-    building = building.rename(columns={"c_custkey": "o_custkey"})
-    building["is_building"] = True
+    # customer scales with sf: filter to the BUILDING segment inside the
+    # scan, then size-route the semi-join (dim_join)
+    building = _read(
+        sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))
+        .select(["c_custkey"])
+        .rename_columns(["o_custkey"]),
+        batch_format="pyarrow",
+    )
 
     orders = _read(sf_dir, "orders",
                    columns=["o_orderkey", "o_custkey", "o_orderdate"])
@@ -491,7 +507,7 @@ def shipping_priority(sf_dir: str):
         return b[b["o_orderdate"] < cutoff]
 
     orders_f = orders.map_batches(filter_orders, batch_format="pandas")
-    orders_b = broadcast_join(orders_f, building, on="o_custkey")
+    orders_b = dim_join(orders_f, building, on="o_custkey")
 
     line = _read(sf_dir, "lineitem",
                  columns=["l_orderkey", "l_extendedprice", "l_discount",

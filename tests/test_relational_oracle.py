@@ -75,3 +75,20 @@ def test_rows_only_queries_run(entry_mod):
     for name in set(q) - oracled:
         df = _to_df(q[name](SF_DIR))
         assert len(df) > 0, name
+
+
+def test_dim_join_size_routing(ray_session):
+    """dim_join must produce identical results via broadcast and via the
+    bucketed hash join (forced by broadcast_limit=0)."""
+    import ray.data as rd
+
+    from docling_eval_ray.functions.joins import dim_join
+
+    left = rd.from_items([{"k": i % 5, "v": i} for i in range(50)])
+    right = rd.from_items([{"k": i, "name": f"n{i}"} for i in range(5)])
+    a = dim_join(left, right, on="k").to_pandas()
+    b = dim_join(left, right, on="k", broadcast_limit=0).to_pandas()
+    key = ["k", "v", "name"]
+    a = a[key].sort_values(key).reset_index(drop=True)
+    b = b[key].sort_values(key).reset_index(drop=True)
+    assert a.equals(b) and len(a) == 50
