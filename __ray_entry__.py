@@ -170,6 +170,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from docling_eval_ray.sources.funsd import funsd_gt_build
 
     q["funsd_gt_build"] = funsd_gt_build
+    # cloud-API provider harness (A5): rate-limited retrying actor pool
+    # over a deterministic offline client
+    from docling_eval_ray.stages.providers import api_predictions
+
+    q["api_predictions"] = api_predictions
     # non-SQL-expressible pipelines (rows-only checks; fixture-tested in
     # tests/): flagship extraction + span ops
     from docling_eval_ray.pipelines.flagship import flagship

@@ -1,0 +1,213 @@
+"""Cloud-API prediction provider stage (A5): rate-limited, retrying
+actor pool.
+
+The reference ships AWS/Azure/Google providers
+(aws_prediction_provider.py:505-553, azure_prediction_provider.py:320-402,
+google_prediction_provider.py:262-338) as per-row client calls with
+try/except → status=FAILURE fallback, but NO rate cap or retry — at
+cluster scale a provider stage must bound the aggregate request rate
+and absorb transient API errors without tripping Ray task retries.
+This module supplies that harness around a pluggable client:
+
+* ``TokenBucket`` — per-actor rate limiter; aggregate rate =
+  ``rate_per_s × concurrency`` (size the pool to the API quota).
+* ``ApiPredictionProvider`` — callable class for
+  ``map_batches(..., concurrency=N)``: client built once per actor
+  (``__init__``), per-row call with exponential backoff on
+  ``TransientApiError`` (deterministic jitter seeded per doc), permanent
+  failures trapped into ``status='failure'`` (skip-and-count,
+  base_prediction_provider.py:366-376 — NEVER a raised exception, so
+  Ray does not retry-loop a poisoned row).
+* ``normalize_api_response`` — the provider-output → span-sequence
+  normalizer (analogue of convert_aws_output_to_docling,
+  aws_prediction_provider.py:190-500) over a Textract-shaped
+  ``{"Blocks": [{"BlockType", "Text"}]}`` payload.
+* ``FakeDocApiClient`` — deterministic offline stand-in for the cloud
+  client (this container has no network): emits a Textract-shaped
+  response derived from the document's spans; raises transient errors
+  on a fixed doc subset (exercises retry) and permanent errors on
+  another (exercises skip-and-count).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+import pyarrow as pa
+
+
+class TransientApiError(Exception):
+    """Retriable (throttle / 5xx-shaped) API failure."""
+
+
+class PermanentApiError(Exception):
+    """Non-retriable (4xx-shaped) API failure."""
+
+
+class TokenBucket:
+    """Simple token-bucket rate limiter: ``acquire()`` blocks until a
+    token is available. ``rate_per_s=None`` disables limiting."""
+
+    def __init__(self, rate_per_s: float | None, burst: int = 1):
+        self._rate = rate_per_s
+        self._capacity = max(1, burst)
+        self._tokens = float(self._capacity)
+        self._last = time.monotonic()
+
+    def acquire(self) -> None:
+        if self._rate is None:
+            return
+        while True:
+            now = time.monotonic()
+            self._tokens = min(
+                self._capacity, self._tokens + (now - self._last) * self._rate
+            )
+            self._last = now
+            if self._tokens >= 1.0:
+                self._tokens -= 1.0
+                return
+            time.sleep((1.0 - self._tokens) / self._rate)
+
+
+class FakeDocApiClient:
+    """Deterministic offline client: Textract-shaped response from the
+    document's own spans. ``transient_every`` docs throw a
+    TransientApiError on their first ``transient_fails`` attempts;
+    ``permanent_every`` docs always throw PermanentApiError."""
+
+    def __init__(self, transient_every: int = 17, transient_fails: int = 2,
+                 permanent_every: int = 97):
+        self._transient_every = transient_every
+        self._transient_fails = transient_fails
+        self._permanent_every = permanent_every
+        self._attempts: dict[str, int] = {}
+
+    def analyze_document(self, doc_id: str, spans: list[dict]) -> str:
+        doc_num = int(doc_id.split("-")[-1])
+        if self._permanent_every and doc_num % self._permanent_every == 0:
+            raise PermanentApiError(f"unsupported document {doc_id}")
+        n = self._attempts[doc_id] = self._attempts.get(doc_id, 0) + 1
+        if (
+            self._transient_every
+            and doc_num % self._transient_every == 0
+            and n <= self._transient_fails
+        ):
+            raise TransientApiError(f"throttled {doc_id} (attempt {n})")
+        blocks = [
+            {
+                "BlockType": "TABLE" if s["kind"] == "table"
+                else "FIGURE" if s["kind"] == "picture"
+                else "LINE",
+                "Text": s["text"],
+            }
+            for s in spans
+        ]
+        return json.dumps({"Blocks": blocks})
+
+
+def normalize_api_response(payload: str) -> list[dict]:
+    """Textract-shaped JSON → canonical span sequence (the
+    convert_*_output_to_docling analogue): LINE→text, TABLE→table,
+    FIGURE→picture; blocks without text and without media are dropped."""
+    data = json.loads(payload)
+    spans = []
+    for b in data.get("Blocks", []):
+        bt = b.get("BlockType", "LINE")
+        kind = {"TABLE": "table", "FIGURE": "picture"}.get(bt, "text")
+        text = b.get("Text", "") or ""
+        media = (
+            f"api/{kind}/{len(spans)}" if kind in ("table", "picture")
+            else ""
+        )
+        if not text and not media:
+            continue
+        spans.append(
+            {"kind": kind, "text": text, "media_ref": media,
+             "offset": len(spans)}
+        )
+    return spans
+
+
+class ApiPredictionProvider:
+    """Actor-pool stage: rate-limited, retrying per-row API predict.
+
+    State per actor (``__init__``, once): the client and the token
+    bucket. ``__call__`` per batch: for each row, acquire a token, call
+    the client with up to ``max_retries`` exponential-backoff retries on
+    TransientApiError; anything else (or retry exhaustion) becomes
+    ``status='failure'`` with an empty prediction.
+    """
+
+    def __init__(self, client_factory=FakeDocApiClient, *,
+                 rate_per_s: float | None = None, max_retries: int = 3,
+                 backoff_base_s: float = 0.001, seed: int = 42):
+        self._client = client_factory()
+        self._bucket = TokenBucket(rate_per_s)
+        self._max_retries = max_retries
+        self._backoff = backoff_base_s
+        self._seed = seed
+
+    def _call_with_retry(self, doc_id: str, spans: list[dict]):
+        import zlib
+
+        rng = np.random.default_rng(
+            (zlib.crc32(doc_id.encode()) ^ self._seed) & 0x7FFFFFFF
+        )
+        for attempt in range(self._max_retries + 1):
+            self._bucket.acquire()
+            try:
+                return self._client.analyze_document(doc_id, spans), attempt + 1
+            except TransientApiError:
+                if attempt == self._max_retries:
+                    raise
+                # deterministic-jitter exponential backoff
+                time.sleep(
+                    self._backoff * (2 ** attempt) * (1 + rng.random())
+                )
+        raise RuntimeError("unreachable")
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..datamodel.schema import SPAN_STRUCT
+
+        doc_ids = t["doc_id"].to_pylist()
+        spans_col = t["spans"].to_pylist()
+        preds, statuses, attempts, pred_spans = [], [], [], []
+        for did, spans in zip(doc_ids, spans_col):
+            try:
+                payload, n = self._call_with_retry(did, spans)
+                preds.append(payload)
+                pred_spans.append(normalize_api_response(payload))
+                statuses.append("success")
+                attempts.append(n)
+            except (PermanentApiError, TransientApiError):
+                preds.append("")
+                pred_spans.append([])
+                statuses.append("failure")
+                attempts.append(self._max_retries + 1)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.string()),
+                "prediction": pa.array(preds, pa.string()),
+                "pred_spans": pa.array(pred_spans, pa.list_(SPAN_STRUCT)),
+                "status": pa.array(statuses, pa.string()),
+                "n_attempts": pa.array(attempts, pa.int32()),
+            }
+        )
+
+
+def api_predictions(sf_dir: str, *, concurrency: int = 2,
+                    rate_per_s: float | None = None):
+    """documents → rate-limited API prediction stage (actor pool: the
+    client is per-actor state; aggregate request rate = rate_per_s ×
+    concurrency)."""
+    from ..sources.interleaved import read_interleaved_documents
+    from .util import stage
+
+    docs = read_interleaved_documents(sf_dir)
+    return stage(
+        docs, ApiPredictionProvider,
+        kwargs=dict(rate_per_s=rate_per_s),
+        concurrency=concurrency, batch_size=256,
+    )
