@@ -170,6 +170,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from docling_eval_ray.sources.funsd import funsd_gt_build
 
     q["funsd_gt_build"] = funsd_gt_build
+    # CVAT annotation round-trip (XML → reading-ordered spans)
+    from docling_eval_ray.sources.cvat import cvat_gt_build
+
+    q["cvat_gt_build"] = cvat_gt_build
     # cloud-API provider harness (A5): rate-limited retrying actor pool
     # over a deterministic offline client
     from docling_eval_ray.stages.providers import api_predictions

@@ -1,0 +1,202 @@
+"""CVAT annotation round-trip (reference
+dataset_builders/cvat_dataset_builder.py:864-1449): CVAT XML → reading-
+ordered canonical span sequence.
+
+Semantics reimplemented from the reference:
+
+* per-image ``<box label= xtl= ytl= xbr= ybr=>`` elements are the layout
+  items; ``<polyline label= points="x,y;x,y;…">`` elements encode the
+  relations (cvat_dataset_builder.py:238-383);
+* each polyline point resolves to the SMALLEST-area valid box containing
+  it (``find_box``, cvat_dataset_builder.py:203-237; −1 when none);
+* the ``reading_order`` polyline drives document order; an image
+  without one is skipped and counted (cvat_dataset_builder.py:975-980
+  ``keep=False``);
+* ``merge``/``next_text`` polylines merge later boxes into the first
+  (text joined with a space, merged boxes never re-emitted);
+* ``to_caption`` / ``to_footnote`` polylines attach caption/footnote
+  boxes directly after their parent item
+  (cvat_dataset_builder.py:664-783);
+* boxes already emitted are skipped when reading order revisits them
+  (cvat_dataset_builder.py:985-990).
+
+Divergence (container constraint, same class as the M6/M8 media stubs):
+the reference reads each box's text from the parsed PDF's cells
+(get_label_prov_and_text, cvat_dataset_builder.py:452-500); no PDF
+backend exists here, so text rides in a CVAT ``<attribute
+name="text">`` child — the relation/order semantics above are the real,
+tested surface.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+from pathlib import Path
+
+import pyarrow as pa
+
+from ..datamodel.schema import MEDIA_KINDS, SPAN_STRUCT
+
+CVAT_GT_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("spans", pa.list_(SPAN_STRUCT)),
+        pa.field("status", pa.string()),
+        pa.field("n_boxes", pa.int32()),
+    ]
+)
+
+SAMPLE_XML = str(
+    Path(__file__).resolve().parents[2]
+    / "tests/data/cvat_sample/annotations.xml"
+)
+
+
+def parse_cvat_xml(xml_str: str) -> list[dict]:
+    """CVAT ``<annotations><image>…`` XML → per-image dicts of boxes
+    (label, ltrb, text) and polylines (label, points)."""
+    root = ET.fromstring(xml_str)
+    images = []
+    for img in root.iter("image"):
+        boxes = []
+        for b in img.findall("box"):
+            text = ""
+            for attr in b.findall("attribute"):
+                if attr.get("name") == "text":
+                    text = attr.text or ""
+            boxes.append(
+                {
+                    "label": b.get("label", "text"),
+                    "l": float(b.get("xtl")),
+                    "t": float(b.get("ytl")),
+                    "r": float(b.get("xbr")),
+                    "b": float(b.get("ybr")),
+                    "text": text,
+                }
+            )
+        polylines = []
+        for p in img.findall("polyline"):
+            points = []
+            for pt in (p.get("points") or "").split(";"):
+                xy = pt.split(",")
+                if len(xy) == 2:
+                    points.append((float(xy[0]), float(xy[1])))
+            polylines.append({"label": p.get("label", ""), "points": points})
+        images.append(
+            {"name": img.get("name", ""), "boxes": boxes,
+             "polylines": polylines}
+        )
+    return images
+
+
+def find_box(boxes: list[dict], point: tuple[float, float]) -> int:
+    """Smallest-area valid box containing the point, −1 if none
+    (cvat_dataset_builder.py:203-237)."""
+    index, area = -1, float("inf")
+    x, y = point
+    for i, b in enumerate(boxes):
+        if not (b["l"] < b["r"] and b["t"] < b["b"]):
+            continue
+        if b["l"] <= x <= b["r"] and b["t"] <= y <= b["b"]:
+            a = (b["r"] - b["l"]) * (b["b"] - b["t"])
+            if a < area:
+                index, area = i, a
+    return index
+
+
+def cvat_to_spans(image: dict) -> tuple[list[dict], str]:
+    """One CVAT image annotation → (spans, status)."""
+    boxes = image["boxes"]
+    reading_order = None
+    to_captions, to_footnotes, merges = [], [], []
+    for line in image["polylines"]:
+        boxids = [find_box(boxes, p) for p in line["points"]]
+        entry = {**line, "boxids": boxids}
+        label = line["label"]
+        if label == "reading_order":
+            reading_order = entry  # last one wins (reference warning)
+        elif label == "to_caption":
+            to_captions.append(entry)
+        elif label == "to_footnote":
+            to_footnotes.append(entry)
+        elif label in ("next_text", "merge"):
+            merges.append(entry)
+        # next_figure/group: grouped pictures — handled by already_added
+
+    if reading_order is None:
+        return [], "no_reading_order"
+
+    spans: list[dict] = []
+    already: set[int] = set()
+
+    def emit(boxid: int, kind: str | None = None) -> None:
+        b = boxes[boxid]
+        k = kind or b["label"]
+        text = b["text"]
+        # merge chains: first box absorbs the rest
+        for mline in merges:
+            ids = [i for i in mline["boxids"] if i >= 0]
+            if ids and ids[0] == boxid:
+                for extra in ids[1:]:
+                    if extra not in already:
+                        text = (text + " " + boxes[extra]["text"]).strip()
+                        already.add(extra)
+        media = (
+            f"cvat/{image['name']}/{boxid}" if k in MEDIA_KINDS else ""
+        )
+        spans.append(
+            {"kind": k, "text": "" if media else text,
+             "media_ref": media, "offset": len(spans)}
+        )
+        already.add(boxid)
+        # captions / footnotes attach right after their parent
+        for lines, attach_kind in ((to_captions, "caption"),
+                                   (to_footnotes, "footnote")):
+            for cline in lines:
+                ids = [i for i in cline["boxids"] if i >= 0]
+                if ids and ids[0] == boxid:
+                    for cid in ids[1:]:
+                        if cid not in already:
+                            spans.append(
+                                {"kind": attach_kind,
+                                 "text": boxes[cid]["text"],
+                                 "media_ref": "", "offset": len(spans)}
+                            )
+                            already.add(cid)
+
+    for boxid in reading_order["boxids"]:
+        if boxid < 0 or boxid in already:
+            continue
+        emit(boxid)
+    return spans, "success"
+
+
+def build_cvat_gt(xml_path: str):
+    """CVAT annotations file → Dataset(CVAT_GT_SCHEMA); images without a
+    reading order become status rows (skip-and-count), not exceptions."""
+    import ray.data as rd
+
+    ds = rd.read_binary_files([xml_path])
+
+    def build(t: pa.Table) -> pa.Table:
+        rows = []
+        for raw in t["bytes"].to_pylist():
+            for image in parse_cvat_xml(raw.decode()):
+                spans, status = cvat_to_spans(image)
+                rows.append(
+                    {
+                        "doc_id": image["name"],
+                        "spans": spans,
+                        "status": status,
+                        "n_boxes": len(image["boxes"]),
+                    }
+                )
+        return pa.Table.from_pylist(rows, schema=CVAT_GT_SCHEMA)
+
+    return ds.map_batches(build, batch_format="pyarrow")
+
+
+def cvat_gt_build(sf_dir: str = ""):
+    """Driver query over the committed sample annotations (``sf_dir``
+    unused, as for the other raw-fixture queries)."""
+    return build_cvat_gt(SAMPLE_XML)
