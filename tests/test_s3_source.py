@@ -1,0 +1,53 @@
+"""S3-shaped source: pagination, empty-object skip, skip-existing
+resume, snapshot-then-read flow (reference dataset_builder.py:35-109)."""
+
+from docling_eval_ray.sources.s3 import (
+    LocalFakeStore,
+    ObjectStoreSource,
+    read_store_documents,
+)
+
+
+def _make_store(tmp_path, n=25):
+    root = tmp_path / "bucket"
+    (root / "sub").mkdir(parents=True)
+    for i in range(n):
+        d = root / "sub" if i % 3 == 0 else root
+        (d / f"obj_{i:03d}.txt").write_text(f"payload {i}")
+    (root / "empty.bin").write_bytes(b"")  # zero-size: skipped
+    return LocalFakeStore(str(root))
+
+
+def test_paginated_download_and_resume(tmp_path):
+    store = _make_store(tmp_path)
+    src = ObjectStoreSource(store, store.prefix, page_size=10)
+    dest = tmp_path / "snapshot"
+
+    stats = src.download_objects(str(dest))
+    assert stats["n_pages"] == 3          # 26 objects at MaxKeys=10
+    assert stats["n_downloaded"] == 25
+    assert stats["n_skipped_empty"] == 1  # zero-size object
+    assert (dest / "sub" / "obj_000.txt").read_text() == "payload 0"
+
+    # resume: everything already on disk is skipped, nothing re-downloaded
+    stats2 = src.download_objects(str(dest))
+    assert stats2["n_downloaded"] == 0
+    assert stats2["n_skipped_existing"] == 25
+
+    # partial resume: delete two files, only those come back
+    (dest / "obj_001.txt").unlink()
+    (dest / "sub" / "obj_003.txt").unlink()
+    stats3 = src.download_objects(str(dest))
+    assert stats3["n_downloaded"] == 2
+    assert stats3["n_skipped_existing"] == 23
+
+
+def test_snapshot_then_read(ray_session, tmp_path):
+    store = _make_store(tmp_path, n=6)
+    ds = read_store_documents(
+        store, store.prefix, str(tmp_path / "snap"), extensions=("txt",)
+    )
+    df = ds.to_pandas()
+    assert len(df) == 6
+    assert set(df.columns) >= {"doc_id", "doc_hash", "n_bytes", "original"}
+    assert (df["n_bytes"] > 0).all()
