@@ -101,13 +101,19 @@ def main(argv: list[str] | None = None) -> int:
             )
             print(json.dumps(res))
         elif args.cmd == "evaluate":
-            from .pipelines.orchestrate import consolidate, run_all_evaluations
+            from .pipelines.orchestrate import (
+                consolidate,
+                run_all_evaluations,
+                write_consolidation_workbook,
+            )
 
             results = run_all_evaluations(
                 args.sf_dir, args.output, modalities=args.modality
             )
             df = consolidate(results)
+            wb = write_consolidation_workbook(df, args.output)
             print(df.to_string(index=False))
+            print(json.dumps({"workbook": wb}))
         elif args.cmd == "create-sliced":
             from .stages.slicer import sliced_documents
 

@@ -120,3 +120,55 @@ def consolidate(results: dict) -> "object":
                 }
             )
     return pd.DataFrame(rows)
+
+
+def write_consolidation_workbook(df, out_path: str) -> str:
+    """S10 Excel consolidation sink (consolidator.py:73-141): the
+    consolidation matrix written as ONE sheet of stacked per-modality
+    subtables, each preceded by a modality header row, columns
+    width-fitted.
+
+    With openpyxl present this writes a real ``.xlsx`` via
+    ``pd.ExcelWriter``; this container has no Excel engine, so the
+    portable fallback writes the identical stacked layout as
+    ``<out>/consolidation.csv`` plus ``<out>/workbook.json`` recording
+    the sheet name, per-modality start rows and fitted column widths —
+    the exact state the reference's ``_format_excel`` derives.
+    """
+    import pandas as pd
+
+    out = Path(out_path)
+    out.mkdir(parents=True, exist_ok=True)
+    blocks = []
+    layout = {"sheet": "consolidation", "modalities": {}, "col_widths": {}}
+    startrow = 0
+    for modality, sub in df.groupby("modality", sort=True):
+        layout["modalities"][modality] = {"header_row": startrow + 1,
+                                          "n_rows": len(sub)}
+        header = pd.DataFrame(
+            [[modality] + [""] * (len(df.columns) - 1)], columns=df.columns
+        )
+        blocks.append(header)
+        blocks.append(sub)
+        startrow += 1 + len(sub) + 1  # header + subtable + blank spacer
+        blocks.append(
+            pd.DataFrame([[""] * len(df.columns)], columns=df.columns)
+        )
+    stacked = pd.concat(blocks, ignore_index=True)
+    for col in stacked.columns:
+        layout["col_widths"][col] = int(
+            max([len(str(col))] + [len(str(v)) for v in stacked[col]])
+        )
+
+    try:
+        import openpyxl  # noqa: F401  (absent in this container)
+
+        xlsx = out / "consolidation.xlsx"
+        with pd.ExcelWriter(xlsx, engine="openpyxl") as writer:
+            stacked.to_excel(writer, sheet_name=layout["sheet"], index=False)
+        return str(xlsx)
+    except ImportError:
+        csv = out / "consolidation.csv"
+        stacked.to_csv(csv, index=False)
+        (out / "workbook.json").write_text(json.dumps(layout, indent=1))
+        return str(csv)

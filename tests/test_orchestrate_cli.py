@@ -137,3 +137,36 @@ def test_cli_create_gt_and_sliced(ray_session, tmp_path):
                "--slice-length", "6", "--overlap", "2"])
     assert rc == 0
     assert rd.read_parquet(sl_dir).count() > 500
+
+
+def test_consolidation_workbook_sink(tmp_path):
+    """S10 sink: stacked per-modality subtables + layout manifest
+    (CSV fallback in this container; .xlsx when openpyxl exists)."""
+    import json as _json
+
+    import pandas as pd
+
+    from docling_eval_ray.pipelines.orchestrate import (
+        write_consolidation_workbook,
+    )
+
+    df = pd.DataFrame(
+        {
+            "modality": ["markdown", "markdown", "ocr"],
+            "metric": ["bleu", "f1", "cer"],
+            "mean": [0.9, 0.95, 0.05],
+            "median": [0.92, 0.96, 0.04],
+            "std": [0.1, 0.05, 0.02],
+            "total": [450, 450, 450],
+        }
+    )
+    path = write_consolidation_workbook(df, str(tmp_path / "wb"))
+    assert path.endswith((".csv", ".xlsx"))
+    if path.endswith(".csv"):
+        layout = _json.loads((tmp_path / "wb" / "workbook.json").read_text())
+        assert set(layout["modalities"]) == {"markdown", "ocr"}
+        assert layout["modalities"]["markdown"]["n_rows"] == 2
+        stacked = pd.read_csv(path, keep_default_na=False)
+        # header rows carry the modality name in the first column
+        assert (stacked.iloc[0] == ["markdown", "", "", "", "", ""]).all()
+        assert layout["col_widths"]["modality"] >= len("markdown")
