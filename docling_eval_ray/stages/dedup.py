@@ -284,15 +284,26 @@ def minhash_candidates(ds, *, num_perm: int = 128, bands: int = 32,
     )
 
 
-def _shingle_hash_table(ds, *, k: int = 3):
+def _shingle_hash_table(ds, *, k: int = 3, doc_filter_ref=None):
     """documents → (doc_id, sh: int64, n_sh) — one row per DISTINCT
     shingle per doc, shingles as 64-bit content hashes (``_hash64``;
     collision probability ~n²/2⁶⁴, negligible). This is the
-    distributable form of the per-doc shingle set."""
+    distributable form of the per-doc shingle set.
+
+    ``doc_filter_ref``: optional ``ray.put`` ObjectRef to a doc-id set —
+    the candidate semi-join pushdown: only listed docs explode, so the
+    verification joins see candidate shingles instead of the corpus."""
 
     def explode(t: pa.Table) -> pa.Table:
+        keep = None
+        if doc_filter_ref is not None:
+            import ray
+
+            keep = ray.get(doc_filter_ref)
         doc_ids, hashes, sizes = [], [], []
         for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            if keep is not None and did not in keep:
+                continue
             sh = _shingles(text.strip(), k)
             for s in sh:
                 doc_ids.append(did)
@@ -312,34 +323,122 @@ def _shingle_hash_table(ds, *, k: int = 3):
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
-def minhash_near_dups(sf_dir: str, *, threshold: float = 0.5, k: int = 3):
+#: candidate-count gate for the semi-join pushdown: up to this many
+#: candidate pairs, the candidate doc-id SET broadcasts (it is
+#: output-sized — the LSH near-dup pairs — not corpus-sized) and the
+#: shingle explode prunes to candidate docs before the joins; beyond
+#: it, the verification joins run over the full distributed shingle
+#: table (slower constant factors, no broadcast of any kind).
+CAND_FILTER_MAX = 1_000_000
+
+#: smaller gate for the single-map verification tier: up to this many
+#: candidate pairs the candidate docs' shingle-HASH index (≈ 1 KB/doc)
+#: is collected from the pruned explode and broadcast once — zero extra
+#: shuffles. Above it, verification joins (3 shuffles) take over.
+CAND_INDEX_MAX = 100_000
+
+
+class _CandidateVerifier:
+    """Single-map exact verification against a broadcast CANDIDATE-only
+    shingle-hash index (tier A — the index is output-sized: only docs
+    that appear in some LSH candidate pair, ~1 KB each)."""
+
+    def __init__(self, index_ref, threshold: float):
+        import ray
+
+        self._index = ray.get(index_ref)  # doc_id -> sorted uint64 array
+        self._t = threshold
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch["doc_id_a"].to_numpy()
+        b = batch["doc_id_b"].to_numpy()
+        js = np.empty(len(a), dtype=np.float64)
+        for i in range(len(a)):
+            sa, sb = self._index[a[i]], self._index[b[i]]
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            denom = sa.size + sb.size - inter
+            js[i] = inter / denom if denom else 0.0
+        js = np.round(js, 6)
+        keep = js >= self._t
+        return pd.DataFrame(
+            {
+                "doc_id_a": a[keep],
+                "doc_id_b": b[keep],
+                "jaccard": js[keep],
+            }
+        )
+
+
+def minhash_near_dups(sf_dir: str, *, threshold: float = 0.5, k: int = 3,
+                      cand_filter_max: int = CAND_FILTER_MAX,
+                      cand_index_max: int = CAND_INDEX_MAX):
     """MinHash-LSH near-dup pairs (candidates) with exact verification.
 
     Fully distributed — NOTHING corpus-sized touches the driver:
 
-      candidates (LSH banding, `minhash_candidates`)
+      candidates (LSH banding, `minhash_candidates`, materialized once —
+        output-sized, lives in the object store)
         ⋈ shingle-hash table on doc_id_a      (bucketed hash join)
         ⋈ shingle-hash table on (doc_id_b, sh) (bucketed hash join →
                                                 intersection rows)
         → groupby(pair): |A∩B| = row count, Jaccard from carried set
           sizes, threshold filter.
 
-    The old implementation built a doc_id→shingle-set dict on the driver
-    (``ds.to_pandas()``) and broadcast it — a whole-corpus
-    materialization that cannot scale; this replaces it with two
-    bucketed shuffles over only the CANDIDATE pairs' shingle rows.
+    The shingle table is pruned to CANDIDATE docs via a broadcast id-set
+    semi-join when the candidate count is bounded (``cand_filter_max`` —
+    the standard bloom/IN-filter pushdown; the set is output-sized, not
+    corpus-sized), so the joins shuffle candidate shingles only. Above
+    the gate the joins run over the full distributed shingle table.
+    The old implementation broadcast a doc_id→shingle-set dict built
+    from ``ds.to_pandas()`` — a whole-corpus driver materialization.
     Pairs with an empty intersection drop out of the inner join, which
     is correct for any threshold > 0.
     """
+    import ray
     import ray.data as rd
 
     from ..functions.joins import hash_join
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
-    cands = minhash_candidates(ds)
+    # materialize: candidates are consumed up to three times below
+    # (count + two join sides); they are output-sized, not corpus-sized
+    cands = minhash_candidates(ds).materialize()
 
-    sh = _shingle_hash_table(ds, k=k)
+    n_cands = cands.count()
+    doc_filter_ref = None
+    if n_cands <= cand_filter_max:
+        ids: set[int] = set()
+        for b in cands.iter_batches(batch_format="pyarrow"):
+            ids.update(b["doc_id_a"].to_pylist())
+            ids.update(b["doc_id_b"].to_pylist())
+        doc_filter_ref = ray.put(ids)
+
+    if n_cands <= cand_index_max:
+        # tier A: collect the candidate docs' shingle-hash index from
+        # the PRUNED explode (bounded: |candidate docs| × ~1 KB) and
+        # verify in one map — zero additional shuffles
+        from collections import defaultdict
+
+        from .util import stage
+
+        acc: dict[int, list[int]] = defaultdict(list)
+        for b in _shingle_hash_table(
+            ds, k=k, doc_filter_ref=doc_filter_ref
+        ).iter_batches(batch_format="pyarrow"):
+            for did, s in zip(b["doc_id"].to_pylist(), b["sh"].to_pylist()):
+                acc[did].append(s)
+        index = {
+            d: np.unique(np.array(v, dtype=np.int64))
+            for d, v in acc.items()
+        }
+        ref = ray.put(index)
+        # actor pool (not tasks): resolve the broadcast index once per
+        # actor instead of once per batch
+        return stage(cands, _CandidateVerifier, args=(ref, threshold),
+                     batch_format="pandas", concurrency=2)
+
+    sh = _shingle_hash_table(ds, k=k, doc_filter_ref=doc_filter_ref)
     sh_a = sh.map_batches(
         lambda t: t.rename_columns(["doc_id_a", "sh", "na"]),
         batch_format="pyarrow",
@@ -350,9 +449,11 @@ def minhash_near_dups(sf_dir: str, *, threshold: float = 0.5, k: int = 3):
     )
 
     # pair × shingles-of-a, then inner join on (doc_id_b, sh): one row
-    # per common shingle of the pair
-    with_a = hash_join(cands, sh_a, on="doc_id_a")
-    inter = hash_join(with_a, sh_b, on=["doc_id_b", "sh"])
+    # per common shingle of the pair. Fewer buckets on the pruned path
+    # (tiny tables — per-task overhead would dominate 32 buckets).
+    nb = 8 if doc_filter_ref is not None else 32
+    with_a = hash_join(cands, sh_a, on="doc_id_a", num_buckets=nb)
+    inter = hash_join(with_a, sh_b, on=["doc_id_b", "sh"], num_buckets=nb)
 
     def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby(
@@ -376,7 +477,7 @@ def minhash_near_dups(sf_dir: str, *, threshold: float = 0.5, k: int = 3):
     from ..functions.groups import bucketed_group_apply
 
     return bucketed_group_apply(inter, ["doc_id_a", "doc_id_b"],
-                                verify_bucket)
+                                verify_bucket, num_buckets=nb)
 
 
 # ---------------------------------------------------------------------------

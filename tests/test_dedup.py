@@ -133,3 +133,22 @@ def test_ngram_jaccard_max_df_caps_hot_shingles(ray_session, tmp_path):
     got = set(map(tuple, capped[["doc_id_a", "doc_id_b"]].to_numpy()))
     assert (20, 21) in got
     assert len(capped) < 20
+
+
+def test_minhash_verification_tiers_agree(ray_session):
+    """Tier A (broadcast candidate index, zero extra shuffles), tier B
+    (id-set pushdown + distributed joins) and tier C (full-corpus
+    distributed joins) must produce identical verified pairs."""
+    from docling_eval_ray.stages.dedup import minhash_near_dups
+
+    def rows(**kw):
+        return sorted(
+            (r["doc_id_a"], r["doc_id_b"], r["jaccard"])
+            for r in minhash_near_dups("/root/testdata/sf0.001", **kw)
+            .take_all()
+        )
+
+    a = rows()                                    # tier A
+    b = rows(cand_index_max=0)                    # tier B (joins, pruned)
+    c = rows(cand_index_max=0, cand_filter_max=0) # tier C (full corpus)
+    assert a == b == c and len(a) > 0
