@@ -144,8 +144,16 @@ def run_benchmarks() -> dict:
         minhash_near_dups,
         ngram_jaccard_pairs,
     )
+    from docling_eval_ray.pipelines.evaluate import (
+        corpus_layout_map,
+        evaluate_markdown,
+    )
     from docling_eval_ray.stages.extract import extract_main_content
-    from docling_eval_ray.stages.knn import embedding_knn, embedding_near_dups
+    from docling_eval_ray.stages.knn import (
+        embedding_knn,
+        embedding_knn_ivf,
+        embedding_near_dups,
+    )
     from docling_eval_ray.stages.media import media_decode_stats
 
     bench_input = _prepare_bench_input()
@@ -182,6 +190,9 @@ def run_benchmarks() -> dict:
         ("minhash_near_dups", minhash_near_dups),
         ("embedding_knn", embedding_knn),
         ("embedding_near_dups", embedding_near_dups),
+        ("embedding_knn_ivf", embedding_knn_ivf),
+        ("evaluate_markdown", evaluate_markdown),
+        ("corpus_layout_map", corpus_layout_map),
         ("media_decode_stats", media_decode_stats),
     ]:
         t0 = time.time()

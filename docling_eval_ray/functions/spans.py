@@ -53,15 +53,22 @@ def spans_to_markdown(batch: pa.Table, spans_col: str = "spans") -> pa.Table:
     )
     keep = pc.greater(pc.utf8_length(texts), 0).to_numpy(zero_copy_only=False)
 
-    out_texts: list[str] = []
-    pieces = prefixed.to_pylist()
+    # rebuild a list<string> of kept pieces per row and join with the
+    # separator entirely in Arrow (no Python loop over spans)
     n_rows = batch.num_rows
-    bufs: list[list[str]] = [[] for _ in range(n_rows)]
-    for i in np.nonzero(keep)[0]:
-        bufs[parent[i]].append(pieces[i])
-    out_texts = ["\n\n".join(b) for b in bufs]
+    kept_parent = parent[keep]
+    counts = np.bincount(kept_parent, minlength=n_rows)
+    offsets = np.zeros(n_rows + 1, dtype=np.int32)
+    np.cumsum(counts, out=offsets[1:])
+    if isinstance(prefixed, pa.ChunkedArray):
+        prefixed = prefixed.combine_chunks()
+    kept_pieces = prefixed.filter(pa.array(keep))
+    piece_lists = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()), kept_pieces
+    )
+    joined = pc.binary_join(piece_lists, "\n\n")
 
-    return batch.append_column("markdown", pa.array(out_texts, pa.string()))
+    return batch.append_column("markdown", joined)
 
 
 def span_kind_counts(batch: pa.Table, spans_col: str = "spans") -> pa.Table:
