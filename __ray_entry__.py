@@ -174,6 +174,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from docling_eval_ray.sources.cvat import cvat_gt_build
 
     q["cvat_gt_build"] = cvat_gt_build
+    # OTSL table GT builder (token stream + cell texts → grid/HTML)
+    from docling_eval_ray.sources.otsl_tables import otsl_gt_build
+
+    q["otsl_gt_build"] = otsl_gt_build
     # cloud-API provider harness (A5): rate-limited retrying actor pool
     # over a deterministic offline client
     from docling_eval_ray.stages.providers import api_predictions
