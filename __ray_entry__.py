@@ -178,6 +178,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from docling_eval_ray.sources.otsl_tables import otsl_gt_build
 
     q["otsl_gt_build"] = otsl_gt_build
+    # DocVQA-style grouped builder (G11: bucketed group per doc)
+    from docling_eval_ray.sources.docvqa import docvqa_gt_build
+
+    q["docvqa_gt_build"] = docvqa_gt_build
     # cloud-API provider harness (A5): rate-limited retrying actor pool
     # over a deterministic offline client
     from docling_eval_ray.stages.providers import api_predictions
