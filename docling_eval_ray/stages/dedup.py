@@ -26,7 +26,6 @@ only Python-per-row work is string shingling itself.
 from __future__ import annotations
 
 import hashlib
-import itertools
 
 import numpy as np
 import pandas as pd
