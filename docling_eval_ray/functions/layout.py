@@ -35,13 +35,9 @@ def _ap_single_class(gt: np.ndarray, pred: np.ndarray,
     tp = np.zeros(len(pred))
     fp = np.zeros(len(pred))
     for i in range(len(pred)):
-        j = -1
-        best = iou_thr
-        for g in range(len(gt)):
-            if not matched[g] and m[i, g] >= best:
-                best = m[i, g]
-                j = g
-        if j >= 0:
+        row = np.where(matched, -1.0, m[i])
+        j = int(np.argmax(row))
+        if row[j] >= iou_thr:
             matched[j] = True
             tp[i] = 1
         else:
@@ -91,11 +87,9 @@ def detection_tp_masks(gt: np.ndarray, pred: np.ndarray,
     for ti, thr in enumerate(IOU_THRESHOLDS):
         matched = np.zeros(len(gt), dtype=bool)
         for i in range(len(pred_s)):
-            j, best = -1, thr
-            for g in range(len(gt)):
-                if not matched[g] and m[i, g] >= best:
-                    best, j = m[i, g], g
-            if j >= 0:
+            row = np.where(matched, -1.0, m[i])
+            j = int(np.argmax(row)) if len(row) else -1
+            if j >= 0 and row[j] >= thr:
                 matched[j] = True
                 masks[i] |= 1 << ti
     return sc, masks

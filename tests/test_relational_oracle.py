@@ -92,3 +92,23 @@ def test_dim_join_size_routing(ray_session):
     a = a[key].sort_values(key).reset_index(drop=True)
     b = b[key].sort_values(key).reset_index(drop=True)
     assert a.equals(b) and len(a) == 50
+
+
+def test_hash_join_composite_key(ray_session):
+    """Multi-column hash_join: rows join on BOTH key columns; overlap
+    validation excludes all keys."""
+    import ray.data as rd
+
+    from docling_eval_ray.functions.joins import hash_join
+
+    left = rd.from_items(
+        [{"a": i % 3, "b": i % 2, "lv": i} for i in range(24)]
+    )
+    right = rd.from_items(
+        [{"a": a, "b": b, "name": f"{a}-{b}"}
+         for a in range(3) for b in range(2)]
+    )
+    got = hash_join(left, right, on=["a", "b"], num_buckets=4).to_pandas()
+    assert len(got) == 24
+    assert (got["name"] == got["a"].astype(str) + "-"
+            + got["b"].astype(str)).all()
