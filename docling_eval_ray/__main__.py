@@ -56,8 +56,27 @@ def main(argv: list[str] | None = None) -> int:
     vp = sub.add_parser("visualize")
     vp.add_argument("--output", required=True)
     vp.add_argument("--modality", action="append", default=None)
+    vp.add_argument("--html", action="store_true",
+                    help="also write per-doc comparison HTML (S11)")
+    vp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
 
     args = p.parse_args(argv)
+
+    if args.cmd == "visualize" and args.html:
+        started = _ray_session()
+        import ray
+
+        try:
+            from .functions.viz import write_comparison_html
+            from .pipelines.evaluate import eval_records
+
+            out = write_comparison_html(
+                eval_records(args.sf_dir), f"{args.output}/html"
+            )
+            print(json.dumps({"html_files": out.count()}))
+        finally:
+            if started:
+                ray.shutdown()
 
     if args.cmd == "visualize":
         # re-reads cached evaluation JSON; no Ray needed

@@ -71,3 +71,131 @@ def span_diff(gt_spans: list[dict], pred_spans: list[dict]) -> str:
         if key(s) not in gt_set:
             lines.append(f"+ [{s['offset']:3d}] {s['kind']:15s} {s['text'][:60]}")
     return "\n".join(lines)
+
+
+# ---------------------------------------------------------------------------
+# per-doc comparison HTML sink (S11, visualisations.py:79-226 analogue)
+# ---------------------------------------------------------------------------
+
+_COMP_CSS = (
+    "body{font-family:monospace}table{border-collapse:collapse}"
+    "td,th{border:1px solid #999;padding:2px 6px;vertical-align:top}"
+    ".miss{background:#fdd}.extra{background:#dfd}.page{display:inline-block;"
+    "margin:4px}"
+)
+
+
+def _svg_page(boxes, color: str, order_line: bool = True,
+              size: int = 300) -> str:
+    """Render boxes (ltrb on a 100x100 page) + reading-order polyline as
+    inline SVG — the PIL-free analogue of the reference's page overlay
+    (readingorder_evaluator.py:298-498 draws arrows on page images)."""
+    parts = [
+        f'<svg class="page" width="{size}" height="{size}" '
+        f'viewBox="0 0 100 100" style="border:1px solid #333">'
+    ]
+    centers = []
+    for i, (l, t, r, b) in enumerate(boxes):
+        parts.append(
+            f'<rect x="{l:.1f}" y="{t:.1f}" width="{r - l:.1f}" '
+            f'height="{b - t:.1f}" fill="none" stroke="{color}" '
+            f'stroke-width="0.6"/>'
+        )
+        parts.append(
+            f'<text x="{l + 1:.1f}" y="{t + 3:.1f}" font-size="3" '
+            f'fill="{color}">{i}</text>'
+        )
+        centers.append(((l + r) / 2, (t + b) / 2))
+    if order_line and len(centers) > 1:
+        pts = " ".join(f"{x:.1f},{y:.1f}" for x, y in centers)
+        parts.append(
+            f'<polyline points="{pts}" fill="none" stroke="#888" '
+            f'stroke-width="0.4" stroke-dasharray="2,1"/>'
+        )
+    parts.append("</svg>")
+    return "".join(parts)
+
+
+def comparison_html(doc_id: str, gt_spans: list[dict],
+                    pred_spans: list[dict], gt_boxes=None,
+                    pred_boxes=None) -> str:
+    """One document's side-by-side GT vs prediction page: SVG box
+    overlays with the reading-order polyline plus an aligned span table
+    with missing/extra highlighting (HTML-escaped text)."""
+    import html as _html
+
+    key = lambda s: (s["kind"], s["text"], s["media_ref"])
+    gt_set = {key(s) for s in gt_spans}
+    pred_set = {key(s) for s in pred_spans}
+    rows = []
+    for i in range(max(len(gt_spans), len(pred_spans))):
+        cells = []
+        for spans, other in ((gt_spans, pred_set), (pred_spans, gt_set)):
+            if i < len(spans):
+                s = spans[i]
+                cls = "" if key(s) in other else (
+                    " class=\"miss\"" if spans is gt_spans
+                    else " class=\"extra\"")
+                cells.append(
+                    f"<td{cls}>[{s['offset']}] {s['kind']}: "
+                    f"{_html.escape(s['text'][:80])}</td>"
+                )
+            else:
+                cells.append("<td></td>")
+        rows.append("<tr>" + "".join(cells) + "</tr>")
+    svgs = ""
+    if gt_boxes is not None and pred_boxes is not None:
+        svgs = (
+            "<div>" + _svg_page(gt_boxes, "#04a") +
+            _svg_page(pred_boxes, "#a40") + "</div>"
+        )
+    return (
+        f"<!DOCTYPE html><html><head><style>{_COMP_CSS}</style></head>"
+        f"<body><h2>{_html.escape(doc_id)}</h2>{svgs}"
+        f"<table><tr><th>ground truth</th><th>prediction</th></tr>"
+        + "".join(rows) + "</table></body></html>"
+    )
+
+
+def write_comparison_html(eval_ds, out_dir: str):
+    """Side-effect HTML sink over an eval-records Dataset
+    ((doc_id, gt_spans, pred_spans, status) rows): one HTML file per
+    document under ``out_dir``, written inside ``map_batches`` (each
+    task writes its own batch's files — embarrassingly parallel, no
+    driver gather). Returns a Dataset of (doc_id, path, n_bytes)."""
+    from pathlib import Path
+
+    import numpy as np
+    import pyarrow as pa
+
+    Path(out_dir).mkdir(parents=True, exist_ok=True)
+
+    def sink(t: pa.Table) -> pa.Table:
+        from ..pipelines.evaluate import _doc_boxes
+
+        ids, paths, sizes = [], [], []
+        for r in t.to_pylist():
+            doc_num = int(r["doc_id"].split("-")[-1])
+            gt = r["gt_spans"]
+            pred = r["pred_spans"]
+            shift = 2.0 if doc_num % 10 in (0, 1, 2) else 0.0
+            html = comparison_html(
+                r["doc_id"], gt, pred,
+                gt_boxes=_doc_boxes(doc_num, len(gt)),
+                pred_boxes=np.asarray(_doc_boxes(doc_num, len(pred)))
+                + shift,
+            )
+            p = Path(out_dir) / f"{r['doc_id']}.html"
+            p.write_text(html)
+            ids.append(r["doc_id"])
+            paths.append(str(p))
+            sizes.append(len(html))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.string()),
+                "path": pa.array(paths, pa.string()),
+                "n_bytes": pa.array(sizes, pa.int64()),
+            }
+        )
+
+    return eval_ds.map_batches(sink, batch_format="pyarrow")

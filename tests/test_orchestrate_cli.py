@@ -170,3 +170,25 @@ def test_consolidation_workbook_sink(tmp_path):
         # header rows carry the modality name in the first column
         assert (stacked.iloc[0] == ["markdown", "", "", "", "", ""]).all()
         assert layout["col_widths"]["modality"] >= len("markdown")
+
+
+def test_comparison_html_sink(ray_session, tmp_path):
+    """S11 per-doc comparison HTML: one file per doc, escaped content,
+    SVG overlays, missing spans highlighted."""
+    from docling_eval_ray.functions.viz import write_comparison_html
+    from docling_eval_ray.pipelines.evaluate import eval_records
+
+    ds = eval_records(SF_DIR).limit(40)
+    out = write_comparison_html(ds, str(tmp_path / "viz")).to_pandas()
+    assert len(out) == 40
+    sample = (tmp_path / "viz" / f"{out['doc_id'].iloc[0]}.html").read_text()
+    assert "<svg" in sample and "polyline" in sample
+    assert "ground truth" in sample
+    # a dropped-span doc must show a missing highlight
+    import pandas as pd
+
+    dropped = out[out["doc_id"].str.split("-").str[1].astype(int) % 10 == 0]
+    if len(dropped):
+        html = (tmp_path / "viz" /
+                f"{dropped['doc_id'].iloc[0]}.html").read_text()
+        assert 'class="miss"' in html
