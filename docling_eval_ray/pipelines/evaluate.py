@@ -683,6 +683,9 @@ def evaluation_summary(sf_dir: str) -> pd.DataFrame:
         ("reading_order", evaluate_reading_order(sf_dir), ["ard_norm"]),
         ("layout", evaluate_layout(sf_dir), ["image_map"]),
         ("tables", evaluate_tables(sf_dir), ["teds_struct", "teds"]),
+        ("timings", evaluate_timings(sf_dir),
+         ["sec_per_doc", "sec_per_page"]),
+        ("bbox_text", evaluate_bbox_text(sf_dir), ["bleu", "f1", "meteor"]),
     ]:
         means = _metric_means(ds, cols)
         for c in cols:

@@ -75,9 +75,12 @@ def test_rejection_counts(ray_session):
 def test_evaluation_summary(ray_session):
     df = evaluation_summary(SF_DIR)
     assert set(df["modality"]) == {
-        "markdown", "ocr", "reading_order", "layout", "tables"
+        "markdown", "ocr", "reading_order", "layout", "tables",
+        "timings", "bbox_text",
     }
-    assert ((df["mean"] >= -1.0) & (df["mean"] <= 1.0)).all()
+    bounded = df[df["modality"] != "timings"]
+    assert ((bounded["mean"] >= -1.0) & (bounded["mean"] <= 1.0)).all()
+    assert (df[df["modality"] == "timings"]["mean"] > 0).all()
     assert (df["n"] > 0).all()
 
 

@@ -199,3 +199,20 @@ def test_meteor_in_text_metrics_bundle():
     m = text_metrics("the cat sat", "the cat sat")
     assert m["meteor"] == pytest.approx(1 - 0.5 * (1 / 3) ** 3)
     assert m["bleu"] == pytest.approx(1.0)
+
+
+def test_compute_stats_approx_median(ray_session):
+    import ray.data as rd
+
+    from docling_eval_ray.stages.stats import compute_stats
+
+    rng = np.random.default_rng(3)
+    vals = rng.beta(2, 5, size=2000).tolist()
+    ds = rd.from_items([{"v": v} for v in vals])
+    exact = compute_stats(ds, "v")
+    approx = compute_stats(ds, "v", approx_median=True)
+    # identical mergeable stats; median within one bin width (0.05)
+    assert approx["total"] == exact["total"]
+    assert approx["mean"] == pytest.approx(exact["mean"])
+    assert approx["hist"] == exact["hist"]
+    assert abs(approx["median"] - exact["median"]) <= 0.05
