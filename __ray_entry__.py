@@ -167,9 +167,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     # real GT builder over committed raw benchmark-style annotations
     # (M3: read_binary_files → map_batches(build_gt))
-    from docling_eval_ray.sources.funsd import funsd_gt_build
+    from docling_eval_ray.sources.funsd import funsd_gt_build, xfund_gt_build
 
     q["funsd_gt_build"] = funsd_gt_build
+    q["xfund_gt_build"] = xfund_gt_build
     # CVAT annotation round-trip (XML → reading-ordered spans)
     from docling_eval_ray.sources.cvat import cvat_gt_build
 

@@ -61,11 +61,17 @@ def _build_one(doc_id: str, raw: bytes) -> dict:
     data = json.loads(raw)
     if "form" not in data:
         raise ValueError("invalid FUNSD data: missing 'form' key")
+    return _build_from_items(doc_id, data["form"])
 
+
+def _build_from_items(doc_id: str, form_items: list[dict]) -> dict:
+    """Shared FUNSD/XFUND item semantics (the XFUND builder's per-item
+    logic is identical to FUNSD's — xfund_builder.py:209-330 mirrors
+    funsd_builder.py:203-321; only the file wrapper differs)."""
     cells: list[tuple[int, str, list | None]] = []  # (orig_id, text, box)
     links_raw: list[tuple[int, int]] = []
     n_words = 0
-    for item in data["form"]:
+    for item in form_items:
         linking = item.get("linking", []) or []
         if not linking and item.get("label", "other") in ("header", "other"):
             continue  # funsd_builder.py:236-241
@@ -76,7 +82,7 @@ def _build_one(doc_id: str, raw: bytes) -> dict:
             n_words += 1
     # linking pairs are collected from ALL items (kept or not) and
     # deduped, then filtered to kept endpoints (funsd_builder.py:283-296)
-    for item in data["form"]:
+    for item in form_items:
         for pair in item.get("linking", []) or []:
             if isinstance(pair, list) and len(pair) == 2:
                 links_raw.append((pair[0], pair[1]))
@@ -134,3 +140,47 @@ def funsd_gt_build(sf_dir: str = ""):
     annotations (``sf_dir`` unused — the input is the raw benchmark
     sample, as for the other fixture queries)."""
     return build_funsd_gt(SAMPLE_DIR)
+
+
+# ---------------------------------------------------------------------------
+# XFUND: same item semantics under a multi-document wrapper
+# ---------------------------------------------------------------------------
+
+XFUND_SAMPLE_DIR = str(
+    Path(__file__).resolve().parents[2] / "tests/data/xfund_sample"
+)
+
+XFUND_GT_SCHEMA = FUNSD_GT_SCHEMA.append(pa.field("lang", pa.string()))
+
+
+def build_xfund_gt(root: str):
+    """XFUND-shaped JSON files (``{"documents": [{"id", "img":
+    {"fname"}, "document": [items]}]}``, xfund_builder.py:331-360) →
+    Dataset(XFUND_GT_SCHEMA). Documents are ordered by image filename
+    (the reference's deterministic sort); ``lang`` comes from the
+    document id prefix (``de_train_0`` → ``de``)."""
+    import ray.data as rd
+
+    paths = sorted(str(p) for p in Path(root).glob("*.json"))
+    ds = rd.read_binary_files(paths, include_paths=True)
+
+    def build(t: pa.Table) -> pa.Table:
+        docs = []
+        for b in t["bytes"].to_pylist():
+            data = json.loads(b)
+            docs.extend(data.get("documents", []))
+        docs.sort(key=lambda d: d["img"]["fname"])
+        rows = []
+        for d in docs:
+            doc_id = str(d.get("id", Path(d["img"]["fname"]).stem))
+            rec = _build_from_items(doc_id, d.get("document", []))
+            rec["lang"] = doc_id.split("_", 1)[0] if "_" in doc_id else ""
+            rows.append(rec)
+        return pa.Table.from_pylist(rows, schema=XFUND_GT_SCHEMA)
+
+    return ds.map_batches(build, batch_format="pyarrow")
+
+
+def xfund_gt_build(sf_dir: str = ""):
+    """Driver query over the committed XFUND-shaped sample."""
+    return build_xfund_gt(XFUND_SAMPLE_DIR)

@@ -58,3 +58,23 @@ def test_funsd_edge_cases(ray_session):
     assert rows["form_e"]["n_words"] == 2
     # word census counts only kept items' valid words
     assert rows["form_a"]["n_words"] == 7
+
+
+def test_xfund_wrapper_and_lang(ray_session):
+    """XFUND: multi-doc wrapper, image-filename ordering, lang from the
+    id prefix, same item semantics as FUNSD."""
+    from docling_eval_ray.sources.funsd import (
+        XFUND_SAMPLE_DIR,
+        build_xfund_gt,
+    )
+
+    rows = build_xfund_gt(XFUND_SAMPLE_DIR).take_all()
+    # ordered by img fname: de_val_0 before de_val_1
+    assert [r["doc_id"] for r in rows] == ["de_val_0", "de_val_1"]
+    assert all(r["lang"] == "de" for r in rows)
+    r1 = rows[1]
+    # header skipped; KV pair classified
+    assert [(s["kind"], s["text"]) for s in r1["spans"]] == [
+        ("key", "Name:"), ("value", "Erika Muster")
+    ]
+    assert r1["n_words"] == 3
