@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # dedup family + similarity search (training-data ops)
     from docling_eval_ray.stages.dedup import (
         minhash_near_dups,
+        near_dup_clusters,
         ngram_jaccard_pairs,
         simhash_fingerprints,
     )
@@ -86,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q.update(
         {
             "ngram_jaccard_pairs": ngram_jaccard_pairs,   # oracled, exact
+            "near_dup_clusters": near_dup_clusters,       # oracled (CC)
             "minhash_near_dups": minhash_near_dups,       # rows-only (LSH)
             "simhash_fingerprints": simhash_fingerprints, # rows-only
             "embedding_knn": embedding_knn,               # oracled

@@ -116,6 +116,47 @@ ORACLE_SQL: dict[str, str] = {
         JOIN sizes nb ON nb.doc_id = ib
         WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.1
     """,
+    # connected components over the exact near-dup graph: recursive
+    # reachability (walk(s,l): node s can reach label l), component id =
+    # min reachable doc id — mirrors the Ray min-label propagation
+    "near_dup_clusters": """
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   CASE WHEN len(w) < 3 THEN array_to_string(w, ' ')
+                        ELSE w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] END AS s
+            FROM toks,
+                 UNNEST(range(CASE WHEN len(w) < 3 THEN 1
+                                   ELSE len(w) - 2 END)) AS t(i)
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT ia AS a, ib AS b
+            FROM inter
+            JOIN sizes na ON na.doc_id = ia
+            JOIN sizes nb ON nb.doc_id = ib
+            WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.1
+        ),
+        edges AS (
+            SELECT a AS s, b AS t FROM pairs
+            UNION
+            SELECT b, a FROM pairs
+        ),
+        walk(s, l) AS (
+            SELECT s, s FROM (SELECT DISTINCT s FROM edges) nodes
+            UNION
+            SELECT e.s, w.l FROM edges e JOIN walk w ON e.t = w.s
+        )
+        SELECT s AS doc_id, min(l) AS cluster_id FROM walk GROUP BY s
+    """,
     "embedding_knn": f"""
         SELECT vec_id,
                round_even(list_cosine_similarity(

@@ -30,6 +30,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _MERSENNE = (1 << 61) - 1
 _MERSENNE31 = np.uint64((1 << 31) - 1)
@@ -514,3 +515,120 @@ def simhash_fingerprints(sf_dir: str):
 
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
+
+
+# ---------------------------------------------------------------------------
+# near-dup clusters: connected components over verified pairs
+# ---------------------------------------------------------------------------
+
+
+def connected_components(pairs_ds, *, max_iters: int = 50,
+                         num_buckets: int = 16):
+    """Distributed connected components by min-label propagation.
+
+    Input: an edge Dataset with ``doc_id_a``/``doc_id_b`` columns.
+    Output: one row per participating doc, ``(doc_id, cluster_id)``
+    with ``cluster_id`` = the component's minimum doc id.
+
+    Shape per iteration: symmetrize edges once up front; join current
+    labels onto edge targets (bucketed hash join keyed on doc_id), then
+    a bucketed min-reduce per node merges neighbor labels with its own.
+    Convergence in ≤ diameter iterations; each iteration is two bounded
+    shuffles, nothing driver-side except the (tiny) change counter.
+    Dedup components are near-cliques, so this converges in 2-3 rounds
+    in practice.
+    """
+    from ..functions.groups import bucketed_group_apply
+    from ..functions.joins import hash_join
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        a = t["doc_id_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_id_b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b]), pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    edges = pairs_ds.map_batches(
+        symmetrize, batch_format="pyarrow"
+    ).materialize()  # edge set is output-sized; reused every iteration
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t["src"], "label": t["src"]}
+        )
+
+    def min_label(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("doc_id", as_index=False)["label"].min()
+        return out.astype({"doc_id": np.int64, "label": np.int64})
+
+    labels = bucketed_group_apply(
+        edges.map_batches(init_labels, batch_format="pyarrow"),
+        ["doc_id"], min_label, num_buckets=num_buckets,
+    ).materialize()
+
+    for _ in range(max_iters):
+        # ship each node's label across its edges: edges(dst) ⋈ labels
+        lab_for_join = labels.map_batches(
+            lambda t: t.rename_columns(["dst", "label"]),
+            batch_format="pyarrow",
+        )
+        neighbor = hash_join(
+            edges, lab_for_join, on="dst", num_buckets=num_buckets
+        ).map_batches(
+            lambda t: pa.table(
+                {"doc_id": t["src"], "label": t["label"]}
+            ),
+            batch_format="pyarrow",
+        )
+        merged = bucketed_group_apply(
+            neighbor.union(labels), ["doc_id"], min_label,
+            num_buckets=num_buckets,
+        ).materialize()
+        # convergence: does any node's label change?
+        old = labels.map_batches(
+            lambda t: t.rename_columns(["doc_id", "old_label"]),
+            batch_format="pyarrow",
+        )
+        diff = hash_join(merged, old, on="doc_id",
+                         num_buckets=num_buckets)
+        changed = diff.map_batches(
+            lambda t: pa.table(
+                {
+                    "n": pa.array(
+                        [
+                            int(
+                                pc.sum(
+                                    pc.cast(
+                                        pc.not_equal(t["label"],
+                                                     t["old_label"]),
+                                        pa.int64(),
+                                    )
+                                ).as_py()
+                                or 0
+                            )
+                        ],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ).sum("n")
+        labels = merged
+        if not changed:
+            break
+    return labels.map_batches(
+        lambda t: t.rename_columns(["doc_id", "cluster_id"]),
+        batch_format="pyarrow",
+    )
+
+
+def near_dup_clusters(sf_dir: str, *, threshold: float = 0.1, k: int = 3):
+    """Connected components over the EXACT n-gram-Jaccard near-dup
+    graph: (doc_id, cluster_id=min doc id of the component) for every
+    doc that participates in at least one pair. Oracled in DuckDB with
+    a recursive reachability CTE over the same pair SQL."""
+    pairs = ngram_jaccard_pairs(sf_dir, k=k, threshold=threshold)
+    return connected_components(pairs)

@@ -152,3 +152,27 @@ def test_minhash_verification_tiers_agree(ray_session):
     b = rows(cand_index_max=0)                    # tier B (joins, pruned)
     c = rows(cand_index_max=0, cand_filter_max=0) # tier C (full corpus)
     assert a == b == c and len(a) > 0
+
+
+def test_connected_components_known_graph(ray_session):
+    """Min-label propagation on a chain (needs >1 iteration), a clique
+    and an isolated pair."""
+    import ray.data as rd
+
+    from docling_eval_ray.stages.dedup import connected_components
+
+    edges = [
+        # chain 10-11-12-13 (diameter 3)
+        (11, 10), (12, 11), (13, 12),
+        # clique 20,21,22
+        (20, 21), (20, 22), (21, 22),
+        # pair
+        (30, 31),
+    ]
+    ds = rd.from_items(
+        [{"doc_id_a": a, "doc_id_b": b} for a, b in edges]
+    )
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in connected_components(ds).take_all()}
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10,
+                   20: 20, 21: 20, 22: 20, 30: 30, 31: 30}
