@@ -516,25 +516,37 @@ def evaluate_timings(sf_dir: str):
     """Timings evaluator (G6, evaluators/timings_evaluator.py:99-129):
     per-doc pipeline seconds + seconds/page distributions. Timings are
     synthesized deterministically from document size (the reference
-    reads docling profiling dicts)."""
+    reads docling profiling dicts). Fully vectorized — the metric is
+    pure arithmetic over span counts, no row iteration."""
+    import pyarrow.compute as pc
+
     ds = eval_records(sf_dir)
 
     def metric(t: pa.Table) -> pa.Table:
         t = _status_filter(t)
-        rows = []
-        for r in t.to_pylist():
-            doc_num = int(r["doc_id"].split("-")[1])
-            n = max(1, len(r["gt_spans"]))
-            n_pages = 1 + n // 12
-            total = round(0.01 * n + 0.005 * (doc_num % 7), 6)
-            rows.append(
-                {
-                    "doc_id": r["doc_id"],
-                    "sec_per_doc": total,
-                    "sec_per_page": round(total / n_pages, 6),
-                }
-            )
-        return pa.Table.from_pylist(rows, schema=_TIMINGS_SCHEMA)
+        doc_num = (
+            pc.cast(pc.list_element(pc.split_pattern(t["doc_id"], "-"), 1),
+                    pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        n = np.maximum(
+            1,
+            pc.list_value_length(t["gt_spans"]).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64),
+        )
+        n_pages = 1 + n // 12
+        total = np.round(0.01 * n + 0.005 * (doc_num % 7), 6)
+        return pa.Table.from_arrays(
+            [
+                t["doc_id"].combine_chunks()
+                if isinstance(t["doc_id"], pa.ChunkedArray)
+                else t["doc_id"],
+                pa.array(total, pa.float64()),
+                pa.array(np.round(total / n_pages, 6), pa.float64()),
+            ],
+            schema=_TIMINGS_SCHEMA,
+        )
 
     return ds.map_batches(metric, batch_format="pyarrow")
 
