@@ -205,12 +205,12 @@ def _status_filter(t: pa.Table) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 
-def evaluate_markdown(sf_dir: str):
+def evaluate_markdown(sf_dir: str, records=None):
     """Markdown text metrics per doc (markdown_text_evaluator analogue):
     bleu / f1 / precision / recall / edit_distance / meteor over the
     span→markdown projection (reference bundle incl. METEOR,
     markdown_text_evaluator.py:203-239)."""
-    ds = eval_records(sf_dir)
+    ds = records if records is not None else eval_records(sf_dir)
 
     def metric(t: pa.Table) -> pa.Table:
         t = _status_filter(t)
@@ -235,10 +235,10 @@ def evaluate_markdown(sf_dir: str):
     return ds.map_batches(metric, batch_format="pyarrow")
 
 
-def evaluate_ocr(sf_dir: str):
+def evaluate_ocr(sf_dir: str, records=None):
     """Character error rate per doc (ocr_evaluator analogue); missing
     prediction text → CER 1.0."""
-    ds = eval_records(sf_dir)
+    ds = records if records is not None else eval_records(sf_dir)
 
     def metric(t: pa.Table) -> pa.Table:
         t = _status_filter(t)
@@ -259,11 +259,11 @@ def evaluate_ocr(sf_dir: str):
     return ds.map_batches(metric, batch_format="pyarrow")
 
 
-def evaluate_reading_order(sf_dir: str):
+def evaluate_reading_order(sf_dir: str, records=None):
     """ARD_norm per doc (readingorder_evaluator analogue): the predicted
     order is where each GT span ended up in the prediction (matched on
     (kind, text, media_ref); unmatched spans keep their GT position)."""
-    ds = eval_records(sf_dir)
+    ds = records if records is not None else eval_records(sf_dir)
 
     def metric(t: pa.Table) -> pa.Table:
         t = _status_filter(t)
@@ -333,13 +333,13 @@ def _doc_boxes(doc_num: int, n_spans: int):
     return np.array(boxes, dtype=np.float64)
 
 
-def evaluate_layout(sf_dir: str):
+def evaluate_layout(sf_dir: str, records=None):
     """Per-image mAP[0.5:0.95] (layout_evaluator M20/G3 analogue) over
     deterministic per-doc box layouts; prediction boxes are jittered for
     mutated docs (shift → lower IoU)."""
     from ..functions.layout import image_map
 
-    ds = eval_records(sf_dir)
+    ds = records if records is not None else eval_records(sf_dir)
 
     def metric(t: pa.Table) -> pa.Table:
         t = _status_filter(t)
@@ -370,7 +370,7 @@ def evaluate_layout(sf_dir: str):
 _BBOX_TEXT_SCHEMA = None
 
 
-def evaluate_bbox_text(sf_dir: str):
+def evaluate_bbox_text(sf_dir: str, records=None):
     """Matched-bbox text evaluation (reference
     bbox_text_evaluator.py:100-327): per doc, text-bearing GT and pred
     spans get deterministic page boxes; the fewer-box side pivots, every
@@ -389,7 +389,7 @@ def evaluate_bbox_text(sf_dir: str):
             edit_distance=pa.float64(), meteor=pa.float64(),
         )
     schema = _BBOX_TEXT_SCHEMA
-    ds = eval_records(sf_dir)
+    ds = records if records is not None else eval_records(sf_dir)
 
     def metric(t: pa.Table) -> pa.Table:
         t = _status_filter(t)
@@ -512,7 +512,7 @@ def evaluate_tables(sf_dir: str):
     return docs.map_batches(metric, batch_format="pyarrow")
 
 
-def evaluate_timings(sf_dir: str):
+def evaluate_timings(sf_dir: str, records=None):
     """Timings evaluator (G6, evaluators/timings_evaluator.py:99-129):
     per-doc pipeline seconds + seconds/page distributions. Timings are
     synthesized deterministically from document size (the reference
@@ -520,7 +520,7 @@ def evaluate_timings(sf_dir: str):
     pure arithmetic over span counts, no row iteration."""
     import pyarrow.compute as pc
 
-    ds = eval_records(sf_dir)
+    ds = records if records is not None else eval_records(sf_dir)
 
     def metric(t: pa.Table) -> pa.Table:
         t = _status_filter(t)
@@ -687,17 +687,26 @@ def evaluation_summary(sf_dir: str) -> pd.DataFrame:
     per-doc table is reduced by a distributed (sum, count) aggregate —
     at corpus scale these tables are corpus-sized, so no ``to_pandas``
     — and only the tiny (modality × metric) pivot is driver-side."""
+    # derive the eval records ONCE and share across every modality:
+    # re-deriving them per modality would re-run the flagship extraction
+    # seven times over the corpus. The materialized table is
+    # corpus-sized but object-store-resident (Ray spills it); at
+    # checkpointed production scale, substitute the persisted
+    # predictions parquet (state/lineage.py) for the materialize.
+    records = eval_records(sf_dir).materialize()
     parts = []
     for modality, ds, cols in [
-        ("markdown", evaluate_markdown(sf_dir),
+        ("markdown", evaluate_markdown(sf_dir, records),
          ["bleu", "f1", "precision", "recall", "edit_distance", "meteor"]),
-        ("ocr", evaluate_ocr(sf_dir), ["cer", "char_accuracy"]),
-        ("reading_order", evaluate_reading_order(sf_dir), ["ard_norm"]),
-        ("layout", evaluate_layout(sf_dir), ["image_map"]),
+        ("ocr", evaluate_ocr(sf_dir, records), ["cer", "char_accuracy"]),
+        ("reading_order", evaluate_reading_order(sf_dir, records),
+         ["ard_norm"]),
+        ("layout", evaluate_layout(sf_dir, records), ["image_map"]),
         ("tables", evaluate_tables(sf_dir), ["teds_struct", "teds"]),
-        ("timings", evaluate_timings(sf_dir),
+        ("timings", evaluate_timings(sf_dir, records),
          ["sec_per_doc", "sec_per_page"]),
-        ("bbox_text", evaluate_bbox_text(sf_dir), ["bleu", "f1", "meteor"]),
+        ("bbox_text", evaluate_bbox_text(sf_dir, records),
+         ["bleu", "f1", "meteor"]),
     ]:
         means = _metric_means(ds, cols)
         for c in cols:
