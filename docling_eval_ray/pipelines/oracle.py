@@ -48,6 +48,53 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT kind, count(*) AS n FROM kinds GROUP BY kind
     """,
+    # timings evaluator: sec/doc is a pure function of the extracted
+    # span count (same recursive chunk walk as the census), with the
+    # doc_id%10==3 failure rows filtered like the Ray status filter
+    "evaluate_timings": r"""
+        WITH RECURSIVE doc AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                   END AS n_words
+            FROM documents
+        ),
+        chunk AS (
+            SELECT doc_id, n_words, 3 AS i, 0 AS para FROM doc
+            UNION ALL
+            SELECT doc_id, n_words, i + 4 + (doc_id + 3 * para) % 6, para + 1
+            FROM chunk WHERE i < n_words
+        ),
+        span AS (
+            SELECT doc_id, (doc_id * 31 + para * 7) % 10 AS r
+            FROM chunk WHERE i < n_words
+        ),
+        kept AS (
+            SELECT d.doc_id,
+                   GREATEST(
+                       1 + COALESCE(s.cnt, 0), 1
+                   ) AS n_spans
+            FROM doc d
+            LEFT JOIN (
+                SELECT doc_id,
+                       SUM(CASE WHEN r = 3 THEN 0
+                                WHEN r = 2 THEN 2
+                                ELSE 1 END) AS cnt
+                FROM span GROUP BY doc_id
+            ) s USING (doc_id)
+        ),
+        timed AS (
+            SELECT doc_id, n_spans,
+                   round_even(0.01 * n_spans + 0.005 * (doc_id % 7), 6)
+                       AS sec_per_doc
+            FROM kept WHERE doc_id % 10 <> 3
+        )
+        SELECT printf('doc-%06d', doc_id) AS doc_id,
+               sec_per_doc,
+               round_even(sec_per_doc / (1 + n_spans // 12), 6)
+                   AS sec_per_page
+        FROM timed
+    """,
     "markdown_export": r"""
         WITH RECURSIVE doc AS (
             SELECT doc_id,
