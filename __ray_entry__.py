@@ -69,6 +69,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stream-shaped (§2.9)
         "events_hourly": r.events_hourly,
         "user_sessions": r.user_sessions,
+        # corpus text ops (training-data: vocabulary census + mixing)
+        "token_frequency_topk": r.token_frequency_topk,
+        "deterministic_sample": r.deterministic_sample,
     }
     # dedup family + similarity search (training-data ops)
     from docling_eval_ray.stages.dedup import (

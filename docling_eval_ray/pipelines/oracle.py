@@ -204,6 +204,19 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT s AS doc_id, min(l) AS cluster_id FROM walk GROUP BY s
     """,
+    "token_frequency_topk": """
+        SELECT tok AS token, count(*) AS n
+        FROM documents,
+             UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS t(tok)
+        GROUP BY tok
+        ORDER BY count(*) DESC, tok
+        LIMIT 25
+    """,
+    "deterministic_sample": """
+        SELECT doc_id, lang
+        FROM documents
+        WHERE CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT) % 100 < 10
+    """,
     "embedding_knn": f"""
         SELECT vec_id,
                round_even(list_cosine_similarity(

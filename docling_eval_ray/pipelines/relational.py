@@ -750,3 +750,48 @@ def user_sessions(sf_dir: str):
         )
 
     return bucketed_group_apply(ds, ["user_id"], sess_bucket)
+
+
+def token_frequency_topk(sf_dir: str, *, k: int = 25):
+    """Global token frequency top-k over the corpus — the vocabulary
+    census every training-data pipeline needs. Partial per-batch counts
+    (explode → value_counts) mean the groupby shuffle moves one row per
+    distinct token per batch, not one per occurrence; the global sort
+    sees only the aggregated vocabulary."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(pc.utf8_trim_whitespace(t["text"]),
+                                   r"\s+")
+        )
+        vc = pc.value_counts(toks)
+        return pa.table(
+            {
+                "token": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    final = _final_groupby(partials, ["token"], ["n"])
+    return final.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
+def deterministic_sample(sf_dir: str, *, percent: int = 10):
+    """Deterministic content-hash sampling (data-mixing op): keep a doc
+    iff the first 8 hex digits of md5(text) mod 100 < percent. Unlike
+    random_shuffle/sample this is reproducible across runs and engines
+    (the DuckDB oracle applies the identical rule), stable under
+    repartitioning, and consistent for duplicate texts — the properties
+    corpus mixing needs."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        keep = [
+            int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % 100 < percent
+            for s in t["text"].to_pylist()
+        ]
+        return t.filter(pa.array(keep)).select(["doc_id", "lang"])
+
+    return ds.map_batches(fn, batch_format="pyarrow")
