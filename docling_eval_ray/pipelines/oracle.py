@@ -95,6 +95,69 @@ ORACLE_SQL: dict[str, str] = {
                    AS sec_per_page
         FROM timed
     """,
+    # the flagship extraction itself, span by span: same chunk-walk CTE,
+    # with the per-para span counts (r==3 stripped, r==2 emits
+    # picture+caption) cumulated into document-order offsets
+    "flagship_spans_flat": r"""
+        WITH RECURSIVE doc AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(trim(text), '\s+')
+                   END AS w
+            FROM documents
+        ),
+        doc2 AS (SELECT doc_id, w, len(w) AS n_words FROM doc),
+        chunk AS (
+            SELECT doc_id, n_words, 3 AS i, 0 AS para FROM doc2
+            UNION ALL
+            SELECT doc_id, n_words, i + 4 + (doc_id + 3 * para) % 6, para + 1
+            FROM chunk WHERE i < n_words
+        ),
+        piece AS (
+            SELECT c.doc_id, c.para,
+                   (c.doc_id * 31 + c.para * 7) % 10 AS r,
+                   array_to_string(
+                       d.w[c.i + 1 : c.i + 4 + (c.doc_id + 3 * c.para) % 6],
+                       ' '
+                   ) AS chunk
+            FROM chunk c JOIN doc2 d USING (doc_id) WHERE c.i < c.n_words
+        ),
+        counted AS (
+            SELECT doc_id, para, r, chunk,
+                   COALESCE(SUM(CASE WHEN r = 3 THEN 0
+                                     WHEN r = 2 THEN 2
+                                     ELSE 1 END)
+                       OVER (PARTITION BY doc_id ORDER BY para
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS prior
+            FROM piece
+        ),
+        spans AS (
+            SELECT doc_id, 0 AS off, 'title' AS kind,
+                   CASE WHEN n_words = 0 THEN 'untitled'
+                        ELSE array_to_string(w[1:3], ' ') END AS text,
+                   '' AS media_ref
+            FROM doc2
+            UNION ALL
+            SELECT doc_id, 1 + prior,
+                   CASE r WHEN 0 THEN 'section_header'
+                          WHEN 1 THEN 'list_item'
+                          WHEN 2 THEN 'picture'
+                          ELSE 'text' END,
+                   CASE WHEN r = 2 THEN '' ELSE chunk END,
+                   CASE WHEN r = 2
+                        THEN 'pic/' || CAST(doc_id AS VARCHAR)
+                             || '/' || CAST(para AS VARCHAR)
+                        ELSE '' END
+            FROM counted WHERE r <> 3
+            UNION ALL
+            SELECT doc_id, 2 + prior, 'caption', chunk, ''
+            FROM counted WHERE r = 2
+        )
+        SELECT printf('doc-%06d', doc_id) AS doc_id,
+               CAST(off AS BIGINT) AS "offset", kind, text, media_ref
+        FROM spans
+    """,
     "markdown_export": r"""
         WITH RECURSIVE doc AS (
             SELECT doc_id,

@@ -32,3 +32,38 @@ def span_kind_census(sf_dir: str):
     ds = flagship(sf_dir)
     partials = ds.map_batches(span_kind_counts, batch_format="pyarrow")
     return partials.groupby("kind").aggregate(Sum("n", alias_name="n"))
+
+
+def flagship_spans_flat(sf_dir: str):
+    """The flagship extraction output EXPLODED to one row per span
+    ``(doc_id, offset, kind, text, media_ref)`` — this puts the core
+    span-sequence invariant itself under the driver's strong hash gate:
+    the DuckDB oracle re-derives every extracted span (kind, text,
+    media_ref, document-order offset) from the flat documents table via
+    the recursive chunk-walk CTE. Fully vectorized explode
+    (ListArray.flatten + list_parent_indices)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = flagship(sf_dir)
+
+    def explode(t: pa.Table) -> pa.Table:
+        spans = t.column("spans").combine_chunks()
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.chunk(0)
+        flat = spans.flatten()
+        parent = pc.list_parent_indices(spans)
+        doc_ids = t["doc_id"].combine_chunks() if isinstance(
+            t["doc_id"], pa.ChunkedArray) else t["doc_id"]
+        return pa.table(
+            {
+                "doc_id": doc_ids.take(parent),
+                "offset": pc.cast(flat.field("offset"), pa.int64()),
+                "kind": flat.field("kind"),
+                "text": flat.field("text"),
+                "media_ref": flat.field("media_ref"),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
