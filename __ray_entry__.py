@@ -198,12 +198,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from docling_eval_ray.pipelines.flagship import flagship
     from docling_eval_ray.pipelines.spans_queries import (
         flagship_spans_flat,
+        html_spans_flat,
         markdown_export,
         span_kind_census,
     )
 
     q["flagship_extraction"] = lambda sf_dir: flagship(sf_dir)
     q["flagship_spans_flat"] = flagship_spans_flat  # oracled (invariant)
+    q["html_spans_flat"] = html_spans_flat          # oracled (invariant)
     q["markdown_export"] = markdown_export
     q["span_kind_census"] = span_kind_census
     return q

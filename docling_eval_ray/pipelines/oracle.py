@@ -475,3 +475,8 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY user_id
     """,
 }
+
+
+# the raw-HTML extraction path reproduces the flagship span stream
+# exactly (shared chunk_plan synthesis; asserted in tests) — same oracle
+ORACLE_SQL["html_spans_flat"] = ORACLE_SQL["flagship_spans_flat"]

@@ -34,19 +34,12 @@ def span_kind_census(sf_dir: str):
     return partials.groupby("kind").aggregate(Sum("n", alias_name="n"))
 
 
-def flagship_spans_flat(sf_dir: str):
-    """The flagship extraction output EXPLODED to one row per span
-    ``(doc_id, offset, kind, text, media_ref)`` — this puts the core
-    span-sequence invariant itself under the driver's strong hash gate:
-    the DuckDB oracle re-derives every extracted span (kind, text,
-    media_ref, document-order offset) from the flat documents table via
-    the recursive chunk-walk CTE. Fully vectorized explode
-    (ListArray.flatten + list_parent_indices)."""
-    import numpy as np
+def _explode_spans(ds):
+    """Vectorized span explode: nested (doc_id, spans) → one row per
+    span (doc_id, offset, kind, text, media_ref) via ListArray.flatten
+    + parent-index take."""
     import pyarrow as pa
     import pyarrow.compute as pc
-
-    ds = flagship(sf_dir)
 
     def explode(t: pa.Table) -> pa.Table:
         spans = t.column("spans").combine_chunks()
@@ -67,3 +60,25 @@ def flagship_spans_flat(sf_dir: str):
         )
 
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def flagship_spans_flat(sf_dir: str):
+    """The flagship extraction output EXPLODED to one row per span
+    ``(doc_id, offset, kind, text, media_ref)`` — this puts the core
+    span-sequence invariant itself under the driver's strong hash gate:
+    the DuckDB oracle re-derives every extracted span (kind, text,
+    media_ref, document-order offset) from the flat documents table via
+    the recursive chunk-walk CTE."""
+    return _explode_spans(flagship(sf_dir))
+
+
+def html_spans_flat(sf_dir: str):
+    """The raw-HTML extraction path under the SAME strong gate: the DOM
+    boilerplate scorer (functions/html_extract.py) over the
+    deterministic HTML rendition must reproduce the identical span
+    stream — chrome (nav/header/footer/aside, link-dense divs) stripped,
+    title/sections/lists/figures/captions/text surviving in document
+    order. Shares flagship_spans_flat's oracle SQL verbatim."""
+    from ..functions.html_extract import html_extraction
+
+    return _explode_spans(html_extraction(sf_dir))
