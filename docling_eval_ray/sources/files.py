@@ -100,19 +100,21 @@ class PredictionFileLookup:
                 found.append(False)
                 fmts.append("")
                 spans.append([])
+                continue
+            payload = Path(p).read_text()
+            suffix = Path(p).suffix
+            preds.append(payload)
+            found.append(True)
+            fmts.append(suffix)
+            if self._parse:
+                parsed = parse_prediction_payload(payload, suffix, did)
+                spans.append(
+                    [{k: s[k] for k in
+                      ("kind", "text", "media_ref", "offset")}
+                     for s in parsed]
+                )
             else:
-                payload = Path(p).read_text()
-                suffix = Path(p).suffix
-                preds.append(payload)
-                found.append(True)
-                fmts.append(suffix)
-                if self._parse:
-                    parsed = parse_prediction_payload(payload, suffix, did)
-                    spans.append(
-                        [{k: s[k] for k in
-                          ("kind", "text", "media_ref", "offset")}
-                         for s in parsed]
-                    )
+                spans.append([])
         out = (
             t.append_column("prediction", pa.array(preds, pa.string()))
             .append_column("prediction_found", pa.array(found, pa.bool_()))
