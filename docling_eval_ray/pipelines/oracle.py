@@ -158,6 +158,104 @@ ORACLE_SQL: dict[str, str] = {
                CAST(off AS BIGINT) AS "offset", kind, text, media_ref
         FROM spans
     """,
+    # OCR evaluator: gt/pred markdown rebuilt in SQL (same chunk-walk +
+    # mutation rules as eval_records), CER via DuckDB levenshtein
+    "evaluate_ocr": r"""
+        WITH RECURSIVE doc AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+            FROM documents WHERE doc_id % 10 <> 3
+        ),
+        doc2 AS (SELECT doc_id, w, len(w) AS n_words FROM doc),
+        chunk AS (
+            SELECT doc_id, n_words, 3 AS i, 0 AS para FROM doc2
+            UNION ALL
+            SELECT doc_id, n_words, i + 4 + (doc_id + 3 * para) % 6, para + 1
+            FROM chunk WHERE i < n_words
+        ),
+        piece AS (
+            SELECT c.doc_id, c.para, (c.doc_id * 31 + c.para * 7) % 10 AS r,
+                   array_to_string(
+                       d.w[c.i + 1 : c.i + 4 + (c.doc_id + 3 * c.para) % 6],
+                       ' ') AS chunk
+            FROM chunk c JOIN doc2 d USING (doc_id) WHERE c.i < c.n_words
+        ),
+        counted AS (
+            SELECT doc_id, para, r, chunk,
+                   COALESCE(SUM(CASE WHEN r = 3 THEN 0
+                                     WHEN r = 2 THEN 2 ELSE 1 END)
+                       OVER (PARTITION BY doc_id ORDER BY para
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS prior
+            FROM piece
+        ),
+        spans AS (
+            SELECT doc_id, 0 AS off, 'title' AS kind,
+                   CASE WHEN n_words = 0 THEN 'untitled'
+                        ELSE array_to_string(w[1:3], ' ') END AS text
+            FROM doc2
+            UNION ALL
+            SELECT doc_id, 1 + prior,
+                   CASE r WHEN 0 THEN 'section_header'
+                          WHEN 1 THEN 'list_item'
+                          WHEN 2 THEN 'picture' ELSE 'text' END,
+                   CASE WHEN r = 2 THEN '' ELSE chunk END
+            FROM counted WHERE r <> 3
+            UNION ALL
+            SELECT doc_id, 2 + prior, 'caption', chunk
+            FROM counted WHERE r = 2
+        ),
+        sized AS (
+            SELECT s.*, cnt.L, s.doc_id % 10 AS mode
+            FROM spans s
+            JOIN (SELECT doc_id, count(*) AS L FROM spans GROUP BY doc_id)
+                cnt USING (doc_id)
+        ),
+        pred AS (
+            SELECT doc_id, kind,
+                   CASE WHEN mode = 2 AND off = L // 2 THEN text || ' xq'
+                        ELSE text END AS text,
+                   CASE WHEN mode = 1 AND L > 2 AND off = L // 3
+                            THEN off + 1
+                        WHEN mode = 1 AND L > 2 AND off = L // 3 + 1
+                            THEN off - 1
+                        ELSE off END AS off
+            FROM sized
+            WHERE NOT (mode = 0 AND L > 2 AND off = L // 2)
+        ),
+        gt_md AS (
+            SELECT doc_id, string_agg(
+                CASE kind WHEN 'title' THEN '# ' || text
+                          WHEN 'section_header' THEN '## ' || text
+                          WHEN 'list_item' THEN '- ' || text
+                          ELSE text END, chr(10) || chr(10)
+                ORDER BY off) AS md
+            FROM sized WHERE length(text) > 0 GROUP BY doc_id
+        ),
+        pred_md AS (
+            SELECT doc_id, string_agg(
+                CASE kind WHEN 'title' THEN '# ' || text
+                          WHEN 'section_header' THEN '## ' || text
+                          WHEN 'list_item' THEN '- ' || text
+                          ELSE text END, chr(10) || chr(10)
+                ORDER BY off) AS md
+            FROM pred WHERE length(text) > 0 GROUP BY doc_id
+        ),
+        scored AS (
+            SELECT g.doc_id,
+                   CASE WHEN COALESCE(g.md, '') = ''
+                          OR COALESCE(p.md, '') = '' THEN 1.0
+                        ELSE LEAST(1.0,
+                                   CAST(levenshtein(p.md, g.md) AS DOUBLE)
+                                   / length(g.md)) END AS c
+            FROM gt_md g LEFT JOIN pred_md p USING (doc_id)
+        )
+        SELECT printf('doc-%06d', doc_id) AS doc_id,
+               round_even(c, 6) AS cer,
+               round_even(1.0 - c, 6) AS char_accuracy
+        FROM scored
+    """,
     "markdown_export": r"""
         WITH RECURSIVE doc AS (
             SELECT doc_id,
