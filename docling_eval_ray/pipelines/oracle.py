@@ -578,3 +578,46 @@ ORACLE_SQL: dict[str, str] = {
 # the raw-HTML extraction path reproduces the flagship span stream
 # exactly (shared chunk_plan synthesis; asserted in tests) — same oracle
 ORACLE_SQL["html_spans_flat"] = ORACLE_SQL["flagship_spans_flat"]
+
+
+# reading-order evaluator: shares the mutation CTE prefix with the OCR
+# oracle; alignment = positional occurrence matching (row_number per
+# (doc, kind, text) both sides — the SQL form of the Ray deque), with
+# pred offsets renumbered after deletion and unmatched gt spans falling
+# back to their own position; ARD_norm = 1 − Σ|pred−gt|/L²
+_OCR_MUTATION_PREFIX = ORACLE_SQL["evaluate_ocr"][
+    : ORACLE_SQL["evaluate_ocr"].index("gt_md AS (")
+]
+ORACLE_SQL["evaluate_reading_order"] = _OCR_MUTATION_PREFIX + r"""
+        pred2 AS (
+            SELECT doc_id, kind, text,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY off)
+                       - 1 AS off
+            FROM pred
+        ),
+        gt_k AS (
+            SELECT doc_id, kind, text, off, L,
+                   row_number() OVER (PARTITION BY doc_id, kind, text
+                                      ORDER BY off) AS occ
+            FROM sized
+        ),
+        pred_k AS (
+            SELECT doc_id, kind, text, off,
+                   row_number() OVER (PARTITION BY doc_id, kind, text
+                                      ORDER BY off) AS occ
+            FROM pred2
+        ),
+        aligned AS (
+            SELECT g.doc_id, g.L,
+                   ABS(COALESCE(p.off, g.off) - g.off) AS dist
+            FROM gt_k g
+            LEFT JOIN pred_k p
+              ON g.doc_id = p.doc_id AND g.kind = p.kind
+             AND g.text = p.text AND g.occ = p.occ
+        )
+        SELECT printf('doc-%06d', doc_id) AS doc_id,
+               round_even(
+                   1.0 - CAST(SUM(dist) AS DOUBLE) / (MAX(L) * MAX(L)), 6
+               ) AS ard_norm
+        FROM aligned GROUP BY doc_id
+    """
