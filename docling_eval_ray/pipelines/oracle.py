@@ -621,3 +621,19 @@ ORACLE_SQL["evaluate_reading_order"] = _OCR_MUTATION_PREFIX + r"""
                ) AS ard_norm
         FROM aligned GROUP BY doc_id
     """
+
+
+# layout evaluator: the synthesized geometry has an analytic expected
+# value — every box is 40x10 on a 100x100 page; mutated docs shift all
+# prediction boxes by (2,2), giving IoU = (38*8)/(2*400-38*8) = 0.612903
+# for every (pred, own-gt) pair and 0 elsewhere, so each per-class AP is
+# exactly 1 at the three IoU thresholds <= 0.6 and 0 at the seven above:
+# image_map = 0.3 shifted, 1.0 identical. Any regression in the greedy
+# matching, IoU kernel or AP interpolation breaks this hash.
+ORACLE_SQL["evaluate_layout"] = """
+    SELECT printf('doc-%06d', doc_id) AS doc_id,
+           CASE WHEN doc_id % 10 IN (0, 1, 2) THEN 0.3
+                ELSE 1.0 END AS image_map
+    FROM documents
+    WHERE doc_id % 10 <> 3
+"""
