@@ -129,6 +129,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from docling_eval_ray.stages.media import media_decode_stats
 
     q["media_decode_stats"] = media_decode_stats
+    from docling_eval_ray.stages.media import video_frame_samples
+
+    q["video_frame_samples"] = video_frame_samples
     # slicer (S9), timings evaluator (G6), corpus mAP gather (G2)
     from docling_eval_ray.pipelines.evaluate import (
         corpus_layout_map,

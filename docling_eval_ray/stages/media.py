@@ -152,3 +152,127 @@ def media_decode_stats(sf_dir: str):
     """Rows-only query: decode metadata for every media span."""
     decoded, _ = media_pipeline(sf_dir)
     return decoded
+
+
+class ResizeImage:
+    """Actor-pool resize stage: payload → payload with the longest side
+    capped at ``max_dim`` (aspect preserved, never upscaled).
+
+    STUB: rewrites the deterministic header; a real implementation
+    PIL-resizes in ``__call__`` with the codec imported once per actor.
+    The Ray-side contract is real: binary in → binary out, new
+    dimensions as typed columns, small batches bound memory."""
+
+    def __init__(self, max_dim: int = 128):
+        self._max = max_dim
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        payloads, widths, heights = [], [], []
+        for payload in t["payload"].to_pylist():
+            magic, w, h, seed = struct.unpack(_FMT, payload[:HEADER_SIZE])
+            scale = min(1.0, self._max / max(w, h))
+            nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+            payloads.append(
+                struct.pack(_FMT, magic, nw, nh, seed)
+                + payload[HEADER_SIZE:]
+            )
+            widths.append(nw)
+            heights.append(nh)
+        return pa.table(
+            {
+                "media_ref": t["media_ref"],
+                "payload": pa.array(payloads, pa.binary()),
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+            }
+        )
+
+
+_VID_MAGIC = b"DERVID"
+_VID_FMT = ">6sHHI"  # magic, n_frames, fps, seed
+
+
+def synth_video_payload(media_ref: str) -> bytes:
+    """Deterministic fake video payload: header + per-frame bytes."""
+    h = hashlib.blake2b(media_ref.encode(), digest_size=8).digest()
+    seed = int.from_bytes(h[:4], "big")
+    n_frames = 12 + seed % 48
+    fps = 24
+    body = hashlib.blake2b(h, digest_size=16).digest() * n_frames
+    return struct.pack(_VID_FMT, _VID_MAGIC, n_frames, fps, seed) + body
+
+
+class FrameSample:
+    """flat-map stage: video payload → one row per SAMPLED frame
+    (media_ref, frame_idx, t_sec, frame payload) at ``every``-th frame.
+
+    STUB decoder (header-parsed frames); real impl seeks with ffmpeg per
+    actor. Output rows are narrow — the wide video payload never
+    amplifies across the sampled rows (frames slice the body)."""
+
+    def __init__(self, every: int = 8):
+        self._every = every
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        refs, idxs, ts, frames = [], [], [], []
+        vh = struct.calcsize(_VID_FMT)
+        for ref, payload in zip(t["media_ref"].to_pylist(),
+                                t["payload"].to_pylist()):
+            try:
+                magic, n_frames, fps, _seed = struct.unpack(
+                    _VID_FMT, payload[:vh]
+                )
+                if magic != _VID_MAGIC:
+                    raise ValueError("bad magic")
+            except Exception:
+                continue  # skip-and-count happens at the decode stage
+            body = payload[vh:]
+            frame_size = max(1, len(body) // max(1, n_frames))
+            for i in range(0, n_frames, self._every):
+                refs.append(ref)
+                idxs.append(i)
+                ts.append(round(i / fps, 6))
+                frames.append(body[i * frame_size:(i + 1) * frame_size])
+        return pa.table(
+            {
+                "media_ref": pa.array(refs, pa.string()),
+                "frame_idx": pa.array(idxs, pa.int32()),
+                "t_sec": pa.array(ts, pa.float64()),
+                "frame": pa.array(frames, pa.binary()),
+            }
+        )
+
+
+def video_frame_samples(sf_dir: str, *, every: int = 8,
+                        batch_size: int = 64, concurrency=None):
+    """Rows-only query: documents' media refs as synthetic videos →
+    sampled frame rows (the video-column analogue of the image path)."""
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from .util import stage
+
+    from ..sources.interleaved import read_interleaved_documents
+
+    docs = read_interleaved_documents(sf_dir)
+
+    def to_videos(t: pa.Table) -> pa.Table:
+        spans = t.column("spans").combine_chunks()
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.chunk(0)
+        flat = spans.flatten()
+        refs = flat.field("media_ref")
+        refs = refs.filter(pc.not_equal(refs, "")).to_pylist()
+        return pa.table(
+            {
+                "media_ref": pa.array(refs, pa.string()),
+                "payload": pa.array(
+                    [synth_video_payload(r) for r in refs], pa.binary()
+                ),
+            }
+        )
+
+    videos = docs.map_batches(to_videos, batch_format="pyarrow")
+    return stage(videos, FrameSample, kwargs=dict(every=every),
+                 batch_size=batch_size, concurrency=concurrency)

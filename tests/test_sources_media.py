@@ -235,3 +235,47 @@ def test_markdown_spans_roundtrip(ray_session):
     assert [(s["kind"], s["text"]) for s in back] == [
         (s["kind"], s["text"]) for s in spans
     ]
+
+
+def test_resize_stage_caps_longest_side(ray_session):
+    import ray.data as rd
+
+    from docling_eval_ray.stages.media import (
+        ResizeImage,
+        media_table_for_documents,
+        synth_media_payload,
+    )
+    from docling_eval_ray.sources.interleaved import (
+        read_interleaved_documents,
+    )
+    from docling_eval_ray.stages.util import stage
+
+    docs = read_interleaved_documents("/root/testdata/sf0.001")
+    media = media_table_for_documents(docs).limit(50)
+    out = stage(media, ResizeImage, kwargs=dict(max_dim=100)).to_pandas()
+    assert len(out) == 50
+    assert (out[["width", "height"]].max(axis=1) <= 100).all()
+    assert (out[["width", "height"]].min(axis=1) >= 1).all()
+    # round-trip: resized payload still decodes with the new dims
+    import struct as _s
+
+    from docling_eval_ray.stages.media import _FMT, HEADER_SIZE
+
+    p = out["payload"].iloc[0]
+    _, w, h, _ = _s.unpack(_FMT, p[:HEADER_SIZE])
+    assert (w, h) == (out["width"].iloc[0], out["height"].iloc[0])
+
+
+def test_frame_sampling(ray_session):
+    from docling_eval_ray.stages.media import video_frame_samples
+
+    df = video_frame_samples("/root/testdata/sf0.001", every=8).to_pandas()
+    assert len(df) > 0
+    assert (df["frame_idx"] % 8 == 0).all()
+    assert (df["t_sec"] >= 0).all()
+    assert (df["frame"].str.len() > 0).all()
+    # deterministic: same ref -> same frame count
+    g = df.groupby("media_ref")["frame_idx"].count()
+    df2 = video_frame_samples("/root/testdata/sf0.001", every=8).to_pandas()
+    g2 = df2.groupby("media_ref")["frame_idx"].count()
+    assert g.sort_index().equals(g2.sort_index())
