@@ -81,10 +81,13 @@ def dim_join(large_ds, small_ds, on: str, *,
     """Fact ⋈ dimension with an explicit size threshold: dimensions at
     or under ``broadcast_limit`` rows broadcast (``ray.put`` once, probe
     per batch — no shuffle); larger ones route through the bucketed
-    ``hash_join``. ``small_ds.count()`` on a parquet read is a metadata
-    count (no scan). This is the size-policy answer to "customer scales
+    ``hash_join``. The dimension pipeline is materialized once
+    (dimension-sized by definition) so the count probe and the join
+    consume the same computed blocks instead of re-running the
+    dimension scan. This is the size-policy answer to "customer scales
     with sf": the pattern stays a broadcast only while the side is
     provably small."""
+    small_ds = small_ds.materialize()
     if small_ds.count() <= broadcast_limit:
         return broadcast_join(large_ds, small_ds.to_pandas(), on=on)
     return hash_join(large_ds, small_ds, on=on, num_buckets=num_buckets)

@@ -171,14 +171,14 @@ def write_comparison_html(eval_ds, out_dir: str):
     Path(out_dir).mkdir(parents=True, exist_ok=True)
 
     def sink(t: pa.Table) -> pa.Table:
-        from ..pipelines.evaluate import _doc_boxes
+        from ..pipelines.evaluate import _doc_boxes, _pred_shift
 
         ids, paths, sizes = [], [], []
         for r in t.to_pylist():
             doc_num = int(r["doc_id"].split("-")[-1])
             gt = r["gt_spans"]
             pred = r["pred_spans"]
-            shift = 2.0 if doc_num % 10 in (0, 1, 2) else 0.0
+            shift = _pred_shift(doc_num)
             html = comparison_html(
                 r["doc_id"], gt, pred,
                 gt_boxes=_doc_boxes(doc_num, len(gt)),

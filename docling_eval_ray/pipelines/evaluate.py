@@ -247,11 +247,13 @@ def evaluate_ocr(sf_dir: str, records=None):
         rows = []
         for did, g, p in zip(t["doc_id"].to_pylist(), gts, preds):
             c = cer(g, p)
+            # np.round (not builtin round): bit-matches DuckDB round_even
+            # in last-ulp cases — this evaluator is oracle-gated
             rows.append(
                 {
                     "doc_id": did,
-                    "cer": round(c, 6),
-                    "char_accuracy": round(1.0 - c, 6),
+                    "cer": float(np.round(c, 6)),
+                    "char_accuracy": float(np.round(1.0 - c, 6)),
                 }
             )
         return pa.Table.from_pylist(rows, schema=_OCR_SCHEMA)
@@ -283,7 +285,10 @@ def evaluate_reading_order(sf_dir: str, records=None):
                 for i, s in enumerate(gt)
             ]
             ard, _ = ard_norm(order)
-            rows.append({"doc_id": r["doc_id"], "ard_norm": round(ard, 6)})
+            # np.round: oracle-gated (see evaluate_ocr note)
+            rows.append(
+                {"doc_id": r["doc_id"], "ard_norm": float(np.round(ard, 6))}
+            )
         return pa.Table.from_pylist(rows, schema=_RO_SCHEMA)
 
     return ds.map_batches(metric, batch_format="pyarrow")
@@ -320,6 +325,13 @@ def rejection_counts(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def _pred_shift(doc_num: int) -> float:
+    """Prediction-box jitter for mutated docs — the ONE definition of
+    the rule (the layout oracle's analytic 0.3 expectation and the
+    comparison-HTML overlays both depend on it)."""
+    return 2.0 if doc_num % 10 in (0, 1, 2) else 0.0
+
+
 def _doc_boxes(doc_num: int, n_spans: int):
     """Deterministic page layout for a doc: one box per span on a
     100×100 page, two columns."""
@@ -352,7 +364,7 @@ def evaluate_layout(sf_dir: str, records=None):
                 continue
             gt_boxes = _doc_boxes(doc_num, n)
             gt_labels = np.array([s["kind"] for s in gt_spans])
-            shift = 2.0 if doc_num % 10 in (0, 1, 2) else 0.0
+            shift = _pred_shift(doc_num)
             pred_boxes = gt_boxes + shift
             pred_labels = gt_labels.copy()
             scores = np.linspace(0.95, 0.5, n)
@@ -360,7 +372,8 @@ def evaluate_layout(sf_dir: str, records=None):
                           scores)
             rows.append(
                 {"doc_id": r["doc_id"],
-                 "image_map": round(float(m), 6) if not np.isnan(m) else None}
+                 "image_map": float(np.round(m, 6))
+                 if not np.isnan(m) else None}
             )
         return pa.Table.from_pylist(rows, schema=_LAYOUT_SCHEMA)
 
@@ -398,7 +411,7 @@ def evaluate_bbox_text(sf_dir: str, records=None):
             doc_num = int(r["doc_id"].split("-")[1])
             gt = [s for s in r["gt_spans"] if s["text"]]
             pred = [s for s in r["pred_spans"] if s["text"]]
-            shift = 2.0 if doc_num % 10 in (0, 1, 2) else 0.0
+            shift = _pred_shift(doc_num)
             gt_boxes = _doc_boxes(doc_num, len(gt))
             pred_boxes = _doc_boxes(doc_num, len(pred)) + shift
             pivot_is_true, mappings, orphans = pivot_iou_mapping(
@@ -589,7 +602,7 @@ def corpus_layout_map(sf_dir: str):
                 continue
             gt_boxes = _doc_boxes(doc_num, n)
             labels = np.array([s["kind"] for s in r["gt_spans"]])
-            shift = 2.0 if doc_num % 10 in (0, 1, 2) else 0.0
+            shift = _pred_shift(doc_num)
             pred_boxes = gt_boxes + shift
             scores = np.linspace(0.95, 0.5, n)
             for cls in np.unique(labels):

@@ -3,6 +3,13 @@
 Invariants shared with the Ray implementations (see relational.py header):
 identical column names, identical rounding of float aggregates, int64
 counts, window keys as ISO strings, exact integer timedelta comparisons.
+
+The span-pipeline oracles (census, timings, markdown, flagship spans,
+OCR, reading order) all derive from ONE shared recursive chunk-walk CTE
+(`_chunk_walk`) and ONE shared span-synthesis CTE (`_SPANS_CTE`) — the
+SQL formalization of sources/interleaved.py's chunk_plan +
+synth_spans_for_doc + flagship extraction. A change to the walk or the
+kind mapping is made once and every oracle follows.
 """
 
 from __future__ import annotations
@@ -10,101 +17,18 @@ from __future__ import annotations
 from ..stages.knn import KNN_K, KNN_QUERY, NEAR_DUP_THRESHOLD
 from .relational import BLACKLISTED_DOC_IDS, SESSION_GAP_S
 
-ORACLE_SQL: dict[str, str] = {
-    # --- span pipeline oracles: the deterministic interleave lift
-    # (sources/interleaved.py chunk_plan/synth_spans_for_doc) + flagship
-    # extraction are re-expressed as a recursive CTE over the flat
-    # documents table: the chunker's (i += 4 + (doc_id+3*para)%6) walk is
-    # the recursion, r = (doc_id*31+para*7)%10 picks the span kind,
-    # r==3 (nav boilerplate) and page furniture are the stripped rows ---
-    "span_kind_census": r"""
-        WITH RECURSIVE doc AS (
-            SELECT doc_id,
-                   CASE WHEN trim(text) = '' THEN 0
-                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
-                   END AS n_words
-            FROM documents
-        ),
-        chunk AS (
-            SELECT doc_id, n_words, 3 AS i, 0 AS para FROM doc
-            UNION ALL
-            SELECT doc_id, n_words, i + 4 + (doc_id + 3 * para) % 6, para + 1
-            FROM chunk WHERE i < n_words
-        ),
-        span AS (
-            SELECT doc_id, para, (doc_id * 31 + para * 7) % 10 AS r
-            FROM chunk WHERE i < n_words
-        ),
-        kinds AS (
-            SELECT CASE WHEN r = 0 THEN 'section_header'
-                        WHEN r = 1 THEN 'list_item'
-                        WHEN r = 2 THEN 'picture'
-                        ELSE 'text' END AS kind
-            FROM span WHERE r <> 3
-            UNION ALL
-            SELECT 'caption' FROM span WHERE r = 2
-            UNION ALL
-            SELECT 'title' FROM doc
-        )
-        SELECT kind, count(*) AS n FROM kinds GROUP BY kind
-    """,
-    # timings evaluator: sec/doc is a pure function of the extracted
-    # span count (same recursive chunk walk as the census), with the
-    # doc_id%10==3 failure rows filtered like the Ray status filter
-    "evaluate_timings": r"""
-        WITH RECURSIVE doc AS (
-            SELECT doc_id,
-                   CASE WHEN trim(text) = '' THEN 0
-                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
-                   END AS n_words
-            FROM documents
-        ),
-        chunk AS (
-            SELECT doc_id, n_words, 3 AS i, 0 AS para FROM doc
-            UNION ALL
-            SELECT doc_id, n_words, i + 4 + (doc_id + 3 * para) % 6, para + 1
-            FROM chunk WHERE i < n_words
-        ),
-        span AS (
-            SELECT doc_id, (doc_id * 31 + para * 7) % 10 AS r
-            FROM chunk WHERE i < n_words
-        ),
-        kept AS (
-            SELECT d.doc_id,
-                   GREATEST(
-                       1 + COALESCE(s.cnt, 0), 1
-                   ) AS n_spans
-            FROM doc d
-            LEFT JOIN (
-                SELECT doc_id,
-                       SUM(CASE WHEN r = 3 THEN 0
-                                WHEN r = 2 THEN 2
-                                ELSE 1 END) AS cnt
-                FROM span GROUP BY doc_id
-            ) s USING (doc_id)
-        ),
-        timed AS (
-            SELECT doc_id, n_spans,
-                   round_even(0.01 * n_spans + 0.005 * (doc_id % 7), 6)
-                       AS sec_per_doc
-            FROM kept WHERE doc_id % 10 <> 3
-        )
-        SELECT printf('doc-%06d', doc_id) AS doc_id,
-               sec_per_doc,
-               round_even(sec_per_doc / (1 + n_spans // 12), 6)
-                   AS sec_per_page
-        FROM timed
-    """,
-    # the flagship extraction itself, span by span: same chunk-walk CTE,
-    # with the per-para span counts (r==3 stripped, r==2 emits
-    # picture+caption) cumulated into document-order offsets
-    "flagship_spans_flat": r"""
+
+def _chunk_walk(doc_filter: str = "") -> str:
+    """WITH RECURSIVE prefix: documents → (doc_id, words) → chunk walk
+    → per-para (r, chunk). ``doc_filter`` is appended to the documents
+    scan (e.g. the status filter ``WHERE doc_id %% 10 <> 3``)."""
+    return r"""
         WITH RECURSIVE doc AS (
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
                         ELSE regexp_split_to_array(trim(text), '\s+')
                    END AS w
-            FROM documents
+            FROM documents """ + doc_filter + r"""
         ),
         doc2 AS (SELECT doc_id, w, len(w) AS n_words FROM doc),
         chunk AS (
@@ -121,12 +45,16 @@ ORACLE_SQL: dict[str, str] = {
                        ' '
                    ) AS chunk
             FROM chunk c JOIN doc2 d USING (doc_id) WHERE c.i < c.n_words
-        ),
+        )"""
+
+
+#: extracted span synthesis over the chunk walk: r==3 stripped, r==2
+#: emits picture+caption, windowed cumulative counts become offsets
+_SPANS_CTE = r""",
         counted AS (
             SELECT doc_id, para, r, chunk,
                    COALESCE(SUM(CASE WHEN r = 3 THEN 0
-                                     WHEN r = 2 THEN 2
-                                     ELSE 1 END)
+                                     WHEN r = 2 THEN 2 ELSE 1 END)
                        OVER (PARTITION BY doc_id ORDER BY para
                              ROWS BETWEEN UNBOUNDED PRECEDING
                                       AND 1 PRECEDING), 0) AS prior
@@ -142,8 +70,7 @@ ORACLE_SQL: dict[str, str] = {
             SELECT doc_id, 1 + prior,
                    CASE r WHEN 0 THEN 'section_header'
                           WHEN 1 THEN 'list_item'
-                          WHEN 2 THEN 'picture'
-                          ELSE 'text' END,
+                          WHEN 2 THEN 'picture' ELSE 'text' END,
                    CASE WHEN r = 2 THEN '' ELSE chunk END,
                    CASE WHEN r = 2
                         THEN 'pic/' || CAST(doc_id AS VARCHAR)
@@ -153,59 +80,28 @@ ORACLE_SQL: dict[str, str] = {
             UNION ALL
             SELECT doc_id, 2 + prior, 'caption', chunk, ''
             FROM counted WHERE r = 2
-        )
-        SELECT printf('doc-%06d', doc_id) AS doc_id,
-               CAST(off AS BIGINT) AS "offset", kind, text, media_ref
-        FROM spans
-    """,
-    # OCR evaluator: gt/pred markdown rebuilt in SQL (same chunk-walk +
-    # mutation rules as eval_records), CER via DuckDB levenshtein
-    "evaluate_ocr": r"""
-        WITH RECURSIVE doc AS (
-            SELECT doc_id,
-                   CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                        ELSE regexp_split_to_array(trim(text), '\s+') END AS w
-            FROM documents WHERE doc_id % 10 <> 3
-        ),
-        doc2 AS (SELECT doc_id, w, len(w) AS n_words FROM doc),
-        chunk AS (
-            SELECT doc_id, n_words, 3 AS i, 0 AS para FROM doc2
-            UNION ALL
-            SELECT doc_id, n_words, i + 4 + (doc_id + 3 * para) % 6, para + 1
-            FROM chunk WHERE i < n_words
-        ),
-        piece AS (
-            SELECT c.doc_id, c.para, (c.doc_id * 31 + c.para * 7) % 10 AS r,
-                   array_to_string(
-                       d.w[c.i + 1 : c.i + 4 + (c.doc_id + 3 * c.para) % 6],
-                       ' ') AS chunk
-            FROM chunk c JOIN doc2 d USING (doc_id) WHERE c.i < c.n_words
-        ),
-        counted AS (
-            SELECT doc_id, para, r, chunk,
-                   COALESCE(SUM(CASE WHEN r = 3 THEN 0
-                                     WHEN r = 2 THEN 2 ELSE 1 END)
-                       OVER (PARTITION BY doc_id ORDER BY para
-                             ROWS BETWEEN UNBOUNDED PRECEDING
-                                      AND 1 PRECEDING), 0) AS prior
-            FROM piece
-        ),
-        spans AS (
-            SELECT doc_id, 0 AS off, 'title' AS kind,
-                   CASE WHEN n_words = 0 THEN 'untitled'
-                        ELSE array_to_string(w[1:3], ' ') END AS text
-            FROM doc2
-            UNION ALL
-            SELECT doc_id, 1 + prior,
-                   CASE r WHEN 0 THEN 'section_header'
-                          WHEN 1 THEN 'list_item'
-                          WHEN 2 THEN 'picture' ELSE 'text' END,
-                   CASE WHEN r = 2 THEN '' ELSE chunk END
-            FROM counted WHERE r <> 3
-            UNION ALL
-            SELECT doc_id, 2 + prior, 'caption', chunk
-            FROM counted WHERE r = 2
-        ),
+        )"""
+
+#: markdown projection of a span CTE named `{src}`: text-bearing spans
+#: in offset order with title/section/list prefixes, joined with \n\n
+def _md_cte(name: str, src: str) -> str:
+    return f""",
+        {name} AS (
+            SELECT doc_id, string_agg(
+                CASE kind WHEN 'title' THEN '# ' || text
+                          WHEN 'section_header' THEN '## ' || text
+                          WHEN 'list_item' THEN '- ' || text
+                          ELSE text END, chr(10) || chr(10)
+                ORDER BY off) AS md
+            FROM {src} WHERE length(text) > 0 GROUP BY doc_id
+        )"""
+
+
+#: eval_records mutation over the span CTE: L = span count, mode =
+#: doc_id%10; mode 0 drops off L//2, mode 1 swaps L//3<->L//3+1,
+#: mode 2 appends ' xq' at off L//2 (failure rows pre-filtered by the
+#: chunk-walk doc_filter)
+_MUTATION_CTE = r""",
         sized AS (
             SELECT s.*, cnt.L, s.doc_id % 10 AS mode
             FROM spans s
@@ -213,7 +109,7 @@ ORACLE_SQL: dict[str, str] = {
                 cnt USING (doc_id)
         ),
         pred AS (
-            SELECT doc_id, kind,
+            SELECT doc_id, kind, media_ref,
                    CASE WHEN mode = 2 AND off = L // 2 THEN text || ' xq'
                         ELSE text END AS text,
                    CASE WHEN mode = 1 AND L > 2 AND off = L // 3
@@ -223,80 +119,11 @@ ORACLE_SQL: dict[str, str] = {
                         ELSE off END AS off
             FROM sized
             WHERE NOT (mode = 0 AND L > 2 AND off = L // 2)
-        ),
-        gt_md AS (
-            SELECT doc_id, string_agg(
-                CASE kind WHEN 'title' THEN '# ' || text
-                          WHEN 'section_header' THEN '## ' || text
-                          WHEN 'list_item' THEN '- ' || text
-                          ELSE text END, chr(10) || chr(10)
-                ORDER BY off) AS md
-            FROM sized WHERE length(text) > 0 GROUP BY doc_id
-        ),
-        pred_md AS (
-            SELECT doc_id, string_agg(
-                CASE kind WHEN 'title' THEN '# ' || text
-                          WHEN 'section_header' THEN '## ' || text
-                          WHEN 'list_item' THEN '- ' || text
-                          ELSE text END, chr(10) || chr(10)
-                ORDER BY off) AS md
-            FROM pred WHERE length(text) > 0 GROUP BY doc_id
-        ),
-        scored AS (
-            SELECT g.doc_id,
-                   CASE WHEN COALESCE(g.md, '') = ''
-                          OR COALESCE(p.md, '') = '' THEN 1.0
-                        ELSE LEAST(1.0,
-                                   CAST(levenshtein(p.md, g.md) AS DOUBLE)
-                                   / length(g.md)) END AS c
-            FROM gt_md g LEFT JOIN pred_md p USING (doc_id)
-        )
-        SELECT printf('doc-%06d', doc_id) AS doc_id,
-               round_even(c, 6) AS cer,
-               round_even(1.0 - c, 6) AS char_accuracy
-        FROM scored
-    """,
-    "markdown_export": r"""
-        WITH RECURSIVE doc AS (
-            SELECT doc_id,
-                   CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                        ELSE regexp_split_to_array(trim(text), '\s+')
-                   END AS w
-            FROM documents
-        ),
-        doc2 AS (SELECT doc_id, w, len(w) AS n_words FROM doc),
-        chunk AS (
-            SELECT doc_id, n_words, 3 AS i, 0 AS para FROM doc2
-            UNION ALL
-            SELECT doc_id, n_words, i + 4 + (doc_id + 3 * para) % 6, para + 1
-            FROM chunk WHERE i < n_words
-        ),
-        piece AS (
-            SELECT c.doc_id, c.para,
-                   (c.doc_id * 31 + c.para * 7) % 10 AS r,
-                   array_to_string(
-                       d.w[c.i + 1 : c.i + 4 + (c.doc_id + 3 * c.para) % 6],
-                       ' '
-                   ) AS chunk
-            FROM chunk c JOIN doc2 d USING (doc_id) WHERE c.i < c.n_words
-        ),
-        agg AS (
-            SELECT doc_id,
-                   string_agg(
-                       CASE WHEN r = 0 THEN '## ' || chunk
-                            WHEN r = 1 THEN '- ' || chunk
-                            ELSE chunk END,
-                       chr(10) || chr(10) ORDER BY para) AS body
-            FROM piece WHERE r <> 3
-            GROUP BY doc_id
-        )
-        SELECT printf('doc-%06d', d.doc_id) AS doc_id,
-               '# ' || CASE WHEN d.n_words = 0 THEN 'untitled'
-                            ELSE array_to_string(d.w[1:3], ' ') END
-                    || COALESCE(chr(10) || chr(10) || a.body, '')
-                   AS markdown
-        FROM doc2 d LEFT JOIN agg a USING (doc_id)
-    """,
+        )"""
+
+_STATUS_FILTER = "WHERE doc_id % 10 <> 3"
+
+ORACLE_SQL: dict[str, str] = {
     # --- dedup / similarity (training-data ops) ---
     "ngram_jaccard_pairs": """
         WITH toks AS (
@@ -575,54 +402,6 @@ ORACLE_SQL: dict[str, str] = {
 }
 
 
-# the raw-HTML extraction path reproduces the flagship span stream
-# exactly (shared chunk_plan synthesis; asserted in tests) — same oracle
-ORACLE_SQL["html_spans_flat"] = ORACLE_SQL["flagship_spans_flat"]
-
-
-# reading-order evaluator: shares the mutation CTE prefix with the OCR
-# oracle; alignment = positional occurrence matching (row_number per
-# (doc, kind, text) both sides — the SQL form of the Ray deque), with
-# pred offsets renumbered after deletion and unmatched gt spans falling
-# back to their own position; ARD_norm = 1 − Σ|pred−gt|/L²
-_OCR_MUTATION_PREFIX = ORACLE_SQL["evaluate_ocr"][
-    : ORACLE_SQL["evaluate_ocr"].index("gt_md AS (")
-]
-ORACLE_SQL["evaluate_reading_order"] = _OCR_MUTATION_PREFIX + r"""
-        pred2 AS (
-            SELECT doc_id, kind, text,
-                   row_number() OVER (PARTITION BY doc_id ORDER BY off)
-                       - 1 AS off
-            FROM pred
-        ),
-        gt_k AS (
-            SELECT doc_id, kind, text, off, L,
-                   row_number() OVER (PARTITION BY doc_id, kind, text
-                                      ORDER BY off) AS occ
-            FROM sized
-        ),
-        pred_k AS (
-            SELECT doc_id, kind, text, off,
-                   row_number() OVER (PARTITION BY doc_id, kind, text
-                                      ORDER BY off) AS occ
-            FROM pred2
-        ),
-        aligned AS (
-            SELECT g.doc_id, g.L,
-                   ABS(COALESCE(p.off, g.off) - g.off) AS dist
-            FROM gt_k g
-            LEFT JOIN pred_k p
-              ON g.doc_id = p.doc_id AND g.kind = p.kind
-             AND g.text = p.text AND g.occ = p.occ
-        )
-        SELECT printf('doc-%06d', doc_id) AS doc_id,
-               round_even(
-                   1.0 - CAST(SUM(dist) AS DOUBLE) / (MAX(L) * MAX(L)), 6
-               ) AS ard_norm
-        FROM aligned GROUP BY doc_id
-    """
-
-
 # layout evaluator: the synthesized geometry has an analytic expected
 # value — every box is 40x10 on a 100x100 page; mutated docs shift all
 # prediction boxes by (2,2), giving IoU = (38*8)/(2*400-38*8) = 0.612903
@@ -637,3 +416,108 @@ ORACLE_SQL["evaluate_layout"] = """
     FROM documents
     WHERE doc_id % 10 <> 3
 """
+
+# ---------------------------------------------------------------------------
+# span-pipeline oracles, composed from the shared fragments
+# ---------------------------------------------------------------------------
+
+ORACLE_SQL["span_kind_census"] = _chunk_walk() + _SPANS_CTE + """
+        SELECT kind, count(*) AS n FROM spans GROUP BY kind
+    """
+
+ORACLE_SQL["flagship_spans_flat"] = _chunk_walk() + _SPANS_CTE + """
+        SELECT printf('doc-%06d', doc_id) AS doc_id,
+               CAST(off AS BIGINT) AS "offset", kind, text, media_ref
+        FROM spans
+    """
+
+# the raw-HTML extraction path reproduces the flagship span stream
+# exactly (shared chunk_plan synthesis; asserted in tests) — same oracle
+ORACLE_SQL["html_spans_flat"] = ORACLE_SQL["flagship_spans_flat"]
+
+ORACLE_SQL["markdown_export"] = (
+    _chunk_walk() + _SPANS_CTE + _md_cte("gt_md", "spans") + """
+        SELECT printf('doc-%06d', doc_id) AS doc_id,
+               COALESCE(md, '') AS markdown
+        FROM doc2 LEFT JOIN gt_md USING (doc_id)
+    """
+)
+
+ORACLE_SQL["evaluate_timings"] = (
+    _chunk_walk(_STATUS_FILTER) + _SPANS_CTE + """,
+        timed AS (
+            SELECT doc_id, count(*) AS n_spans,
+                   round_even(0.01 * count(*) + 0.005 * (doc_id % 7), 6)
+                       AS sec_per_doc
+            FROM spans GROUP BY doc_id
+        )
+        SELECT printf('doc-%06d', doc_id) AS doc_id,
+               sec_per_doc,
+               round_even(sec_per_doc / (1 + n_spans // 12), 6)
+                   AS sec_per_page
+        FROM timed
+    """
+)
+
+ORACLE_SQL["evaluate_ocr"] = (
+    _chunk_walk(_STATUS_FILTER) + _SPANS_CTE + _MUTATION_CTE
+    + _md_cte("gt_md", "sized") + _md_cte("pred_md", "pred") + """,
+        scored AS (
+            SELECT g.doc_id,
+                   CASE WHEN COALESCE(g.md, '') = ''
+                          OR COALESCE(p.md, '') = '' THEN 1.0
+                        ELSE LEAST(1.0,
+                                   CAST(levenshtein(p.md, g.md) AS DOUBLE)
+                                   / length(g.md)) END AS c
+            FROM gt_md g LEFT JOIN pred_md p USING (doc_id)
+        )
+        SELECT printf('doc-%06d', doc_id) AS doc_id,
+               round_even(c, 6) AS cer,
+               round_even(1.0 - c, 6) AS char_accuracy
+        FROM scored
+    """
+)
+
+# reading-order: alignment = positional occurrence matching on the FULL
+# span identity (kind, text, media_ref) — the SQL form of the Ray deque
+# keyed the same way (evaluate.py) — with pred offsets renumbered after
+# deletion and unmatched gt spans falling back to their own position;
+# ARD_norm = 1 − Σ|pred−gt|/L²
+ORACLE_SQL["evaluate_reading_order"] = (
+    _chunk_walk(_STATUS_FILTER) + _SPANS_CTE + _MUTATION_CTE + """,
+        pred2 AS (
+            SELECT doc_id, kind, text, media_ref,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY off)
+                       - 1 AS off
+            FROM pred
+        ),
+        gt_k AS (
+            SELECT doc_id, kind, text, media_ref, off, L,
+                   row_number() OVER (
+                       PARTITION BY doc_id, kind, text, media_ref
+                       ORDER BY off) AS occ
+            FROM sized
+        ),
+        pred_k AS (
+            SELECT doc_id, kind, text, media_ref, off,
+                   row_number() OVER (
+                       PARTITION BY doc_id, kind, text, media_ref
+                       ORDER BY off) AS occ
+            FROM pred2
+        ),
+        aligned AS (
+            SELECT g.doc_id, g.L,
+                   ABS(COALESCE(p.off, g.off) - g.off) AS dist
+            FROM gt_k g
+            LEFT JOIN pred_k p
+              ON g.doc_id = p.doc_id AND g.kind = p.kind
+             AND g.text = p.text AND g.media_ref = p.media_ref
+             AND g.occ = p.occ
+        )
+        SELECT printf('doc-%06d', doc_id) AS doc_id,
+               round_even(
+                   1.0 - CAST(SUM(dist) AS DOUBLE) / (MAX(L) * MAX(L)), 6
+               ) AS ard_norm
+        FROM aligned GROUP BY doc_id
+    """
+)

@@ -414,10 +414,12 @@ def minhash_near_dups(sf_dir: str, *, threshold: float = 0.5, k: int = 3,
             ids.update(b["doc_id_b"].to_pylist())
         doc_filter_ref = ray.put(ids)
 
-    if n_cands <= cand_index_max:
+    if n_cands <= cand_index_max and doc_filter_ref is not None:
         # tier A: collect the candidate docs' shingle-hash index from
         # the PRUNED explode (bounded: |candidate docs| × ~1 KB) and
-        # verify in one map — zero additional shuffles
+        # verify in one map — zero additional shuffles. Guarded on the
+        # pushdown being in effect: without the candidate filter this
+        # would stream the WHOLE corpus's shingles to the driver
         from collections import defaultdict
 
         from .util import stage
@@ -568,6 +570,7 @@ def connected_components(pairs_ds, *, max_iters: int = 50,
         edges.map_batches(init_labels, batch_format="pyarrow"),
         ["doc_id"], min_label, num_buckets=num_buckets,
     ).materialize()
+    label_sum = labels.sum("label")
 
     for _ in range(max_iters):
         # ship each node's label across its edges: edges(dst) ⋈ labels
@@ -587,38 +590,14 @@ def connected_components(pairs_ds, *, max_iters: int = 50,
             neighbor.union(labels), ["doc_id"], min_label,
             num_buckets=num_buckets,
         ).materialize()
-        # convergence: does any node's label change?
-        old = labels.map_batches(
-            lambda t: t.rename_columns(["doc_id", "old_label"]),
-            batch_format="pyarrow",
-        )
-        diff = hash_join(merged, old, on="doc_id",
-                         num_buckets=num_buckets)
-        changed = diff.map_batches(
-            lambda t: pa.table(
-                {
-                    "n": pa.array(
-                        [
-                            int(
-                                pc.sum(
-                                    pc.cast(
-                                        pc.not_equal(t["label"],
-                                                     t["old_label"]),
-                                        pa.int64(),
-                                    )
-                                ).as_py()
-                                or 0
-                            )
-                        ],
-                        pa.int64(),
-                    )
-                }
-            ),
-            batch_format="pyarrow",
-        ).sum("n")
+        # convergence: labels are monotone non-increasing under
+        # min-propagation, so the label SUM strictly decreases whenever
+        # any node changed — one streamed aggregate, no extra join
+        new_sum = merged.sum("label")
         labels = merged
-        if not changed:
+        if new_sum == label_sum:
             break
+        label_sum = new_sum
     return labels.map_batches(
         lambda t: t.rename_columns(["doc_id", "cluster_id"]),
         batch_format="pyarrow",

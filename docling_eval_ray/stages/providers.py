@@ -88,13 +88,13 @@ class FakeDocApiClient:
         doc_num = int(doc_id.split("-")[-1])
         if self._permanent_every and doc_num % self._permanent_every == 0:
             raise PermanentApiError(f"unsupported document {doc_id}")
-        n = self._attempts[doc_id] = self._attempts.get(doc_id, 0) + 1
-        if (
-            self._transient_every
-            and doc_num % self._transient_every == 0
-            and n <= self._transient_fails
-        ):
-            raise TransientApiError(f"throttled {doc_id} (attempt {n})")
+        # attempt tracking only for transient-eligible docs, evicted on
+        # success — per-actor state must stay bounded over a corpus pass
+        if self._transient_every and doc_num % self._transient_every == 0:
+            n = self._attempts[doc_id] = self._attempts.get(doc_id, 0) + 1
+            if n <= self._transient_fails:
+                raise TransientApiError(f"throttled {doc_id} (attempt {n})")
+            self._attempts.pop(doc_id, None)
         blocks = [
             {
                 "BlockType": "TABLE" if s["kind"] == "table"
