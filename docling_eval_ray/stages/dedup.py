@@ -30,7 +30,6 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
 _MERSENNE = (1 << 61) - 1
 _MERSENNE31 = np.uint64((1 << 31) - 1)
