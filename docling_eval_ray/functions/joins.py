@@ -88,8 +88,24 @@ def dim_join(large_ds, small_ds, on: str, *,
     with sf": the pattern stays a broadcast only while the side is
     provably small."""
     small_ds = small_ds.materialize()
-    if small_ds.count() <= broadcast_limit:
-        return broadcast_join(large_ds, small_ds.to_pandas(), on=on)
+    n = small_ds.count()
+    if n <= broadcast_limit:
+        if n == 0:
+            # typed empty frame: to_pandas() of an empty Dataset can
+            # lose the column structure the probe-side merge needs
+            sch = small_ds.schema()
+            small_df = pd.DataFrame(
+                {
+                    name: pd.Series(
+                        dtype=t.to_pandas_dtype()
+                        if isinstance(t, pa.DataType) else object
+                    )
+                    for name, t in zip(sch.names, sch.types)
+                }
+            )
+        else:
+            small_df = small_ds.to_pandas()
+        return broadcast_join(large_ds, small_df, on=on)
     return hash_join(large_ds, small_ds, on=on, num_buckets=num_buckets)
 
 
@@ -144,11 +160,21 @@ def hash_join(left_ds, right_ds, on: str | list[str], *,
 
     def _ensure_arrow(ds):
         # upstream pandas-format stages yield PandasBlockSchema; a
-        # pass-through pyarrow map normalizes blocks AND schema
-        sch = ds.schema().base_schema
+        # pass-through pyarrow map normalizes blocks AND schema. An
+        # empty dataset can report schema() None — normalize first and
+        # fetch, so empty sides keep their typed column structure.
+        sch = ds.schema(fetch_if_missing=True)
+        sch = sch.base_schema if sch is not None else None
         if not isinstance(sch, pa.Schema):
             ds = ds.map_batches(lambda t: t, batch_format="pyarrow")
-            sch = ds.schema().base_schema
+            sch = ds.schema(fetch_if_missing=True)
+            sch = sch.base_schema if sch is not None else None
+        if sch is None:
+            raise ValueError(
+                "hash_join side has no derivable schema (empty dataset "
+                "with unknown columns) — materialize or supply a typed "
+                "empty side"
+            )
         return ds, sch
 
     left_ds, left_schema = _ensure_arrow(left_ds)

@@ -112,3 +112,30 @@ def test_hash_join_composite_key(ray_session):
     assert len(got) == 24
     assert (got["name"] == got["a"].astype(str) + "-"
             + got["b"].astype(str)).all()
+
+
+def test_joins_with_empty_sides(ray_session):
+    """TYPED empty sides (0-row blocks) join to empty results with the
+    full schema; a schema-less empty side raises a clear error instead
+    of crashing deep inside the merge."""
+    import ray.data as rd
+
+    from docling_eval_ray.functions.joins import dim_join, hash_join
+
+    left = rd.from_items([{"k": i % 3, "v": i} for i in range(10)])
+    typed_empty = rd.from_items([{"k": 1, "name": "x"}]).map_batches(
+        lambda t: t.slice(0, 0), batch_format="pyarrow"
+    )
+    assert len(hash_join(left, typed_empty, on="k").to_pandas()) == 0
+    out = dim_join(left, typed_empty, on="k").to_pandas()
+    assert len(out) == 0
+    # Ray's to_pandas over all-empty blocks may drop columns; when it
+    # keeps them the joined schema must be intact
+    assert not len(out.columns) or set(out.columns) >= {"k", "v", "name"}
+
+    # row-filtered empties lose their schema in Ray; the join must say so
+    schemaless = rd.from_items([{"k": 1, "name": "x"}]).filter(
+        lambda r: False
+    )
+    with pytest.raises(ValueError, match="no derivable schema"):
+        hash_join(left, schemaless, on="k")
