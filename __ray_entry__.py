@@ -211,6 +211,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["html_spans_flat"] = html_spans_flat          # oracled (invariant)
     q["markdown_export"] = markdown_export
     q["span_kind_census"] = span_kind_census
+    from docling_eval_ray.pipelines.spans_queries import markdown_token_prf
+
+    q["markdown_token_prf"] = markdown_token_prf  # oracled (set metrics)
     return q
 
 

@@ -521,3 +521,42 @@ ORACLE_SQL["evaluate_reading_order"] = (
         FROM aligned GROUP BY doc_id
     """
 )
+
+# token-SET precision/recall/F1 over the gt/pred markdown projections:
+# tokenizer = the Ray side's \w+|[^\w\s] regex, set ops via
+# list_distinct + list_intersect; empty-side conventions mirror
+# functions/textmetrics.set_prf (both empty → 1.0, one empty → 0.0)
+ORACLE_SQL["markdown_token_prf"] = (
+    _chunk_walk(_STATUS_FILTER) + _SPANS_CTE + _MUTATION_CTE
+    + _md_cte("gt_md", "sized") + _md_cte("pred_md", "pred") + r""",
+        tok AS (
+            SELECT g.doc_id,
+                   list_distinct(regexp_extract_all(
+                       COALESCE(g.md, ''), '\w+|[^\w\s]')) AS ts,
+                   list_distinct(regexp_extract_all(
+                       COALESCE(p.md, ''), '\w+|[^\w\s]')) AS ps
+            FROM gt_md g LEFT JOIN pred_md p USING (doc_id)
+        ),
+        sizes AS (
+            SELECT doc_id, len(ts) AS nt, len(ps) AS npred,
+                   len(list_intersect(ts, ps)) AS ni
+            FROM tok
+        ),
+        pr AS (
+            SELECT doc_id,
+                   CASE WHEN nt = 0 AND npred = 0 THEN 1.0
+                        WHEN npred = 0 THEN 0.0
+                        ELSE CAST(ni AS DOUBLE) / npred END AS p,
+                   CASE WHEN nt = 0 AND npred = 0 THEN 1.0
+                        WHEN nt = 0 THEN 0.0
+                        ELSE CAST(ni AS DOUBLE) / nt END AS r
+            FROM sizes
+        )
+        SELECT printf('doc-%06d', doc_id) AS doc_id,
+               round_even(p, 6) AS "precision",
+               round_even(r, 6) AS recall,
+               round_even(CASE WHEN p + r = 0 THEN 0.0
+                               ELSE 2 * p * r / (p + r) END, 6) AS f1
+        FROM pr
+    """
+)

@@ -82,3 +82,41 @@ def html_spans_flat(sf_dir: str):
     from ..functions.html_extract import html_extraction
 
     return _explode_spans(html_extraction(sf_dir))
+
+
+def markdown_token_prf(sf_dir: str, records=None):
+    """Token-SET precision/recall/F1 between the gt and mutated-pred
+    markdown projections (the set-metric slice of the reference's
+    markdown bundle, markdown_text_evaluator.py:218-226) — DuckDB-
+    oracle-able because set intersection is SQL-expressible
+    (list_intersect over regexp_extract_all tokens)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions.textmetrics import set_prf, tokenize
+    from .evaluate import _md, _metric_schema, _status_filter, eval_records
+
+    schema = _metric_schema(
+        doc_id=pa.string(), precision=pa.float64(), recall=pa.float64(),
+        f1=pa.float64(),
+    )
+    ds = records if records is not None else eval_records(sf_dir)
+
+    def metric(t: pa.Table) -> pa.Table:
+        t = _status_filter(t)
+        gts = _md(t, "gt_spans")
+        preds = _md(t, "pred_spans")
+        rows = []
+        for did, g, p in zip(t["doc_id"].to_pylist(), gts, preds):
+            m = set_prf(tokenize(g), tokenize(p))
+            rows.append(
+                {
+                    "doc_id": did,
+                    "precision": float(np.round(m["precision"], 6)),
+                    "recall": float(np.round(m["recall"], 6)),
+                    "f1": float(np.round(m["f1"], 6)),
+                }
+            )
+        return pa.Table.from_pylist(rows, schema=schema)
+
+    return ds.map_batches(metric, batch_format="pyarrow")
