@@ -94,6 +94,12 @@ def dim_join(large_ds, small_ds, on: str, *,
             # typed empty frame: to_pandas() of an empty Dataset can
             # lose the column structure the probe-side merge needs
             sch = small_ds.schema()
+            if sch is None:
+                raise ValueError(
+                    "dim_join dimension side has no derivable schema "
+                    "(empty dataset with unknown columns) — materialize "
+                    "or supply a typed empty side"
+                )
             small_df = pd.DataFrame(
                 {
                     name: pd.Series(

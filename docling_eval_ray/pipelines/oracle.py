@@ -532,9 +532,11 @@ ORACLE_SQL["markdown_token_prf"] = (
         tok AS (
             SELECT g.doc_id,
                    list_distinct(regexp_extract_all(
-                       COALESCE(g.md, ''), '\w+|[^\w\s]')) AS ts,
+                       COALESCE(g.md, ''),
+                       '[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\r\f\v]')) AS ts,
                    list_distinct(regexp_extract_all(
-                       COALESCE(p.md, ''), '\w+|[^\w\s]')) AS ps
+                       COALESCE(p.md, ''),
+                       '[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\r\f\v]')) AS ps
             FROM gt_md g LEFT JOIN pred_md p USING (doc_id)
         ),
         sizes AS (

@@ -89,12 +89,23 @@ def markdown_token_prf(sf_dir: str, records=None):
     markdown projections (the set-metric slice of the reference's
     markdown bundle, markdown_text_evaluator.py:218-226) — DuckDB-
     oracle-able because set intersection is SQL-expressible
-    (list_intersect over regexp_extract_all tokens)."""
+    (list_intersect over regexp_extract_all tokens).
+
+    Tokenizer: explicit ASCII character classes, NOT \\w — Python re
+    \\w is Unicode-aware while DuckDB RE2 \\w is ASCII-only, which
+    would silently break the hash gate on the first non-ASCII text;
+    the explicit classes behave identically in both engines for any
+    input (non-ASCII letters tokenize as single punctuation-class
+    chars on BOTH sides)."""
+    import re
+
     import numpy as np
     import pyarrow as pa
 
-    from ..functions.textmetrics import set_prf, tokenize
+    from ..functions.textmetrics import set_prf
     from .evaluate import _md, _metric_schema, _status_filter, eval_records
+
+    ascii_token = re.compile(r"[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\r\f\v]")
 
     schema = _metric_schema(
         doc_id=pa.string(), precision=pa.float64(), recall=pa.float64(),
@@ -108,7 +119,7 @@ def markdown_token_prf(sf_dir: str, records=None):
         preds = _md(t, "pred_spans")
         rows = []
         for did, g, p in zip(t["doc_id"].to_pylist(), gts, preds):
-            m = set_prf(tokenize(g), tokenize(p))
+            m = set_prf(ascii_token.findall(g), ascii_token.findall(p))
             rows.append(
                 {
                     "doc_id": did,

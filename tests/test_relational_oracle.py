@@ -139,3 +139,25 @@ def test_joins_with_empty_sides(ray_session):
     )
     with pytest.raises(ValueError, match="no derivable schema"):
         hash_join(left, schemaless, on="k")
+    with pytest.raises(ValueError, match="no derivable schema"):
+        dim_join(left, schemaless, on="k")
+
+
+def test_prf_tokenizer_parity_with_duckdb():
+    """The markdown_token_prf tokenizer must behave identically in
+    Python re and DuckDB RE2 for ANY input — explicit ASCII classes,
+    never \\w (Unicode-aware in Python, ASCII in RE2)."""
+    import re
+
+    import duckdb
+
+    pat = re.compile(r"[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\r\f\v]")
+    con = duckdb.connect()
+    for text in ["caf\u00e9 na\u00efve", "\u4e2d\u6587 test",
+                 "a\u00a0b", "plain ascii, punct!"]:
+        sql = con.sql(
+            "SELECT regexp_extract_all(?, "
+            "'[A-Za-z0-9_]+|[^A-Za-z0-9_ \\t\\n\\r\\f\\v]')",
+            params=[text],
+        ).fetchone()[0]
+        assert pat.findall(text) == sql, text
