@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus text ops (training-data: vocabulary census + mixing)
         "token_frequency_topk": r.token_frequency_topk,
         "deterministic_sample": r.deterministic_sample,
+        "n_chars_quantiles": r.n_chars_quantiles,
     }
     # dedup family + similarity search (training-data ops)
     from docling_eval_ray.stages.dedup import (

@@ -562,3 +562,13 @@ ORACLE_SQL["markdown_token_prf"] = (
         FROM pr
     """
 )
+
+
+# exact quantiles of a numeric column: DuckDB quantile_disc (nearest
+# rank, index = ceil(q*n)-1) pins the rank convention the Ray streaming
+# rank scan implements
+ORACLE_SQL["n_chars_quantiles"] = """
+    SELECT unnest([0.25, 0.5, 0.75]) AS q,
+           unnest(quantile_disc(n_chars, [0.25, 0.5, 0.75])) AS value
+    FROM documents
+"""

@@ -795,3 +795,42 @@ def deterministic_sample(sf_dir: str, *, percent: int = 10):
         return t.filter(pa.array(keep)).select(["doc_id", "lang"])
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+QUANTILE_QS = (0.25, 0.5, 0.75)
+
+
+def n_chars_quantiles(sf_dir: str):
+    """Exact distributed quantiles of a numeric column — the sort-based
+    wide op under the hash gate. Rank convention matches DuckDB's
+    ``quantile_disc``: value at index ceil(q·n)−1 of the sorted column
+    (derived empirically and pinned by the oracle). The sorted column is
+    consumed by a STREAMING rank scan with early stop — one batch on
+    the driver at a time, same pattern as stages/stats.py's median."""
+    import math
+
+    ds = _read(sf_dir, "documents", columns=["n_chars"])
+    n = ds.count()  # parquet metadata count
+    ranks = sorted(max(0, math.ceil(q * n) - 1) for q in QUANTILE_QS)
+    want = dict.fromkeys(ranks)
+    seen = 0
+    for b in ds.sort("n_chars").iter_batches(batch_size=8192,
+                                             batch_format="pyarrow"):
+        v = b["n_chars"].to_numpy(zero_copy_only=False)
+        for rk in ranks:
+            if want[rk] is None and seen <= rk < seen + len(v):
+                want[rk] = int(v[rk - seen])
+        seen += len(v)
+        if all(x is not None for x in want.values()):
+            break
+    import math as _m
+
+    return pa.table(
+        {
+            "q": pa.array(list(QUANTILE_QS), pa.float64()),
+            "value": pa.array(
+                [want[max(0, _m.ceil(q * n) - 1)] for q in QUANTILE_QS],
+                pa.int64(),
+            ),
+        }
+    )
