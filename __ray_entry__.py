@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_frequency_topk": r.token_frequency_topk,
         "deterministic_sample": r.deterministic_sample,
         "n_chars_quantiles": r.n_chars_quantiles,
+        "lang_chars_quantiles": r.lang_chars_quantiles,
     }
     # dedup family + similarity search (training-data ops)
     from docling_eval_ray.stages.dedup import (

@@ -572,3 +572,12 @@ ORACLE_SQL["n_chars_quantiles"] = """
            unnest(quantile_disc(n_chars, [0.25, 0.5, 0.75])) AS value
     FROM documents
 """
+
+
+ORACLE_SQL["lang_chars_quantiles"] = """
+    SELECT lang,
+           unnest([0.25, 0.5, 0.75]) AS q,
+           unnest(quantile_disc(n_chars, [0.25, 0.5, 0.75])) AS value
+    FROM documents
+    GROUP BY lang
+"""

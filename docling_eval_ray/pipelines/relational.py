@@ -834,3 +834,31 @@ def n_chars_quantiles(sf_dir: str):
             ),
         }
     )
+
+
+def lang_chars_quantiles(sf_dir: str):
+    """Per-group exact quantiles (grouped wide op): all of a language's
+    rows meet in one bucketed task, which sorts locally and probes the
+    quantile_disc ranks — per-group state is bounded by the largest
+    group, never the corpus."""
+    import math
+
+    from ..functions.groups import bucketed_group_apply
+
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def quantile_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for lang, sub in g.groupby("lang", sort=False):
+            v = np.sort(sub["n_chars"].to_numpy())
+            n = len(v)
+            for q in QUANTILE_QS:
+                out.append(
+                    {"lang": lang, "q": q,
+                     "value": int(v[max(0, math.ceil(q * n) - 1)])}
+                )
+        return pd.DataFrame(out, columns=["lang", "q", "value"]).astype(
+            {"q": np.float64, "value": np.int64}
+        )
+
+    return bucketed_group_apply(ds, ["lang"], quantile_bucket)
