@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "deterministic_sample": r.deterministic_sample,
         "n_chars_quantiles": r.n_chars_quantiles,
         "lang_chars_quantiles": r.lang_chars_quantiles,
+        "orders_without_lineitems": r.orders_without_lineitems,
     }
     # dedup family + similarity search (training-data ops)
     from docling_eval_ray.stages.dedup import (

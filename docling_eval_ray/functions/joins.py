@@ -249,3 +249,74 @@ def hash_join(left_ds, right_ds, on: str | list[str], *,
     return tagged.groupby(_BUCKET_COL).map_groups(
         merge_bucket, batch_format="pyarrow"
     )
+
+
+def semi_anti_join(left_ds, right_ds, on: str, *, anti: bool = False,
+                   num_buckets: int = 32):
+    """Bucketed semi/anti join: emit left rows whose key IS (semi) or
+    IS NOT (anti) present in the right side. Same single-shuffle shape
+    as ``hash_join`` but the right side contributes only its KEY column
+    (projected before the exchange — no payload crosses the wire), and
+    output is exactly the left schema. The distributed form of the
+    reference's blacklist anti-membership at blacklist sizes where a
+    broadcast set stops being small (M13, doclaynet_v1_builder.py:42-68).
+    """
+    left_ds, left_schema = _ensure_arrow_pair(left_ds)
+    keys_only = right_ds.select_columns([on])
+
+    union_fields = [left_schema.field(c) for c in left_schema.names]
+    union_fields += [
+        pa.field(_SIDE_COL, pa.string()),
+        pa.field(_BUCKET_COL, pa.int64()),
+    ]
+    union_schema = pa.schema(union_fields)
+
+    tagged = left_ds.map_batches(
+        _pad_tag_bucket("l", [on], union_schema, num_buckets),
+        batch_format="pyarrow",
+    ).union(
+        keys_only.map_batches(
+            _pad_tag_bucket("r", [on], union_schema, num_buckets),
+            batch_format="pyarrow",
+        )
+    )
+
+    out_schema = pa.schema(
+        [left_schema.field(c) for c in left_schema.names]
+    )
+
+    def filter_bucket(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lmask = pc.equal(g[_SIDE_COL], "l")
+        left = g.filter(lmask)
+        right_keys = g.filter(pc.invert(lmask))[on]
+        present = pc.is_in(left[on], value_set=right_keys.combine_chunks())
+        keep = pc.invert(present) if anti else present
+        kept = left.filter(keep)
+        return pa.Table.from_arrays(
+            [kept[c].combine_chunks()
+             if isinstance(kept[c], pa.ChunkedArray) else kept[c]
+             for c in out_schema.names],
+            schema=out_schema,
+        )
+
+    return tagged.groupby(_BUCKET_COL).map_groups(
+        filter_bucket, batch_format="pyarrow"
+    )
+
+
+def _ensure_arrow_pair(ds):
+    """Shared schema normalization (see hash_join's inline variant)."""
+    sch = ds.schema(fetch_if_missing=True)
+    sch = sch.base_schema if sch is not None else None
+    if not isinstance(sch, pa.Schema):
+        ds = ds.map_batches(lambda t: t, batch_format="pyarrow")
+        sch = ds.schema(fetch_if_missing=True)
+        sch = sch.base_schema if sch is not None else None
+    if sch is None:
+        raise ValueError(
+            "join side has no derivable schema (empty dataset with "
+            "unknown columns) — materialize or supply a typed empty side"
+        )
+    return ds, sch

@@ -581,3 +581,10 @@ ORACLE_SQL["lang_chars_quantiles"] = """
     FROM documents
     GROUP BY lang
 """
+
+
+ORACLE_SQL["orders_without_lineitems"] = """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+"""

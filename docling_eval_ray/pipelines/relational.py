@@ -862,3 +862,17 @@ def lang_chars_quantiles(sf_dir: str):
         )
 
     return bucketed_group_apply(ds, ["lang"], quantile_bucket)
+
+
+def orders_without_lineitems(sf_dir: str):
+    """Distributed anti-join (TPC-H Q21/Q22 flavor): orders with no
+    lineitems. One bucketed shuffle; only the lineitem KEYS cross the
+    wire (the key column is projected before the exchange)."""
+    from ..functions.joins import semi_anti_join
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    line = _read(sf_dir, "lineitem", columns=["l_orderkey"]).map_batches(
+        lambda t: t.rename_columns(["o_orderkey"]), batch_format="pyarrow"
+    )
+    return semi_anti_join(orders, line, on="o_orderkey", anti=True)

@@ -161,3 +161,17 @@ def test_prf_tokenizer_parity_with_duckdb():
             params=[text],
         ).fetchone()[0]
         assert pat.findall(text) == sql, text
+
+
+def test_semi_anti_join_semantics(ray_session):
+    import ray.data as rd
+
+    from docling_eval_ray.functions.joins import semi_anti_join
+
+    left = rd.from_items([{"k": i, "v": i * 10} for i in range(10)])
+    right = rd.from_items([{"k": i} for i in (1, 2, 3, 3)])  # dup keys ok
+    anti = semi_anti_join(left, right, on="k", anti=True).to_pandas()
+    semi = semi_anti_join(left, right, on="k", anti=False).to_pandas()
+    assert sorted(anti["k"]) == [0, 4, 5, 6, 7, 8, 9]
+    assert sorted(semi["k"]) == [1, 2, 3]
+    assert list(anti.columns) == ["k", "v"]  # left schema only
