@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "n_chars_quantiles": r.n_chars_quantiles,
         "lang_chars_quantiles": r.lang_chars_quantiles,
         "orders_without_lineitems": r.orders_without_lineitems,
+        "events_asof_last_error": r.events_asof_last_error,
     }
     # dedup family + similarity search (training-data ops)
     from docling_eval_ray.stages.dedup import (

@@ -588,3 +588,16 @@ ORACLE_SQL["orders_without_lineitems"] = """
     FROM orders
     WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
 """
+
+
+# as-of join: DuckDB's native ASOF LEFT JOIN pins the semantics (most
+# recent right row at-or-before the left timestamp, per key)
+ORACLE_SQL["events_asof_last_error"] = """
+    SELECT c.event_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+           COALESCE(strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f'), '')
+               AS last_error_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON c.user_id = e.user_id AND c.ts >= e.ts
+"""

@@ -876,3 +876,42 @@ def orders_without_lineitems(sf_dir: str):
         lambda t: t.rename_columns(["o_orderkey"]), batch_format="pyarrow"
     )
     return semi_anti_join(orders, line, on="o_orderkey", anti=True)
+
+
+def events_asof_last_error(sf_dir: str):
+    """Distributed AS-OF join (the custom temporal operator Ray Data
+    lacks natively): for every click event, the most recent error event
+    at-or-before it for the same user. Shape: one bucketed shuffle on
+    the join key (user_id) — all of a user's rows meet in one task —
+    then a single vectorized ``pd.merge_asof`` per bucket (sorted on
+    the time axis, ``by=user_id``). Oracled against DuckDB's native
+    ASOF LEFT JOIN. Timestamps leave as microsecond ISO strings (the
+    hash-stable window-key convention, see events_hourly)."""
+    from ..functions.groups import bucketed_group_apply
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+
+    def asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        clicks = g[g["event_type"] == "click"].sort_values("ts",
+                                                           kind="mergesort")
+        errors = g[g["event_type"] == "error"].sort_values("ts",
+                                                           kind="mergesort")
+        merged = pd.merge_asof(
+            clicks[["event_id", "ts", "user_id"]],
+            errors[["ts", "user_id"]].rename(columns={"ts": "err_ts"}),
+            left_on="ts", right_on="err_ts", by="user_id",
+            direction="backward", allow_exact_matches=True,
+        )
+        out = pd.DataFrame(
+            {
+                "event_id": merged["event_id"].astype(np.int64),
+                "ts": merged["ts"].dt.strftime("%Y-%m-%d %H:%M:%S.%f"),
+                "last_error_ts": merged["err_ts"]
+                .dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+                .fillna(""),
+            }
+        )
+        return out
+
+    return bucketed_group_apply(ds, ["user_id"], asof_bucket)
