@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_chars_quantiles": r.lang_chars_quantiles,
         "orders_without_lineitems": r.orders_without_lineitems,
         "events_asof_last_error": r.events_asof_last_error,
+        "documents_size_bands": r.documents_size_bands,
     }
     # dedup family + similarity search (training-data ops)
     from docling_eval_ray.stages.dedup import (

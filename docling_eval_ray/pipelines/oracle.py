@@ -601,3 +601,16 @@ ORACLE_SQL["events_asof_last_error"] = """
     ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
       ON c.user_id = e.user_id AND c.ts >= e.ts
 """
+
+
+# range join: the same literal bands as a VALUES table, joined on
+# interval containment
+from .relational import SIZE_BANDS as _BANDS
+
+_BAND_VALUES = ", ".join(f"({lo}, {hi}, '{nm}')" for lo, hi, nm in _BANDS)
+ORACLE_SQL["documents_size_bands"] = f"""
+    SELECT d.doc_id, d.n_chars, b.band
+    FROM documents d
+    JOIN (VALUES {_BAND_VALUES}) AS b(lo, hi, band)
+      ON d.n_chars >= b.lo AND d.n_chars < b.hi
+"""

@@ -915,3 +915,34 @@ def events_asof_last_error(sf_dir: str):
         return out
 
     return bucketed_group_apply(ds, ["user_id"], asof_bucket)
+
+
+#: literal size bands (lo inclusive, hi exclusive) — the range-join
+#: small side, shared with the oracle
+SIZE_BANDS = ((0, 100, "xs"), (100, 250, "s"), (250, 400, "m"),
+              (400, 1 << 40, "l"))
+
+
+def documents_size_bands(sf_dir: str):
+    """Range join (interval lookup): each document joined to the band
+    whose [lo, hi) interval contains n_chars. The bands ride in the
+    task closure (KBs) and the probe is one vectorized searchsorted per
+    batch — the scalable form of a range join against a small interval
+    side (contiguous non-overlapping bands; overlapping intervals
+    generalize to an interval-tree broadcast)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    los = np.array([b[0] for b in SIZE_BANDS], dtype=np.int64)
+    names = np.array([b[2] for b in SIZE_BANDS])
+
+    def fn(t: pa.Table) -> pa.Table:
+        v = t["n_chars"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(los, v, side="right") - 1
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": t["n_chars"],
+                "band": pa.array(names[idx], pa.string()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
