@@ -800,17 +800,29 @@ def deterministic_sample(sf_dir: str, *, percent: int = 10):
 QUANTILE_QS = (0.25, 0.5, 0.75)
 
 
-def n_chars_quantiles(sf_dir: str):
+#: above this row count the exact rank scan (which streams up to the
+#: highest requested rank through the driver) hands off to the
+#: mergeable-histogram approximation (stages/sketches.py) — the same
+#: size-gate pattern as the dedup/knn tiers
+QUANTILE_EXACT_MAX = 50_000_000
+
+
+def n_chars_quantiles(sf_dir: str, *, exact_max: int = QUANTILE_EXACT_MAX):
     """Exact distributed quantiles of a numeric column — the sort-based
     wide op under the hash gate. Rank convention matches DuckDB's
     ``quantile_disc``: value at index ceil(q·n)−1 of the sorted column
     (derived empirically and pinned by the oracle). The sorted column is
-    consumed by a STREAMING rank scan with early stop — one batch on
-    the driver at a time, same pattern as stages/stats.py's median."""
+    consumed by a STREAMING rank scan with early stop — one batch at a
+    time on the driver, same pattern as stages/stats.py's median; above
+    ``exact_max`` rows the scan's driver bandwidth stops being free and
+    the query routes to the fixed-bin histogram approximation
+    (one-bin-width error, no sort at all)."""
     import math
 
     ds = _read(sf_dir, "documents", columns=["n_chars"])
     n = ds.count()  # parquet metadata count
+    if n > exact_max:
+        return _approx_quantiles(ds, n)
     ranks = sorted(max(0, math.ceil(q * n) - 1) for q in QUANTILE_QS)
     want = dict.fromkeys(ranks)
     seen = 0
@@ -830,6 +842,39 @@ def n_chars_quantiles(sf_dir: str):
             "q": pa.array(list(QUANTILE_QS), pa.float64()),
             "value": pa.array(
                 [want[max(0, _m.ceil(q * n) - 1)] for q in QUANTILE_QS],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+def _approx_quantiles(ds, n: int, nr_bins: int = 4096):
+    """Scale path: fixed-bin partial histograms merged by one groupby,
+    quantiles interpolated from the merged bins (mergeable-sketch slot;
+    stages/sketches.py:quantile_from_histogram)."""
+    from ..stages.sketches import quantile_from_histogram
+
+    m = ds.max("n_chars")
+    max_v = float(m) if m is not None else 1.0
+    edges = np.histogram_bin_edges([], bins=nr_bins, range=(0.0, max_v))
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        hist, _ = np.histogram(v, bins=nr_bins, range=(0.0, max_v))
+        return pa.table(
+            {"hist": pa.array([hist.astype(np.int64)],
+                              pa.list_(pa.int64()))}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    hist = np.sum([np.asarray(p["hist"]) for p in parts], axis=0)
+    return pa.table(
+        {
+            "q": pa.array(list(QUANTILE_QS), pa.float64()),
+            "value": pa.array(
+                [int(round(quantile_from_histogram(
+                    edges.tolist(), hist.tolist(), q)))
+                 for q in QUANTILE_QS],
                 pa.int64(),
             ),
         }

@@ -175,3 +175,17 @@ def test_semi_anti_join_semantics(ray_session):
     assert sorted(anti["k"]) == [0, 4, 5, 6, 7, 8, 9]
     assert sorted(semi["k"]) == [1, 2, 3]
     assert list(anti.columns) == ["k", "v"]  # left schema only
+
+
+def test_quantiles_approx_path_close_to_exact(ray_session):
+    """Forcing the scale path (exact_max=0) must approximate the exact
+    quantiles within one bin width."""
+    from docling_eval_ray.pipelines.relational import n_chars_quantiles
+
+    exact = n_chars_quantiles(SF_DIR).to_pandas().set_index("q")["value"]
+    approx = n_chars_quantiles(SF_DIR, exact_max=0).to_pandas().set_index(
+        "q")["value"]
+    for q in exact.index:
+        assert abs(int(exact[q]) - int(approx[q])) <= max(
+            2, exact[q] * 0.01
+        ), q
