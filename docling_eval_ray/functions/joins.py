@@ -132,7 +132,12 @@ def _pad_tag_bucket(side: str, on: list[str], out_schema: pa.Schema,
             elif field.name == _BUCKET_COL:
                 h = np.zeros(n, np.uint64)
                 for k in on:
-                    key = batch[k].to_numpy(zero_copy_only=False)
+                    # cast BEFORE hashing: pd.util.hash_array views ints
+                    # at native width, so an int32 -1 and an int64 -1
+                    # would otherwise bucket-misroute across sides
+                    key = batch[k].cast(
+                        out_schema.field(k).type
+                    ).to_numpy(zero_copy_only=False)
                     h = h * _KEY_PRIME + pd.util.hash_array(
                         np.ascontiguousarray(key)
                     )
@@ -164,27 +169,8 @@ def hash_join(left_ds, right_ds, on: str | list[str], *,
     """
     keys = [on] if isinstance(on, str) else list(on)
 
-    def _ensure_arrow(ds):
-        # upstream pandas-format stages yield PandasBlockSchema; a
-        # pass-through pyarrow map normalizes blocks AND schema. An
-        # empty dataset can report schema() None — normalize first and
-        # fetch, so empty sides keep their typed column structure.
-        sch = ds.schema(fetch_if_missing=True)
-        sch = sch.base_schema if sch is not None else None
-        if not isinstance(sch, pa.Schema):
-            ds = ds.map_batches(lambda t: t, batch_format="pyarrow")
-            sch = ds.schema(fetch_if_missing=True)
-            sch = sch.base_schema if sch is not None else None
-        if sch is None:
-            raise ValueError(
-                "hash_join side has no derivable schema (empty dataset "
-                "with unknown columns) — materialize or supply a typed "
-                "empty side"
-            )
-        return ds, sch
-
-    left_ds, left_schema = _ensure_arrow(left_ds)
-    right_ds, right_schema = _ensure_arrow(right_ds)
+    left_ds, left_schema = _ensure_arrow_pair(left_ds)
+    right_ds, right_schema = _ensure_arrow_pair(right_ds)
     left_cols = left_schema.names
     right_cols = right_schema.names
     overlap = (set(left_cols) & set(right_cols)) - set(keys)
@@ -260,6 +246,12 @@ def semi_anti_join(left_ds, right_ds, on: str, *, anti: bool = False,
     output is exactly the left schema. The distributed form of the
     reference's blacklist anti-membership at blacklist sizes where a
     broadcast set stops being small (M13, doclaynet_v1_builder.py:42-68).
+
+    Null-key convention: SQL SEMI/ANTI JOIN semantics (a NULL key never
+    matches anything — semi drops it, anti keeps it), NOT three-valued
+    NOT IN (where one right-side NULL empties the result). Right-side
+    null keys are dropped before the probe; pc.is_in would otherwise
+    match null-to-null.
     """
     left_ds, left_schema = _ensure_arrow_pair(left_ds)
     keys_only = right_ds.select_columns([on])
@@ -290,8 +282,11 @@ def semi_anti_join(left_ds, right_ds, on: str, *, anti: bool = False,
 
         lmask = pc.equal(g[_SIDE_COL], "l")
         left = g.filter(lmask)
-        right_keys = g.filter(pc.invert(lmask))[on]
-        present = pc.is_in(left[on], value_set=right_keys.combine_chunks())
+        right_keys = g.filter(pc.invert(lmask))[on].combine_chunks()
+        right_keys = right_keys.drop_null()
+        present = pc.is_in(left[on], value_set=right_keys)
+        # a NULL left key "is_in" nothing → present null → fill false
+        present = pc.fill_null(present, False)
         keep = pc.invert(present) if anti else present
         kept = left.filter(keep)
         return pa.Table.from_arrays(

@@ -583,10 +583,13 @@ ORACLE_SQL["lang_chars_quantiles"] = """
 """
 
 
+# native ANTI JOIN (not NOT IN): pins the null-key convention the Ray
+# semi_anti_join implements — a NULL key never matches, it does not
+# empty the result
 ORACLE_SQL["orders_without_lineitems"] = """
     SELECT o_orderkey, o_custkey, o_totalprice
     FROM orders
-    WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+    ANTI JOIN lineitem ON o_orderkey = l_orderkey
 """
 
 

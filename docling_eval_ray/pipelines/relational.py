@@ -822,7 +822,7 @@ def n_chars_quantiles(sf_dir: str, *, exact_max: int = QUANTILE_EXACT_MAX):
     ds = _read(sf_dir, "documents", columns=["n_chars"])
     n = ds.count()  # parquet metadata count
     if n > exact_max:
-        return _approx_quantiles(ds, n)
+        return _approx_quantiles(ds)
     ranks = sorted(max(0, math.ceil(q * n) - 1) for q in QUANTILE_QS)
     want = dict.fromkeys(ranks)
     seen = 0
@@ -848,19 +848,24 @@ def n_chars_quantiles(sf_dir: str, *, exact_max: int = QUANTILE_EXACT_MAX):
     )
 
 
-def _approx_quantiles(ds, n: int, nr_bins: int = 4096):
-    """Scale path: fixed-bin partial histograms merged by one groupby,
-    quantiles interpolated from the merged bins (mergeable-sketch slot;
-    stages/sketches.py:quantile_from_histogram)."""
+def _approx_quantiles(ds, nr_bins: int = 4096):
+    """Scale path: per-batch fixed-bin histogram partials (one small
+    row each) summed on the driver, quantiles interpolated from the
+    merged bins (mergeable-sketch slot;
+    stages/sketches.py:quantile_from_histogram). Bin range spans the
+    column's actual [min, max] so signed data bins correctly."""
     from ..stages.sketches import quantile_from_histogram
 
-    m = ds.max("n_chars")
-    max_v = float(m) if m is not None else 1.0
-    edges = np.histogram_bin_edges([], bins=nr_bins, range=(0.0, max_v))
+    mn, mx = ds.min("n_chars"), ds.max("n_chars")
+    lo_v = float(mn) if mn is not None else 0.0
+    max_v = float(mx) if mx is not None else 1.0
+    if max_v <= lo_v:
+        max_v = lo_v + 1.0
+    edges = np.histogram_bin_edges([], bins=nr_bins, range=(lo_v, max_v))
 
     def partial(t: pa.Table) -> pa.Table:
         v = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
-        hist, _ = np.histogram(v, bins=nr_bins, range=(0.0, max_v))
+        hist, _ = np.histogram(v, bins=nr_bins, range=(lo_v, max_v))
         return pa.table(
             {"hist": pa.array([hist.astype(np.int64)],
                               pa.list_(pa.int64()))}
@@ -936,6 +941,15 @@ def events_asof_last_error(sf_dir: str):
 
     ds = _read(sf_dir, "events",
                columns=["event_id", "ts", "user_id", "event_type"])
+    # row-filter BEFORE the bucket exchange: only click/error rows
+    # participate, the other ~60% of the stream never crosses the wire
+    ds = ds.map_batches(
+        lambda t: t.filter(
+            pc.is_in(t["event_type"],
+                     value_set=pa.array(["click", "error"]))
+        ),
+        batch_format="pyarrow",
+    )
 
     def asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
         clicks = g[g["event_type"] == "click"].sort_values("ts",
@@ -977,16 +991,21 @@ def documents_size_bands(sf_dir: str):
     generalize to an interval-tree broadcast)."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
     los = np.array([b[0] for b in SIZE_BANDS], dtype=np.int64)
+    his = np.array([b[1] for b in SIZE_BANDS], dtype=np.int64)
     names = np.array([b[2] for b in SIZE_BANDS])
 
     def fn(t: pa.Table) -> pa.Table:
         v = t["n_chars"].to_numpy(zero_copy_only=False)
         idx = np.searchsorted(los, v, side="right") - 1
+        # inner-join parity: values below every lo or at/above their
+        # band's hi fall in NO band and are dropped, not mislabeled
+        ok = (idx >= 0) & (v < his[np.clip(idx, 0, len(his) - 1)])
+        kept = t.filter(pa.array(ok))
         return pa.table(
             {
-                "doc_id": t["doc_id"],
-                "n_chars": t["n_chars"],
-                "band": pa.array(names[idx], pa.string()),
+                "doc_id": kept["doc_id"],
+                "n_chars": kept["n_chars"],
+                "band": pa.array(names[idx[ok]], pa.string()),
             }
         )
 

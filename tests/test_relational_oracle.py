@@ -189,3 +189,25 @@ def test_quantiles_approx_path_close_to_exact(ray_session):
         assert abs(int(exact[q]) - int(approx[q])) <= max(
             2, exact[q] * 0.01
         ), q
+
+
+def test_semi_anti_join_null_keys(ray_session):
+    """SEMI/ANTI JOIN null convention: a NULL key matches nothing —
+    semi drops it, anti keeps it; right-side nulls never empty the
+    result (unlike NOT IN)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from docling_eval_ray.functions.joins import semi_anti_join
+
+    left = rd.from_arrow(pa.table(
+        {"k": pa.array([1, 2, None, 4], pa.int64()),
+         "v": pa.array([10, 20, 30, 40], pa.int64())}
+    ))
+    right = rd.from_arrow(pa.table(
+        {"k": pa.array([2, None], pa.int64())}
+    ))
+    anti = semi_anti_join(left, right, on="k", anti=True).to_pandas()
+    semi = semi_anti_join(left, right, on="k", anti=False).to_pandas()
+    assert sorted(anti["v"]) == [10, 30, 40]  # null-key row kept by anti
+    assert sorted(semi["v"]) == [20]          # only the real match
