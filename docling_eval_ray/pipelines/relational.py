@@ -318,17 +318,39 @@ def top2_orders_per_customer(sf_dir: str):
 BLACKLISTED_DOC_IDS = (7, 11, 42, 137, 256)
 
 
-def documents_blacklist_filter(sf_dir: str):
-    """Anti-membership filter (reference doc-id blacklist M13,
-    doclaynet_v1_builder.py:42-68): broadcast literal set, vectorized
-    is_in inside map_batches."""
-    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
-    bl = pa.array(BLACKLISTED_DOC_IDS, pa.int64())
+#: blacklist-size gate: a literal/broadcast value-set probe while the
+#: blacklist fits a task closure; beyond it the filter is a distributed
+#: anti-join (M13 scale note, doclaynet_v1_builder.py:42-68)
+BLACKLIST_BROADCAST_MAX = 1_000_000
+
+
+def blacklist_filter(ds, blacklist, *, key: str = "doc_id",
+                     broadcast_max: int = BLACKLIST_BROADCAST_MAX):
+    """Anti-membership filter, size-routed: a sequence/set blacklist (or
+    a Dataset at or under ``broadcast_max`` rows) probes as a vectorized
+    ``is_in`` value set inside map_batches; a larger blacklist Dataset
+    routes through the bucketed anti-join (one shuffle, only the
+    blacklist KEYS cross the wire)."""
+    from ..functions.joins import semi_anti_join
+
+    if not isinstance(blacklist, (list, tuple, set, frozenset)):
+        if blacklist.count() > broadcast_max:
+            return semi_anti_join(ds, blacklist, on=key, anti=True)
+        blacklist = blacklist.to_pandas()[key].tolist()
+    bl = pa.array(sorted(blacklist), pa.int64())
 
     def fn(t: pa.Table) -> pa.Table:
-        return t.filter(pc.invert(pc.is_in(t["doc_id"], value_set=bl)))
+        return t.filter(pc.invert(pc.is_in(t[key], value_set=bl)))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def documents_blacklist_filter(sf_dir: str):
+    """Anti-membership filter (reference doc-id blacklist M13,
+    doclaynet_v1_builder.py:42-68) over the literal blacklist — the
+    broadcast tier of ``blacklist_filter``."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    return blacklist_filter(ds, BLACKLISTED_DOC_IDS)
 
 
 def distinct_segments(sf_dir: str):

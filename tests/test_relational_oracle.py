@@ -211,3 +211,21 @@ def test_semi_anti_join_null_keys(ray_session):
     semi = semi_anti_join(left, right, on="k", anti=False).to_pandas()
     assert sorted(anti["v"]) == [10, 30, 40]  # null-key row kept by anti
     assert sorted(semi["v"]) == [20]          # only the real match
+
+
+def test_blacklist_filter_tiers_agree(ray_session):
+    """Broadcast value-set tier and anti-join tier must produce the
+    same surviving rows."""
+    import ray.data as rd
+
+    from docling_eval_ray.pipelines.relational import blacklist_filter
+
+    ds = rd.from_items([{"doc_id": i, "x": i * 2} for i in range(50)])
+    bl_ds = rd.from_items([{"doc_id": i} for i in (3, 7, 11)])
+    a = blacklist_filter(ds, (3, 7, 11)).to_pandas()
+    b = blacklist_filter(ds, bl_ds).to_pandas()               # broadcast
+    c = blacklist_filter(ds, bl_ds, broadcast_max=0).to_pandas()  # anti
+    key = ["doc_id", "x"]
+    a, b, c = (x[key].sort_values(key).reset_index(drop=True)
+               for x in (a, b, c))
+    assert a.equals(b) and b.equals(c) and len(a) == 47
