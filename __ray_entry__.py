@@ -97,12 +97,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "ngram_jaccard_pairs": ngram_jaccard_pairs,   # oracled, exact
             "near_dup_clusters": near_dup_clusters,       # oracled (CC)
             "minhash_near_dups": minhash_near_dups,       # rows-only (LSH)
-            "simhash_fingerprints": simhash_fingerprints, # rows-only
+            "simhash_fingerprints": simhash_fingerprints, # oracled (bit-vote)
             "embedding_knn": embedding_knn,               # oracled
             "embedding_near_dups": embedding_near_dups,   # oracled
             "embedding_knn_ivf": embedding_knn_ivf,       # rows-only (ANN)
-            "language_id": language_id,                   # rows-only
+            "language_id": language_id,                   # oracled (argmax)
             "document_winnow": document_winnow,           # rows-only
+        }
+    )
+    # corpus-hygiene / training-data ops (all oracled): repetition
+    # quality, benchmark decontamination, TF-IDF, heavy hitters,
+    # stratified sampling, centroid assignment, hopping windows
+    from docling_eval_ray.pipelines import corpus_ops as c
+
+    q.update(
+        {
+            "quality_repetition": c.quality_repetition,
+            "decontaminate_ngrams": c.decontaminate_ngrams,
+            "tfidf_topk": c.tfidf_topk,
+            "token_heavy_hitters": c.token_heavy_hitters,
+            "stratified_sample": c.stratified_sample,
+            "embedding_cluster_assign": c.embedding_cluster_assign,
+            "events_hopping": c.events_hopping,
         }
     )
     # evaluator pipelines (M20/G1-G9: per-doc metrics over synthesized

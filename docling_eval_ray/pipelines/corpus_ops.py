@@ -1,0 +1,543 @@
+"""Corpus-hygiene operators for training-data pipelines.
+
+Beyond the reference's per-document metric maps (M20,
+``evaluators/*_evaluator.py``), a 100-TB training-data pipeline needs
+corpus-level quality and contamination controls. This module adds them
+as Ray Data pipelines, every one DuckDB-oracled (pipelines/oracle.py):
+
+- ``quality_repetition``  — Gopher-style repetition signals (duplicate
+  token fraction, top-token fraction, top-bigram fraction) per document;
+  one vectorized map_batches, no shuffle (each document is one row).
+- ``decontaminate_ngrams`` — benchmark 8-gram overlap flagging (the
+  standard train/eval decontamination step): benchmark n-gram set is
+  bounded and broadcast once via ``ray.put``; the corpus streams.
+- ``tfidf_topk``          — per-document top-k TF-IDF terms with a
+  size-routed document-frequency side (broadcast dict under
+  ``TFIDF_BROADCAST_MAX_VOCAB``, distributed hash-join + bucketed
+  group-apply above it).
+- ``token_heavy_hitters`` — Misra-Gries sketch per batch (mergeable
+  summary, Agarwal et al. 2012) + exact verification pass; reports
+  tokens with global count > total/HH_THETA exactly.
+- ``stratified_sample``   — per-language deterministic hash sampling
+  (md5-based, reproducible across engines).
+- ``embedding_cluster_assign`` — nearest-centroid assignment against a
+  fixed deterministic centroid matrix (the k-means "assign" half;
+  broadcast centroids, per-batch float64 matmul).
+- ``events_hopping``      — overlapping (hopping) window aggregate,
+  size 1h / hop 30min: each event feeds exactly two windows
+  (§2.9 stream-shaped, the hopping sibling of ``events_hourly``).
+
+Scale notes: the only shuffles are the tiny partial→final groupbys
+(token df, heavy-hitter partials, window partials); everything else is
+a single streaming map_batches with broadcast small-side state.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .relational import _final_groupby, _read, _round_cols
+
+# ---------------------------------------------------------------------------
+# quality_repetition — Gopher-style repetition signals
+# ---------------------------------------------------------------------------
+
+
+def _token_frame(b: pd.DataFrame) -> tuple[pd.Series, pd.DataFrame]:
+    """(tokens-per-row Series of lists, exploded (doc_id, tok) frame in
+    document order)."""
+    toks = b["text"].str.strip().str.split()
+    lens = toks.str.len().to_numpy()
+    flat = (
+        np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        if lens.sum()
+        else np.array([], dtype=object)
+    )
+    ex = pd.DataFrame(
+        {
+            "doc_id": np.repeat(b["doc_id"].to_numpy(), lens),
+            "tok": flat,
+        }
+    )
+    return toks, ex
+
+
+def quality_repetition(sf_dir: str):
+    """Per-document repetition quality signals (Gopher §A1.1-style):
+    ``n_tokens``, ``dup_token_frac`` (1 − distinct/total),
+    ``top_token_frac`` (most frequent token's share) and
+    ``top_bigram_frac`` (most frequent adjacent bigram's share of the
+    n_tokens−1 bigram slots). Entirely per-row → one vectorized
+    map_batches, no shuffle at any scale."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        _, ex = _token_frame(b)
+        pc_ = (
+            ex.groupby(["doc_id", "tok"], sort=False)
+            .size()
+            .rename("c")
+            .reset_index()
+        )
+        g = pc_.groupby("doc_id", sort=False)["c"]
+        agg = pd.DataFrame(
+            {"n_tokens": g.sum(), "n_distinct": g.size(), "top_c": g.max()}
+        )
+        # adjacent bigrams within each doc (explode preserves order)
+        ids = ex["doc_id"].to_numpy()
+        toks = ex["tok"].to_numpy()
+        same = ids[1:] == ids[:-1]
+        bg = pd.DataFrame(
+            {
+                "doc_id": ids[:-1][same],
+                "bg": pd.Series(toks[:-1][same]) + " " + pd.Series(toks[1:][same]),
+            }
+        )
+        bgm = (
+            bg.groupby(["doc_id", "bg"], sort=False)
+            .size()
+            .groupby("doc_id")
+            .max()
+            .rename("top_bg")
+        )
+        agg = agg.join(bgm)
+        n = agg["n_tokens"].to_numpy().astype(np.float64)
+        out = pd.DataFrame(
+            {
+                "doc_id": agg.index.to_numpy(),
+                "n_tokens": agg["n_tokens"].to_numpy().astype(np.int64),
+                "dup_token_frac": np.round(
+                    1.0 - agg["n_distinct"].to_numpy().astype(np.float64) / n, 6
+                ),
+                "top_token_frac": np.round(
+                    agg["top_c"].to_numpy().astype(np.float64) / n, 6
+                ),
+                "top_bigram_frac": np.round(
+                    np.where(
+                        n > 1,
+                        agg["top_bg"].fillna(0).to_numpy().astype(np.float64)
+                        / np.maximum(n - 1, 1),
+                        0.0,
+                    ),
+                    6,
+                ),
+            }
+        )
+        return out
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# decontaminate_ngrams — benchmark n-gram overlap
+# ---------------------------------------------------------------------------
+
+#: documents with doc_id below this form the "benchmark" (eval) set
+BENCH_MAX_DOC_ID = 20
+#: n-gram width for contamination checks (public convention: 8-13 tokens)
+DECON_NGRAM = 8
+
+
+def _doc_ngrams(tokens: list[str], n: int = DECON_NGRAM) -> set[str]:
+    return {" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)}
+
+
+class _ContaminationScorer:
+    """Counts each document's distinct ``DECON_NGRAM``-grams that appear
+    in the broadcast benchmark gram set (built once per actor from an
+    object-store ref — the benchmark side is eval-suite-sized, never
+    corpus-sized)."""
+
+    def __init__(self, bench_ref):
+        import ray
+
+        self._bench: frozenset[str] = ray.get(bench_ref)
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.strip().str.split()
+        hits = np.array(
+            [
+                sum(g in self._bench for g in _doc_ngrams(t))
+                for t in toks
+            ],
+            dtype=np.int64,
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(),
+                "n_contaminated": hits,
+                "contaminated": hits > 0,
+            }
+        )
+
+
+def decontaminate_ngrams(sf_dir: str):
+    """Flag training documents sharing any 8-token n-gram with the
+    benchmark set (doc_id < BENCH_MAX_DOC_ID). The benchmark gram set is
+    built from a predicate-pushdown read of just those rows and broadcast
+    once (``ray.put``); benchmark docs themselves trivially self-hit and
+    stay in the output for determinism."""
+    import ray
+
+    bench_t = _read(sf_dir, "documents", columns=["doc_id", "text"]).filter(
+        expr=f"doc_id < {BENCH_MAX_DOC_ID}"
+    )
+    grams: set[str] = set()
+    for row in bench_t.take_all():  # benchmark side: bounded, eval-suite-sized
+        grams |= _doc_ngrams(row["text"].strip().split())
+    bench_ref = ray.put(frozenset(grams))
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    from ..stages.util import stage
+
+    return stage(ds, _ContaminationScorer, args=(bench_ref,),
+                 batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# tfidf_topk — per-document top-k TF-IDF terms (size-routed df side)
+# ---------------------------------------------------------------------------
+
+TFIDF_K = 3
+#: vocabulary sizes up to this broadcast the df map; larger vocabularies
+#: route through the distributed hash join + bucketed group-apply
+TFIDF_BROADCAST_MAX_VOCAB = 1_000_000
+
+
+def _doc_token_counts(b: pd.DataFrame) -> pd.DataFrame:
+    _, ex = _token_frame(b)
+    out = (
+        ex.groupby(["doc_id", "tok"], sort=False)
+        .size()
+        .rename("c")
+        .reset_index()
+        .rename(columns={"tok": "token"})
+    )
+    n = out.groupby("doc_id", sort=False)["c"].transform("sum")
+    return out.assign(n=n.to_numpy())
+
+
+def _df_partial(b: pd.DataFrame) -> pd.DataFrame:
+    _, ex = _token_frame(b)
+    d = (
+        ex.drop_duplicates()
+        .groupby("tok", sort=False)
+        .size()
+        .rename("df_part")
+        .reset_index()
+        .rename(columns={"tok": "token"})
+    )
+    return d
+
+
+def _topk_frame(sc: pd.DataFrame, k: int) -> pd.DataFrame:
+    """(doc_id, token, s[, ...]) → top-k by (s desc, token asc) with
+    1-based rank. `s` must be bit-identical to the oracle's (same IEEE
+    op order), so ordering agrees."""
+    sc = sc.sort_values(
+        ["doc_id", "s", "token"], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    sc = sc.assign(rank=sc.groupby("doc_id", sort=False).cumcount() + 1)
+    sc = sc[sc["rank"] <= k]
+    return pd.DataFrame(
+        {
+            "doc_id": sc["doc_id"].to_numpy(),
+            "token": sc["token"].to_numpy(),
+            "rank": sc["rank"].to_numpy().astype(np.int64),
+            "tfidf": np.round(sc["s"].to_numpy(), 6),
+        }
+    )
+
+
+def tfidf_topk(sf_dir: str, *, k: int = TFIDF_K,
+               broadcast_max_vocab: int = TFIDF_BROADCAST_MAX_VOCAB):
+    """Per-document top-``k`` TF-IDF terms, ties broken by token.
+
+    ``tf = c/len(doc)``; ``idf = N/df`` (rational — no transcendental,
+    so the score is bit-identical to the SQL oracle's double arithmetic).
+    The document-frequency side is one partial+final groupby (one row
+    per token per batch crosses the shuffle); it is then size-routed:
+    vocabulary ≤ ``broadcast_max_vocab`` → collected (vocab-sized, the
+    documented gate) and broadcast into a single scoring map; larger →
+    distributed ``hash_join`` on token + ``bucketed_group_apply`` per
+    doc (no driver materialization of anything corpus-sized)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = float(ds.count())
+
+    df_ds = (
+        ds.map_batches(_df_partial, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("df_part", alias_name="df"))
+        .materialize()
+    )
+    vocab = df_ds.count()
+
+    if vocab <= broadcast_max_vocab:
+        df_map = {r["token"]: r["df"] for r in df_ds.take_all()}
+        df_ref = ray.put(df_map)
+
+        class _Score:
+            def __init__(self, ref):
+                self._df = ray.get(ref)
+
+            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+                tc = _doc_token_counts(b)
+                dfv = tc["token"].map(self._df).to_numpy().astype(np.float64)
+                s = (tc["c"].to_numpy().astype(np.float64)
+                     / tc["n"].to_numpy().astype(np.float64)) * (n_docs / dfv)
+                return _topk_frame(tc.assign(s=s), k)
+
+        from ..stages.util import stage
+
+        return stage(ds, _Score, args=(df_ref,), batch_format="pandas")
+
+    # distributed tier: (doc_id, token, c, n) ⋈ (token, df) then per-doc top-k
+    from ..functions.groups import bucketed_group_apply
+    from ..functions.joins import hash_join
+
+    counts = ds.map_batches(_doc_token_counts, batch_format="pandas")
+    joined = hash_join(counts, df_ds, "token")
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        s = (g["c"].to_numpy().astype(np.float64)
+             / g["n"].to_numpy().astype(np.float64)) * (
+                 n_docs / g["df"].to_numpy().astype(np.float64))
+        return _topk_frame(g.assign(s=s), k)
+
+    return bucketed_group_apply(joined, ["doc_id"], per_doc)
+
+
+# ---------------------------------------------------------------------------
+# token_heavy_hitters — Misra-Gries sketch + exact verification
+# ---------------------------------------------------------------------------
+
+#: MG capacity per batch summary; any token with global count > N/(HH_K+1)
+#: survives the merged summaries, so HH_K ≥ HH_THETA makes the candidate
+#: set a guaranteed superset of the exact answer
+HH_K = 64
+#: report tokens with count * HH_THETA > total token count
+HH_THETA = 30
+
+
+def _mg_prune(counts: pd.Series, k: int) -> pd.Series:
+    """Misra-Gries prune of a pre-aggregated count vector to ≤ k
+    entries: subtract the (k+1)-th largest count, drop non-positives."""
+    if len(counts) <= k:
+        return counts
+    kth = counts.nlargest(k + 1).iloc[-1]
+    out = counts - kth
+    return out[out > 0]
+
+
+def token_heavy_hitters(sf_dir: str, *, k: int = HH_K, theta: int = HH_THETA):
+    """Exact frequent tokens (count > total/θ) via a two-pass
+    sketch-then-verify plan that never shuffles raw tokens:
+
+    1. per-batch Misra-Gries summaries (≤ k rows each) → groupby-sum
+       merge; the merged candidate set is a guaranteed superset of the
+       answer for k ≥ θ (mergeable-summaries bound) and is sketch-sized.
+    2. exact counting pass restricted to the broadcast candidates plus a
+       corpus token total, then the integer threshold filter
+       ``c * θ > total`` (no float).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def mg_partial(b: pd.DataFrame) -> pd.DataFrame:
+        _, ex = _token_frame(b)
+        counts = ex.groupby("tok", sort=False).size()
+        pruned = _mg_prune(counts, k)
+        return pd.DataFrame(
+            {"token": pruned.index.to_numpy(), "c": pruned.to_numpy()}
+        )
+
+    merged = (
+        ds.map_batches(mg_partial, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("c", alias_name="c_lb"))
+    )
+    cands = frozenset(r["token"] for r in merged.take_all())  # sketch-sized
+    cand_ref = ray.put(cands)
+
+    class _ExactCount:
+        def __init__(self, ref):
+            self._cands = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            _, ex = _token_frame(b)
+            total = len(ex)
+            hit = ex[ex["tok"].isin(self._cands)]
+            counts = hit.groupby("tok", sort=False).size()
+            return pd.DataFrame(
+                {
+                    "token": np.append(counts.index.to_numpy(), "\x00total"),
+                    "c": np.append(counts.to_numpy(), total).astype(np.int64),
+                }
+            )
+
+    from ..stages.util import stage
+
+    exact = (
+        stage(ds, _ExactCount, args=(cand_ref,), batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("c", alias_name="n"))
+    )
+    tbl = exact.take_all()  # candidate-set-sized (output-sized)
+    total = next(r["n"] for r in tbl if r["token"] == "\x00total")
+    rows = [
+        {"token": r["token"], "n": int(r["n"])}
+        for r in tbl
+        if r["token"] != "\x00total" and r["n"] * theta > total
+    ]
+    return pd.DataFrame(rows, columns=["token", "n"]).astype(
+        {"token": str, "n": np.int64}
+    )
+
+
+# ---------------------------------------------------------------------------
+# stratified_sample — per-language deterministic hash sampling
+# ---------------------------------------------------------------------------
+
+#: per-stratum sampling rates in percent (md5(text) % 100 < rate)
+STRATA_RATES = {"en": 5, "zh": 40}
+STRATA_DEFAULT_RATE = 20
+
+
+def stratified_sample(sf_dir: str):
+    """Language-stratified deterministic sample: down-weights the
+    dominant stratum, up-weights the rare one (corpus mixing /
+    rebalancing). Same md5-prefix hash as ``deterministic_sample`` so the
+    choice is reproducible on any engine."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        h = np.array(
+            [
+                int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % 100
+                for s in t["text"].to_pylist()
+            ],
+            dtype=np.int64,
+        )
+        rates = np.array(
+            [
+                STRATA_RATES.get(lg, STRATA_DEFAULT_RATE)
+                for lg in t["lang"].to_pylist()
+            ],
+            dtype=np.int64,
+        )
+        return t.select(["doc_id", "lang"]).filter(pa.array(h < rates))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# embedding_cluster_assign — nearest-centroid assignment
+# ---------------------------------------------------------------------------
+
+N_CENTROIDS = 4
+EMBED_DIM = 64
+
+
+def cluster_centroids() -> np.ndarray:
+    """Fixed deterministic centroid matrix (rational entries so the SQL
+    literal reproduces the exact doubles)."""
+    c = np.arange(N_CENTROIDS)[:, None]
+    j = np.arange(EMBED_DIM)[None, :]
+    return ((3 * c + 5 * j) % 13 - 6) / 6.0
+
+
+def embedding_cluster_assign(sf_dir: str):
+    """Assign every embedding to its max-cosine centroid (the assign
+    half of k-means / the IVF cell router, over fixed centroids so the
+    result is DuckDB-oracle-able). Centroids are a module constant —
+    shipped once per task by closure capture, never per batch; per-batch
+    work is one float64 matmul."""
+    import ray.data as rd
+
+    cents = cluster_centroids()
+    cnorm = np.linalg.norm(cents, axis=1)
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        emb = np.stack(t["embedding"].to_pandas().to_numpy()).astype(
+            np.float64
+        )
+        sims = (emb @ cents.T) / (
+            np.linalg.norm(emb, axis=1)[:, None] * cnorm[None, :]
+        )
+        best = sims.argmax(axis=1)  # first max on ties = lowest cluster id
+        out = pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "cluster": pa.array(best.astype(np.int64), pa.int64()),
+                "sim": pa.array(
+                    np.round(sims[np.arange(len(best)), best], 6),
+                    pa.float64(),
+                ),
+            }
+        )
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# events_hopping — overlapping window aggregate (size 1h, hop 30min)
+# ---------------------------------------------------------------------------
+
+
+def events_hopping(sf_dir: str):
+    """Hopping-window aggregate: 1-hour windows every 30 minutes, so
+    each event contributes to exactly two windows. Window fan-out +
+    partial aggregation inside map_batches (2 rows per (type, window)
+    per batch cross the shuffle), then the final groupby-sum."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        f = b["ts"].dt.floor("30min")
+        rows = []
+        for kshift in (0, 1):
+            w = (f - pd.Timedelta(minutes=30 * kshift)).dt.strftime(
+                "%Y-%m-%d %H:%M:%S"
+            )
+            rows.append(
+                pd.DataFrame(
+                    {
+                        "event_type": b["event_type"],
+                        "window_start": w,
+                        "value": b["value"],
+                    }
+                )
+            )
+        both = pd.concat(rows, ignore_index=True)
+        return both.groupby(["event_type", "window_start"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    final = _final_groupby(
+        partials, ["event_type", "window_start"], ["n_events", "sum_value"]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = _round_cols(t, {"sum_value": 2})
+        return t.set_column(
+            t.column_names.index("n_events"),
+            "n_events",
+            pc.cast(t["n_events"], pa.int64()),
+        )
+
+    return final.map_batches(finish, batch_format="pyarrow")

@@ -617,3 +617,238 @@ ORACLE_SQL["documents_size_bands"] = f"""
     JOIN (VALUES {_BAND_VALUES}) AS b(lo, hi, band)
       ON d.n_chars >= b.lo AND d.n_chars < b.hi
 """
+
+
+# ---------------------------------------------------------------------------
+# corpus-hygiene ops (pipelines/corpus_ops.py): repetition quality,
+# decontamination, TF-IDF, heavy hitters, stratified sampling, simhash,
+# language ID, hopping windows, centroid assignment — all sharing the
+# whitespace-token unnest CTE
+# ---------------------------------------------------------------------------
+
+#: (doc_id, tok, ord) token stream — SQL replica of text.split()
+_TOKS_CTE = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+               generate_subscripts(
+                   regexp_split_to_array(trim(text), '\s+'), 1) AS ord
+        FROM documents
+    )"""
+
+ORACLE_SQL["quality_repetition"] = _TOKS_CTE + r""",
+    percount AS (
+        SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               count(*)               AS nd,
+               max(c)                 AS mx
+        FROM percount GROUP BY doc_id
+    ),
+    bg AS (
+        SELECT a.doc_id, a.tok || ' ' || b.tok AS g
+        FROM toks a JOIN toks b
+          ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+    ),
+    bgm AS (
+        SELECT doc_id, max(c) AS top_bg
+        FROM (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2)
+        GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.n_tokens,
+           round_even(1.0 - CAST(s.nd AS DOUBLE) / s.n_tokens, 6)
+               AS dup_token_frac,
+           round_even(CAST(s.mx AS DOUBLE) / s.n_tokens, 6)
+               AS top_token_frac,
+           round_even(CASE WHEN s.n_tokens > 1
+                           THEN CAST(COALESCE(m.top_bg, 0) AS DOUBLE)
+                                / (s.n_tokens - 1)
+                           ELSE 0.0 END, 6) AS top_bigram_frac
+    FROM stats s LEFT JOIN bgm m USING (doc_id)
+"""
+
+from .corpus_ops import BENCH_MAX_DOC_ID as _BENCH_MAX
+
+ORACLE_SQL["decontaminate_ngrams"] = r"""
+    WITH base AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+        FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, array_to_string(a[i : i + 7], ' ') AS g
+        FROM (SELECT doc_id, a,
+                     unnest(generate_series(1, len(a) - 7)) AS i
+              FROM base)
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < """ + str(
+        _BENCH_MAX) + r"""),
+    hits AS (
+        SELECT d.doc_id, count(*) AS c
+        FROM grams d JOIN bench USING (g)
+        GROUP BY d.doc_id
+    )
+    SELECT b.doc_id,
+           CAST(COALESCE(h.c, 0) AS BIGINT) AS n_contaminated,
+           COALESCE(h.c, 0) > 0             AS contaminated
+    FROM base b LEFT JOIN hits h USING (doc_id)
+"""
+
+from .corpus_ops import TFIDF_K as _TFIDF_K
+
+ORACLE_SQL["tfidf_topk"] = _TOKS_CTE + r""",
+    tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, sum(c) AS n FROM tc GROUP BY doc_id),
+    df AS (SELECT tok, count(*) AS df FROM tc GROUP BY tok),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+    scored AS (
+        SELECT t.doc_id, t.tok,
+               (CAST(t.c AS DOUBLE) / CAST(d.n AS DOUBLE))
+               * (nn.nd / CAST(f.df AS DOUBLE)) AS s
+        FROM tc t
+        JOIN dl d USING (doc_id)
+        JOIN df f USING (tok)
+        CROSS JOIN nn
+    )
+    SELECT doc_id, tok AS token, CAST(rn AS BIGINT) AS rank,
+           round_even(s, 6) AS tfidf
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY s DESC, tok
+        ) AS rn FROM scored
+    )
+    WHERE rn <= """ + str(_TFIDF_K) + "\n"
+
+from .corpus_ops import HH_THETA as _HH_THETA
+
+ORACLE_SQL["token_heavy_hitters"] = _TOKS_CTE + f"""
+    SELECT tok AS token, count(*) AS n
+    FROM toks
+    GROUP BY tok
+    HAVING count(*) * {_HH_THETA} > (SELECT count(*) FROM toks)
+"""
+
+from .corpus_ops import STRATA_DEFAULT_RATE as _STRATA_DEF
+from .corpus_ops import STRATA_RATES as _STRATA
+
+_STRATA_CASE = " ".join(
+    f"WHEN '{lg}' THEN {rate}" for lg, rate in _STRATA.items()
+)
+ORACLE_SQL["stratified_sample"] = f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT) % 100
+          < CASE lang {_STRATA_CASE} ELSE {_STRATA_DEF} END
+"""
+
+# SimHash: bit-vote replica — token hash = top 8 bytes of md5, per-bit
+# majority over token multiset, reassembled via HUGEINT shifts
+ORACLE_SQL["simhash_fingerprints"] = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents WHERE trim(text) <> ''
+    ),
+    th AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS h
+        FROM toks
+    ),
+    bits AS (
+        SELECT doc_id, g.b,
+               sum(CASE WHEN (h >> g.b) & 1 = 1 THEN 1 ELSE 0 END) AS ones,
+               count(*) AS n
+        FROM th CROSS JOIN generate_series(0, 63) AS g(b)
+        GROUP BY doc_id, g.b
+    ),
+    fp AS (
+        SELECT doc_id,
+               sum(CASE WHEN ones * 2 > n
+                        THEN (CAST(1 AS HUGEINT) << b)
+                        ELSE CAST(0 AS HUGEINT) END) AS v
+        FROM bits GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           lpad(lower(hex(CAST(COALESCE(f.v, 0) AS UBIGINT))), 16, '0')
+               AS simhash
+    FROM documents d LEFT JOIN fp f USING (doc_id)
+"""
+
+# language ID: stopword-rate argmax with first-max tie-break in profile
+# order (en, es, de, fr) and the CJK charset gate — the SQL replica of
+# stages/textstats.py:LangId.classify
+from ..stages.textstats import _PROFILES as _LANG_PROFILES
+
+
+def _lang_rate_arm(lang: str) -> str:
+    toks = ", ".join(f"'{t}'" for t in sorted(_LANG_PROFILES[lang]))
+    return (f"sum(CASE WHEN tok IN ({toks}) THEN 1 ELSE 0 END)"
+            f" / CAST(count(*) AS DOUBLE) AS r_{lang}")
+
+
+ORACLE_SQL["language_id"] = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                   AS tok
+        FROM documents WHERE trim(text) <> ''
+    ),
+    rates AS (
+        SELECT doc_id,
+               """ + ",\n               ".join(
+    _lang_rate_arm(lg) for lg in _LANG_PROFILES
+) + r"""
+        FROM toks GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN regexp_matches(substr(d.text, 1, 512), '[一-鿿]')
+                    THEN 'zh'
+                WHEN r.doc_id IS NULL
+                  OR greatest(r.r_en, r.r_es, r.r_de, r.r_fr) = 0
+                    THEN 'und'
+                WHEN r.r_en = greatest(r.r_en, r.r_es, r.r_de, r.r_fr)
+                    THEN 'en'
+                WHEN r.r_es = greatest(r.r_en, r.r_es, r.r_de, r.r_fr)
+                    THEN 'es'
+                WHEN r.r_de = greatest(r.r_en, r.r_es, r.r_de, r.r_fr)
+                    THEN 'de'
+                ELSE 'fr'
+           END AS lang_pred
+    FROM documents d LEFT JOIN rates r USING (doc_id)
+"""
+
+ORACLE_SQL["events_hopping"] = """
+    SELECT event_type,
+           strftime(time_bucket(INTERVAL '30 minutes', ts)
+                    - g.k * INTERVAL '30 minutes',
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*)                  AS n_events,
+           round_even(sum(value), 2) AS sum_value
+    FROM events CROSS JOIN generate_series(0, 1) AS g(k)
+    GROUP BY 1, 2
+"""
+
+
+def _centroid_assign_sql() -> str:
+    """UNION-of-centroid-arms nearest-assignment; literals via repr so
+    the SQL doubles equal the numpy centroid matrix exactly."""
+    from .corpus_ops import N_CENTROIDS, cluster_centroids
+
+    cents = cluster_centroids()
+    arms = []
+    for ci in range(N_CENTROIDS):
+        lit = "[" + ", ".join(repr(v) for v in cents[ci]) + "]"
+        arms.append(
+            f"SELECT vec_id, {ci} AS c, list_cosine_similarity("
+            f"CAST(embedding AS DOUBLE[]), {lit}) AS s FROM embeddings"
+        )
+    union = " UNION ALL ".join(arms)
+    return f"""
+    SELECT vec_id, CAST(c AS BIGINT) AS cluster, round_even(s, 6) AS sim
+    FROM ({union})
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c) = 1
+"""
+
+
+ORACLE_SQL["embedding_cluster_assign"] = _centroid_assign_sql()

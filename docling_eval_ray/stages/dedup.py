@@ -486,12 +486,19 @@ def minhash_near_dups(sf_dir: str, *, threshold: float = 0.5, k: int = 3,
 # ---------------------------------------------------------------------------
 
 
+def _md5_hash64(s: str) -> int:
+    """Top 8 bytes of md5 — bit-reproducible in SQL as
+    ``CAST(('0x'||substr(md5(tok),1,16)) AS UBIGINT)``, which is what
+    makes ``simhash_fingerprints`` DuckDB-oracle-able."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:16], 16)
+
+
 def simhash64(text: str) -> int:
     """64-bit SimHash over whitespace tokens (public Charikar scheme)."""
     toks = text.split()
     if not toks:
         return 0
-    hashes = np.array([_hash64(t) for t in toks], dtype=np.uint64)
+    hashes = np.array([_md5_hash64(t) for t in toks], dtype=np.uint64)
     bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
     counts = bits.sum(axis=0)
     out = (counts * 2 > len(toks)).astype(np.uint64)

@@ -1,0 +1,97 @@
+"""Corpus-hygiene ops: scale-path routing + kernel properties.
+
+(Exact oracle equality for every op is covered by the auto-parametrized
+test_relational_oracle.py::test_query_matches_oracle.)
+"""
+
+import numpy as np
+import pandas as pd
+
+from docling_eval_ray.pipelines import corpus_ops as co
+
+SF = "/root/testdata/sf0.001"
+
+
+def _canon(df):
+    cols = sorted(df.columns)
+    return df[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+
+
+def test_tfidf_distributed_tier_matches_broadcast(ray_session):
+    """Forcing the vocab gate to 0 routes through hash_join +
+    bucketed_group_apply; results must be identical to the broadcast
+    tier."""
+    fast = _canon(co.tfidf_topk(SF).to_pandas())
+    dist = _canon(co.tfidf_topk(SF, broadcast_max_vocab=0).to_pandas())
+    pd.testing.assert_frame_equal(fast, dist, check_dtype=True)
+
+
+def test_mg_prune_superset_guarantee():
+    """Any item with count > total/(k+1) survives a Misra-Gries prune —
+    the bound that makes the merged candidate set a superset of the
+    heavy hitters."""
+    rng = np.random.default_rng(7)
+    items = np.concatenate(
+        [np.repeat("hot", 500), rng.integers(0, 2000, 5000).astype(str)]
+    )
+    counts = pd.Series(items).value_counts()
+    k = 10
+    pruned = co._mg_prune(counts, k)
+    assert len(pruned) <= k
+    total = counts.sum()
+    for tok, c in counts.items():
+        if c > total / (k + 1):
+            assert tok in pruned.index
+
+
+def test_doc_ngrams_window():
+    toks = ["a", "b", "c", "d"]
+    assert co._doc_ngrams(toks, n=3) == {"a b c", "b c d"}
+    assert co._doc_ngrams(["a", "b"], n=3) == set()
+
+
+def test_events_hopping_double_counts(ray_session):
+    """Every event lands in exactly two hopping windows → summed
+    n_events is exactly 2× the event count."""
+    import pyarrow.parquet as pq
+
+    n_events = pq.read_metadata(f"{SF}/events.parquet").num_rows
+    df = co.events_hopping(SF).to_pandas()
+    assert df["n_events"].sum() == 2 * n_events
+
+
+def test_cluster_assign_properties(ray_session):
+    df = co.embedding_cluster_assign(SF).to_pandas()
+    assert df["cluster"].between(0, co.N_CENTROIDS - 1).all()
+    assert df["sim"].between(-1.0, 1.0).all()
+    assert df["cluster"].nunique() > 1  # not degenerate
+
+
+def test_stratified_sample_respects_rates(ray_session):
+    full = pd.read_parquet(f"{SF}/documents.parquet", columns=["lang"])
+    samp = co.stratified_sample(SF).to_pandas()
+    frac = samp["lang"].value_counts() / full["lang"].value_counts()
+    # en downsampled at 5%, zh upsampled at 40% (±1.5σ slop at n≈200)
+    assert frac["en"] < 0.12
+    assert frac["zh"] > 0.25
+
+
+def test_quality_repetition_known_answer(ray_session):
+    """dup/top fractions recomputed independently for one doc."""
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"]).head(3)
+    got = co.quality_repetition(SF).to_pandas().set_index("doc_id")
+    for _, row in docs.iterrows():
+        toks = row["text"].split()
+        n = len(toks)
+        from collections import Counter
+
+        c = Counter(toks)
+        bgs = Counter(zip(toks, toks[1:]))
+        r = got.loc[row["doc_id"]]
+        assert r["n_tokens"] == n
+        assert r["dup_token_frac"] == np.round(1.0 - len(c) / n, 6)
+        assert r["top_token_frac"] == np.round(max(c.values()) / n, 6)
+        assert r["top_bigram_frac"] == np.round(
+            max(bgs.values()) / (n - 1), 6
+        )
