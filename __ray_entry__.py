@@ -96,13 +96,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         {
             "ngram_jaccard_pairs": ngram_jaccard_pairs,   # oracled, exact
             "near_dup_clusters": near_dup_clusters,       # oracled (CC)
-            "minhash_near_dups": minhash_near_dups,       # rows-only (LSH)
+            "minhash_near_dups": minhash_near_dups,       # oracled (LSH+verify)
             "simhash_fingerprints": simhash_fingerprints, # oracled (bit-vote)
             "embedding_knn": embedding_knn,               # oracled
             "embedding_near_dups": embedding_near_dups,   # oracled
             "embedding_knn_ivf": embedding_knn_ivf,       # rows-only (ANN)
             "language_id": language_id,                   # oracled (argmax)
-            "document_winnow": document_winnow,           # rows-only
+            "document_winnow": document_winnow,           # oracled (rolling hash)
         }
     )
     # corpus-hygiene / training-data ops (all oracled): repetition

@@ -852,3 +852,155 @@ def _centroid_assign_sql() -> str:
 
 
 ORACLE_SQL["embedding_cluster_assign"] = _centroid_assign_sql()
+
+
+def _minhash_sql() -> str:
+    """Full SQL replica of ``minhash_near_dups`` (LSH candidates +
+    exact verification): rebuilds the 128-perm signatures from the SAME
+    deterministic (a, b) parameters embedded as literals, bands by
+    4-row min-vector equality (≡ the band-hash grouping, modulo a
+    negligible 64-bit hash collision), then verifies candidate pairs
+    with exact distinct-shingle Jaccard and the same rounded-threshold
+    filter."""
+    from ..stages.dedup import MinHasher
+
+    mh = MinHasher()  # default num_perm=128, bands=32, k=3, seed=42
+    rows = ", ".join(
+        f"({i}, {int(a)}, {int(b)})"
+        for i, (a, b) in enumerate(zip(mh._a, mh._b))
+    )
+    r = mh._rows
+    return r"""
+    WITH base AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+        FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, g FROM (
+            SELECT doc_id, array_to_string(a, ' ') AS g
+            FROM base WHERE len(a) < 3
+            UNION ALL
+            SELECT doc_id, array_to_string(a[i : i + 2], ' ')
+            FROM (SELECT doc_id, a,
+                         unnest(generate_series(1, len(a) - 2)) AS i
+                  FROM base WHERE len(a) >= 3)
+        )
+    ),
+    x AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(g), 1, 16)) AS UBIGINT)
+                   % 2147483647 AS x
+        FROM grams
+    ),
+    perm AS (
+        SELECT i, CAST(pa AS UBIGINT) AS pa, CAST(pb AS UBIGINT) AS pb
+        FROM (VALUES """ + rows + r""") AS p(i, pa, pb)
+    ),
+    sig AS (
+        SELECT doc_id, p.i, min((p.pa * x.x + p.pb) % 2147483647) AS m
+        FROM x CROSS JOIN perm p GROUP BY doc_id, p.i
+    ),
+    bands AS (
+        SELECT doc_id, i // """ + str(r) + r""" AS band,
+               string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bkey
+        FROM sig GROUP BY doc_id, i // """ + str(r) + r"""
+    ),
+    cand AS (
+        SELECT DISTINCT lo.doc_id AS da, hi.doc_id AS db
+        FROM bands lo JOIN bands hi
+          ON lo.band = hi.band AND lo.bkey = hi.bkey
+         AND lo.doc_id < hi.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+        SELECT c.da, c.db, count(*) AS nc
+        FROM cand c
+        JOIN grams ga ON ga.doc_id = c.da
+        JOIN grams gb ON gb.doc_id = c.db AND gb.g = ga.g
+        GROUP BY c.da, c.db
+    )
+    SELECT i.da AS doc_id_a, i.db AS doc_id_b,
+           round_even(CAST(i.nc AS DOUBLE) / (sa.n + sb.n - i.nc), 6)
+               AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.da
+    JOIN sizes sb ON sb.doc_id = i.db
+    WHERE round_even(CAST(i.nc AS DOUBLE) / (sa.n + sb.n - i.nc), 6) >= 0.5
+"""
+
+
+ORACLE_SQL["minhash_near_dups"] = _minhash_sql()
+
+
+def _winnow_sql() -> str:
+    """SQL replica of ``textstats.document_winnow``: the k-gram
+    polynomial rolling hash (base B, mod 2^64) is rebuilt per window
+    start as ONE inlined 16-term HUGEINT expression (power-of-B
+    constants precomputed mod 2^64 as literals), then winnowed with a
+    ROWS-window min. Short-document branches mirror the kernel: n <
+    KGRAM → single byte-sum fingerprint; fewer than WINDOW hashes → the
+    hashes themselves. Text is ASCII in this corpus, so
+    unicode(substr(text, i, 1)) == the utf-8 byte the kernel hashes."""
+    from ..stages.textstats import _BASE, _KGRAM, _WINDOW
+
+    B, K, W, M = int(_BASE), _KGRAM, _WINDOW, 1 << 64
+    terms = " + ".join(
+        f"CAST(unicode(substr(text, s + {t}, 1)) AS HUGEINT)"
+        f" * CAST('{pow(B, K - 1 - t, M)}' AS HUGEINT)"
+        for t in range(K)
+    )
+    return r"""
+    WITH docs AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    h AS (
+        SELECT doc_id, s,
+               CAST((""" + terms + r""")
+                    % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT)
+                   AS h
+        FROM (SELECT doc_id, text,
+                     unnest(generate_series(1, length(text) - """ + str(
+        K - 1) + r""")) AS s
+              FROM docs WHERE n >= """ + str(K) + r""")
+    ),
+    wm AS (
+        SELECT doc_id, s, h,
+               min(h) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN CURRENT ROW AND """ + str(
+        W - 1) + r""" FOLLOWING) AS m,
+               count(*) OVER (PARTITION BY doc_id) AS ln
+        FROM h
+    ),
+    fp_long AS (
+        SELECT DISTINCT doc_id, m AS fp FROM wm
+        WHERE ln >= """ + str(W) + r""" AND s <= ln - """ + str(
+        W - 1) + r"""
+    ),
+    fp_short AS (
+        SELECT DISTINCT doc_id, h AS fp FROM wm WHERE ln < """ + str(
+        W) + r"""
+    ),
+    fp_tiny AS (
+        SELECT doc_id, CAST(sum(unicode(substr(text, i, 1))) AS UBIGINT)
+                   AS fp
+        FROM (SELECT doc_id, text,
+                     unnest(generate_series(1, length(text))) AS i
+              FROM docs WHERE n > 0 AND n < """ + str(K) + r""")
+        GROUP BY doc_id
+    ),
+    allfp AS (
+        SELECT * FROM fp_long UNION ALL
+        SELECT * FROM fp_short UNION ALL
+        SELECT * FROM fp_tiny
+    ),
+    agg AS (
+        SELECT doc_id, count(*) AS nf, min(fp) AS mn FROM allfp
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(a.nf, 0) AS BIGINT) AS n_fingerprints,
+           CASE WHEN a.doc_id IS NULL THEN ''
+                ELSE lpad(lower(hex(a.mn)), 16, '0') END AS min_fingerprint
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+ORACLE_SQL["document_winnow"] = _winnow_sql()

@@ -198,8 +198,11 @@ class MinHasher:
         sh = _shingles(text.strip(), self._k)
         if not sh:
             return np.zeros(len(self._a), dtype=np.uint64)
+        # shingle → point hash is md5-based so the whole signature is
+        # SQL-reproducible (the minhash_near_dups DuckDB oracle rebuilds
+        # signatures from the same (a, b) literals)
         x = np.array(
-            [_hash64(s) % _MERSENNE31 for s in sh], dtype=np.uint64
+            [_md5_hash64(s) % _MERSENNE31 for s in sh], dtype=np.uint64
         )
         # h_i(x) = (a_i·x + b_i) mod p — exact in uint64
         prod = (self._a[:, None] * x[None, :] + self._b[:, None]) % _MERSENNE31
