@@ -119,6 +119,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "stratified_sample": c.stratified_sample,
             "embedding_cluster_assign": c.embedding_cluster_assign,
             "events_hopping": c.events_hopping,
+            "pack_sequences": c.pack_sequences,
+            "kmeans_assign": c.kmeans_assign,
         }
     )
     # evaluator pipelines (M20/G1-G9: per-doc metrics over synthesized

@@ -541,3 +541,178 @@ def events_hopping(sf_dir: str):
         )
 
     return final.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences — training-sequence packing (greedy, per-bucket)
+# ---------------------------------------------------------------------------
+
+#: token capacity of one packed training sequence
+PACK_CAP = 256
+#: documents per packing partition (doc_id // PACK_BUCKET); packing is
+#: sequential BY DESIGN within a partition and embarrassingly parallel
+#: across partitions — exactly how it runs on a cluster
+PACK_BUCKET = 100
+#: seq_id = bucket * PACK_SEQ_STRIDE + seq-within-bucket
+PACK_SEQ_STRIDE = 100_000
+
+
+def _greedy_pack(nt: np.ndarray, cap: int) -> tuple[np.ndarray, np.ndarray]:
+    """Greedy first-fit-in-order packing: (seq_index, start_offset) per
+    doc. Sequential by nature (each decision depends on the running
+    fill) — the loop is per-bucket (≤ PACK_BUCKET rows), not per-corpus."""
+    seq = np.empty(len(nt), dtype=np.int64)
+    start = np.empty(len(nt), dtype=np.int64)
+    s, cur = 0, 0
+    for i, n in enumerate(nt):
+        if cur > 0 and cur + n > cap:
+            s += 1
+            cur = 0
+        seq[i] = s
+        start[i] = cur
+        cur += int(n)
+    return seq, start
+
+
+def pack_sequences(sf_dir: str, *, cap: int = PACK_CAP):
+    """Pack documents (in doc_id order) into fixed-capacity training
+    sequences, greedy within hash-bucket partitions: the standard
+    sequence-packing step before LLM pre-training. Output one row per
+    document: its sequence id and start offset inside the sequence.
+
+    Scale shape: token counting is a streaming map; packing itself is a
+    single bucketed group-apply keyed on ``doc_id // PACK_BUCKET`` —
+    sequences never span partitions, so the operation stays
+    embarrassingly parallel and resumable per partition."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def with_counts(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(t["text"])
+        n_tok = pc.add(pc.count_substring_regex(trimmed, r"\s+"), pa.scalar(1))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pc.cast(n_tok, pa.int64()),
+                "bucket": pc.cast(
+                    pc.floor(pc.divide(t["doc_id"], PACK_BUCKET)), pa.int64()
+                ),
+            }
+        )
+
+    counts = ds.map_batches(with_counts, batch_format="pyarrow")
+
+    def pack_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        seq, start = _greedy_pack(g["n_tokens"].to_numpy(), cap)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "n_tokens": g["n_tokens"].to_numpy(),
+                "seq_id": g["bucket"].to_numpy() * PACK_SEQ_STRIDE + seq,
+                "seq_offset": start,
+            }
+        )
+
+    from ..functions.groups import bucketed_group_apply
+
+    return bucketed_group_apply(counts, ["bucket"], pack_bucket)
+
+
+# ---------------------------------------------------------------------------
+# kmeans_assign — 2 Lloyd iterations from the fixed centroids
+# ---------------------------------------------------------------------------
+
+KMEANS_ITERS = 2
+
+
+def _assign(emb: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    sims = (emb @ cents.T) / (
+        np.linalg.norm(emb, axis=1)[:, None]
+        * np.linalg.norm(cents, axis=1)[None, :]
+    )
+    return sims, sims.argmax(axis=1)
+
+
+def kmeans_assign(sf_dir: str, *, iters: int = KMEANS_ITERS):
+    """Distributed Lloyd k-means (cosine assignment, mean update) for a
+    fixed ``iters`` rounds starting from ``cluster_centroids()``; returns
+    the final per-vector assignment + similarity.
+
+    Each round is ONE streaming pass: map_batches emits per-cluster
+    partial (sum-vector, count) pairs — k×d floats per batch — which a
+    tiny groupby-sum merges; the k×d centroid update happens driver-side
+    (output-sized) and re-broadcasts by closure. Nothing corpus-sized
+    leaves the object store; the iterative-algorithm class the Dataset
+    API lacks natively."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).materialize()  # consumed iters+1 times; vectors-only, column-pruned
+
+    cents = cluster_centroids()
+    partial_schema = pa.schema(
+        [("cluster", pa.int64()), ("n", pa.int64())]
+        + [(f"s{j}", pa.float64()) for j in range(EMBED_DIM)]
+    )
+    for _ in range(iters):
+        cur = cents
+
+        def partials(t: pa.Table) -> pa.Table:
+            rows = []
+            if t.num_rows:
+                emb = np.stack(t["embedding"].to_pandas().to_numpy()).astype(
+                    np.float64
+                )
+                _, best = _assign(emb, cur)
+                for c in np.unique(best):
+                    m = emb[best == c]
+                    rows.append(
+                        {
+                            "cluster": int(c),
+                            "n": int(m.shape[0]),
+                            **{f"s{j}": float(v)
+                               for j, v in enumerate(m.sum(0))},
+                        }
+                    )
+            # explicit schema: an empty/missing-cluster batch must not
+            # split the dataset into incompatible block schemas
+            return pa.Table.from_pylist(rows, schema=partial_schema)
+
+        agg = (
+            ds.map_batches(partials, batch_format="pyarrow")
+            .groupby("cluster")
+            .aggregate(
+                Sum("n", alias_name="n"),
+                *[Sum(f"s{j}", alias_name=f"s{j}")
+                  for j in range(EMBED_DIM)],
+            )
+        )
+        new = cents.copy()
+        for r in agg.take_all():  # k rows — output-sized
+            c = int(r["cluster"])
+            new[c] = np.array(
+                [r[f"s{j}"] for j in range(EMBED_DIM)]
+            ) / float(r["n"])
+        cents = new
+
+    final = cents
+
+    def fn(t: pa.Table) -> pa.Table:
+        emb = np.stack(t["embedding"].to_pandas().to_numpy()).astype(
+            np.float64
+        )
+        sims, best = _assign(emb, final)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "cluster": pa.array(best.astype(np.int64), pa.int64()),
+                "sim": pa.array(
+                    np.round(sims[np.arange(len(best)), best], 6),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -1004,3 +1004,114 @@ def _winnow_sql() -> str:
 
 
 ORACLE_SQL["document_winnow"] = _winnow_sql()
+
+
+from .corpus_ops import PACK_BUCKET as _PACK_BUCKET
+from .corpus_ops import PACK_CAP as _PACK_CAP
+from .corpus_ops import PACK_SEQ_STRIDE as _PACK_STRIDE
+
+# sequence packing: the greedy per-bucket walk is a recursive CTE over
+# doc_id-ordered rows (≤ PACK_BUCKET recursion depth per bucket) — the
+# SQL formalization of corpus_ops._greedy_pack
+ORACLE_SQL["pack_sequences"] = r"""
+    WITH RECURSIVE counts AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                   AS n_tokens,
+               doc_id // """ + str(_PACK_BUCKET) + r""" AS bucket
+        FROM documents
+    ),
+    ordered AS (
+        SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id)
+                      AS rn
+        FROM counts
+    ),
+    walk AS (
+        SELECT bucket, rn, doc_id, n_tokens,
+               CAST(0 AS BIGINT) AS seq,
+               CAST(0 AS BIGINT) AS st,
+               n_tokens AS cur
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.bucket, o.rn, o.doc_id, o.n_tokens,
+               CASE WHEN w.cur + o.n_tokens > """ + str(_PACK_CAP) + r"""
+                    THEN w.seq + 1 ELSE w.seq END,
+               CASE WHEN w.cur + o.n_tokens > """ + str(_PACK_CAP) + r"""
+                    THEN CAST(0 AS BIGINT) ELSE w.cur END,
+               CASE WHEN w.cur + o.n_tokens > """ + str(_PACK_CAP) + r"""
+                    THEN o.n_tokens ELSE w.cur + o.n_tokens END
+        FROM walk w JOIN ordered o
+          ON o.bucket = w.bucket AND o.rn = w.rn + 1
+    )
+    SELECT doc_id, n_tokens,
+           bucket * """ + str(_PACK_STRIDE) + r""" + seq AS seq_id,
+           st AS seq_offset
+    FROM walk
+"""
+
+
+def _kmeans_sql() -> str:
+    """2-iteration Lloyd replica: literal starting centroids, cosine
+    argmax assignment (first-max tie-break via cluster order), per-dim
+    AVG centroid update rebuilt with list(m ORDER BY d), empty clusters
+    keeping their previous centroid via COALESCE."""
+    from .corpus_ops import KMEANS_ITERS, N_CENTROIDS, cluster_centroids
+
+    cents = cluster_centroids()
+
+    def lit(row):
+        return "[" + ", ".join(repr(v) for v in row) + "]"
+
+    cent0 = " UNION ALL ".join(
+        f"SELECT {c} AS cluster, {lit(cents[c])} AS cv"
+        for c in range(N_CENTROIDS)
+    )
+
+    def assign(cent_cte, out):
+        return f"""
+    {out}_s AS (
+        SELECT e.vec_id, c.cluster,
+               list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv)
+                   AS s
+        FROM embeddings e CROSS JOIN {cent_cte} c
+    ),
+    {out} AS (
+        SELECT vec_id, cluster, s FROM {out}_s
+        QUALIFY row_number() OVER (
+            PARTITION BY vec_id ORDER BY s DESC, cluster) = 1
+    )"""
+
+    def update(assign_cte, prev_cent, out):
+        return f"""
+    {out}_u AS (
+        SELECT a.cluster, d.d, avg(d.v) AS m
+        FROM (SELECT vec_id,
+                     unnest(CAST(embedding AS DOUBLE[])) AS v,
+                     generate_subscripts(embedding, 1) AS d
+              FROM embeddings) d
+        JOIN {assign_cte} a USING (vec_id)
+        GROUP BY a.cluster, d.d
+    ),
+    {out} AS (
+        SELECT p.cluster, COALESCE(u.cv, p.cv) AS cv
+        FROM {prev_cent} p
+        LEFT JOIN (SELECT cluster, list(m ORDER BY d) AS cv
+                   FROM {out}_u GROUP BY cluster) u USING (cluster)
+    )"""
+
+    assert KMEANS_ITERS == 2, "SQL replica is written for 2 iterations"
+    return (
+        "WITH cent0 AS (" + cent0 + "),"
+        + assign("cent0", "a0") + ","
+        + update("a0", "cent0", "cent1") + ","
+        + assign("cent1", "a1") + ","
+        + update("a1", "cent1", "cent2") + ","
+        + assign("cent2", "a2") + """
+    SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+           round_even(s, 6) AS sim
+    FROM a2
+"""
+    )
+
+
+ORACLE_SQL["kmeans_assign"] = _kmeans_sql()

@@ -95,3 +95,35 @@ def test_quality_repetition_known_answer(ray_session):
         assert r["top_bigram_frac"] == np.round(
             max(bgs.values()) / (n - 1), 6
         )
+
+
+def test_greedy_pack_invariants():
+    nt = np.array([100, 100, 100, 300, 10, 250, 10])
+    seq, start = co._greedy_pack(nt, 256)
+    # fills never exceed cap except a single oversized doc alone
+    df = pd.DataFrame({"seq": seq, "start": start, "nt": nt})
+    for s, g in df.groupby("seq"):
+        total = g["nt"].sum()
+        assert total <= 256 or len(g) == 1
+        # offsets are the running fill
+        assert (g["start"].to_numpy()
+                == np.concatenate([[0], g["nt"].to_numpy()[:-1].cumsum()])).all()
+    assert (np.diff(seq) >= 0).all()
+
+
+def test_pack_sequences_bucket_isolation(ray_session):
+    df = co.pack_sequences(SF).to_pandas()
+    # a sequence never spans packing buckets
+    assert (df["seq_id"] // co.PACK_SEQ_STRIDE
+            == df["doc_id"] // co.PACK_BUCKET).all()
+    fills = df.groupby("seq_id")["n_tokens"].sum()
+    singletons = df.groupby("seq_id").size() == 1
+    assert ((fills <= co.PACK_CAP) | singletons).all()
+
+
+def test_kmeans_improves_over_initial(ray_session):
+    base = co.embedding_cluster_assign(SF).to_pandas()
+    fitted = co.kmeans_assign(SF).to_pandas()
+    # two Lloyd rounds must not reduce mean assigned cosine similarity
+    assert fitted["sim"].mean() >= base["sim"].mean() - 1e-9
+    assert fitted["cluster"].nunique() > 1
