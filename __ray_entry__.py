@@ -163,6 +163,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from docling_eval_ray.stages.slicer import sliced_documents
 
     q["sliced_documents"] = sliced_documents
+    from docling_eval_ray.pipelines.spans_queries import sliced_spans_flat
+
+    q["sliced_spans_flat"] = sliced_spans_flat  # oracled (raw-span CTE)
     q["evaluate_timings"] = evaluate_timings
     q["corpus_layout_map"] = corpus_layout_map
     # raw-HTML boilerplate-stripped extraction + XY-cut reading order

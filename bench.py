@@ -154,6 +154,7 @@ def run_benchmarks() -> dict:
         embedding_knn_ivf,
         embedding_near_dups,
     )
+    from docling_eval_ray.pipelines import corpus_ops as co
     from docling_eval_ray.stages.media import media_decode_stats
 
     bench_input = _prepare_bench_input()
@@ -194,6 +195,11 @@ def run_benchmarks() -> dict:
         ("evaluate_markdown", evaluate_markdown),
         ("corpus_layout_map", corpus_layout_map),
         ("media_decode_stats", media_decode_stats),
+        ("quality_repetition", co.quality_repetition),
+        ("tfidf_topk", co.tfidf_topk),
+        ("token_heavy_hitters", co.token_heavy_hitters),
+        ("pack_sequences", co.pack_sequences),
+        ("kmeans_assign", co.kmeans_assign),
     ]:
         t0 = time.time()
         out = fn(SF_DIR)

@@ -1115,3 +1115,92 @@ def _kmeans_sql() -> str:
 
 
 ORACLE_SQL["kmeans_assign"] = _kmeans_sql()
+
+
+# raw interleaved span synthesis (sources/interleaved.py:synth_spans_for_doc
+# BEFORE extraction): page_header/title … page_footer, r==3 nav
+# boilerplate, r==4-even whitespace-noisy paragraphs — over the shared
+# chunk walk
+_RAW_SPANS_CTE = r""",
+    counted_raw AS (
+        SELECT doc_id, para, r, chunk,
+               COALESCE(SUM(CASE WHEN r = 2 THEN 2 ELSE 1 END)
+                   OVER (PARTITION BY doc_id ORDER BY para
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS prior
+        FROM piece
+    ),
+    totals AS (
+        SELECT d.doc_id,
+               COALESCE(sum(CASE WHEN p.r = 2 THEN 2 ELSE 1 END), 0) AS tot
+        FROM doc2 d LEFT JOIN piece p USING (doc_id)
+        GROUP BY d.doc_id
+    ),
+    rawspans AS (
+        SELECT doc_id, 0 AS off, 'page_header' AS kind,
+               'corpus-' || CAST(doc_id % 7 AS VARCHAR)
+                   || ' · internal use only' AS text,
+               '' AS media_ref
+        FROM doc2
+        UNION ALL
+        SELECT doc_id, 1, 'title',
+               CASE WHEN n_words = 0 THEN 'untitled'
+                    ELSE array_to_string(w[1:3], ' ') END, ''
+        FROM doc2
+        UNION ALL
+        SELECT doc_id, 2 + prior,
+               CASE r WHEN 0 THEN 'section_header'
+                      WHEN 1 THEN 'list_item'
+                      WHEN 2 THEN 'picture' ELSE 'text' END,
+               CASE WHEN r = 2 THEN ''
+                    WHEN r = 3 THEN 'home | ' || array_to_string(
+                        regexp_split_to_array(chunk, ' ')[1:4], ' | ')
+                        || ' | contact'
+                    WHEN r = 4 AND para % 2 = 0 THEN
+                        CASE WHEN len(regexp_split_to_array(chunk, ' ')) >= 3
+                             THEN '  ' || regexp_split_to_array(chunk, ' ')[1]
+                                  || '   '
+                                  || regexp_split_to_array(chunk, ' ')[2]
+                                  || '   '
+                                  || array_to_string(
+                                      regexp_split_to_array(chunk, ' ')[3:],
+                                      ' ') || ' '
+                             WHEN len(regexp_split_to_array(chunk, ' ')) = 2
+                             THEN '  ' || regexp_split_to_array(chunk, ' ')[1]
+                                  || '   '
+                                  || regexp_split_to_array(chunk, ' ')[2]
+                                  || ' '
+                             ELSE '  ' || chunk || ' ' END
+                    ELSE chunk END,
+               CASE WHEN r = 2 THEN 'pic/' || CAST(doc_id AS VARCHAR)
+                        || '/' || CAST(para AS VARCHAR)
+                    ELSE '' END
+        FROM counted_raw
+        UNION ALL
+        SELECT doc_id, 3 + prior, 'caption', chunk, ''
+        FROM counted_raw WHERE r = 2
+        UNION ALL
+        SELECT doc_id, 2 + tot, 'page_footer',
+               'page 1 of 1 — doc ' || CAST(doc_id AS VARCHAR), ''
+        FROM totals
+    )"""
+
+# S9 slicer: window starts range(0, max(1, n-overlap), stride) with
+# stride = slice_length - overlap = 6; offsets renumbered per window
+ORACLE_SQL["sliced_spans_flat"] = _chunk_walk() + _RAW_SPANS_CTE + r""",
+    ns AS (SELECT doc_id, count(*) AS n FROM rawspans GROUP BY doc_id),
+    starts AS (
+        SELECT doc_id,
+               unnest(generate_series(0, greatest(1, n - 2) - 1, 6)) AS s0,
+               generate_subscripts(
+                   generate_series(0, greatest(1, n - 2) - 1, 6), 1) - 1 AS k
+        FROM ns
+    )
+    SELECT 'doc-' || printf('%06d', st.doc_id) || '#'
+               || CAST(st.k AS VARCHAR) AS slice_id,
+           r.kind, r.text, r.media_ref,
+           CAST(r.off - st.s0 AS BIGINT) AS "offset"
+    FROM starts st
+    JOIN rawspans r
+      ON r.doc_id = st.doc_id AND r.off >= st.s0 AND r.off < st.s0 + 8
+"""

@@ -131,3 +131,21 @@ def markdown_token_prf(sf_dir: str, records=None):
         return pa.Table.from_pylist(rows, schema=schema)
 
     return ds.map_batches(metric, batch_format="pyarrow")
+
+
+def sliced_spans_flat(sf_dir: str):
+    """The S9 sliding-window slicer output exploded to one row per
+    ``(slice_id, offset, kind, text, media_ref)`` — puts the slicer
+    itself under the driver's strong hash gate: the oracle re-derives
+    the RAW interleaved span stream (page furniture, nav boilerplate,
+    whitespace-noisy paragraphs — `_RAW_SPANS_CTE`) and windows it with
+    the same stride/overlap arithmetic."""
+    from ..stages.slicer import sliced_documents
+
+    flat = _explode_spans(sliced_documents(sf_dir))
+    return flat.map_batches(
+        lambda t: t.rename_columns(
+            ["slice_id", "offset", "kind", "text", "media_ref"]
+        ),
+        batch_format="pyarrow",
+    )
