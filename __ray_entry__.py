@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "events_hopping": c.events_hopping,
             "pack_sequences": c.pack_sequences,
             "kmeans_assign": c.kmeans_assign,
+            "fixed_size_sample": c.fixed_size_sample,
         }
     )
     # evaluator pipelines (M20/G1-G9: per-doc metrics over synthesized
@@ -217,6 +218,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from docling_eval_ray.sources.docvqa import docvqa_gt_build
 
     q["docvqa_gt_build"] = docvqa_gt_build
+    # DocLayNet-style layout GT builder (category map, list grouping,
+    # bbox origin flip, blacklist skip)
+    from docling_eval_ray.sources.doclaynet import doclaynet_gt_build
+
+    q["doclaynet_gt_build"] = doclaynet_gt_build
     # cloud-API provider harness (A5): rate-limited retrying actor pool
     # over a deterministic offline client
     from docling_eval_ray.stages.providers import api_predictions

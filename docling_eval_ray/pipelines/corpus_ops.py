@@ -716,3 +716,52 @@ def kmeans_assign(sf_dir: str, *, iters: int = KMEANS_ITERS):
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# fixed_size_sample — exact-size per-stratum deterministic sample
+# ---------------------------------------------------------------------------
+
+#: documents kept per language stratum
+SAMPLE_PER_STRATUM = 30
+
+
+def fixed_size_sample(sf_dir: str, *, n: int = SAMPLE_PER_STRATUM):
+    """Exactly ``min(n, |stratum|)`` documents per language, chosen as
+    the n smallest md5-prefix hashes (deterministic reservoir-style
+    sample with an exact size guarantee, unlike the rate-based
+    ``stratified_sample``).
+
+    Scale shape: per-batch partial top-n per stratum (top-n is a
+    mergeable summary — merging partials and re-taking top-n is exact),
+    then one tiny grouped final pass over ≤ n × batches rows. The corpus
+    never shuffles; only candidate rows do."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        h = np.array(
+            [
+                int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+                for s in b["text"]
+            ],
+            dtype=np.uint64,
+        ).astype(np.int64)
+        cand = pd.DataFrame(
+            {"doc_id": b["doc_id"].to_numpy(), "lang": b["lang"].to_numpy(),
+             "h": h}
+        )
+        return (
+            cand.sort_values(["lang", "h", "doc_id"], kind="mergesort")
+            .groupby("lang", sort=False)
+            .head(n)
+        )
+
+    cands = ds.map_batches(partial, batch_format="pandas")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g.sort_values(["h", "doc_id"], kind="mergesort").head(n)
+        return keep[["doc_id", "lang"]]
+
+    from ..functions.groups import bucketed_group_apply
+
+    return bucketed_group_apply(cands, ["lang"], final)

@@ -1204,3 +1204,18 @@ ORACLE_SQL["sliced_spans_flat"] = _chunk_walk() + _RAW_SPANS_CTE + r""",
     JOIN rawspans r
       ON r.doc_id = st.doc_id AND r.off >= st.s0 AND r.off < st.s0 + 8
 """
+
+
+from .corpus_ops import SAMPLE_PER_STRATUM as _SAMPLE_N
+
+# exact-size per-stratum sample: n smallest md5-prefix hashes per lang
+# (md5 prefix < 2^32 so the unsigned SQL sort order == the int64 Python
+# sort order)
+ORACLE_SQL["fixed_size_sample"] = f"""
+    SELECT doc_id, lang
+    FROM documents
+    QUALIFY row_number() OVER (
+        PARTITION BY lang
+        ORDER BY CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT), doc_id
+    ) <= {_SAMPLE_N}
+"""

@@ -127,3 +127,12 @@ def test_kmeans_improves_over_initial(ray_session):
     # two Lloyd rounds must not reduce mean assigned cosine similarity
     assert fitted["sim"].mean() >= base["sim"].mean() - 1e-9
     assert fitted["cluster"].nunique() > 1
+
+
+def test_fixed_size_sample_exact_sizes(ray_session):
+    df = co.fixed_size_sample(SF).to_pandas()
+    full = pd.read_parquet(f"{SF}/documents.parquet", columns=["lang"])
+    want = full["lang"].value_counts().clip(upper=co.SAMPLE_PER_STRATUM)
+    got = df["lang"].value_counts()
+    assert got.sort_index().equals(want.sort_index())
+    assert not df["doc_id"].duplicated().any()
