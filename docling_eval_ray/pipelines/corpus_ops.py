@@ -34,13 +34,13 @@ a single streaming map_batches with broadcast small-side state.
 
 from __future__ import annotations
 
-import hashlib
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..functions.tokens import md5_prefix32, sql_tokens, tokens_series
 from .relational import _final_groupby, _read, _round_cols
 
 # ---------------------------------------------------------------------------
@@ -48,23 +48,27 @@ from .relational import _final_groupby, _read, _round_cols
 # ---------------------------------------------------------------------------
 
 
-def _token_frame(b: pd.DataFrame) -> tuple[pd.Series, pd.DataFrame]:
-    """(tokens-per-row Series of lists, exploded (doc_id, tok) frame in
-    document order)."""
-    toks = b["text"].str.strip().str.split()
-    lens = toks.str.len().to_numpy()
-    flat = (
-        np.concatenate([np.asarray(t, dtype=object) for t in toks])
-        if lens.sum()
-        else np.array([], dtype=object)
+def _token_table(t: pa.Table) -> pa.Table:
+    """Exploded (doc_id, tok) Arrow table in document order.
+
+    Tokenization is the Arrow replica of the SQL oracle's
+    ``regexp_split_to_array(trim(text), '\\s+')`` (spaces-only trim, RE2
+    regex, ``['']`` empty convention — see functions/tokens.py). All
+    downstream aggregation stays in Arrow group_by/value_counts: pandas
+    object hashtables (factorize/groupby/isin) conflate strings at
+    embedded NUL bytes, Arrow does not."""
+    toks = pc.split_pattern_regex(
+        pc.utf8_trim(t["text"], characters=" "), r"\s+"
     )
-    ex = pd.DataFrame(
-        {
-            "doc_id": np.repeat(b["doc_id"].to_numpy(), lens),
-            "tok": flat,
-        }
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    parent = pc.list_parent_indices(toks)
+    doc_ids = t["doc_id"]
+    if isinstance(doc_ids, pa.ChunkedArray):
+        doc_ids = doc_ids.combine_chunks()
+    return pa.table(
+        {"doc_id": doc_ids.take(parent), "tok": toks.flatten()}
     )
-    return toks, ex
 
 
 def quality_repetition(sf_dir: str):
@@ -76,61 +80,71 @@ def quality_repetition(sf_dir: str):
     map_batches, no shuffle at any scale."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def fn(b: pd.DataFrame) -> pd.DataFrame:
-        _, ex = _token_frame(b)
-        pc_ = (
-            ex.groupby(["doc_id", "tok"], sort=False)
-            .size()
-            .rename("c")
-            .reset_index()
+    def fn(t: pa.Table) -> pa.Table:
+        ex = _token_table(t)
+        percount = pa.TableGroupBy(ex, ["doc_id", "tok"]).aggregate(
+            [([], "count_all")]
         )
-        g = pc_.groupby("doc_id", sort=False)["c"]
-        agg = pd.DataFrame(
-            {"n_tokens": g.sum(), "n_distinct": g.size(), "top_c": g.max()}
+        stats = pa.TableGroupBy(
+            percount.select(["doc_id", "count_all"]), ["doc_id"]
+        ).aggregate(
+            [("count_all", "sum"), ("count_all", "count"),
+             ("count_all", "max")]
         )
         # adjacent bigrams within each doc (explode preserves order)
         ids = ex["doc_id"].to_numpy()
-        toks = ex["tok"].to_numpy()
-        same = ids[1:] == ids[:-1]
-        bg = pd.DataFrame(
+        same = pa.array(ids[1:] == ids[:-1])
+        flat = ex["tok"]
+        bg = pa.table(
             {
-                "doc_id": ids[:-1][same],
-                "bg": pd.Series(toks[:-1][same]) + " " + pd.Series(toks[1:][same]),
-            }
-        )
-        bgm = (
-            bg.groupby(["doc_id", "bg"], sort=False)
-            .size()
-            .groupby("doc_id")
-            .max()
-            .rename("top_bg")
-        )
-        agg = agg.join(bgm)
-        n = agg["n_tokens"].to_numpy().astype(np.float64)
-        out = pd.DataFrame(
-            {
-                "doc_id": agg.index.to_numpy(),
-                "n_tokens": agg["n_tokens"].to_numpy().astype(np.int64),
-                "dup_token_frac": np.round(
-                    1.0 - agg["n_distinct"].to_numpy().astype(np.float64) / n, 6
-                ),
-                "top_token_frac": np.round(
-                    agg["top_c"].to_numpy().astype(np.float64) / n, 6
-                ),
-                "top_bigram_frac": np.round(
-                    np.where(
-                        n > 1,
-                        agg["top_bg"].fillna(0).to_numpy().astype(np.float64)
-                        / np.maximum(n - 1, 1),
-                        0.0,
-                    ),
-                    6,
+                "doc_id": pa.array(ids[:-1]).filter(same),
+                "bg": pc.binary_join_element_wise(
+                    flat.slice(0, max(len(flat) - 1, 0)).filter(same),
+                    flat.slice(1).filter(same),
+                    " ",
                 ),
             }
         )
-        return out
+        bgc = pa.TableGroupBy(bg, ["doc_id", "bg"]).aggregate(
+            [([], "count_all")]
+        )
+        bgm = pa.TableGroupBy(
+            bgc.select(["doc_id", "count_all"]), ["doc_id"]
+        ).aggregate([("count_all", "max")])
+        bgm = bgm.rename_columns(["doc_id", "top_bg"])
+        joined = stats.join(bgm, keys="doc_id", join_type="left outer")
 
-    return ds.map_batches(fn, batch_format="pandas")
+        n = joined["count_all_sum"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        nd = joined["count_all_count"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        top_c = joined["count_all_max"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        top_bg = np.nan_to_num(
+            joined["top_bg"].to_numpy(zero_copy_only=False).astype(np.float64)
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(joined["doc_id"], pa.int64()),
+                "n_tokens": pa.array(n.astype(np.int64), pa.int64()),
+                "dup_token_frac": pa.array(
+                    np.round(1.0 - nd / n, 6), pa.float64()
+                ),
+                "top_token_frac": pa.array(np.round(top_c / n, 6),
+                                           pa.float64()),
+                "top_bigram_frac": pa.array(
+                    np.round(
+                        np.where(n > 1, top_bg / np.maximum(n - 1, 1), 0.0), 6
+                    ),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -159,7 +173,7 @@ class _ContaminationScorer:
         self._bench: frozenset[str] = ray.get(bench_ref)
 
     def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-        toks = b["text"].str.strip().str.split()
+        toks = tokens_series(b["text"])
         hits = np.array(
             [
                 sum(g in self._bench for g in _doc_ngrams(t))
@@ -167,11 +181,13 @@ class _ContaminationScorer:
             ],
             dtype=np.int64,
         )
+        # int64 flag (0/1), not bool: the oracle dtype contract is
+        # int64/float64/string
         return pd.DataFrame(
             {
                 "doc_id": b["doc_id"].to_numpy(),
                 "n_contaminated": hits,
-                "contaminated": hits > 0,
+                "contaminated": (hits > 0).astype(np.int64),
             }
         )
 
@@ -189,14 +205,16 @@ def decontaminate_ngrams(sf_dir: str):
     )
     grams: set[str] = set()
     for row in bench_t.take_all():  # benchmark side: bounded, eval-suite-sized
-        grams |= _doc_ngrams(row["text"].strip().split())
+        grams |= _doc_ngrams(sql_tokens(row["text"]))
     bench_ref = ray.put(frozenset(grams))
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     from ..stages.util import stage
 
+    # actor pool: resolve the broadcast gram set once per actor, not per
+    # batch (the dedup.py tier-A precedent)
     return stage(ds, _ContaminationScorer, args=(bench_ref,),
-                 batch_format="pandas")
+                 batch_format="pandas", concurrency=2)
 
 
 # ---------------------------------------------------------------------------
@@ -209,30 +227,36 @@ TFIDF_K = 3
 TFIDF_BROADCAST_MAX_VOCAB = 1_000_000
 
 
-def _doc_token_counts(b: pd.DataFrame) -> pd.DataFrame:
-    _, ex = _token_frame(b)
-    out = (
-        ex.groupby(["doc_id", "tok"], sort=False)
-        .size()
-        .rename("c")
-        .reset_index()
-        .rename(columns={"tok": "token"})
+def _doc_token_counts(t: pa.Table) -> pd.DataFrame:
+    """(doc_id, token, c, n) frame — Arrow group_by (NUL-safe), pandas
+    only for the final scoring/sort conveniences."""
+    ex = _token_table(t)
+    tc = pa.TableGroupBy(ex, ["doc_id", "tok"]).aggregate([([], "count_all")])
+    dl = pa.TableGroupBy(
+        tc.select(["doc_id", "count_all"]), ["doc_id"]
+    ).aggregate([("count_all", "sum")])
+    joined = tc.join(dl, keys="doc_id")
+    return pd.DataFrame(
+        {
+            "doc_id": joined["doc_id"].to_numpy(),
+            "token": joined["tok"].to_pandas().to_numpy(),
+            "c": joined["count_all"].to_numpy(),
+            "n": joined["count_all_sum"].to_numpy(),
+        }
     )
-    n = out.groupby("doc_id", sort=False)["c"].transform("sum")
-    return out.assign(n=n.to_numpy())
 
 
-def _df_partial(b: pd.DataFrame) -> pd.DataFrame:
-    _, ex = _token_frame(b)
-    d = (
-        ex.drop_duplicates()
-        .groupby("tok", sort=False)
-        .size()
-        .rename("df_part")
-        .reset_index()
-        .rename(columns={"tok": "token"})
+def _df_partial(t: pa.Table) -> pa.Table:
+    """Per-batch document-frequency partial: one row per distinct
+    (doc, token), counted per token (Arrow group_by, NUL-safe)."""
+    ex = _token_table(t)
+    dist = pa.TableGroupBy(ex, ["doc_id", "tok"]).aggregate([])
+    d = pa.TableGroupBy(dist.select(["tok"]), ["tok"]).aggregate(
+        [([], "count_all")]
     )
-    return d
+    return pa.table(
+        {"token": d["tok"], "df_part": pc.cast(d["count_all"], pa.int64())}
+    )
 
 
 def _topk_frame(sc: pd.DataFrame, k: int) -> pd.DataFrame:
@@ -274,7 +298,7 @@ def tfidf_topk(sf_dir: str, *, k: int = TFIDF_K,
     n_docs = float(ds.count())
 
     df_ds = (
-        ds.map_batches(_df_partial, batch_format="pandas")
+        ds.map_batches(_df_partial, batch_format="pyarrow")
         .groupby("token")
         .aggregate(Sum("df_part", alias_name="df"))
         .materialize()
@@ -289,8 +313,8 @@ def tfidf_topk(sf_dir: str, *, k: int = TFIDF_K,
             def __init__(self, ref):
                 self._df = ray.get(ref)
 
-            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-                tc = _doc_token_counts(b)
+            def __call__(self, t: pa.Table) -> pd.DataFrame:
+                tc = _doc_token_counts(t)
                 dfv = tc["token"].map(self._df).to_numpy().astype(np.float64)
                 s = (tc["c"].to_numpy().astype(np.float64)
                      / tc["n"].to_numpy().astype(np.float64)) * (n_docs / dfv)
@@ -298,13 +322,16 @@ def tfidf_topk(sf_dir: str, *, k: int = TFIDF_K,
 
         from ..stages.util import stage
 
-        return stage(ds, _Score, args=(df_ref,), batch_format="pandas")
+        # actor pool: deserialize the vocab→df dict once per actor, not
+        # per batch (it is up to broadcast_max_vocab entries)
+        return stage(ds, _Score, args=(df_ref,), batch_format="pyarrow",
+                     concurrency=2)
 
     # distributed tier: (doc_id, token, c, n) ⋈ (token, df) then per-doc top-k
     from ..functions.groups import bucketed_group_apply
     from ..functions.joins import hash_join
 
-    counts = ds.map_batches(_doc_token_counts, batch_format="pandas")
+    counts = ds.map_batches(_doc_token_counts, batch_format="pyarrow")
     joined = hash_join(counts, df_ds, "token")
 
     def per_doc(g: pd.DataFrame) -> pd.DataFrame:
@@ -328,14 +355,16 @@ HH_K = 64
 HH_THETA = 30
 
 
-def _mg_prune(counts: pd.Series, k: int) -> pd.Series:
+def _mg_prune(keys: np.ndarray, counts: np.ndarray,
+              k: int) -> tuple[np.ndarray, np.ndarray]:
     """Misra-Gries prune of a pre-aggregated count vector to ≤ k
-    entries: subtract the (k+1)-th largest count, drop non-positives."""
+    entries: subtract the (k+1)-th largest count, drop non-positives.
+    numpy-only (object keys never enter a pandas hashtable)."""
     if len(counts) <= k:
-        return counts
-    kth = counts.nlargest(k + 1).iloc[-1]
-    out = counts - kth
-    return out[out > 0]
+        return keys, counts
+    kth = np.sort(counts)[::-1][k]
+    keep = counts - kth > 0
+    return keys[keep], counts[keep] - kth
 
 
 def token_heavy_hitters(sf_dir: str, *, k: int = HH_K, theta: int = HH_THETA):
@@ -354,16 +383,22 @@ def token_heavy_hitters(sf_dir: str, *, k: int = HH_K, theta: int = HH_THETA):
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def mg_partial(b: pd.DataFrame) -> pd.DataFrame:
-        _, ex = _token_frame(b)
-        counts = ex.groupby("tok", sort=False).size()
-        pruned = _mg_prune(counts, k)
-        return pd.DataFrame(
-            {"token": pruned.index.to_numpy(), "c": pruned.to_numpy()}
+    def mg_partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(_token_table(t)["tok"])
+        toks, counts = _mg_prune(
+            vc.field("values").to_numpy(zero_copy_only=False),
+            vc.field("counts").to_numpy(zero_copy_only=False),
+            k,
+        )
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                "c": pa.array(counts.astype(np.int64), pa.int64()),
+            }
         )
 
     merged = (
-        ds.map_batches(mg_partial, batch_format="pandas")
+        ds.map_batches(mg_partial, batch_format="pyarrow")
         .groupby("token")
         .aggregate(Sum("c", alias_name="c_lb"))
     )
@@ -372,33 +407,56 @@ def token_heavy_hitters(sf_dir: str, *, k: int = HH_K, theta: int = HH_THETA):
 
     class _ExactCount:
         def __init__(self, ref):
-            self._cands = ray.get(ref)
+            import ray as _ray
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            _, ex = _token_frame(b)
-            total = len(ex)
-            hit = ex[ex["tok"].isin(self._cands)]
-            counts = hit.groupby("tok", sort=False).size()
-            return pd.DataFrame(
+            # Arrow value_set: membership + counting stay in Arrow
+            # kernels (pandas isin's object hashtable conflates strings
+            # at NUL bytes)
+            self._cands = pa.array(sorted(_ray.get(ref)), pa.string())
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            toks = _token_table(t)["tok"]
+            hit = toks.filter(pc.is_in(toks, value_set=self._cands))
+            vc = pc.value_counts(hit)
+            n_cand = len(vc)
+            # the corpus token total rides the same pass OUT-OF-BAND
+            # (is_total flag column) — a real token can never collide
+            # with it, unlike a sentinel token value
+            return pa.table(
                 {
-                    "token": np.append(counts.index.to_numpy(), "\x00total"),
-                    "c": np.append(counts.to_numpy(), total).astype(np.int64),
+                    "token": pa.concat_arrays(
+                        [vc.field("values"), pa.array([""], pa.string())]
+                    ),
+                    "c": pa.array(
+                        np.append(
+                            vc.field("counts").to_numpy(
+                                zero_copy_only=False
+                            ),
+                            len(toks),
+                        ).astype(np.int64),
+                        pa.int64(),
+                    ),
+                    "is_total": pa.array(
+                        np.append(np.zeros(n_cand, dtype=np.int64), 1),
+                        pa.int64(),
+                    ),
                 }
             )
 
     from ..stages.util import stage
 
     exact = (
-        stage(ds, _ExactCount, args=(cand_ref,), batch_format="pandas")
-        .groupby("token")
+        stage(ds, _ExactCount, args=(cand_ref,), batch_format="pyarrow",
+              concurrency=2)
+        .groupby(["token", "is_total"])
         .aggregate(Sum("c", alias_name="n"))
     )
     tbl = exact.take_all()  # candidate-set-sized (output-sized)
-    total = next(r["n"] for r in tbl if r["token"] == "\x00total")
+    total = sum(r["n"] for r in tbl if r["is_total"])
     rows = [
         {"token": r["token"], "n": int(r["n"])}
         for r in tbl
-        if r["token"] != "\x00total" and r["n"] * theta > total
+        if not r["is_total"] and r["n"] * theta > total
     ]
     return pd.DataFrame(rows, columns=["token", "n"]).astype(
         {"token": str, "n": np.int64}
@@ -423,10 +481,7 @@ def stratified_sample(sf_dir: str):
 
     def fn(t: pa.Table) -> pa.Table:
         h = np.array(
-            [
-                int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % 100
-                for s in t["text"].to_pylist()
-            ],
+            [md5_prefix32(s) % 100 for s in t["text"].to_pylist()],
             dtype=np.int64,
         )
         rates = np.array(
@@ -457,29 +512,28 @@ def cluster_centroids() -> np.ndarray:
     return ((3 * c + 5 * j) % 13 - 6) / 6.0
 
 
-def embedding_cluster_assign(sf_dir: str):
-    """Assign every embedding to its max-cosine centroid (the assign
-    half of k-means / the IVF cell router, over fixed centroids so the
-    result is DuckDB-oracle-able). Centroids are a module constant —
-    shipped once per task by closure capture, never per batch; per-batch
-    work is one float64 matmul."""
-    import ray.data as rd
+def _assign(emb: np.ndarray, cents: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """THE cosine assignment kernel: (sims matrix, first-max argmax).
+    Every consumer (embedding_cluster_assign, the kmeans partial and
+    final passes) must share it — the SQL oracles replicate exactly this
+    arithmetic, and a divergent copy would desynchronize silently."""
+    sims = (emb @ cents.T) / (
+        np.linalg.norm(emb, axis=1)[:, None]
+        * np.linalg.norm(cents, axis=1)[None, :]
+    )
+    return sims, sims.argmax(axis=1)  # first max on ties = lowest cluster
 
-    cents = cluster_centroids()
-    cnorm = np.linalg.norm(cents, axis=1)
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
+def _assign_map(ds, cents: np.ndarray):
+    """embeddings Dataset → (vec_id, cluster, sim) via one float64
+    matmul per batch against the closure-captured centroid matrix."""
 
     def fn(t: pa.Table) -> pa.Table:
         emb = np.stack(t["embedding"].to_pandas().to_numpy()).astype(
             np.float64
         )
-        sims = (emb @ cents.T) / (
-            np.linalg.norm(emb, axis=1)[:, None] * cnorm[None, :]
-        )
-        best = sims.argmax(axis=1)  # first max on ties = lowest cluster id
-        out = pa.table(
+        sims, best = _assign(emb, cents)
+        return pa.table(
             {
                 "vec_id": t["vec_id"],
                 "cluster": pa.array(best.astype(np.int64), pa.int64()),
@@ -489,9 +543,20 @@ def embedding_cluster_assign(sf_dir: str):
                 ),
             }
         )
-        return out
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def embedding_cluster_assign(sf_dir: str):
+    """Assign every embedding to its max-cosine centroid (the assign
+    half of k-means / the IVF cell router, over fixed centroids so the
+    result is DuckDB-oracle-able) — ``kmeans_assign`` with zero Lloyd
+    iterations, sharing its kernel."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return _assign_map(ds, cluster_centroids())
 
 
 # ---------------------------------------------------------------------------
@@ -587,7 +652,8 @@ def pack_sequences(sf_dir: str, *, cap: int = PACK_CAP):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def with_counts(t: pa.Table) -> pa.Table:
-        trimmed = pc.utf8_trim_whitespace(t["text"])
+        # spaces-only trim: the SQL trim() replica (functions/tokens.py)
+        trimmed = pc.utf8_trim(t["text"], characters=" ")
         n_tok = pc.add(pc.count_substring_regex(trimmed, r"\s+"), pa.scalar(1))
         return pa.table(
             {
@@ -623,14 +689,6 @@ def pack_sequences(sf_dir: str, *, cap: int = PACK_CAP):
 # ---------------------------------------------------------------------------
 
 KMEANS_ITERS = 2
-
-
-def _assign(emb: np.ndarray, cents: np.ndarray) -> np.ndarray:
-    sims = (emb @ cents.T) / (
-        np.linalg.norm(emb, axis=1)[:, None]
-        * np.linalg.norm(cents, axis=1)[None, :]
-    )
-    return sims, sims.argmax(axis=1)
 
 
 def kmeans_assign(sf_dir: str, *, iters: int = KMEANS_ITERS):
@@ -697,25 +755,7 @@ def kmeans_assign(sf_dir: str, *, iters: int = KMEANS_ITERS):
             ) / float(r["n"])
         cents = new
 
-    final = cents
-
-    def fn(t: pa.Table) -> pa.Table:
-        emb = np.stack(t["embedding"].to_pandas().to_numpy()).astype(
-            np.float64
-        )
-        sims, best = _assign(emb, final)
-        return pa.table(
-            {
-                "vec_id": t["vec_id"],
-                "cluster": pa.array(best.astype(np.int64), pa.int64()),
-                "sim": pa.array(
-                    np.round(sims[np.arange(len(best)), best], 6),
-                    pa.float64(),
-                ),
-            }
-        )
-
-    return ds.map_batches(fn, batch_format="pyarrow")
+    return _assign_map(ds, cents)
 
 
 # ---------------------------------------------------------------------------
@@ -740,12 +780,8 @@ def fixed_size_sample(sf_dir: str, *, n: int = SAMPLE_PER_STRATUM):
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         h = np.array(
-            [
-                int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
-                for s in b["text"]
-            ],
-            dtype=np.uint64,
-        ).astype(np.int64)
+            [md5_prefix32(s) for s in b["text"]], dtype=np.int64
+        )
         cand = pd.DataFrame(
             {"doc_id": b["doc_id"].to_numpy(), "lang": b["lang"].to_numpy(),
              "h": h}

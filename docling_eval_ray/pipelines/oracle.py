@@ -691,7 +691,7 @@ ORACLE_SQL["decontaminate_ngrams"] = r"""
     )
     SELECT b.doc_id,
            CAST(COALESCE(h.c, 0) AS BIGINT) AS n_contaminated,
-           COALESCE(h.c, 0) > 0             AS contaminated
+           CAST(COALESCE(h.c, 0) > 0 AS BIGINT) AS contaminated
     FROM base b LEFT JOIN hits h USING (doc_id)
 """
 

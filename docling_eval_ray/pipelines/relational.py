@@ -31,6 +31,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..functions.tokens import md5_prefix32  # noqa: F401 (worker-pickled)
 from ..functions.joins import broadcast_join, dim_join, hash_join
 
 # ---------------------------------------------------------------------------
@@ -651,7 +652,9 @@ def token_counts(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
-        trimmed = pc.utf8_trim_whitespace(t["text"])
+        # trim SPACES only (SQL trim semantics); Arrow's regex is RE2,
+        # so \s is ASCII like the oracle's — see functions/tokens.py
+        trimmed = pc.utf8_trim(t["text"], characters=" ")
         n_tok = pc.add(
             pc.count_substring_regex(trimmed, r"\s+"), pa.scalar(1)
         )
@@ -784,7 +787,7 @@ def token_frequency_topk(sf_dir: str, *, k: int = 25):
 
     def partial(t: pa.Table) -> pa.Table:
         toks = pc.list_flatten(
-            pc.split_pattern_regex(pc.utf8_trim_whitespace(t["text"]),
+            pc.split_pattern_regex(pc.utf8_trim(t["text"], characters=" "),
                                    r"\s+")
         )
         vc = pc.value_counts(toks)
@@ -811,7 +814,7 @@ def deterministic_sample(sf_dir: str, *, percent: int = 10):
 
     def fn(t: pa.Table) -> pa.Table:
         keep = [
-            int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % 100 < percent
+            md5_prefix32(s) % 100 < percent
             for s in t["text"].to_pylist()
         ]
         return t.filter(pa.array(keep)).select(["doc_id", "lang"])

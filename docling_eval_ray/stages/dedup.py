@@ -31,16 +31,19 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..functions.tokens import sql_tokens
+
 _MERSENNE = (1 << 61) - 1
 _MERSENNE31 = np.uint64((1 << 31) - 1)
 
 
 def _shingles(text: str, k: int = 3) -> set[str]:
-    """k-word shingles; an empty/short document yields the single
-    shingle of its joined tokens ("" when empty) — matching the SQL
-    oracle's regexp_split_to_array(trim('')) == [''] so blank rows pair
-    identically on both sides."""
-    toks = text.split()
+    """k-word shingles over the SQL-replica tokenization
+    (functions/tokens.py: trim spaces only, split on RE2 ``\\s+`` with
+    the ``['']`` empty convention); an empty/short document yields the
+    single shingle of its joined tokens, exactly what the oracle's
+    ``array_to_string(a, ' ')`` short branch produces."""
+    toks = sql_tokens(text)
     if len(toks) < k:
         return {" ".join(toks)}
     return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
@@ -83,7 +86,7 @@ def ngram_jaccard_pairs(sf_dir: str, *, k: int = 3, threshold: float = 0.1,
     def explode(t: pa.Table) -> pa.Table:
         doc_ids, shingles, sizes = [], [], []
         for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            sh = _shingles(text.strip(), k)
+            sh = _shingles(text, k)
             for s in sh:
                 doc_ids.append(did)
                 shingles.append(s)
@@ -104,7 +107,9 @@ def ngram_jaccard_pairs(sf_dir: str, *, k: int = 3, threshold: float = 0.1,
     # vectorized pass (functions.groups rationale).
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["shingle", "doc_id"], kind="mergesort")
-        codes, _ = pd.factorize(g["shingle"], sort=False)
+        # np.unique (comparison-based), NOT pd.factorize: the pandas
+        # object hashtable conflates strings at embedded NUL bytes
+        _, codes = np.unique(g["shingle"].to_numpy(), return_inverse=True)
         ids = g["doc_id"].to_numpy()
         ns = g["n_sh"].to_numpy()
         counts = np.bincount(codes)
@@ -195,7 +200,7 @@ class MinHasher:
         self._k = k
 
     def signature(self, text: str) -> np.ndarray:
-        sh = _shingles(text.strip(), self._k)
+        sh = _shingles(text, self._k)
         if not sh:
             return np.zeros(len(self._a), dtype=np.uint64)
         # shingle → point hash is md5-based so the whole signature is
@@ -306,7 +311,7 @@ def _shingle_hash_table(ds, *, k: int = 3, doc_filter_ref=None):
         for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
             if keep is not None and did not in keep:
                 continue
-            sh = _shingles(text.strip(), k)
+            sh = _shingles(text, k)
             for s in sh:
                 doc_ids.append(did)
                 hashes.append(_hash64(s))
@@ -497,10 +502,13 @@ def _md5_hash64(s: str) -> int:
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens (public Charikar scheme)."""
-    toks = text.split()
-    if not toks:
+    """64-bit SimHash over whitespace tokens (public Charikar scheme).
+
+    Tokenization is the SQL replica; a space-blank document (the
+    oracle's ``trim(text) = ''`` exclusion) fingerprints to 0."""
+    if not text.strip(" "):
         return 0
+    toks = sql_tokens(text)
     hashes = np.array([_md5_hash64(t) for t in toks], dtype=np.uint64)
     bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
     counts = bits.sum(axis=0)

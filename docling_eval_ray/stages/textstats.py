@@ -10,6 +10,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..functions.tokens import sql_tokens
+
 #: tiny public stopword profiles (top function words per language);
 #: classifier = argmax of stopword-hit rate, charset-gated for zh
 _PROFILES = {
@@ -36,9 +38,11 @@ class LangId:
         # charset gate: any CJK codepoint → zh
         if any("一" <= ch <= "鿿" for ch in text[:512]):
             return "zh"
-        toks = text.lower().split()
-        if not toks:
+        # SQL-replica tokenization; space-blank docs are the oracle's
+        # trim(text)='' exclusion → 'und'
+        if not text.strip(" "):
             return "und"
+        toks = sql_tokens(text.lower())
         best, best_rate = "und", 0.0
         for lang, stops in self._profiles.items():
             rate = sum(t in stops for t in toks) / len(toks)

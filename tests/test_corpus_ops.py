@@ -34,14 +34,16 @@ def test_mg_prune_superset_guarantee():
     items = np.concatenate(
         [np.repeat("hot", 500), rng.integers(0, 2000, 5000).astype(str)]
     )
-    counts = pd.Series(items).value_counts()
+    uniq, counts = np.unique(items, return_counts=True)
     k = 10
-    pruned = co._mg_prune(counts, k)
-    assert len(pruned) <= k
+    kept_keys, kept_counts = co._mg_prune(uniq, counts, k)
+    assert len(kept_keys) <= k
+    assert (kept_counts > 0).all()
     total = counts.sum()
-    for tok, c in counts.items():
+    kept = set(kept_keys)
+    for tok, c in zip(uniq, counts):
         if c > total / (k + 1):
-            assert tok in pruned.index
+            assert tok in kept
 
 
 def test_doc_ngrams_window():
