@@ -223,6 +223,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from docling_eval_ray.sources.doclaynet import doclaynet_gt_build
 
     q["doclaynet_gt_build"] = doclaynet_gt_build
+    # PixParse-style OCR word GT builder (missing-image skip, word
+    # cells, XY-cut reading order)
+    from docling_eval_ray.sources.pixparse import pixparse_gt_build
+
+    q["pixparse_gt_build"] = pixparse_gt_build
     # cloud-API provider harness (A5): rate-limited retrying actor pool
     # over a deterministic offline client
     from docling_eval_ray.stages.providers import api_predictions

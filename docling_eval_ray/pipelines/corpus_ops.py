@@ -26,10 +26,20 @@ as Ray Data pipelines, every one DuckDB-oracled (pipelines/oracle.py):
 - ``events_hopping``      — overlapping (hopping) window aggregate,
   size 1h / hop 30min: each event feeds exactly two windows
   (§2.9 stream-shaped, the hopping sibling of ``events_hourly``).
+- ``pack_sequences``      — greedy fixed-capacity training-sequence
+  packing, sequential within doc-id buckets, parallel across them.
+- ``kmeans_assign``       — distributed Lloyd iterations (per-batch
+  partial sum-vectors, driver-side k×d update) + final assignment;
+  ``embedding_cluster_assign`` is its zero-iteration case.
+- ``fixed_size_sample``   — exact-size per-stratum sample via mergeable
+  partial top-n on md5-prefix order.
 
 Scale notes: the only shuffles are the tiny partial→final groupbys
 (token df, heavy-hitter partials, window partials); everything else is
-a single streaming map_batches with broadcast small-side state.
+a single streaming map_batches with broadcast small-side state. Token
+aggregation is Arrow-native throughout (group_by / value_counts /
+is_in) — see ``_token_table`` for why pandas hashtables are banned
+here.
 """
 
 from __future__ import annotations
