@@ -235,11 +235,14 @@ class MinHasher:
 
 
 def minhash_candidates(ds, *, num_perm: int = 128, bands: int = 32,
-                       k: int = 3, concurrency=None):
-    """documents Dataset → distinct candidate pairs from LSH banding.
+                       k: int = 3, concurrency=None, distinct: bool = True):
+    """documents Dataset → candidate pairs from LSH banding.
 
     ``concurrency=None`` → stateless-task mode (see stages.util.stage);
     pass a pool size when signatures amortize over many batches.
+    ``distinct=False`` skips the cross-band dedup shuffle and returns
+    raw pairs (a pair colliding in several bands repeats) — callers that
+    collect the bounded candidate set anyway dedup for free.
     """
     from .util import stage
 
@@ -283,6 +286,8 @@ def minhash_candidates(ds, *, num_perm: int = 128, bands: int = 32,
     pairs = bucketed_group_apply(
         banded, ["band_id", "band_hash"], emit_pairs
     )
+    if not distinct:
+        return pairs
     # distinct pairs (same pair can collide in several bands)
     return bucketed_group_apply(
         pairs,
@@ -410,16 +415,42 @@ def minhash_near_dups(sf_dir: str, *, threshold: float = 0.5, k: int = 3,
                          columns=["doc_id", "text"])
     # materialize: candidates are consumed up to three times below
     # (count + two join sides); they are output-sized, not corpus-sized
-    cands = minhash_candidates(ds).materialize()
+    raw = minhash_candidates(ds, distinct=False).materialize()
 
-    n_cands = cands.count()
+    n_raw = raw.count()
     doc_filter_ref = None
-    if n_cands <= cand_filter_max:
-        ids: set[int] = set()
-        for b in cands.iter_batches(batch_format="pyarrow"):
-            ids.update(b["doc_id_a"].to_pylist())
-            ids.update(b["doc_id_b"].to_pylist())
+    if n_raw <= cand_filter_max:
+        # bounded (gated on the RAW pair count, which is output-sized):
+        # stream the pair batches to the driver, dedup with one
+        # np.unique, and skip the cross-band distinct shuffle entirely
+        # (~2 s fixed scheduling latency per shuffle stage)
+        parts = [
+            np.stack(
+                [b["doc_id_a"].to_numpy(), b["doc_id_b"].to_numpy()], axis=1
+            )
+            for b in raw.iter_batches(batch_format="pyarrow")
+            if b.num_rows
+        ]
+        pairs_arr = (
+            np.unique(np.concatenate(parts), axis=0)
+            if parts
+            else np.empty((0, 2), dtype=np.int64)
+        )
+        pdf = pd.DataFrame(
+            {"doc_id_a": pairs_arr[:, 0], "doc_id_b": pairs_arr[:, 1]}
+        )
+        n_cands = len(pdf)
+        cands = rd.from_pandas(pdf)
+        ids = set(pdf["doc_id_a"]) | set(pdf["doc_id_b"])
         doc_filter_ref = ray.put(ids)
+    else:
+        from ..functions.groups import bucketed_group_apply
+
+        cands = bucketed_group_apply(
+            raw, ["doc_id_a", "doc_id_b"],
+            lambda g: g.drop_duplicates(["doc_id_a", "doc_id_b"]),
+        ).materialize()
+        n_cands = cands.count()
 
     if n_cands <= cand_index_max and doc_filter_ref is not None:
         # tier A: collect the candidate docs' shingle-hash index from

