@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stream-shaped (§2.9)
         "events_hourly": r.events_hourly,
         "user_sessions": r.user_sessions,
+        "events_running_total": r.events_running_total,
         # corpus text ops (training-data: vocabulary census + mixing)
         "token_frequency_topk": r.token_frequency_topk,
         "deterministic_sample": r.deterministic_sample,
@@ -122,6 +123,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "pack_sequences": c.pack_sequences,
             "kmeans_assign": c.kmeans_assign,
             "fixed_size_sample": c.fixed_size_sample,
+        }
+    )
+    # content-cleaning ops (all oracled): PII redaction, CCNet-style
+    # segment dedup, corpus-trained unigram-LM perplexity scoring
+    from docling_eval_ray.pipelines import cleaning as cl
+
+    q.update(
+        {
+            "pii_redact": cl.pii_redact,
+            "dedup_paragraphs": cl.dedup_paragraphs,
+            "lm_perplexity": cl.lm_perplexity,
         }
     )
     # evaluator pipelines (M20/G1-G9: per-doc metrics over synthesized

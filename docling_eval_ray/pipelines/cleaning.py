@@ -1,0 +1,347 @@
+"""Content-cleaning operators for training-data pipelines.
+
+The second corpus-hygiene batch (sibling of ``corpus_ops``): the
+cleaning steps a web-scale pretraining pipeline applies between raw
+extraction (the flagship) and tokenization. Every op here is
+DuckDB-oracled (pipelines/oracle.py) and shares the pinned whitespace
+tokenization (functions/tokens.py) with the SQL side.
+
+- ``pii_redact``       — regex PII scan + redaction (emails, IPv4,
+  phone numbers): per-document match counts and the redacted text, all
+  via vectorized RE2 kernels (``pc.count_substring_regex`` /
+  ``pc.replace_substring_regex``). The corpus is synthetic word soup
+  with no real PII, so the PII substrings are synthesized
+  deterministically from ``doc_id`` inside the query — the same
+  house pattern as the evaluator mutation synthesis (oracle.py
+  ``_MUTATION_CTE``) — and the oracle replays the identical synthesis
+  in SQL before redacting with ``regexp_replace(..., 'g')``. Both
+  sides run RE2, so the pattern dialect is identical by construction.
+- ``dedup_paragraphs`` — CCNet-style segment-level exact dedup
+  (Wenzek et al. 2020 §3.1 dedup paragraphs by hash; here the segment
+  is a fixed ``width``-token chunk since the synthetic corpus has no
+  newlines): corpus-wide first occurrence of each distinct chunk wins
+  (ordered by doc_id, then chunk index), losers are dropped, and each
+  document's surviving text is reassembled in chunk order. Two bucketed
+  shuffles — one on chunk text (winner marking), one on doc_id
+  (reassembly) — both via ``bucketed_group_apply``; no driver-side
+  state at all, so the shape holds at any corpus size.
+- ``lm_perplexity``    — CCNet-style LM quality score: a unigram LM is
+  trained on the corpus itself (token → global count via one
+  partial+final groupby), then every document is scored with its
+  per-token cross-entropy ``mean(-log2(count/total))`` and perplexity
+  ``2^H``. The count table is vocabulary-sized, not corpus-sized; it is
+  size-routed exactly like ``tfidf_topk``'s document-frequency side:
+  broadcast dict under ``LM_BROADCAST_MAX_VOCAB``, distributed
+  ``hash_join`` on token + per-doc ``bucketed_group_apply`` above it.
+
+Scale notes: ``pii_redact`` is a single streaming map (no shuffle);
+``dedup_paragraphs`` is two bucketed exchanges over (chunk, doc) rows —
+the canonical dedup shape, skew-bounded by the bucket count;
+``lm_perplexity`` moves one vocab-sized partial per batch through a
+groupby and either broadcasts the result once (``ray.put``) or joins
+it back distributed. Nothing materializes corpus-sized data on the
+driver in any tier.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.tokens import tokens_series
+from .relational import _read
+
+# ---------------------------------------------------------------------------
+# pii_redact — vectorized regex PII scan + redaction
+# ---------------------------------------------------------------------------
+
+#: RE2 patterns (identical semantics in Arrow and DuckDB — both RE2).
+PII_EMAIL = r"[a-z0-9]+@[a-z0-9]+\.com"
+PII_IP = r"\b10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"555-[0-9]{4}"
+
+
+def _synth_pii(t: pa.Table) -> pa.Table:
+    """Append deterministic PII substrings to ``text`` based on
+    ``doc_id`` (SQL replica: the CASE concatenation in the oracle).
+    Roughly a third / quarter / fifth of documents get NO email / ip /
+    phone respectively, so the no-match path is exercised too."""
+    did = pc.cast(t["doc_id"], pa.int64())
+    s = pc.cast(did, pa.string())
+
+    def _mod_str(expr):
+        return pc.cast(expr, pa.string())
+
+    email = pc.binary_join_element_wise(
+        " contact u", s, "@mail", _mod_str(_mod(did, 7)), ".com", ""
+    )
+    ip = pc.binary_join_element_wise(
+        " from 10.", _mod_str(_mod(did, 256)), ".",
+        _mod_str(_mod(pc.multiply_checked(did, 7), 256)), ".",
+        _mod_str(_mod(did, 100)), ""
+    )
+    phone = pc.binary_join_element_wise(
+        " call 555-", _mod_str(pc.add(_mod(did, 9000), 1000)), ""
+    )
+    empty = pa.array([""] * t.num_rows, pa.string())
+    parts = [
+        pc.if_else(pc.not_equal(_mod(did, 3), 0), email, empty),
+        pc.if_else(pc.not_equal(_mod(did, 4), 0), ip, empty),
+        pc.if_else(pc.not_equal(_mod(did, 5), 0), phone, empty),
+    ]
+    ptext = pc.binary_join_element_wise(t["text"], *parts, "")
+    return pa.table({"doc_id": did, "ptext": ptext})
+
+
+def _mod(arr, m: int):
+    # doc_id ≥ 0 here, so % and C-style mod agree between engines
+    return pc.subtract(arr, pc.multiply(pc.divide(arr, m), m))
+
+
+def pii_redact(sf_dir: str):
+    """documents → (doc_id, n_emails, n_ips, n_phones, redacted).
+
+    Counts via ``pc.count_substring_regex``; redaction via chained
+    ``pc.replace_substring_regex`` (email → ip → phone, the same fixed
+    order as the oracle's nested ``regexp_replace``). One streaming
+    map_batches, no shuffle, no state."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        p = _synth_pii(t)
+        ptext = p["ptext"]
+        out = {"doc_id": p["doc_id"]}
+        for name, pat in (
+            ("n_emails", PII_EMAIL),
+            ("n_ips", PII_IP),
+            ("n_phones", PII_PHONE),
+        ):
+            out[name] = pc.cast(
+                pc.count_substring_regex(ptext, pat), pa.int64()
+            )
+        red = ptext
+        for pat, repl in (
+            (PII_EMAIL, "[EMAIL]"),
+            (PII_IP, "[IP]"),
+            (PII_PHONE, "[PHONE]"),
+        ):
+            red = pc.replace_substring_regex(red, pat, repl)
+        out["redacted"] = red
+        return pa.table(out)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# dedup_paragraphs — CCNet-style segment-level exact dedup
+# ---------------------------------------------------------------------------
+
+#: tokens per segment (the "paragraph" analogue for newline-free text)
+PARA_WIDTH = 8
+
+
+def _explode_chunks(t: pa.Table, width: int) -> pd.DataFrame:
+    """(doc_id, cidx, ctext) — every ``width``-token chunk of every
+    document, in document order. Token stream built with the Arrow
+    replica tokenizer; the chunk join groups on INTEGER (doc, cidx)
+    codes, so no string hashtables are involved."""
+    toks = tokens_series(t["text"].to_pandas())
+    doc_ids = t["doc_id"].to_numpy()
+    lens = toks.str.len().to_numpy().astype(np.int64)
+    flat = np.concatenate(
+        [np.asarray(x, dtype=object) for x in toks]
+    ) if len(toks) else np.empty(0, dtype=object)
+    parent = np.repeat(np.arange(len(lens)), lens)
+    pos = np.arange(len(flat)) - np.repeat(
+        np.concatenate([[0], np.cumsum(lens)[:-1]]) if len(lens) else [], lens
+    )
+    cidx = pos // width
+    df = pd.DataFrame(
+        {"p": parent, "cidx": cidx.astype(np.int64), "tok": flat}
+    )
+    # join tokens per (doc, chunk) — values are strings, keys are ints
+    g = df.groupby(["p", "cidx"], sort=True)["tok"].agg(" ".join)
+    g = g.reset_index()
+    return pd.DataFrame(
+        {
+            "doc_id": doc_ids[g["p"].to_numpy()],
+            "cidx": g["cidx"].to_numpy(),
+            "ctext": g["tok"].to_numpy(),
+        }
+    )
+
+
+def dedup_paragraphs(sf_dir: str, *, width: int = PARA_WIDTH):
+    """documents → (doc_id, n_chunks, n_kept, kept_text).
+
+    Chunk the token stream into ``width``-token segments, keep only the
+    corpus-wide FIRST occurrence of each distinct segment (ordered by
+    doc_id then chunk index — the deterministic CCNet tie-break), and
+    reassemble each document from its surviving segments in order.
+
+    Distribution: explode (streaming map) → bucketed shuffle on
+    ``ctext`` to mark winners (exact string compares after an in-bucket
+    sort; no hashtables on string keys) → bucketed shuffle on
+    ``doc_id`` to reassemble. Both exchanges carry (chunk, doc) rows
+    only; a hot chunk lands in one bucket but the bucket count bounds
+    task memory (functions/groups.py)."""
+    from ..functions.groups import bucketed_group_apply
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    chunks = ds.map_batches(
+        lambda t: _explode_chunks(t, width), batch_format="pyarrow"
+    )
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ctext", "doc_id", "cidx"], kind="mergesort")
+        ct = g["ctext"].to_numpy()
+        first = np.concatenate([[True], ct[1:] != ct[:-1]]) if len(ct) \
+            else np.empty(0, dtype=bool)
+        return g.assign(kept=first)
+
+    marked = bucketed_group_apply(chunks, ["ctext"], mark)
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "cidx"], kind="mergesort")
+        out = g.groupby("doc_id", as_index=False, sort=True).agg(
+            n_chunks=("kept", "size"), n_kept=("kept", "sum")
+        )
+        kept = g[g["kept"]]
+        if len(kept):
+            kt = kept.groupby("doc_id", as_index=False, sort=True)[
+                "ctext"
+            ].agg(" ".join)
+            kt.columns = ["doc_id", "kept_text"]
+        else:  # a bucket whose every chunk lost (fully-duplicated docs)
+            kt = pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "kept_text": pd.Series([], dtype=object),
+                }
+            )
+        out = out.merge(kt, on="doc_id", how="left")
+        out["kept_text"] = out["kept_text"].fillna("")
+        return pd.DataFrame(
+            {
+                "doc_id": out["doc_id"].to_numpy(),
+                "n_chunks": out["n_chunks"].to_numpy().astype(np.int64),
+                "n_kept": out["n_kept"].to_numpy().astype(np.int64),
+                "kept_text": out["kept_text"].to_numpy(),
+            }
+        )
+
+    return bucketed_group_apply(marked, ["doc_id"], reassemble)
+
+
+# ---------------------------------------------------------------------------
+# lm_perplexity — corpus-trained unigram LM cross-entropy quality score
+# ---------------------------------------------------------------------------
+
+#: vocabulary sizes up to this are collected (vocab-sized — the
+#: documented gate) and broadcast; larger go through the join tier
+LM_BROADCAST_MAX_VOCAB = 200_000
+
+
+def _doc_nll_frame(doc_ids: np.ndarray, nll: np.ndarray) -> pd.DataFrame:
+    """(doc_id, n_tokens, cross_entropy, perplexity) from per-token
+    negative log-likelihoods grouped by integer doc id."""
+    df = pd.DataFrame({"doc_id": doc_ids, "nll": nll})
+    g = df.groupby("doc_id", as_index=False, sort=True).agg(
+        n_tokens=("nll", "size"), s=("nll", "sum")
+    )
+    h = g["s"].to_numpy() / g["n_tokens"].to_numpy()
+    return pd.DataFrame(
+        {
+            "doc_id": g["doc_id"].to_numpy(),
+            "n_tokens": g["n_tokens"].to_numpy().astype(np.int64),
+            "cross_entropy": np.round(h, 6),
+            "perplexity": np.round(np.exp2(h), 6),
+        }
+    )
+
+
+def lm_perplexity(sf_dir: str, *,
+                  broadcast_max_vocab: int = LM_BROADCAST_MAX_VOCAB):
+    """documents → (doc_id, n_tokens, cross_entropy, perplexity).
+
+    Unigram LM trained on the corpus itself (no smoothing needed —
+    every scored token is in the vocabulary by construction):
+    ``p(tok) = count(tok)/total``; per-document cross-entropy is the
+    mean ``-log2 p`` over its token stream, perplexity ``2^H``
+    (CCNet-style quality signal, Wenzek et al. 2020 §3.3 with the
+    in-container unigram stand-in for KenLM).
+
+    Count table: one partial+final groupby (one row per distinct token
+    per batch crosses the shuffle). Scoring tier is size-routed like
+    ``tfidf_topk``: broadcast dict under ``broadcast_max_vocab``,
+    distributed token join + per-doc bucketed aggregate above it."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .corpus_ops import _token_table
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        ex = _token_table(t)
+        g = pa.TableGroupBy(ex.select(["tok"]), ["tok"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {"token": g["tok"], "c_part": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    counts = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("c_part", alias_name="c"))
+        .materialize()
+    )
+    vocab = counts.count()
+    total = float(sum(
+        b["c"].to_numpy().sum()
+        for b in counts.iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ))
+
+    if vocab <= broadcast_max_vocab:
+        lm = {}
+        for b in counts.iter_batches(batch_format="pyarrow"):
+            lm.update(zip(b["token"].to_pylist(), b["c"].to_numpy()))
+        lm_ref = ray.put(lm)
+
+        class _Scorer:
+            def __init__(self, ref):
+                self._lm = ray.get(ref)
+
+            def __call__(self, t: pa.Table) -> pd.DataFrame:
+                ex = _token_table(t)
+                toks = ex["tok"].to_pandas()
+                c = toks.map(self._lm).to_numpy().astype(np.float64)
+                nll = -np.log2(c / total)
+                return _doc_nll_frame(ex["doc_id"].to_numpy(), nll)
+
+        from ..stages.util import stage
+
+        # actor pool: deserialize the vocab→count dict once per actor
+        return stage(ds, _Scorer, args=(lm_ref,), batch_format="pyarrow",
+                     concurrency=2)
+
+    # distributed tier: exploded (doc_id, tok) ⋈ (token, c), then per-doc
+    from ..functions.groups import bucketed_group_apply
+    from ..functions.joins import hash_join
+
+    def explode(t: pa.Table) -> pa.Table:
+        ex = _token_table(t)
+        return pa.table({"doc_id": ex["doc_id"], "token": ex["tok"]})
+
+    tok_ds = ds.map_batches(explode, batch_format="pyarrow")
+    joined = hash_join(tok_ds, counts, "token")
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        nll = -np.log2(g["c"].to_numpy().astype(np.float64) / total)
+        return _doc_nll_frame(g["doc_id"].to_numpy(), nll)
+
+    return bucketed_group_apply(joined, ["doc_id"], per_doc)

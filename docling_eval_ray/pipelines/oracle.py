@@ -1219,3 +1219,102 @@ ORACLE_SQL["fixed_size_sample"] = f"""
         ORDER BY CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT), doc_id
     ) <= {_SAMPLE_N}
 """
+
+
+# ---------------------------------------------------------------------------
+# content-cleaning ops (pipelines/cleaning.py): PII redaction,
+# segment-level dedup, unigram-LM perplexity — plus the running-total
+# window aggregate (relational.py events_running_total)
+# ---------------------------------------------------------------------------
+
+# cumulative window per user, frame ordered by (ts, event_id); the Ray
+# side's per-group pandas cumsum is the same sequential association
+ORACLE_SQL["events_running_total"] = r"""
+    SELECT user_id, event_id,
+           CAST(row_number() OVER w AS BIGINT) AS row_num,
+           round_even(sum(value) OVER w, 2) AS running_sum
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING)
+"""
+
+# PII synthesis replica of cleaning._synth_pii (deterministic from
+# doc_id, same CASE gating), then RE2 count + chained global replace in
+# the same fixed order (email -> ip -> phone)
+ORACLE_SQL["pii_redact"] = r"""
+    WITH p AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 3 <> 0
+                       THEN ' contact u' || doc_id || '@mail'
+                            || (doc_id % 7) || '.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 4 <> 0
+                       THEN ' from 10.' || (doc_id % 256) || '.'
+                            || ((doc_id * 7) % 256) || '.'
+                            || (doc_id % 100)
+                       ELSE '' END
+               || CASE WHEN doc_id % 5 <> 0
+                       THEN ' call 555-' || (1000 + doc_id % 9000)
+                       ELSE '' END AS ptext
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(ptext,
+               '[a-z0-9]+@[a-z0-9]+\.com')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(ptext,
+               '\b10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT)
+               AS n_ips,
+           CAST(len(regexp_extract_all(ptext,
+               '555-[0-9]{4}')) AS BIGINT) AS n_phones,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(ptext,
+                       '[a-z0-9]+@[a-z0-9]+\.com', '[EMAIL]', 'g'),
+                   '\b10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                   '[IP]', 'g'),
+               '555-[0-9]{4}', '[PHONE]', 'g') AS redacted
+    FROM p
+"""
+
+# CCNet-style segment dedup: width-8 token chunks, corpus-wide first
+# occurrence wins (doc_id then chunk index), per-doc reassembly in
+# chunk order; same `['']`-on-empty tokenization convention as _TOKS_CTE
+ORACLE_SQL["dedup_paragraphs"] = _TOKS_CTE + r""",
+    chunks AS (
+        SELECT doc_id, CAST((ord - 1) // 8 AS BIGINT) AS cidx,
+               string_agg(tok, ' ' ORDER BY ord) AS ctext
+        FROM toks GROUP BY 1, 2
+    ),
+    marked AS (
+        SELECT doc_id, cidx, ctext,
+               row_number() OVER (
+                   PARTITION BY ctext ORDER BY doc_id, cidx) AS rn
+        FROM chunks
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           COALESCE(string_agg(CASE WHEN rn = 1 THEN ctext END, ' '
+                               ORDER BY cidx), '') AS kept_text
+    FROM marked GROUP BY doc_id
+"""
+
+# unigram LM trained on the corpus itself; per-doc mean -log2(p) and
+# 2^H, rounded 6dp (sum-association differences are ~1e-13, far below
+# the rounding grid — same tolerance argument as quality_repetition)
+ORACLE_SQL["lm_perplexity"] = _TOKS_CTE + r""",
+    cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS s FROM cnt),
+    per AS (
+        SELECT t.doc_id,
+               -log2(CAST(c.c AS DOUBLE) / (SELECT s FROM tot)) AS nll
+        FROM toks t JOIN cnt c ON t.tok = c.tok
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round_even(avg(nll), 6) AS cross_entropy,
+           round_even(pow(2.0, avg(nll)), 6) AS perplexity
+    FROM per GROUP BY doc_id
+"""

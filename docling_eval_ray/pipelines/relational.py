@@ -777,6 +777,35 @@ def user_sessions(sf_dir: str):
     return bucketed_group_apply(ds, ["user_id"], sess_bucket)
 
 
+def events_running_total(sf_dir: str):
+    """Cumulative window aggregate per user: running event count and
+    running sum of ``value`` ordered by (ts, event_id) — the
+    ROWS-UNBOUNDED-PRECEDING window-function shape (§2.9). Same
+    distribution as sessionization: one bucketed shuffle on the
+    partition key, ordering strictly inside the group (pandas cumsum is
+    sequential in sort order, matching the oracle's window frame)."""
+    from ..functions.groups import bucketed_group_apply
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_id", "ts", "value"])
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        grp = g.groupby("user_id", sort=False)
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(),
+                "event_id": g["event_id"].to_numpy(),
+                "row_num": (grp.cumcount() + 1).to_numpy().astype(np.int64),
+                "running_sum": np.round(
+                    grp["value"].cumsum().to_numpy(), 2
+                ),
+            }
+        )
+
+    return bucketed_group_apply(ds, ["user_id"], run)
+
+
 def token_frequency_topk(sf_dir: str, *, k: int = 25):
     """Global token frequency top-k over the corpus — the vocabulary
     census every training-data pipeline needs. Partial per-batch counts

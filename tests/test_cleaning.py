@@ -1,0 +1,136 @@
+"""Content-cleaning ops: tier routing + kernel semantics.
+
+(Exact oracle equality is covered by the auto-parametrized
+test_relational_oracle.py::test_query_matches_oracle.)
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from docling_eval_ray.pipelines import cleaning as cl
+
+SF = "/root/testdata/sf0.001"
+
+
+def _canon(df):
+    cols = sorted(df.columns)
+    return df[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+
+
+def test_lm_perplexity_distributed_tier_matches_broadcast(ray_session):
+    """Forcing the vocab gate to 0 routes through hash_join +
+    bucketed_group_apply; results must be identical."""
+    fast = _canon(cl.lm_perplexity(SF).to_pandas())
+    dist = _canon(cl.lm_perplexity(SF, broadcast_max_vocab=0).to_pandas())
+    pd.testing.assert_frame_equal(fast, dist, check_dtype=True)
+
+
+def test_lm_perplexity_uniform_corpus_entropy(ray_session, tmp_path):
+    """On a corpus where every token is equally frequent, per-doc
+    cross-entropy is exactly log2(vocab) and perplexity = vocab."""
+    import pyarrow.parquet as pq
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["a b c d", "c d a b"], pa.string()),
+        }
+    )
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    out = _canon(cl.lm_perplexity(str(tmp_path)).to_pandas())
+    assert (out["cross_entropy"] == 2.0).all()  # log2(4 equally-likely)
+    assert (out["perplexity"] == 4.0).all()
+
+
+def test_dedup_paragraphs_first_occurrence_wins(ray_session, tmp_path):
+    """A chunk duplicated across documents survives only in the lowest
+    (doc_id, cidx); unique chunks all survive."""
+    import pyarrow.parquet as pq
+
+    chunk = " ".join(f"w{i}" for i in range(8))  # one full-width chunk
+    uniq = " ".join(f"u{i}" for i in range(8))
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            # doc0: chunk + unique tail; doc1: the same chunk only;
+            # doc2: unique text only
+            "text": pa.array(
+                [chunk + " " + uniq, chunk, "x y z"], pa.string()
+            ),
+        }
+    )
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    out = (
+        cl.dedup_paragraphs(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "n_chunks"] == 2 and out.loc[0, "n_kept"] == 2
+    assert out.loc[0, "kept_text"] == chunk + " " + uniq
+    # doc1's only chunk is doc0's first chunk → fully deduped away
+    assert out.loc[1, "n_chunks"] == 1 and out.loc[1, "n_kept"] == 0
+    assert out.loc[1, "kept_text"] == ""
+    assert out.loc[2, "n_kept"] == 1 and out.loc[2, "kept_text"] == "x y z"
+
+
+def test_dedup_paragraphs_total_kept_equals_distinct_chunks(ray_session):
+    """Σ n_kept == number of distinct chunk texts in the corpus (each
+    distinct chunk survives exactly once)."""
+    out = cl.dedup_paragraphs(SF).to_pandas()
+    import duckdb
+
+    distinct = duckdb.sql(
+        rf"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+                   generate_subscripts(
+                       regexp_split_to_array(trim(text), '\s+'), 1) AS ord
+            FROM '{SF}/documents.parquet'
+        ),
+        chunks AS (
+            SELECT doc_id, (ord - 1) // 8 AS cidx,
+                   string_agg(tok, ' ' ORDER BY ord) AS ctext
+            FROM toks GROUP BY 1, 2
+        )
+        SELECT count(DISTINCT ctext) AS n FROM chunks
+        """
+    ).df()["n"][0]
+    assert out["n_kept"].sum() == distinct
+
+
+def test_pii_redact_removes_all_patterns(ray_session):
+    """After redaction no raw email/IP/phone remains, and every doc
+    that got a synthesized PII substring counts it."""
+    out = cl.pii_redact(SF).to_pandas()
+    import re
+
+    assert not out["redacted"].str.contains(cl.PII_EMAIL, regex=True).any()
+    assert not out["redacted"].str.contains(cl.PII_PHONE, regex=True).any()
+    did = out["doc_id"].to_numpy()
+    assert ((out["n_emails"].to_numpy() >= 1) == (did % 3 != 0)).all()
+    assert ((out["n_phones"].to_numpy() >= 1) == (did % 5 != 0)).all()
+    # replacement tokens present exactly where counts are nonzero
+    assert (
+        out["redacted"].str.contains(re.escape("[EMAIL]")).to_numpy()
+        == (out["n_emails"].to_numpy() > 0)
+    ).all()
+
+
+def test_running_total_last_row_is_user_total(ray_session):
+    """The max-row_num running_sum per user equals the user's total
+    event value (cumulative frame covers the whole partition)."""
+    out = cl._read(SF, "events", columns=["user_id", "value"]).to_pandas()
+    totals = out.groupby("user_id")["value"].sum().round(2)
+    from docling_eval_ray.pipelines.relational import events_running_total
+
+    rt = events_running_total(SF).to_pandas()
+    last = rt.loc[rt.groupby("user_id")["row_num"].idxmax()].set_index(
+        "user_id"
+    )["running_sum"]
+    pd.testing.assert_series_equal(
+        last.sort_index(), totals.sort_index(), check_names=False,
+        rtol=0, atol=0.011,
+    )
