@@ -154,6 +154,7 @@ def run_benchmarks() -> dict:
         embedding_knn_ivf,
         embedding_near_dups,
     )
+    from docling_eval_ray.pipelines import cleaning as cl
     from docling_eval_ray.pipelines import corpus_ops as co
     from docling_eval_ray.stages.media import media_decode_stats
 
@@ -200,6 +201,10 @@ def run_benchmarks() -> dict:
         ("token_heavy_hitters", co.token_heavy_hitters),
         ("pack_sequences", co.pack_sequences),
         ("kmeans_assign", co.kmeans_assign),
+        ("pii_redact", cl.pii_redact),
+        ("dedup_paragraphs", cl.dedup_paragraphs),
+        ("lm_perplexity", cl.lm_perplexity),
+        ("events_running_total", r.events_running_total),
     ]:
         t0 = time.time()
         out = fn(SF_DIR)
