@@ -70,6 +70,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": r.events_hourly,
         "user_sessions": r.user_sessions,
         "events_running_total": r.events_running_total,
+        "events_rolling_mean": r.events_rolling_mean,
+        "ntile_quartiles": r.ntile_quartiles,
+        "lang_census_rollup": r.lang_census_rollup,
+        # outer-join tier of hash_join (left / full)
+        "customer_order_counts": r.customer_order_counts,
+        "user_hour_activity": r.user_hour_activity,
         # corpus text ops (training-data: vocabulary census + mixing)
         "token_frequency_topk": r.token_frequency_topk,
         "deterministic_sample": r.deterministic_sample,

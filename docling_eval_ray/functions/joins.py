@@ -154,7 +154,7 @@ def _pad_tag_bucket(side: str, on: list[str], out_schema: pa.Schema,
 
 
 def hash_join(left_ds, right_ds, on: str | list[str], *,
-              num_buckets: int = 32):
+              num_buckets: int = 32, how: str = "inner"):
     """Explicit partitioned hash join of two Datasets on one or more keys.
 
     Both sides are bucketed by ``hash(keys) % num_buckets`` and merged
@@ -163,10 +163,19 @@ def hash_join(left_ds, right_ds, on: str | list[str], *,
     bounds per-group memory: size it so the larger side's
     rows/num_buckets fits a worker heap; raise it to dilute hot keys.
 
+    ``how`` is ``"inner"`` (default), ``"left"`` or ``"full"`` — outer
+    variants emit unmatched rows with nulls on the absent side (key
+    columns are coalesced from whichever side is present, so they are
+    never null; non-key columns of an outer side become nullable, with
+    integer dtypes preserved via Arrow take-with-null-index rather than
+    pandas NaN decay).
+
     Non-key column names must be disjoint between the two sides (rename
     before joining); output dtypes are restored from the input schemas
     (the union's typed nulls would otherwise decay int→float in pandas).
     """
+    if how not in ("inner", "left", "full"):
+        raise ValueError(f"how must be inner|left|full, got {how!r}")
     keys = [on] if isinstance(on, str) else list(on)
 
     left_ds, left_schema = _ensure_arrow_pair(left_ds)
@@ -221,10 +230,28 @@ def hash_join(left_ds, right_ds, on: str | list[str], *,
             {**{k: right[k].to_numpy(zero_copy_only=False) for k in keys},
              "__ri": np.arange(right.num_rows)}
         )
-        pairs = li.merge(ri, on=keys, how="inner")
-        ltake = pa.array(pairs["__li"].to_numpy())
-        rtake = pa.array(pairs["__ri"].to_numpy())
-        cols = [left[c].take(ltake) for c in left_cols]
+        pairs = li.merge(
+            ri, on=keys, how={"full": "outer"}.get(how, how)
+        )
+
+        def _take_idx(col: str) -> pa.Array:
+            v = pairs[col].to_numpy(dtype="float64", na_value=np.nan) \
+                if pairs[col].dtype.kind == "f" else \
+                pairs[col].to_numpy().astype("float64")
+            miss = np.isnan(v)
+            # null take-index → null output value (Arrow semantics);
+            # this is how outer-side columns stay typed (no NaN decay)
+            return pa.array(
+                np.where(miss, 0, v).astype(np.int64), mask=miss
+            )
+
+        ltake, rtake = _take_idx("__li"), _take_idx("__ri")
+        cols = []
+        for c in left_cols:
+            arr = left[c].take(ltake)
+            if how == "full" and c in keys:
+                arr = pc.coalesce(arr, right[c].take(rtake))
+            cols.append(arr)
         cols += [right[c].take(rtake) for c in right_only]
         return pa.Table.from_arrays(
             [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c

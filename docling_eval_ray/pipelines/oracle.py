@@ -1318,3 +1318,69 @@ ORACLE_SQL["lm_perplexity"] = _TOKS_CTE + r""",
            round_even(pow(2.0, avg(nll)), 6) AS perplexity
     FROM per GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# outer-join + window-function-v2 family (relational.py): Q13-style
+# left-join histogram, full-outer activity matrix, sliding mean,
+# NTILE ranking, ROLLUP census
+# ---------------------------------------------------------------------------
+
+ORACLE_SQL["customer_order_counts"] = """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c.c_custkey,
+               CAST(count(o.o_custkey) AS BIGINT) AS c_count
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    ) GROUP BY c_count
+"""
+
+ORACLE_SQL["user_hour_activity"] = """
+    WITH c AS (
+        SELECT user_id,
+               strftime(date_trunc('hour', ts),
+                        '%Y-%m-%d %H:%M:%S') AS hour,
+               CAST(count(*) AS BIGINT) AS n_clicks
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ),
+    e AS (
+        SELECT user_id,
+               strftime(date_trunc('hour', ts),
+                        '%Y-%m-%d %H:%M:%S') AS hour,
+               CAST(count(*) AS BIGINT) AS n_errors
+        FROM events WHERE event_type = 'error' GROUP BY 1, 2
+    )
+    SELECT COALESCE(c.user_id, e.user_id) AS user_id,
+           COALESCE(c.hour, e.hour) AS hour,
+           COALESCE(c.n_clicks, 0) AS n_clicks,
+           COALESCE(e.n_errors, 0) AS n_errors
+    FROM c FULL JOIN e ON c.user_id = e.user_id AND c.hour = e.hour
+"""
+
+# frame-order association note: the Ray side sums (v[i-2]+v[i-1])+v[i];
+# 4dp rounding sits ~10 orders above any segment-tree re-association
+ORACLE_SQL["events_rolling_mean"] = """
+    SELECT user_id, event_id,
+           round_even(avg(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+               AS rolling_mean
+    FROM events
+"""
+
+ORACLE_SQL["ntile_quartiles"] = """
+    SELECT doc_id, lang,
+           CAST(ntile(4) OVER (
+               PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT)
+               AS quartile
+    FROM documents
+"""
+
+ORACLE_SQL["lang_census_rollup"] = """
+    SELECT COALESCE(lang, 'ALL') AS lang,
+           COALESCE(source, 'ALL') AS source,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY ROLLUP(lang, source)
+"""

@@ -806,6 +806,224 @@ def events_running_total(sf_dir: str):
     return bucketed_group_apply(ds, ["user_id"], run)
 
 
+def customer_order_counts(sf_dir: str):
+    """TPC-H Q13 flavor: orders-per-customer histogram INCLUDING
+    zero-order customers — exercises the LEFT tier of
+    ``functions.joins.hash_join``. The orders side is pre-aggregated to
+    one row per customer before the join (partial+final groupby), so
+    the exchange carries customer-cardinality rows, never raw orders."""
+    from ..functions.joins import hash_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("o_custkey", as_index=False).size()
+        return g.rename(
+            columns={"o_custkey": "c_custkey", "size": "cnt_part"}
+        )
+
+    counts = _final_groupby(
+        orders.map_batches(partial, batch_format="pandas"),
+        ["c_custkey"], ["cnt_part"],
+    )
+    joined = hash_join(cust, counts, "c_custkey", how="left")
+
+    def hist_partial(t: pa.Table) -> pd.DataFrame:
+        c = t["cnt_part"].to_pandas().fillna(0).astype(np.int64)
+        g = (
+            pd.DataFrame({"c_count": c})
+            .groupby("c_count", as_index=False)
+            .size()
+        )
+        return g.rename(columns={"size": "custdist_part"})
+
+    final = _final_groupby(
+        joined.map_batches(hist_partial, batch_format="pyarrow"),
+        ["c_count"], ["custdist_part"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_count": pc.cast(t["c_count"], pa.int64()),
+                "custdist": pc.cast(t["custdist_part"], pa.int64()),
+            }
+        )
+
+    return final.map_batches(finish, batch_format="pyarrow")
+
+
+def user_hour_activity(sf_dir: str):
+    """Per-(user, hour) click vs error counts via a FULL OUTER
+    ``hash_join`` on the composite key — one-sided hours survive with
+    the absent side coalesced to 0. Both sides are pre-aggregated
+    partial+final, so the outer exchange is window-cardinality."""
+    from ..functions.joins import hash_join
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def side(ev: str, out: str):
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            b = b[b["event_type"] == ev]
+            b = b.assign(
+                hour=b["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:%M:%S")
+            )
+            g = b.groupby(["user_id", "hour"], as_index=False).size()
+            return g.rename(columns={"size": out})
+
+        return _final_groupby(
+            ds.map_batches(partial, batch_format="pandas"),
+            ["user_id", "hour"], [out],
+        )
+
+    j = hash_join(
+        side("click", "n_clicks"), side("error", "n_errors"),
+        ["user_id", "hour"], how="full",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        zero = pa.scalar(0, pa.int64())
+        return pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "hour": t["hour"],
+                "n_clicks": pc.coalesce(
+                    pc.cast(t["n_clicks"], pa.int64()), zero
+                ),
+                "n_errors": pc.coalesce(
+                    pc.cast(t["n_errors"], pa.int64()), zero
+                ),
+            }
+        )
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+def events_rolling_mean(sf_dir: str):
+    """Sliding window aggregate per user: mean of ``value`` over the
+    current + 2 preceding events ordered by (ts, event_id) — the
+    ROWS-2-PRECEDING frame. Summation is explicit shift-adds in frame
+    order ((v[i-2]+v[i-1])+v[i]), the same association as a sequential
+    frame scan."""
+    from ..functions.groups import bucketed_group_apply
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_id", "ts", "value"])
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        grp = g.groupby("user_id", sort=False)
+        v = g["value"]
+        s1 = grp["value"].shift(1)
+        s2 = grp["value"].shift(2)
+        n = 1 + s1.notna().to_numpy() + s2.notna().to_numpy()
+        s = (s2.fillna(0.0) + s1.fillna(0.0)).to_numpy() + v.to_numpy()
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(),
+                "event_id": g["event_id"].to_numpy(),
+                "rolling_mean": np.round(s / n, 4),
+            }
+        )
+
+    return bucketed_group_apply(ds, ["user_id"], run)
+
+
+def ntile_quartiles(sf_dir: str):
+    """NTILE(4) per language over (n_chars, doc_id) order — the
+    partitioned ranking window. Exact NTILE semantics: the first
+    ``n % 4`` tiles get ``ceil(n/4)`` rows. One bucketed shuffle on the
+    partition key; the tile assignment is pure index arithmetic after
+    an in-group sort."""
+    from ..functions.groups import bucketed_group_apply
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["lang", "n_chars", "doc_id"], kind="mergesort")
+        grp = g.groupby("lang", sort=False)
+        idx = grp.cumcount().to_numpy()
+        n = grp["doc_id"].transform("size").to_numpy()
+        base, rem = n // 4, n % 4
+        cut = rem * (base + 1)  # rows before this index sit in big tiles
+        tile = np.where(
+            idx < cut,
+            idx // np.maximum(base + 1, 1),
+            np.where(base > 0, rem + (idx - cut) // np.maximum(base, 1),
+                     rem),
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "lang": g["lang"].to_numpy(),
+                "quartile": (tile + 1).astype(np.int64),
+            }
+        )
+
+    return bucketed_group_apply(ds, ["lang"], run)
+
+
+def lang_census_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(lang, source) census: leaf counts plus per-lang
+    subtotals plus the grand total, with 'ALL' as the rollup sentinel
+    (COALESCE in the oracle — avoids null-vs-null hash ambiguity).
+    The two upper levels re-aggregate the LEAF aggregate (domain-sized,
+    not corpus-sized), so the corpus is scanned exactly once."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["lang", "source"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby(["lang", "source"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_docs"})
+        )
+
+    leaf = _final_groupby(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["lang", "source"], ["n_docs"],
+    ).materialize()  # domain-sized (|lang|×|source|); reused 3×
+
+    lang_level = leaf.groupby("lang").aggregate(
+        Sum("n_docs", alias_name="n_docs")
+    ).map_batches(
+        lambda t: t.append_column(
+            "source", pa.array(["ALL"] * t.num_rows, pa.string())
+        ),
+        batch_format="pyarrow",
+    )
+    total = leaf.sum("n_docs")
+
+    import ray.data as rd
+
+    grand = rd.from_arrow(
+        pa.table(
+            {
+                "lang": pa.array(["ALL"], pa.string()),
+                "source": pa.array(["ALL"], pa.string()),
+                "n_docs": pa.array([int(total)], pa.int64()),
+            }
+        )
+    )
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": pc.cast(t["lang"], pa.string()),
+                "source": pc.cast(t["source"], pa.string()),
+                "n_docs": pc.cast(t["n_docs"], pa.int64()),
+            }
+        )
+
+    return (
+        leaf.map_batches(norm, batch_format="pyarrow")
+        .union(lang_level.map_batches(norm, batch_format="pyarrow"))
+        .union(grand.map_batches(norm, batch_format="pyarrow"))
+    )
+
+
 def token_frequency_topk(sf_dir: str, *, k: int = 25):
     """Global token frequency top-k over the corpus — the vocabulary
     census every training-data pipeline needs. Partial per-batch counts
