@@ -76,6 +76,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # outer-join tier of hash_join (left / full)
         "customer_order_counts": r.customer_order_counts,
         "user_hour_activity": r.user_hour_activity,
+        "event_type_pivot": r.event_type_pivot,
+        "zscore_outliers": r.zscore_outliers,
         # corpus text ops (training-data: vocabulary census + mixing)
         "token_frequency_topk": r.token_frequency_topk,
         "deterministic_sample": r.deterministic_sample,
@@ -87,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
     # dedup family + similarity search (training-data ops)
     from docling_eval_ray.stages.dedup import (
+        dedup_keep_canonical,
         minhash_near_dups,
         near_dup_clusters,
         ngram_jaccard_pairs,
@@ -103,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         {
             "ngram_jaccard_pairs": ngram_jaccard_pairs,   # oracled, exact
             "near_dup_clusters": near_dup_clusters,       # oracled (CC)
+            "dedup_keep_canonical": dedup_keep_canonical, # oracled (keep)
             "minhash_near_dups": minhash_near_dups,       # oracled (LSH+verify)
             "simhash_fingerprints": simhash_fingerprints, # oracled (bit-vote)
             "embedding_knn": embedding_knn,               # oracled

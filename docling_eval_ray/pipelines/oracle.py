@@ -1384,3 +1384,49 @@ ORACLE_SQL["lang_census_rollup"] = """
     FROM documents
     GROUP BY ROLLUP(lang, source)
 """
+
+
+# ---------------------------------------------------------------------------
+# pivot / normalization / canonical-dedup family
+# ---------------------------------------------------------------------------
+
+ORACLE_SQL["event_type_pivot"] = """
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_click,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_error,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_purchase,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_signup,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_view
+    FROM events GROUP BY user_id
+"""
+
+# both engines filter on the ROUNDED z, so float drift in the moment
+# computation (sum-of-squares here vs Welford there) cannot flip
+# membership; sd is the population stddev
+ORACLE_SQL["zscore_outliers"] = """
+    WITH s AS (
+        SELECT lang, avg(CAST(n_chars AS DOUBLE)) AS mu,
+               stddev_pop(CAST(n_chars AS DOUBLE)) AS sd
+        FROM documents GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang,
+           round_even((d.n_chars - s.mu) / s.sd, 4) AS z
+    FROM documents d JOIN s USING (lang)
+    WHERE abs(round_even((d.n_chars - s.mu) / s.sd, 4)) > 2
+"""
+
+# canonical-keep filter over the SAME component walk as
+# near_dup_clusters: drop docs whose component has a smaller member
+_NDC_SQL = ORACLE_SQL["near_dup_clusters"]
+_NDC_CTE = _NDC_SQL[: _NDC_SQL.rindex("SELECT")]  # shared WITH RECURSIVE prefix
+ORACLE_SQL["dedup_keep_canonical"] = _NDC_CTE + """
+    SELECT d.doc_id, d.lang FROM documents d
+    WHERE d.doc_id NOT IN (
+        SELECT s FROM walk GROUP BY s HAVING min(l) <> s
+    )
+"""

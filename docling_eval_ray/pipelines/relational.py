@@ -806,6 +806,99 @@ def events_running_total(sf_dir: str):
     return bucketed_group_apply(ds, ["user_id"], run)
 
 
+#: fixed event-type domain for the pivot (bounded, part of the schema)
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def event_type_pivot(sf_dir: str):
+    """Wide conditional aggregation: one row per user with one count
+    column per event type (the PIVOT shape). Per-batch partial pivot
+    (vectorized boolean sums) + one final groupby — the shuffle carries
+    user-cardinality rows with 5 int columns, never raw events."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    cols = [f"n_{t}" for t in EVENT_TYPES]
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = {"user_id": b["user_id"]}
+        for t, c in zip(EVENT_TYPES, cols):
+            out[c] = (b["event_type"] == t).astype(np.int64)
+        return (
+            pd.DataFrame(out)
+            .groupby("user_id", as_index=False)
+            .sum()
+        )
+
+    final = _final_groupby(
+        ds.map_batches(partial, batch_format="pandas"), ["user_id"], cols
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"user_id": pc.cast(t["user_id"], pa.int64())}
+            | {c: pc.cast(t[c], pa.int64()) for c in cols}
+        )
+
+    return final.map_batches(finish, batch_format="pyarrow")
+
+
+#: |z| threshold for the outlier filter (applied to the ROUNDED z on
+#: both sides, so engine float drift cannot flip a row's membership)
+ZSCORE_CUT = 2.0
+
+
+def zscore_outliers(sf_dir: str):
+    """Per-language z-score normalization of ``n_chars`` with an
+    outlier filter |z| > 2. Per-lang moments (count, sum, sum-of-
+    squares) via partial+final groupby — domain-sized — then collected
+    (bounded by the language domain) and broadcast into one streaming
+    filter map. The filter compares the 4dp-ROUNDED z on both engines,
+    so the set membership is drift-proof."""
+    import ray
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = b["n_chars"].astype(np.float64)
+        return (
+            pd.DataFrame(
+                {"lang": b["lang"], "n": 1, "s1": x, "s2": x * x}
+            )
+            .groupby("lang", as_index=False)
+            .sum()
+        )
+
+    stats = _final_groupby(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["lang"], ["n", "s1", "s2"],
+    )
+    moments = {}
+    for b in stats.iter_batches(batch_format="pyarrow"):
+        for lang, n, s1, s2 in zip(
+            b["lang"].to_pylist(), b["n"].to_numpy(),
+            b["s1"].to_numpy(), b["s2"].to_numpy(),
+        ):
+            mu = s1 / n
+            moments[lang] = (mu, np.sqrt(s2 / n - mu * mu))
+    mom_ref = ray.put(moments)
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        mom = ray.get(mom_ref)
+        mu = b["lang"].map(lambda l: mom[l][0]).to_numpy()
+        sd = b["lang"].map(lambda l: mom[l][1]).to_numpy()
+        z = np.round((b["n_chars"].to_numpy() - mu) / sd, 4)
+        keep = np.abs(z) > ZSCORE_CUT
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy()[keep],
+                "lang": b["lang"].to_numpy()[keep],
+                "z": z[keep],
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pandas")
+
+
 def customer_order_counts(sf_dir: str):
     """TPC-H Q13 flavor: orders-per-customer histogram INCLUDING
     zero-order customers — exercises the LEFT tier of

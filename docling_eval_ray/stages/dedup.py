@@ -659,3 +659,31 @@ def near_dup_clusters(sf_dir: str, *, threshold: float = 0.1, k: int = 3):
     a recursive reachability CTE over the same pair SQL."""
     pairs = ngram_jaccard_pairs(sf_dir, k=k, threshold=threshold)
     return connected_components(pairs)
+
+
+def dedup_keep_canonical(sf_dir: str, *, threshold: float = 0.1,
+                         k: int = 3):
+    """End-to-end corpus dedup: drop every document whose near-dup
+    component has a smaller member, keep the component canonicals (the
+    min doc id) and all non-participating docs — the "emit the cleaned
+    corpus" step that near-dup clustering exists for.
+
+    Shape: the drop set is ``near_dup_clusters`` filtered to
+    ``doc_id != cluster_id`` (output-sized), anti-joined against the
+    corpus with the distributed ``semi_anti_join`` — no driver-side
+    membership set, so the filter scales with the corpus."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..functions.joins import semi_anti_join
+
+    clusters = near_dup_clusters(sf_dir, threshold=threshold, k=k)
+
+    def losers(t: pa.Table) -> pa.Table:
+        m = pc.not_equal(t["doc_id"], t["cluster_id"])
+        return t.filter(m).select(["doc_id"])
+
+    drop = clusters.map_batches(losers, batch_format="pyarrow")
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang"])
+    return semi_anti_join(docs, drop, "doc_id", anti=True)

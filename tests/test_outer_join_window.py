@@ -88,3 +88,46 @@ def test_rollup_levels_consistent(ray_session):
     per_lang = leafs.groupby("lang")["n_docs"].sum()
     for lang, n in langs.set_index("lang")["n_docs"].items():
         assert per_lang[lang] == n
+
+
+def test_event_type_pivot_conserves_events(ray_session):
+    """Sum of all pivot cells equals the event count."""
+    import pyarrow.parquet as pq
+
+    from docling_eval_ray.pipelines.relational import event_type_pivot
+
+    out = event_type_pivot("/root/testdata/sf0.001").to_pandas()
+    n_events = pq.read_metadata(
+        "/root/testdata/sf0.001/events.parquet"
+    ).num_rows
+    assert out.drop(columns=["user_id"]).to_numpy().sum() == n_events
+
+
+def test_zscore_outliers_all_exceed_cut(ray_session):
+    from docling_eval_ray.pipelines.relational import (
+        ZSCORE_CUT,
+        zscore_outliers,
+    )
+
+    out = zscore_outliers("/root/testdata/sf0.001").to_pandas()
+    assert (out["z"].abs() > ZSCORE_CUT).all()
+
+
+def test_dedup_keep_canonical_partitions_corpus(ray_session):
+    """kept ∪ dropped == corpus; kept contains every cluster_id and no
+    non-canonical cluster member."""
+    import pyarrow.parquet as pq
+
+    from docling_eval_ray.stages.dedup import (
+        dedup_keep_canonical,
+        near_dup_clusters,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    kept = set(dedup_keep_canonical(sf).to_pandas()["doc_id"])
+    cl = near_dup_clusters(sf).to_pandas()
+    n_docs = pq.read_metadata(f"{sf}/documents.parquet").num_rows
+    losers = set(cl[cl["doc_id"] != cl["cluster_id"]]["doc_id"])
+    assert kept.isdisjoint(losers)
+    assert len(kept) + len(losers) == n_docs
+    assert set(cl["cluster_id"]).issubset(kept)
