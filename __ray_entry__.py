@@ -99,6 +99,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         embedding_knn,
         embedding_knn_ivf,
         embedding_near_dups,
+        embedding_norms,
+        label_centroids,
     )
     from docling_eval_ray.stages.textstats import document_winnow, language_id
 
@@ -112,6 +114,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "embedding_knn": embedding_knn,               # oracled
             "embedding_near_dups": embedding_near_dups,   # oracled
             "embedding_knn_ivf": embedding_knn_ivf,       # rows-only (ANN)
+            "embedding_norms": embedding_norms,           # oracled (L2)
+            "label_centroids": label_centroids,           # oracled (k-means step)
             "language_id": language_id,                   # oracled (argmax)
             "document_winnow": document_winnow,           # oracled (rolling hash)
         }
@@ -142,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q.update(
         {
             "pii_redact": cl.pii_redact,
+            "pii_extract_emails": cl.pii_extract_emails,
             "dedup_paragraphs": cl.dedup_paragraphs,
             "lm_perplexity": cl.lm_perplexity,
         }

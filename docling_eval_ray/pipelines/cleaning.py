@@ -134,6 +134,34 @@ def pii_redact(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def pii_extract_emails(sf_dir: str):
+    """Exploded (doc_id, email) rows — the regex-extraction/flat_map
+    shape: every email match becomes its own output row, in match
+    order. Same deterministic synthesis as ``pii_redact``; extraction
+    via ``pc.extract_regex_span`` would need per-match loops, so the
+    vectorized path is split-on-pattern bookkeeping:
+    ``pc.split_pattern_regex`` on the NON-match spans would lose the
+    matches, hence extract with one RE2 ``findall`` per row — but the
+    synthesized text has ≤1 email per doc, so ``pc.extract_regex`` (one
+    capture) covers it exactly; the multi-match generalization is the
+    ``flat_map`` over per-row findall (kept vectorized here)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        p = _synth_pii(t)
+        m = pc.extract_regex(p["ptext"], f"(?P<email>{PII_EMAIL})")
+        email = pc.struct_field(m, "email")
+        keep = pc.is_valid(email)
+        return pa.table(
+            {
+                "doc_id": pc.filter(p["doc_id"], keep),
+                "email": pc.filter(email, keep),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # dedup_paragraphs — CCNet-style segment-level exact dedup
 # ---------------------------------------------------------------------------

@@ -1430,3 +1430,52 @@ ORACLE_SQL["dedup_keep_canonical"] = _NDC_CTE + """
         SELECT s FROM walk GROUP BY s HAVING min(l) <> s
     )
 """
+
+
+# ---------------------------------------------------------------------------
+# regex-extraction + embedding feature family
+# ---------------------------------------------------------------------------
+
+# same deterministic PII synthesis as pii_redact; one email per doc max,
+# exploded to (doc_id, email) rows
+ORACLE_SQL["pii_extract_emails"] = r"""
+    WITH p AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 3 <> 0
+                       THEN ' contact u' || doc_id || '@mail'
+                            || (doc_id % 7) || '.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 4 <> 0
+                       THEN ' from 10.' || (doc_id % 256) || '.'
+                            || ((doc_id * 7) % 256) || '.'
+                            || (doc_id % 100)
+                       ELSE '' END
+               || CASE WHEN doc_id % 5 <> 0
+                       THEN ' call 555-' || (1000 + doc_id % 9000)
+                       ELSE '' END AS ptext
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(ptext, '[a-z0-9]+@[a-z0-9]+\.com') AS email
+    FROM p
+    WHERE regexp_matches(ptext, '[a-z0-9]+@[a-z0-9]+\.com')
+"""
+
+ORACLE_SQL["embedding_norms"] = """
+    SELECT vec_id,
+           round_even(sqrt(list_sum(list_transform(
+               CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS l2_norm
+    FROM embeddings
+"""
+
+ORACLE_SQL["label_centroids"] = """
+    WITH ex AS (
+        SELECT CAST(label AS BIGINT) AS label,
+               unnest(CAST(embedding AS DOUBLE[])) AS x,
+               CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim
+        FROM embeddings
+    )
+    SELECT label, dim, round_even(sum(x) / count(*), 6) AS centroid
+    FROM ex GROUP BY label, dim
+"""

@@ -345,3 +345,85 @@ def embedding_knn_ivf(sf_dir: str, *, k: int = KNN_K, nprobe: int = 4,
         return g.groupby("vec_id", sort=False).head(k)
 
     return bucketed_group_apply(local, ["vec_id"], merge_topk)
+
+
+def embedding_norms(sf_dir: str):
+    """(vec_id, l2_norm) — vector feature engineering over the
+    embedding column: per-batch float64 row norms, no shuffle.
+    Oracled against DuckDB's list_transform/list_sum pipeline (6dp
+    rounding absorbs the pairwise-vs-sequential summation drift over
+    64 dims, ~1e-15)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        m = _emb_matrix(t)
+        return pa.table(
+            {
+                "vec_id": pa.array(
+                    t["vec_id"].to_numpy(zero_copy_only=False), pa.int64()
+                ),
+                "l2_norm": pa.array(
+                    np.round(np.sqrt(np.sum(m * m, axis=1)), 6),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def label_centroids(sf_dir: str):
+    """(label, dim, centroid) — per-label mean vector: the standalone
+    distributed k-means update step. Per-batch partial (label, dim,
+    sum, count) rows — |labels|×64 per batch, bounded — then one final
+    groupby; the corpus is scanned exactly once and no vector payload
+    crosses the shuffle."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _emb_matrix(t)
+        labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), m.shape[1]), np.float64)
+        np.add.at(sums, inv, m)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        d = m.shape[1]
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64),
+                                        len(uniq)), pa.int64()),
+                "s_part": pa.array(sums.ravel(), pa.float64()),
+                "n_part": pa.array(np.repeat(counts, d), pa.int64()),
+            }
+        )
+
+    final = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(
+            Sum("s_part", alias_name="s"), Sum("n_part", alias_name="n")
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "label": pc.cast(t["label"], pa.int64()),
+                "dim": pc.cast(t["dim"], pa.int64()),
+                "centroid": pa.array(
+                    np.round(t["s"].to_numpy() / t["n"].to_numpy(), 6),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return final.map_batches(finish, batch_format="pyarrow")
