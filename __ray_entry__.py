@@ -73,6 +73,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_mean": r.events_rolling_mean,
         "ntile_quartiles": r.ntile_quartiles,
         "lang_census_rollup": r.lang_census_rollup,
+        "events_interarrival": r.events_interarrival,
+        "events_cube": r.events_cube,
         # outer-join tier of hash_join (left / full)
         "customer_order_counts": r.customer_order_counts,
         "user_hour_activity": r.user_hour_activity,
@@ -149,6 +151,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "pii_extract_emails": cl.pii_extract_emails,
             "dedup_paragraphs": cl.dedup_paragraphs,
             "lm_perplexity": cl.lm_perplexity,
+            "sentences_exploded": cl.sentences_exploded,
+            "gopher_quality_filter": cl.gopher_quality_filter,
         }
     )
     # evaluator pipelines (M20/G1-G9: per-doc metrics over synthesized

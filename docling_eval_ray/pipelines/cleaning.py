@@ -373,3 +373,114 @@ def lm_perplexity(sf_dir: str, *,
         return _doc_nll_frame(g["doc_id"].to_numpy(), nll)
 
     return bucketed_group_apply(joined, ["doc_id"], per_doc)
+
+
+# ---------------------------------------------------------------------------
+# sentences_exploded — flat_map sentence segmentation with ordinals
+# ---------------------------------------------------------------------------
+
+
+#: segment boundary — a frequent corpus token standing in for '. '
+SENT_DELIM = " scan "
+
+
+def sentences_exploded(sf_dir: str):
+    """Exploded (doc_id, sent_idx, sentence) rows — the sentence-
+    segmentation / flat_map shape every pretraining cleaner needs
+    before segment-level scoring (the synthetic corpus has no
+    sentence punctuation, so the boundary is a frequent literal token,
+    ' scan ' — same explode semantics). Vectorized: one
+    ``pc.split_pattern`` per batch, then ``list_flatten`` + ``list_parent_indices`` and an
+    arange-minus-starts ordinal (same zero-loop explode as the flagship
+    span flattening, stages/extract.py). One streaming map, no shuffle;
+    the split delimiter is a literal so Arrow and DuckDB
+    ``string_split`` agree byte-for-byte."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        text = t["text"].combine_chunks()
+        s = pc.split_pattern(text, pattern=SENT_DELIM)
+        flat = pc.list_flatten(s)
+        parent = pc.list_parent_indices(s)
+        lens = pc.list_value_length(s).to_numpy().astype(np.int64)
+        starts = np.repeat(np.cumsum(lens) - lens, lens)
+        idx = np.arange(int(lens.sum()), dtype=np.int64) - starts
+        return pa.table(
+            {
+                "doc_id": pc.take(t["doc_id"].combine_chunks(), parent),
+                "sent_idx": pa.array(idx, pa.int64()),
+                "sentence": flat,
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# gopher_quality_filter — multi-rule document quality gate
+# ---------------------------------------------------------------------------
+
+#: word-count bounds (Gopher rules use [50, 100k]; the synthetic corpus
+#: runs 10-99 words, so [20, 80] keeps both accept and reject populated)
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 20, 80
+#: mean-word-length bounds (Gopher §A1.1: 3-10 chars)
+GOPHER_MIN_MWL, GOPHER_MAX_MWL = 3.0, 10.0
+#: require ≥2 distinct "stopwords" present (domain-adapted to the
+#: synthetic data-engine vocabulary; Gopher uses English stopwords)
+GOPHER_STOPWORDS = ("the", "scan", "join", "merge", "window")
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_quality_filter(sf_dir: str):
+    """(doc_id, n_words, mean_wl, stop_hits, keep) — the Gopher-style
+    multi-rule quality gate (Rae et al. 2021 §A1.1: word-count bounds,
+    mean-word-length bounds, stopword presence), fully vectorized:
+    RE2 whitespace split count, char count net of whitespace, and one
+    ``\\bword\\b`` match per stopword. ``keep`` is emitted (0/1) rather
+    than filtering so the downstream router — and the oracle — see the
+    per-rule evidence; mean_wl is compared on the 4dp-ROUNDED value on
+    both engines so float drift cannot flip a verdict. One streaming
+    map, no shuffle."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        trimmed = pc.utf8_trim(text, characters=" ")
+        n_words = pc.cast(
+            pc.add(pc.count_substring_regex(trimmed, r"\s+"), 1),
+            pa.int64(),
+        )
+        n_chars_ns = pc.utf8_length(
+            pc.replace_substring_regex(text, r"\s", "")
+        )
+        mean_wl = np.round(
+            pc.cast(n_chars_ns, pa.float64()).to_numpy(zero_copy_only=False)
+            / pc.cast(n_words, pa.float64()).to_numpy(zero_copy_only=False),
+            4,
+        )
+        hits = np.zeros(len(t), np.int64)
+        for w in GOPHER_STOPWORDS:
+            hits += (
+                pc.match_substring_regex(text, rf"\b{w}\b")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+        nw = n_words.to_numpy(zero_copy_only=False)
+        keep = (
+            (nw >= GOPHER_MIN_WORDS)
+            & (nw <= GOPHER_MAX_WORDS)
+            & (mean_wl >= GOPHER_MIN_MWL)
+            & (mean_wl <= GOPHER_MAX_MWL)
+            & (hits >= GOPHER_MIN_STOPWORDS)
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_words": n_words,
+                "mean_wl": pa.array(mean_wl, pa.float64()),
+                "stop_hits": pa.array(hits, pa.int64()),
+                "keep": pa.array(keep.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -1479,3 +1479,63 @@ ORACLE_SQL["label_centroids"] = """
     SELECT label, dim, round_even(sum(x) / count(*), 6) AS centroid
     FROM ex GROUP BY label, dim
 """
+
+
+# ---------------------------------------------------------------------------
+# segmentation / quality-gate / window-v3 family
+# ---------------------------------------------------------------------------
+
+# unnest + generate_subscripts expand in lockstep in DuckDB (same
+# pattern as label_centroids); '. ' is a literal split on both engines
+ORACLE_SQL["sentences_exploded"] = """
+    SELECT doc_id,
+           CAST(generate_subscripts(string_split(text, ' scan '), 1) - 1
+                AS BIGINT) AS sent_idx,
+           unnest(string_split(text, ' scan ')) AS sentence
+    FROM documents
+"""
+
+# constants mirror pipelines/cleaning.py GOPHER_*; mean_wl compared on
+# the 4dp-rounded value on BOTH engines so drift cannot flip `keep`
+ORACLE_SQL["gopher_quality_filter"] = r"""
+    WITH q AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text, ' '), '\s+'))
+                    AS BIGINT) AS n_words,
+               length(regexp_replace(text, '\s', '', 'g')) AS n_chars_ns,
+               CAST(regexp_matches(text, '\bthe\b') AS BIGINT)
+               + CAST(regexp_matches(text, '\bscan\b') AS BIGINT)
+               + CAST(regexp_matches(text, '\bjoin\b') AS BIGINT)
+               + CAST(regexp_matches(text, '\bmerge\b') AS BIGINT)
+               + CAST(regexp_matches(text, '\bwindow\b') AS BIGINT)
+                   AS stop_hits
+        FROM documents
+    ), m AS (
+        SELECT doc_id, n_words, stop_hits,
+               round_even(CAST(n_chars_ns AS DOUBLE) / n_words, 4)
+                   AS mean_wl
+        FROM q
+    )
+    SELECT doc_id, n_words, mean_wl, stop_hits,
+           CAST(n_words BETWEEN 20 AND 80
+                AND mean_wl BETWEEN 3.0 AND 10.0
+                AND stop_hits >= 2 AS BIGINT) AS keep
+    FROM m
+"""
+
+ORACLE_SQL["events_interarrival"] = """
+    SELECT user_id, event_id,
+           date_diff('microsecond',
+                     lag(ts) OVER w, ts) AS gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    QUALIFY lag(ts) OVER w IS NOT NULL
+"""
+
+ORACLE_SQL["events_cube"] = """
+    SELECT COALESCE(event_type, 'ALL') AS event_type,
+           COALESCE(hr, -1) AS hr,
+           CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr FROM events)
+    GROUP BY CUBE (event_type, hr)
+"""

@@ -1375,3 +1375,85 @@ def documents_size_bands(sf_dir: str):
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# events_interarrival — LAG window (time since previous event per user)
+# ---------------------------------------------------------------------------
+
+
+def events_interarrival(sf_dir: str):
+    """(user_id, event_id, gap_us) — per-user interarrival time: the
+    LAG-window shape (§2.9). Same distribution as sessionization: one
+    bucketed shuffle on the partition key, ordering strictly inside the
+    group; the gap is an exact integer-microsecond difference on both
+    engines (``datetime64[us]`` int math here, ``date_diff
+    ('microsecond', ...)`` in SQL), so no float ambiguity. The first
+    event of each user has no predecessor and is dropped (QUALIFY NOT
+    NULL on the oracle side)."""
+    from ..functions.groups import bucketed_group_apply
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def lagdiff(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        gap = np.empty(len(g), np.int64)
+        if len(g):
+            gap[0] = 0
+            gap[1:] = ts[1:] - ts[:-1]
+        same_user = np.concatenate([[False], uid[1:] == uid[:-1]])
+        out = pd.DataFrame(
+            {
+                "user_id": uid.astype(np.int64),
+                "event_id": g["event_id"].to_numpy().astype(np.int64),
+                "gap_us": gap,
+            }
+        )
+        return out[same_user].reset_index(drop=True)
+
+    return bucketed_group_apply(ds, ["user_id"], lagdiff)
+
+
+# ---------------------------------------------------------------------------
+# events_cube — CUBE grouping sets over (event_type, hour-of-day)
+# ---------------------------------------------------------------------------
+
+
+def events_cube(sf_dir: str):
+    """Counts for every grouping set of (event_type, hour-of-day):
+    (type, hr), (type), (hr), and the grand total — the GROUP BY CUBE
+    shape, with 'ALL' / -1 as the roll-up markers (same convention as
+    ``lang_census_rollup``). One partial+final groupby computes the
+    finest (type, hr) cell — |types|×24 rows, domain-bounded — and the
+    three margins are derived from that base on the driver (output-
+    sized state, the house gate), never from a second corpus scan."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(hr=b["ts"].dt.hour.astype(np.int64))
+        return (
+            b.groupby(["event_type", "hr"], as_index=False)
+            .agg(n=("hr", "size"))
+        )
+
+    base = _final_groupby(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["event_type", "hr"], ["n"],
+    )
+    bdf = base.to_pandas()  # |event types| × 24 rows — domain-bounded
+    bdf = bdf.astype({"hr": np.int64, "n": np.int64})
+
+    by_type = bdf.groupby("event_type", as_index=False)["n"].sum()
+    by_type["hr"] = np.int64(-1)
+    by_hr = bdf.groupby("hr", as_index=False)["n"].sum()
+    by_hr["event_type"] = "ALL"
+    total = pd.DataFrame(
+        {"event_type": ["ALL"], "hr": [np.int64(-1)],
+         "n": [bdf["n"].sum()]}
+    )
+    out = pd.concat(
+        [bdf, by_type, by_hr, total], ignore_index=True
+    )[["event_type", "hr", "n"]]
+    return out.astype({"hr": np.int64, "n": np.int64})
