@@ -75,6 +75,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_census_rollup": r.lang_census_rollup,
         "events_interarrival": r.events_interarrival,
         "events_cube": r.events_cube,
+        "latest_event_per_user": r.latest_event_per_user,
+        "events_in_windows": r.events_in_windows,
         # outer-join tier of hash_join (left / full)
         "customer_order_counts": r.customer_order_counts,
         "user_hour_activity": r.user_hour_activity,

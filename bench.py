@@ -153,6 +153,7 @@ def run_benchmarks() -> dict:
         embedding_knn,
         embedding_knn_ivf,
         embedding_near_dups,
+        label_centroids,
     )
     from docling_eval_ray.pipelines import cleaning as cl
     from docling_eval_ray.pipelines import corpus_ops as co
@@ -205,6 +206,9 @@ def run_benchmarks() -> dict:
         ("dedup_paragraphs", cl.dedup_paragraphs),
         ("lm_perplexity", cl.lm_perplexity),
         ("events_running_total", r.events_running_total),
+        ("gopher_quality_filter", cl.gopher_quality_filter),
+        ("events_interarrival", r.events_interarrival),
+        ("label_centroids", label_centroids),
     ]:
         t0 = time.time()
         out = fn(SF_DIR)

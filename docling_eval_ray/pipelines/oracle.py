@@ -1539,3 +1539,26 @@ ORACLE_SQL["events_cube"] = """
     FROM (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr FROM events)
     GROUP BY CUBE (event_type, hr)
 """
+
+
+# greatest-per-group + broadcast range join
+ORACLE_SQL["latest_event_per_user"] = """
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+    FROM events
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+# window table mirrors pipelines/relational.py RANGE_WINDOWS
+ORACLE_SQL["events_in_windows"] = """
+    WITH w AS (
+        SELECT CAST(i AS BIGINT) AS window_id,
+               TIMESTAMP '2024-01-01' + INTERVAL (3 * i) DAY AS ws,
+               TIMESTAMP '2024-01-01' + INTERVAL (3 * i + 5) DAY AS we
+        FROM generate_series(0, 9) AS t(i)
+    )
+    SELECT w.window_id, CAST(count(*) AS BIGINT) AS n_events,
+           round_even(sum(e.value), 2) AS sum_value
+    FROM events e JOIN w ON e.ts >= w.ws AND e.ts < w.we
+    GROUP BY w.window_id
+"""

@@ -1457,3 +1457,106 @@ def events_cube(sf_dir: str):
         [bdf, by_type, by_hr, total], ignore_index=True
     )[["event_type", "hr", "n"]]
     return out.astype({"hr": np.int64, "n": np.int64})
+
+
+# ---------------------------------------------------------------------------
+# latest_event_per_user — greatest-per-group via partial argmax
+# ---------------------------------------------------------------------------
+
+
+def latest_event_per_user(sf_dir: str):
+    """(user_id, event_id, ts_us, event_type) — each user's most recent
+    event: the greatest-per-group shape done as a PARTIAL ARGMAX, not a
+    global sort. Each batch keeps only its per-user winner (user-
+    cardinality rows), then one bucketed shuffle re-reduces the
+    winners — the corpus never moves, and skew is bounded by the bucket
+    count. Ties break on event_id; the timestamp is emitted as exact
+    epoch microseconds (``epoch_us`` in the oracle) so no format or
+    unit ambiguity enters the hash."""
+    from ..functions.groups import bucketed_group_apply
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_id", "ts", "event_type"])
+
+    def keep_latest(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        return b.groupby("user_id", as_index=False, sort=False).tail(1)
+
+    winners = ds.map_batches(keep_latest, batch_format="pandas")
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = keep_latest(g)
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy().astype(np.int64),
+                "event_id": g["event_id"].to_numpy().astype(np.int64),
+                "ts_us": g["ts"].to_numpy(dtype="datetime64[us]")
+                .astype(np.int64),
+                "event_type": g["event_type"].to_numpy(),
+            }
+        )
+
+    return bucketed_group_apply(winners, ["user_id"], finish)
+
+
+# ---------------------------------------------------------------------------
+# events_in_windows — broadcast interval (range) join
+# ---------------------------------------------------------------------------
+
+#: deterministic overlapping report windows over the corpus's fixed
+#: January-2024 event-time domain: window i covers [Jan 1 + 3i days,
+#: +5 days) — overlaps exercise the one-row-many-windows semantics
+RANGE_WINDOWS = [
+    (i, np.datetime64("2024-01-01", "us") + np.timedelta64(3 * i, "D"),
+     np.datetime64("2024-01-01", "us") + np.timedelta64(3 * i + 5, "D"))
+    for i in range(10)
+]
+
+
+def events_in_windows(sf_dir: str):
+    """(window_id, n_events, sum_value) — aggregate over an interval
+    join of events against a small window table: the RANGE-JOIN shape
+    Ray Data lacks natively, done the scale-safe way — the interval
+    side is tiny and broadcast (a closure constant here; ``ray.put``
+    for a computed one), each batch evaluates the band predicates
+    vectorized and emits per-window partials, and one final groupby
+    over |windows| rows finishes. No all-to-all exchange of the big
+    side, overlapping windows multiply rows exactly as the SQL
+    non-equi join does."""
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ts = b["ts"].to_numpy(dtype="datetime64[us]")
+        val = b["value"].to_numpy()
+        rows = []
+        for wid, ws, we in RANGE_WINDOWS:
+            m = (ts >= ws) & (ts < we)
+            if m.any():
+                rows.append((wid, int(m.sum()), float(val[m].sum())))
+        out = pd.DataFrame(
+            rows, columns=["window_id", "n_events", "sum_value"]
+        )
+        # explicit dtypes: an all-filtered batch must not emit an
+        # object-typed empty block (schema split hazard)
+        return out.astype(
+            {"window_id": np.int64, "n_events": np.int64,
+             "sum_value": np.float64}
+        )
+
+    final = _final_groupby(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["window_id"], ["n_events", "sum_value"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_id": pc.cast(t["window_id"], pa.int64()),
+                "n_events": pc.cast(t["n_events"], pa.int64()),
+                "sum_value": pa.array(
+                    np.round(t["sum_value"].to_numpy(), 2), pa.float64()
+                ),
+            }
+        )
+
+    return final.map_batches(finish, batch_format="pyarrow")
