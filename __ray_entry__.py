@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "pack_sequences": c.pack_sequences,
             "kmeans_assign": c.kmeans_assign,
             "fixed_size_sample": c.fixed_size_sample,
+            "source_quota_cap": c.source_quota_cap,
         }
     )
     # content-cleaning ops (all oracled): PII redaction, CCNet-style

@@ -811,3 +811,43 @@ def fixed_size_sample(sf_dir: str, *, n: int = SAMPLE_PER_STRATUM):
     from ..functions.groups import bucketed_group_apply
 
     return bucketed_group_apply(cands, ["lang"], final)
+
+
+# ---------------------------------------------------------------------------
+# source_quota_cap — bounded per-group top-N quota (corpus mixing)
+# ---------------------------------------------------------------------------
+
+#: max documents retained per source (each source holds 25×sf×1000 docs,
+#: so the cap truncates at every scale)
+SOURCE_QUOTA = 10
+
+
+def source_quota_cap(sf_dir: str, *, quota: int = SOURCE_QUOTA):
+    """(doc_id, source) — keep at most ``quota`` documents per source,
+    ranked by doc_id ascending: the per-domain quota cap a corpus-mixing
+    stage applies before packing. Same reduction shape as
+    ``latest_event_per_user`` generalized to top-N: every batch keeps
+    only its local per-source head (≤ |sources|×quota rows), one
+    bucketed shuffle re-reduces the survivors — the corpus itself never
+    crosses the exchange, and group skew is irrelevant because the
+    partial output is quota-bounded per group per batch."""
+    from ..functions.groups import bucketed_group_apply
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def head_q(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["source", "doc_id"], kind="mergesort")
+        return b.groupby("source", sort=False).head(quota)
+
+    survivors = ds.map_batches(head_q, batch_format="pandas")
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = head_q(g)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy().astype(np.int64),
+                "source": g["source"].to_numpy(),
+            }
+        )
+
+    return bucketed_group_apply(survivors, ["source"], finish)

@@ -1562,3 +1562,12 @@ ORACLE_SQL["events_in_windows"] = """
     FROM events e JOIN w ON e.ts >= w.ws AND e.ts < w.we
     GROUP BY w.window_id
 """
+
+
+# per-source quota cap (bounded top-N per group)
+ORACLE_SQL["source_quota_cap"] = """
+    SELECT doc_id, source
+    FROM documents
+    QUALIFY row_number() OVER (
+        PARTITION BY source ORDER BY doc_id) <= 10
+"""
