@@ -77,6 +77,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cube": r.events_cube,
         "latest_event_per_user": r.latest_event_per_user,
         "events_in_windows": r.events_in_windows,
+        "order_priority_counts": r.order_priority_counts,
+        "suppliers_per_part": r.suppliers_per_part,
+        "lineitem_discount_corr": r.lineitem_discount_corr,
         # outer-join tier of hash_join (left / full)
         "customer_order_counts": r.customer_order_counts,
         "user_hour_activity": r.user_hour_activity,

@@ -1571,3 +1571,28 @@ ORACLE_SQL["source_quota_cap"] = """
     QUALIFY row_number() OVER (
         PARTITION BY source ORDER BY doc_id) <= 10
 """
+
+
+# semi-join / grouped count-distinct / correlation family
+ORACLE_SQL["order_priority_counts"] = """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_discount > 0.08)
+    GROUP BY o_orderpriority
+"""
+
+ORACLE_SQL["suppliers_per_part"] = """
+    SELECT l_partkey AS partkey,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+    FROM lineitem GROUP BY l_partkey
+"""
+
+# corr() is sample correlation; the (n-1) factors cancel, so raw-moment
+# Pearson is algebraically identical — 6dp absorbs the float drift
+ORACLE_SQL["lineitem_discount_corr"] = """
+    SELECT round_even(corr(l_discount, l_extendedprice), 6)
+               AS corr_disc_price
+    FROM lineitem
+"""

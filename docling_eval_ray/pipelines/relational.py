@@ -1560,3 +1560,150 @@ def events_in_windows(sf_dir: str):
         )
 
     return final.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# order_priority_counts — semi join (EXISTS) + grouped count
+# ---------------------------------------------------------------------------
+
+#: discount floor for the qualifying-lineitem EXISTS predicate
+DEEP_DISCOUNT = 0.08
+
+
+def order_priority_counts(sf_dir: str):
+    """(o_orderpriority, n_orders) — orders having at least one
+    deep-discount lineitem, counted by priority: the SEMI-JOIN shape
+    (TPC-H Q4 adapted to this schema's columns). The probe side is
+    reduced FIRST — filter + per-batch distinct partial + one groupby
+    dedup — so the join carries each qualifying orderkey exactly once
+    (semi semantics via inner join against a deduplicated key set);
+    then one bucketed ``hash_join`` and a domain-sized grouped count.
+    The lineitem corpus itself never crosses an exchange, only its
+    distinct qualifying keys."""
+    from ray.data.aggregate import Count
+
+    from ..functions.joins import hash_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_discount"])
+
+    def qualifying(t: pa.Table) -> pa.Table:
+        keys = pc.unique(
+            pc.filter(
+                t["l_orderkey"].combine_chunks(),
+                pc.greater(t["l_discount"].combine_chunks(),
+                           pa.scalar(DEEP_DISCOUNT)),
+            )
+        )
+        return pa.table({"o_orderkey": keys})
+
+    from ray.data.aggregate import Min
+
+    keys = (
+        li.map_batches(qualifying, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(Min("o_orderkey", alias_name="k"))
+        .select_columns(["o_orderkey"])
+    )
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderpriority"])
+    semi = hash_join(orders, keys, "o_orderkey")
+
+    out = semi.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n_orders")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "n_orders": pc.cast(t["n_orders"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# suppliers_per_part — grouped exact count-distinct
+# ---------------------------------------------------------------------------
+
+
+def suppliers_per_part(sf_dir: str):
+    """(partkey, n_suppliers) — exact COUNT(DISTINCT l_suppkey) per
+    part: the grouped count-distinct shape. Per-batch distinct
+    (partkey, suppkey) pairs first (a combiner that collapses
+    within-batch repeats), then ONE bucketed shuffle on partkey with
+    cross-batch dedup + count inside the bucket — pair-distinct rows
+    are all that move, and part-key skew is diluted across hash
+    buckets."""
+    from ..functions.groups import bucketed_group_apply
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def pair_distinct(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates(["l_partkey", "l_suppkey"])
+
+    pairs = li.map_batches(pair_distinct, batch_format="pandas")
+
+    def count_unique(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["l_partkey", "l_suppkey"])
+        out = (
+            g.groupby("l_partkey", as_index=False, sort=False)
+            .agg(n_suppliers=("l_suppkey", "size"))
+        )
+        return pd.DataFrame(
+            {
+                "partkey": out["l_partkey"].to_numpy().astype(np.int64),
+                "n_suppliers": out["n_suppliers"].to_numpy()
+                .astype(np.int64),
+            }
+        )
+
+    return bucketed_group_apply(pairs, ["l_partkey"], count_unique)
+
+
+# ---------------------------------------------------------------------------
+# lineitem_discount_corr — distributed Pearson correlation (moments)
+# ---------------------------------------------------------------------------
+
+
+def lineitem_discount_corr(sf_dir: str):
+    """One-row Pearson correlation between l_discount and
+    l_extendedprice via distributed raw moments: each batch emits one
+    (n, Σx, Σy, Σxy, Σx², Σy²) partial, one tiny final sum reduces
+    them, and the driver finishes the scalar — the single-pass
+    statistics kernel every profiler stage needs. 6dp rounding absorbs
+    the naive-moments vs streaming-covariance drift (~1e-10 relative
+    at this scale)."""
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_discount", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t["l_discount"].to_numpy(zero_copy_only=False)
+        y = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n": pa.array([len(x)], pa.int64()),
+                "sx": pa.array([float(x.sum())], pa.float64()),
+                "sy": pa.array([float(y.sum())], pa.float64()),
+                "sxy": pa.array([float((x * y).sum())], pa.float64()),
+                "sxx": pa.array([float((x * x).sum())], pa.float64()),
+                "syy": pa.array([float((y * y).sum())], pa.float64()),
+            }
+        )
+
+    agg = li.map_batches(partial, batch_format="pyarrow").aggregate(
+        *[Sum(c, alias_name=c) for c in ("n", "sx", "sy", "sxy",
+                                         "sxx", "syy")]
+    )
+    n = float(agg["n"])
+    num = n * agg["sxy"] - agg["sx"] * agg["sy"]
+    den = np.sqrt(
+        (n * agg["sxx"] - agg["sx"] ** 2)
+        * (n * agg["syy"] - agg["sy"] ** 2)
+    )
+    return pd.DataFrame(
+        {"corr_disc_price": [float(np.round(num / den, 6))]}
+    )
