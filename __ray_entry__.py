@@ -161,6 +161,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "gopher_quality_filter": cl.gopher_quality_filter,
         }
     )
+    # end-to-end composition: quality -> dedup -> decontaminate -> pack
+    from docling_eval_ray.pipelines.pretrain import training_data_pipeline
+
+    q.update(
+        {
+            "training_data_pipeline": training_data_pipeline,
+        }
+    )
     # evaluator pipelines (M20/G1-G9: per-doc metrics over synthesized
     # gt/pred pairs; non-SQL except the status counters)
     from docling_eval_ray.pipelines.evaluate import (

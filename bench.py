@@ -156,6 +156,9 @@ def run_benchmarks() -> dict:
         label_centroids,
     )
     from docling_eval_ray.pipelines import cleaning as cl
+    from docling_eval_ray.pipelines.pretrain import (
+        training_data_pipeline as tdp,
+    )
     from docling_eval_ray.pipelines import corpus_ops as co
     from docling_eval_ray.stages.media import media_decode_stats
 
@@ -209,6 +212,7 @@ def run_benchmarks() -> dict:
         ("gopher_quality_filter", cl.gopher_quality_filter),
         ("events_interarrival", r.events_interarrival),
         ("label_centroids", label_centroids),
+        ("training_data_pipeline", tdp),
     ]:
         t0 = time.time()
         out = fn(SF_DIR)

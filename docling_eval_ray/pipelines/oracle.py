@@ -1596,3 +1596,96 @@ ORACLE_SQL["lineitem_discount_corr"] = """
                AS corr_disc_price
     FROM lineitem
 """
+
+
+# ---------------------------------------------------------------------------
+# training_data_pipeline — end-to-end composition of proven fragments:
+# gopher quality gate → md5 dedup (min doc_id among quality passers) →
+# benchmark 8-gram decontamination (winners drop, dupes don't
+# resurrect) → greedy sequence packing (recursive-CTE walk)
+# ---------------------------------------------------------------------------
+
+from .corpus_ops import (  # noqa: E402
+    BENCH_MAX_DOC_ID as _TDP_BENCH,
+    DECON_NGRAM as _TDP_N,
+    PACK_BUCKET as _TDP_BUCKET,
+    PACK_CAP as _TDP_CAP,
+    PACK_SEQ_STRIDE as _TDP_STRIDE,
+)
+
+ORACLE_SQL["training_data_pipeline"] = r"""
+    WITH RECURSIVE base AS (
+        SELECT doc_id, text,
+               regexp_split_to_array(trim(text, ' '), '\s+') AS arr,
+               CAST(len(regexp_split_to_array(trim(text, ' '), '\s+'))
+                    AS BIGINT) AS n_tokens,
+               length(regexp_replace(text, '\s', '', 'g')) AS n_chars_ns,
+               CAST(regexp_matches(text, '\bthe\b') AS BIGINT)
+               + CAST(regexp_matches(text, '\bscan\b') AS BIGINT)
+               + CAST(regexp_matches(text, '\bjoin\b') AS BIGINT)
+               + CAST(regexp_matches(text, '\bmerge\b') AS BIGINT)
+               + CAST(regexp_matches(text, '\bwindow\b') AS BIGINT)
+                   AS stop_hits
+        FROM documents
+    ),
+    quality AS (
+        SELECT doc_id, text, n_tokens FROM (
+            SELECT doc_id, text, n_tokens, stop_hits,
+                   round_even(CAST(n_chars_ns AS DOUBLE) / n_tokens, 4)
+                       AS mean_wl
+            FROM base)
+        WHERE n_tokens BETWEEN 20 AND 80
+          AND mean_wl BETWEEN 3.0 AND 10.0
+          AND stop_hits >= 2
+    ),
+    winners AS (
+        SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text)
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(arr[i : i + __NM1__], ' ') AS g
+        FROM (SELECT doc_id, arr,
+                     unnest(generate_series(1, len(arr) - __NM1__)) AS i
+              FROM base)
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < __BENCH__),
+    contaminated AS (
+        SELECT DISTINCT d.doc_id FROM grams d JOIN bench USING (g)
+    ),
+    survivors AS (
+        SELECT q.doc_id, q.n_tokens,
+               q.doc_id // __BUCKET__ AS bucket
+        FROM quality q JOIN winners w ON q.doc_id = w.doc_id
+        WHERE q.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    ordered AS (
+        SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id)
+                      AS rn
+        FROM survivors
+    ),
+    walk AS (
+        SELECT bucket, rn, doc_id, n_tokens,
+               CAST(0 AS BIGINT) AS seq,
+               CAST(0 AS BIGINT) AS st,
+               n_tokens AS cur
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.bucket, o.rn, o.doc_id, o.n_tokens,
+               CASE WHEN w.cur + o.n_tokens > __CAP__
+                    THEN w.seq + 1 ELSE w.seq END,
+               CASE WHEN w.cur + o.n_tokens > __CAP__
+                    THEN CAST(0 AS BIGINT) ELSE w.cur END,
+               CASE WHEN w.cur + o.n_tokens > __CAP__
+                    THEN o.n_tokens ELSE w.cur + o.n_tokens END
+        FROM walk w JOIN ordered o
+          ON o.bucket = w.bucket AND o.rn = w.rn + 1
+    )
+    SELECT doc_id, n_tokens,
+           bucket * __STRIDE__ + seq AS seq_id,
+           st AS seq_offset
+    FROM walk
+""".replace("__NM1__", str(_TDP_N - 1)) \
+   .replace("__BENCH__", str(_TDP_BENCH)) \
+   .replace("__BUCKET__", str(_TDP_BUCKET)) \
+   .replace("__CAP__", str(_TDP_CAP)) \
+   .replace("__STRIDE__", str(_TDP_STRIDE))

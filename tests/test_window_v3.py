@@ -100,3 +100,23 @@ def test_events_in_windows_counts_bounded(ray_session):
     assert len(df) == len(r.RANGE_WINDOWS)
     assert (df["n_events"] <= n).all()
     assert df["n_events"].sum() >= n  # 5d windows stepped 3d cover all
+
+
+def test_training_data_pipeline_invariants(ray_session):
+    """Composition semantics: survivors are quality-passing dedup
+    winners; packing never overflows the cap; offsets are consistent
+    within each sequence."""
+    from docling_eval_ray.pipelines import corpus_ops as co
+    from docling_eval_ray.pipelines.pretrain import training_data_pipeline
+
+    df = training_data_pipeline(SF).to_pandas()
+    gq = cl.gopher_quality_filter(SF).to_pandas()
+    kept_quality = set(gq.loc[gq["keep"] == 1, "doc_id"])
+    assert set(df["doc_id"]) <= kept_quality
+    assert df["doc_id"].is_unique
+    # every sequence's docs tile [0, sum) without overflow past the cap
+    g = df.sort_values(["seq_id", "seq_offset"]).groupby("seq_id")
+    for _, grp in g:
+        ends = grp["seq_offset"].to_numpy() + grp["n_tokens"].to_numpy()
+        assert (grp["seq_offset"].to_numpy()[1:] == ends[:-1]).all()
+        assert ends[-1] <= co.PACK_CAP or len(grp) == 1
