@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kmeans_assign": c.kmeans_assign,
             "fixed_size_sample": c.fixed_size_sample,
             "source_quota_cap": c.source_quota_cap,
+            "exact_token_vocabulary": c.exact_token_vocabulary,
         }
     )
     # content-cleaning ops (all oracled): PII redaction, CCNet-style

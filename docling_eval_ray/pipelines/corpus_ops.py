@@ -851,3 +851,29 @@ def source_quota_cap(sf_dir: str, *, quota: int = SOURCE_QUOTA):
         )
 
     return bucketed_group_apply(survivors, ["source"], finish)
+
+
+# ---------------------------------------------------------------------------
+# exact_token_vocabulary — exact global count-distinct (HLL companion)
+# ---------------------------------------------------------------------------
+
+
+def exact_token_vocabulary(sf_dir: str):
+    """One-row exact distinct-token count: the exact tier next to
+    ``approx_token_vocabulary``'s HLL sketch. Per-batch distinct
+    partial (explode → ``pc.unique``, so the shuffle moves one row per
+    distinct token per batch), one groupby dedup on the token, one
+    tiny count — the canonical exact COUNT(DISTINCT) at corpus scale.
+    Route to the HLL sketch when the vocabulary itself stops fitting
+    the exchange."""
+    from ray.data.aggregate import Count, Min
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        return pa.table({"tok": pc.unique(_token_table(t)["tok"])})
+
+    toks = ds.map_batches(distinct_partial, batch_format="pyarrow")
+    vocab = toks.groupby("tok").aggregate(Min("tok", alias_name="m"))
+    n = vocab.count()
+    return pd.DataFrame({"n_tokens_distinct": [np.int64(n)]})

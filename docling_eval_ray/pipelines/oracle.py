@@ -1689,3 +1689,11 @@ ORACLE_SQL["training_data_pipeline"] = r"""
    .replace("__BUCKET__", str(_TDP_BUCKET)) \
    .replace("__CAP__", str(_TDP_CAP)) \
    .replace("__STRIDE__", str(_TDP_STRIDE))
+
+
+# exact global count-distinct over the whitespace token stream
+ORACLE_SQL["exact_token_vocabulary"] = r"""
+    SELECT CAST(count(DISTINCT tok) AS BIGINT) AS n_tokens_distinct
+    FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM documents)
+"""
