@@ -252,6 +252,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["funsd_gt_build"] = funsd_gt_build
     q["xfund_gt_build"] = xfund_gt_build
+    from docling_eval_ray.sources.dpbench import dpbench_gt_build
+
+    q["dpbench_gt_build"] = dpbench_gt_build
     # CVAT annotation round-trip (XML → reading-ordered spans)
     from docling_eval_ray.sources.cvat import cvat_gt_build
 
