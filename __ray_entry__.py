@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_counts": r.order_priority_counts,
         "suppliers_per_part": r.suppliers_per_part,
         "lineitem_discount_corr": r.lineitem_discount_corr,
+        "events_props_stats": r.events_props_stats,
         # outer-join tier of hash_join (left / full)
         "customer_order_counts": r.customer_order_counts,
         "user_hour_activity": r.user_hour_activity,

@@ -1697,3 +1697,12 @@ ORACLE_SQL["exact_token_vocabulary"] = r"""
     FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
           FROM documents)
 """
+
+
+# JSON payload extraction (events.props = {"k": N})
+ORACLE_SQL["events_props_stats"] = """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round_even(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4)
+               AS mean_k
+    FROM events GROUP BY event_type
+"""

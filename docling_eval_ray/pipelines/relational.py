@@ -1707,3 +1707,52 @@ def lineitem_discount_corr(sf_dir: str):
     return pd.DataFrame(
         {"corr_disc_price": [float(np.round(num / den, 6))]}
     )
+
+
+# ---------------------------------------------------------------------------
+# events_props_stats — JSON payload extraction + grouped stats
+# ---------------------------------------------------------------------------
+
+
+def events_props_stats(sf_dir: str):
+    """(event_type, n, mean_k) — extract the integer ``k`` field from
+    the ``props`` JSON payload column and aggregate it per event type:
+    the semi-structured-payload shape (§2.8 json functions). The
+    payload schema here is fixed (``{"k": N}``), so extraction runs as
+    one vectorized RE2 capture per batch — exact for this schema, with
+    per-row ``json.loads`` as the general-schema fallback — followed by
+    the usual partial+final grouped aggregate (the corpus never
+    shuffles, only |event types| partial rows per batch)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        m = pc.extract_regex(t["props"], r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        b = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_pandas(),
+                "k": k.to_numpy(zero_copy_only=False),
+            }
+        )
+        return b.groupby("event_type", as_index=False).agg(
+            n=("k", "size"), sk=("k", "sum")
+        )
+
+    final = _final_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"], ["n", "sk"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy()
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+                "mean_k": pa.array(
+                    np.round(t["sk"].to_numpy() / n, 4), pa.float64()
+                ),
+            }
+        )
+
+    return final.map_batches(finish, batch_format="pyarrow")
