@@ -1443,6 +1443,12 @@ def events_cube(sf_dir: str):
         ["event_type", "hr"], ["n"],
     )
     bdf = base.to_pandas()  # |event types| × 24 rows — domain-bounded
+    if len(bdf) == 0 or "hr" not in bdf.columns:
+        # SQL CUBE over empty input still emits the () grouping set
+        return pd.DataFrame(
+            {"event_type": ["ALL"], "hr": [np.int64(-1)],
+             "n": [np.int64(0)]}
+        )
     bdf = bdf.astype({"hr": np.int64, "n": np.int64})
 
     by_type = bdf.groupby("event_type", as_index=False)["n"].sum()
@@ -1604,6 +1610,14 @@ def order_priority_counts(sf_dir: str):
         .aggregate(Min("o_orderkey", alias_name="k"))
         .select_columns(["o_orderkey"])
     )
+    # cheap emptiness probe (limit pushdown early-stops the scan): an
+    # empty key set gives the join side no derivable schema, and SQL
+    # returns zero groups anyway
+    if keys.limit(1).count() == 0:
+        return pa.table(
+            {"o_orderpriority": pa.array([], pa.string()),
+             "n_orders": pa.array([], pa.int64())}
+        )
     orders = _read(sf_dir, "orders",
                    columns=["o_orderkey", "o_orderpriority"])
     semi = hash_join(orders, keys, "o_orderkey")
@@ -1698,12 +1712,17 @@ def lineitem_discount_corr(sf_dir: str):
         *[Sum(c, alias_name=c) for c in ("n", "sx", "sy", "sxy",
                                          "sxx", "syy")]
     )
-    n = float(agg["n"])
+    n = float(agg["n"] or 0)
+    if n < 2:
+        # SQL corr over empty/one-row input is NULL
+        return pd.DataFrame({"corr_disc_price": [np.nan]})
     num = n * agg["sxy"] - agg["sx"] * agg["sy"]
     den = np.sqrt(
         (n * agg["sxx"] - agg["sx"] ** 2)
         * (n * agg["syy"] - agg["sy"] ** 2)
     )
+    if den == 0:
+        return pd.DataFrame({"corr_disc_price": [np.nan]})
     return pd.DataFrame(
         {"corr_disc_price": [float(np.round(num / den, 6))]}
     )

@@ -1,0 +1,63 @@
+"""Empty-input robustness: every op must degrade to its SQL-on-empty
+semantics (zero rows for per-row/grouped ops, the () grouping set for
+CUBE, NULL for corr) instead of crashing on schema-less empty blocks —
+the block-schema-split hazard class from the round-1 review."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+SRC = "/root/testdata/sf0.001"
+TABLES = [
+    "documents", "events", "embeddings", "lineitem", "orders",
+    "customer", "supplier", "part", "nation", "region",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("empty_sf")
+    for t in TABLES:
+        sch = pq.read_schema(f"{SRC}/{t}.parquet")
+        pq.write_table(sch.empty_table(), d / f"{t}.parquet")
+    return str(d)
+
+
+def _run(name, sf_dir):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "_entry_empty_test", "/root/repo/__ray_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    res = m.queries()[name](sf_dir)
+    return res.to_pandas() if hasattr(res, "to_pandas") else res
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "gopher_quality_filter", "sentences_exploded", "pii_redact",
+        "events_interarrival", "latest_event_per_user",
+        "events_in_windows", "events_props_stats", "source_quota_cap",
+        "suppliers_per_part", "order_priority_counts", "dedup_exact",
+        "training_data_pipeline", "embedding_norms", "label_centroids",
+    ],
+)
+def test_empty_input_yields_zero_rows(name, empty_dir, ray_session):
+    df = _run(name, empty_dir)
+    assert len(df) == 0
+
+
+def test_empty_input_cube_grand_total(empty_dir, ray_session):
+    df = _run("events_cube", empty_dir)
+    assert len(df) == 1
+    row = df.iloc[0]
+    assert (row["event_type"], row["hr"], row["n"]) == ("ALL", -1, 0)
+
+
+def test_empty_input_corr_is_null(empty_dir, ray_session):
+    df = _run("lineitem_discount_corr", empty_dir)
+    assert len(df) == 1
+    assert np.isnan(df["corr_disc_price"].iloc[0])
