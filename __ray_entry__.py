@@ -81,6 +81,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suppliers_per_part": r.suppliers_per_part,
         "lineitem_discount_corr": r.lineitem_discount_corr,
         "events_props_stats": r.events_props_stats,
+        # funnel / cohort / collocation family
+        "funnel_conversion": r.funnel_conversion,
+        "cohort_retention": r.cohort_retention,
+        "token_pmi_bigrams": r.token_pmi_bigrams,
         # outer-join tier of hash_join (left / full)
         "customer_order_counts": r.customer_order_counts,
         "user_hour_activity": r.user_hour_activity,

@@ -653,7 +653,9 @@ def corpus_layout_map(sf_dir: str):
         for r in sorted(per_class, key=lambda r: r["label"])
         if not np.isnan(r["ap"])
     ]
-    return pa.Table.from_pylist(rows)
+    return pa.Table.from_pylist(
+        rows, schema=pa.schema([("label", pa.string()), ("ap", pa.float64())])
+    )
 
 
 # ---------------------------------------------------------------------------

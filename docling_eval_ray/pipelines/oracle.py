@@ -1706,3 +1706,72 @@ ORACLE_SQL["events_props_stats"] = """
                AS mean_k
     FROM events GROUP BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# funnel / cohort / collocation family
+# ---------------------------------------------------------------------------
+
+ORACLE_SQL["funnel_conversion"] = """
+    WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t
+           FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s1.t
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t
+           FROM events e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t
+           GROUP BY e.user_id)
+    SELECT step, CAST(n_users AS BIGINT) AS n_users
+    FROM (VALUES ('1_view',     (SELECT count(*) FROM s1)),
+                 ('2_click',    (SELECT count(*) FROM s2)),
+                 ('3_purchase', (SELECT count(*) FROM s3)))
+         AS v(step, n_users)
+"""
+
+ORACLE_SQL["cohort_retention"] = """
+    WITH firsts AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS d0
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(d0 AS VARCHAR) AS cohort_day,
+           CAST(date_diff('day', d0, CAST(e.ts AS DATE)) AS BIGINT)
+               AS day_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e JOIN firsts USING (user_id)
+    GROUP BY d0, date_diff('day', d0, CAST(e.ts AS DATE))
+"""
+
+# PMI mirrors the Ray float path exactly: every operand cast to DOUBLE,
+# identical division/multiplication tree, ln + round_even(6) (the
+# lm_perplexity log-parity precedent).
+ORACLE_SQL["token_pmi_bigrams"] = r"""
+    WITH base AS (
+        SELECT regexp_split_to_array(trim(text), '\s+') AS a
+        FROM documents
+    ),
+    big AS (
+        SELECT a[i] AS w1, a[i + 1] AS w2,
+               CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT a, unnest(generate_series(1, len(a) - 1)) AS i
+              FROM base)
+        GROUP BY 1, 2
+    ),
+    uni AS (
+        SELECT w, CAST(count(*) AS DOUBLE) AS c
+        FROM (SELECT unnest(a) AS w FROM base)
+        GROUP BY w
+    ),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS nt FROM uni),
+    bt  AS (SELECT CAST(sum(n) AS DOUBLE) AS nb FROM big)
+    SELECT b.w1, b.w2, b.n,
+           round_even(ln((CAST(b.n AS DOUBLE) / bt.nb)
+                         / ((u1.c / tot.nt) * (u2.c / tot.nt))), 6) AS pmi
+    FROM big b
+    JOIN uni u1 ON b.w1 = u1.w
+    JOIN uni u2 ON b.w2 = u2.w
+    CROSS JOIN tot CROSS JOIN bt
+    ORDER BY b.n DESC, b.w1, b.w2
+    LIMIT 50
+"""

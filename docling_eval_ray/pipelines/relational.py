@@ -1775,3 +1775,181 @@ def events_props_stats(sf_dir: str):
         )
 
     return final.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# funnel / cohort / collocation family: ordered-sequence analytics the
+# reference's corpus-stats layer (docling_eval/evaluators + dataset
+# stats, SURVEY §2.9 stream shapes) implies but never needed — here as
+# first-class scale ops over the events/documents tables.
+# ---------------------------------------------------------------------------
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_conversion(sf_dir: str, *, steps=FUNNEL_STEPS):
+    """Ordered-funnel user counts: how many users performed step 1,
+    then step 2 STRICTLY AFTER their first step-1 event, then step 3
+    strictly after that — the classic product-analytics funnel, which
+    is also the "ordered n-event sequence per key" shape (§2.9).
+
+    Distribution: one bucketed shuffle on ``user_id`` (each user's
+    events must be co-located; nothing else needs order), per-bucket
+    vectorized min/join/filter chain, then ONE partial row per bucket
+    (len(steps) counters) through a tiny final sum. The corpus crosses
+    the exchange once; the driver sees len(steps) numbers. Timestamps
+    compare as exact integer microseconds on both engines."""
+    from ..functions.groups import bucketed_group_apply
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def keep(t: pa.Table) -> pa.Table:  # prune non-funnel events pre-shuffle
+        return t.filter(pc.is_in(t["event_type"],
+                                 value_set=pa.array(list(steps))))
+
+    ds = ds.map_batches(keep, batch_format="pyarrow")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        df = pd.DataFrame({"u": g["user_id"].to_numpy(np.int64),
+                           "et": g["event_type"].to_numpy(), "ts": ts})
+        counts = []
+        # frontier: user -> completion time of the previous step
+        prev = None  # pd.Series indexed by user
+        for i, step in enumerate(steps):
+            sub = df[df["et"] == step]
+            if prev is not None:
+                lim = sub["u"].map(prev)
+                sub = sub[lim.notna() & (sub["ts"] > lim)]
+            prev = sub.groupby("u")["ts"].min()
+            counts.append(len(prev))
+        return pd.DataFrame({f"s{i}": [np.int64(c)]
+                             for i, c in enumerate(counts)})
+
+    parts = bucketed_group_apply(ds, ["user_id"], per_bucket)
+    from ray.data.aggregate import Sum
+
+    agg = parts.aggregate(*[Sum(f"s{i}", alias_name=f"s{i}")
+                            for i in range(len(steps))])
+    return pd.DataFrame(
+        {
+            "step": [f"{i + 1}_{s}" for i, s in enumerate(steps)],
+            "n_users": [np.int64(agg[f"s{i}"] or 0)
+                        for i in range(len(steps))],
+        }
+    )
+
+
+def cohort_retention(sf_dir: str):
+    """Cohort-retention matrix: users grouped by the calendar day of
+    their FIRST event (cohort), counted once per (cohort, day-offset)
+    they were active on — the self-join-on-first-touch shape.
+
+    Distribution: one bucketed shuffle on ``user_id`` co-locates each
+    user's history; inside a bucket the first-touch min and the
+    distinct activity offsets are vectorized pandas; each bucket emits
+    per-(cohort_day, day_offset) partial counts (bounded by days x
+    offsets, not by users), merged by one tiny final groupby. Cohort
+    day travels as an ISO string (the house timestamp convention)."""
+    from ..functions.groups import bucketed_group_apply
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        day = g["ts"].to_numpy(dtype="datetime64[us]").astype("datetime64[D]")
+        df = pd.DataFrame({"u": g["user_id"].to_numpy(np.int64), "day": day})
+        d0 = df.groupby("u")["day"].transform("min")
+        off = (df["day"] - d0).dt.days.astype(np.int64)
+        act = pd.DataFrame(
+            {"u": df["u"], "cohort_day": d0.astype(str), "day_offset": off}
+        ).drop_duplicates()
+        out = act.groupby(["cohort_day", "day_offset"], as_index=False).agg(
+            n_users=("u", "size")
+        )
+        out["n_users"] = out["n_users"].astype(np.int64)
+        return out
+
+    parts = bucketed_group_apply(ds, ["user_id"], per_bucket)
+    out = _final_groupby(parts, ["cohort_day", "day_offset"], ["n_users"])
+    df = out.to_pandas()  # days x offsets rows — domain-bounded
+    if len(df) == 0:  # schema-less empty blocks: SQL returns zero rows
+        return pd.DataFrame(
+            {"cohort_day": pd.Series([], dtype=str),
+             "day_offset": pd.Series([], dtype=np.int64),
+             "n_users": pd.Series([], dtype=np.int64)}
+        )
+    return df
+
+
+def token_pmi_bigrams(sf_dir: str, *, k: int = 50):
+    """Top-k adjacent-token bigrams by count, with pointwise mutual
+    information ``ln((c_xy/M) / ((c_x/N) * (c_y/N)))`` — the
+    collocation-mining op of a text corpus profiler (pairs naturally
+    with ``token_frequency_topk`` / ``tfidf_topk``).
+
+    Distribution: bigram and unigram counts are per-batch partials
+    (value_counts inside map_batches — one row per DISTINCT gram per
+    batch crosses the shuffle, never the token stream), merged by small
+    final groupbys. The PMI join runs driver-side over the two
+    vocabulary-sized tables (output-sized state, the house gate); at
+    open-vocabulary scale the same join is one ``hash_join`` on w1/w2
+    plus a broadcast of the total counters, and a ``max_df``-style
+    heavy-hitter cap bounds the partial rows (same control documented
+    in stages/dedup.py). Ordering is deterministic: n DESC, w1, w2."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def grams(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim(t["text"], characters=" "), r"\s+"
+        )
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        # boundary mask: pair (i, i+1) valid iff both in the same doc
+        ends = np.cumsum(lens)  # exclusive end of each doc's token run
+        valid = np.ones(max(len(flat) - 1, 0), dtype=bool)
+        valid[ends[ends < len(flat)] - 1] = False
+        w1, w2 = flat[:-1][valid], flat[1:][valid]
+        bdf = pd.DataFrame({"w1": w1, "w2": w2})
+        bg = bdf.groupby(["w1", "w2"], as_index=False).agg(n=("w1", "size"))
+        uv = pd.Series(flat).value_counts()
+        return pa.table(
+            {
+                "w1": pa.array(
+                    np.concatenate([bg["w1"].to_numpy(),
+                                    uv.index.to_numpy()]), pa.string()),
+                "w2": pa.array(
+                    np.concatenate([bg["w2"].to_numpy(),
+                                    np.full(len(uv), "", dtype=object)]),
+                    pa.string()),
+                "n": pa.array(
+                    np.concatenate([bg["n"].to_numpy(np.int64),
+                                    uv.to_numpy(np.int64)]), pa.int64()),
+            }
+        )
+
+    # one scan emits both gram kinds (w2 == "" marks a unigram row);
+    # a single final groupby merges partials for both tables at once
+    counts = _final_groupby(
+        ds.map_batches(grams, batch_format="pyarrow"), ["w1", "w2"], ["n"]
+    ).to_pandas()  # vocab + vocab^2-bounded, NOT corpus-sized
+    if len(counts) == 0:
+        return pd.DataFrame(
+            {"w1": pd.Series([], dtype=str), "w2": pd.Series([], dtype=str),
+             "n": pd.Series([], dtype=np.int64),
+             "pmi": pd.Series([], dtype=np.float64)}
+        )
+    uni = counts[counts["w2"] == ""].set_index("w1")["n"]
+    big = counts[counts["w2"] != ""].copy()
+    n_tok = float(uni.sum())
+    n_big = float(big["n"].sum())
+    cx = big["w1"].map(uni).to_numpy(np.float64)
+    cy = big["w2"].map(uni).to_numpy(np.float64)
+    cxy = big["n"].to_numpy(np.float64)
+    big["pmi"] = np.round(
+        np.log((cxy / n_big) / ((cx / n_tok) * (cy / n_tok))), 6
+    )
+    big["n"] = big["n"].astype(np.int64)
+    big = big.sort_values(["n", "w1", "w2"],
+                          ascending=[False, True, True], kind="mergesort")
+    return big.head(k).reset_index(drop=True)

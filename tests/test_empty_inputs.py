@@ -43,6 +43,7 @@ def _run(name, sf_dir):
         "events_in_windows", "events_props_stats", "source_quota_cap",
         "suppliers_per_part", "order_priority_counts", "dedup_exact",
         "training_data_pipeline", "embedding_norms", "label_centroids",
+        "cohort_retention", "token_pmi_bigrams",
     ],
 )
 def test_empty_input_yields_zero_rows(name, empty_dir, ray_session):
@@ -61,3 +62,10 @@ def test_empty_input_corr_is_null(empty_dir, ray_session):
     df = _run("lineitem_discount_corr", empty_dir)
     assert len(df) == 1
     assert np.isnan(df["corr_disc_price"].iloc[0])
+
+
+def test_empty_input_funnel_zero_counts(empty_dir, ray_session):
+    # SQL on empty still emits one row per funnel step, all zero
+    df = _run("funnel_conversion", empty_dir)
+    assert list(df["step"]) == ["1_view", "2_click", "3_purchase"]
+    assert list(df["n_users"]) == [0, 0, 0]
