@@ -282,6 +282,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from docling_eval_ray.sources.pixparse import pixparse_gt_build
 
     q["pixparse_gt_build"] = pixparse_gt_build
+    # OmniDocBench-style page GT builder (poly bbox scaling, category
+    # dispatch, missing-GT skip, placeholder text)
+    from docling_eval_ray.sources.omnidocbench import omnidocbench_gt_build
+
+    q["omnidocbench_gt_build"] = omnidocbench_gt_build
     # cloud-API provider harness (A5): rate-limited retrying actor pool
     # over a deterministic offline client
     from docling_eval_ray.stages.providers import api_predictions
