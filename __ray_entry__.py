@@ -85,6 +85,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_conversion": r.funnel_conversion,
         "cohort_retention": r.cohort_retention,
         "token_pmi_bigrams": r.token_pmi_bigrams,
+        "top_event_type_per_user": r.top_event_type_per_user,
+        "viewers_never_purchased": r.viewers_never_purchased,
         # outer-join tier of hash_join (left / full)
         "customer_order_counts": r.customer_order_counts,
         "user_hour_activity": r.user_hour_activity,
@@ -292,6 +294,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from docling_eval_ray.stages.providers import api_predictions
 
     q["api_predictions"] = api_predictions
+    # Bloom-filter decontamination (approximate tier of
+    # decontaminate_ngrams; one-sided error asserted in tests/test_bloom.py)
+    from docling_eval_ray.stages.bloom import decontaminate_bloom
+
+    q["decontaminate_bloom"] = decontaminate_bloom
     # non-SQL-expressible pipelines (rows-only checks; fixture-tested in
     # tests/): flagship extraction + span ops
     from docling_eval_ray.pipelines.flagship import flagship

@@ -1775,3 +1775,18 @@ ORACLE_SQL["token_pmi_bigrams"] = r"""
     ORDER BY b.n DESC, b.w1, b.w2
     LIMIT 50
 """
+
+
+ORACLE_SQL["top_event_type_per_user"] = """
+    SELECT user_id, event_type AS top_event_type, CAST(n AS BIGINT) AS n
+    FROM (SELECT user_id, event_type, count(*) AS n
+          FROM events GROUP BY user_id, event_type)
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id ORDER BY n DESC, event_type) = 1
+"""
+
+ORACLE_SQL["viewers_never_purchased"] = """
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+    EXCEPT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+"""

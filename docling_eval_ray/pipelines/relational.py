@@ -1953,3 +1953,91 @@ def token_pmi_bigrams(sf_dir: str, *, k: int = 50):
     big = big.sort_values(["n", "w1", "w2"],
                           ascending=[False, True, True], kind="mergesort")
     return big.head(k).reset_index(drop=True)
+
+
+def top_event_type_per_user(sf_dir: str):
+    """Grouped MODE: each user's most frequent event type (ties broken
+    by event_type ascending — deterministic on both engines). Distinct
+    from ``latest_event_per_user`` (argmax by timestamp): this is
+    argmax over a grouped COUNT.
+
+    Distribution: per-batch (user, type) partial counts → one
+    partial+final groupby (the exchange moves user x |types| partial
+    rows, never events) → a second cheap bucketed pass over the
+    user x |types|-sized aggregate picks each user's winner."""
+    from ..functions.groups import bucketed_group_apply
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        gb = pa.TableGroupBy(t, ["user_id", "event_type"]).aggregate(
+            [([], "count_all")]
+        )
+        return gb.rename_columns(["user_id", "event_type", "n"])
+
+    counts = _final_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id", "event_type"], ["n"],
+    )
+
+    def argmax(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "n", "event_type"],
+                          ascending=[True, False, True], kind="mergesort")
+        w = g.drop_duplicates("user_id")
+        return pd.DataFrame(
+            {"user_id": w["user_id"].to_numpy(np.int64),
+             "top_event_type": w["event_type"].to_numpy(),
+             "n": w["n"].to_numpy(np.int64)}
+        )
+
+    out = bucketed_group_apply(counts, ["user_id"], argmax).materialize()
+    if out.count() == 0:  # to_pandas() of an empty Dataset loses schema
+        return pd.DataFrame(
+            {"user_id": pd.Series([], dtype=np.int64),
+             "top_event_type": pd.Series([], dtype=str),
+             "n": pd.Series([], dtype=np.int64)}
+        )
+    return out
+
+
+def viewers_never_purchased(sf_dir: str):
+    """Distinct view-users EXCEPT distinct purchase-users — the set-
+    difference shape (anti-semi over derived distinct sets), computed
+    in ONE scan: per-batch (user, saw_view, saw_purchase) bool
+    partials, one Max-merge groupby on user_id, then a vectorized
+    filter. The exchange moves one row per user per batch; no second
+    scan, no join."""
+    from ray.data.aggregate import Max
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"user_id": t["user_id"].to_numpy(zero_copy_only=False),
+             "v": pc.equal(t["event_type"], "view").to_numpy(
+                 zero_copy_only=False).astype(np.int64),
+             "p": pc.equal(t["event_type"], "purchase").to_numpy(
+                 zero_copy_only=False).astype(np.int64)}
+        )
+        return pa.Table.from_pandas(
+            df.groupby("user_id", as_index=False).agg(
+                v=("v", "max"), p=("p", "max")
+            ), preserve_index=False,
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Max("v", alias_name="v"), Max("p", alias_name="p"))
+    )
+
+    def pick(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.equal(t["v"], 1), pc.equal(t["p"], 0))
+        return pa.table(
+            {"user_id": pc.cast(t.filter(keep)["user_id"], pa.int64())}
+        )
+
+    out = agg.map_batches(pick, batch_format="pyarrow").materialize()
+    if out.count() == 0:  # to_pandas() of an empty Dataset loses schema
+        return pd.DataFrame({"user_id": pd.Series([], dtype=np.int64)})
+    return out

@@ -1,0 +1,207 @@
+"""Bloom-filter n-gram decontamination — the at-scale companion to the
+exact set-membership check in ``pipelines/corpus_ops.py:
+decontaminate_ngrams``.
+
+The exact op broadcasts the benchmark's literal gram SET; at a real
+benchmark-suite size (10^8-10^9 grams) that broadcast is tens of GiB.
+The standard fix (public Bloom 1970 construction; the same structure
+CCNet/Dolma-style pipelines use for URL and n-gram decontamination) is
+a fixed-size bit array with k double-hashed probes:
+
+* **sized up front**: ``m = -n ln p / (ln 2)^2`` bits and
+  ``k = (m/n) ln 2`` probes for an expected ``n`` items at target
+  false-positive rate ``p`` — a 10^9-gram set at 1% FPR is ~1.2 GiB,
+  broadcastable via ``ray.put`` where the literal set is not;
+* **mergeable**: partial filters OR together bit-for-bit, so the build
+  is the HLL pattern (stages/sketches.py:86-101): one serialized
+  partial per batch of the PRUNED benchmark read, OR-merged on the
+  driver (partials are fixed-size sketches, never corpus-sized);
+* **one-sided error**: membership can false-positive (flagging a clean
+  doc — measured and bounded in tests) but never false-negative, so
+  the guarantee that matters for decontamination — no contaminated
+  document survives — is exact. Tests assert the exact-flagged set is
+  a subset of the bloom-flagged set.
+
+Hashing is two independent 64-bit lanes of one md5 per gram (the
+``_md5_hash64`` convention from stages/dedup.py), combined as
+``h1 + i*h2 mod m`` (Kirsch-Mitzenmacher double hashing).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _gram_hashes(grams: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent uint64 lanes per gram (md5 top/bottom halves)."""
+    h1 = np.empty(len(grams), np.uint64)
+    h2 = np.empty(len(grams), np.uint64)
+    for i, g in enumerate(grams):
+        d = hashlib.md5(g.encode()).digest()
+        h1[i] = int.from_bytes(d[:8], "big")
+        h2[i] = int.from_bytes(d[8:], "big") | 1  # odd → full-period step
+    return h1, h2
+
+
+class BloomFilter:
+    """Fixed-size Bloom filter over strings; OR-mergeable."""
+
+    def __init__(self, m_bits: int = 1 << 20, k: int = 7):
+        assert m_bits % 64 == 0
+        self.m = m_bits
+        self.k = k
+        self.words = np.zeros(m_bits // 64, np.uint64)
+
+    @classmethod
+    def sized_for(cls, n_items: int, fpr: float) -> "BloomFilter":
+        """Standard sizing: m = -n ln p / (ln 2)^2, k = (m/n) ln 2."""
+        n = max(n_items, 1)
+        m = int(-n * math.log(fpr) / (math.log(2) ** 2))
+        m = max(((m + 63) // 64) * 64, 64)
+        k = max(int(round(m / n * math.log(2))), 1)
+        return cls(m, k)
+
+    def _positions(self, grams: list[str]) -> np.ndarray:
+        """(k, n) probe positions via double hashing."""
+        h1, h2 = _gram_hashes(grams)
+        i = np.arange(self.k, dtype=np.uint64)[:, None]
+        return (h1[None, :] + i * h2[None, :]) % np.uint64(self.m)
+
+    def add_many(self, grams: list[str]) -> None:
+        if not grams:
+            return
+        pos = self._positions(grams).ravel()
+        np.bitwise_or.at(
+            self.words, pos >> np.uint64(6),
+            np.uint64(1) << (pos & np.uint64(63)),
+        )
+
+    def contains_many(self, grams: list[str]) -> np.ndarray:
+        """Vectorized membership; all-k-bits-set per gram."""
+        if not grams:
+            return np.zeros(0, bool)
+        pos = self._positions(grams)
+        bits = (
+            self.words[pos >> np.uint64(6)]
+            >> (pos & np.uint64(63))
+        ) & np.uint64(1)
+        return bits.all(axis=0)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        assert (self.m, self.k) == (other.m, other.k)
+        self.words |= other.words
+        return self
+
+    def to_bytes(self) -> bytes:
+        return self.words.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes, k: int) -> "BloomFilter":
+        out = cls(len(data) * 8, k)
+        out.words = np.frombuffer(data, np.uint64).copy()
+        return out
+
+    def theoretical_fpr(self, n_items: int) -> float:
+        return (1.0 - math.exp(-self.k * n_items / self.m)) ** self.k
+
+
+def build_bloom_distributed(ds, grams_fn, *, m_bits: int, k: int):
+    """Distributed filter build, HLL-pattern: each batch emits one
+    serialized partial filter; the driver OR-merges the fixed-size
+    sketches (at 10^9-gram scale, swap the take_all for a tree-reduce
+    over ``ray.remote`` OR tasks — the partials stay m_bits each
+    either way)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        bf = BloomFilter(m_bits, k)
+        bf.add_many(grams_fn(t))
+        return pa.table({"sketch": pa.array([bf.to_bytes()], pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    merged = BloomFilter(m_bits, k)
+    for row in parts:
+        merged.merge(BloomFilter.from_bytes(row["sketch"], k))
+    return merged
+
+
+class _BloomContaminationScorer:
+    """Actor-pool probe stage: resolves the broadcast filter once per
+    actor (the dedup.py tier-A precedent), then counts each document's
+    distinct grams that hit the filter."""
+
+    def __init__(self, bloom_ref, ngram: int):
+        import ray
+
+        self.bloom: BloomFilter = ray.get(bloom_ref)
+        self.ngram = ngram
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.tokens import tokens_series
+        from ..pipelines.corpus_ops import _doc_ngrams
+
+        toks = tokens_series(b["text"])  # exact-op tokenization
+        n_hits = np.zeros(len(b), np.int64)
+        for i, t in enumerate(toks):
+            grams = sorted(_doc_ngrams(t, self.ngram))
+            if grams:
+                n_hits[i] = int(self.bloom.contains_many(grams).sum())
+        # int64 flag (0/1) and the exact op's column names, so the two
+        # decontamination tiers are drop-in comparable
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "n_contaminated": n_hits,
+                "contaminated": (n_hits > 0).astype(np.int64),
+            }
+        )
+
+
+def decontaminate_bloom(sf_dir: str, *, fpr: float = 0.01):
+    """Approximate twin of ``decontaminate_ngrams``: flag training docs
+    sharing any 8-token gram with the benchmark set, with the benchmark
+    side held as a Bloom filter instead of a literal set. One-sided:
+    every exactly-contaminated doc is flagged (asserted in tests);
+    extra flags are bounded by ``fpr``."""
+    import ray
+
+    from ..pipelines.corpus_ops import (
+        BENCH_MAX_DOC_ID,
+        DECON_NGRAM,
+        _doc_ngrams,
+    )
+    from ..pipelines.relational import _read
+    from ..stages.util import stage
+
+    bench = _read(sf_dir, "documents", columns=["doc_id", "text"]).filter(
+        expr=f"doc_id < {BENCH_MAX_DOC_ID}"
+    )
+    # expected gram count ~ benchmark token count (pruned read, tiny
+    # here); a production run would size from lineage stats instead
+    n_est = max(
+        int(bench.count()) * 256,  # generous per-doc gram allowance
+        1024,
+    )
+    proto = BloomFilter.sized_for(n_est, fpr)
+
+    from ..functions.tokens import tokens_series as _ts
+
+    def grams_of(t: pa.Table) -> list[str]:
+        out: list[str] = []
+        for toks in _ts(t["text"].to_pandas()):
+            out.extend(_doc_ngrams(toks, DECON_NGRAM))
+        return out
+
+    bloom = build_bloom_distributed(
+        bench, grams_of, m_bits=proto.m, k=proto.k
+    )
+    bloom_ref = ray.put(bloom)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return stage(ds, _BloomContaminationScorer,
+                 args=(bloom_ref, DECON_NGRAM),
+                 batch_format="pandas", concurrency=2)

@@ -1,0 +1,72 @@
+"""Bloom-filter decontamination: one-sided error vs the exact op,
+bounded FPR, and bit-exact partial merging."""
+
+import numpy as np
+import pytest
+
+from docling_eval_ray.stages.bloom import BloomFilter, decontaminate_bloom
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_bloom_no_false_negatives_vs_exact(ray_session):
+    """Every doc the exact gram-set op flags must be bloom-flagged —
+    the decontamination guarantee that matters is exact."""
+    from docling_eval_ray.pipelines.corpus_ops import decontaminate_ngrams
+
+    exact = decontaminate_ngrams(SF_DIR).to_pandas()
+    approx = decontaminate_bloom(SF_DIR).to_pandas()
+
+    e = exact.sort_values("doc_id").reset_index(drop=True)
+    a = approx.sort_values("doc_id").reset_index(drop=True)
+    assert list(e["doc_id"]) == list(a["doc_id"])
+
+    exact_flag = e["contaminated"].to_numpy(bool)
+    bloom_flag = a["contaminated"].to_numpy(bool)
+    # one-sided: exact ⊆ bloom
+    assert not (exact_flag & ~bloom_flag).any()
+    # and per-doc hit counts never undercount
+    assert (
+        a["n_contaminated"].to_numpy() >= e["n_contaminated"].to_numpy()
+    ).all()
+    # sanity: the benchmark self-hits are flagged
+    assert bloom_flag.sum() >= exact_flag.sum() > 0
+
+
+def test_bloom_fpr_bounded():
+    """Measured FPR on disjoint probes stays within 3x the theoretical
+    rate for the sized filter."""
+    bf = BloomFilter.sized_for(5_000, 0.01)
+    members = [f"member-{i}" for i in range(5_000)]
+    bf.add_many(members)
+    assert bf.contains_many(members).all()  # zero false negatives
+
+    probes = [f"absent-{i}" for i in range(20_000)]
+    fp = float(bf.contains_many(probes).mean())
+    assert fp <= 3 * max(bf.theoretical_fpr(5_000), 0.01)
+
+
+def test_bloom_partial_merge_bit_exact():
+    """OR-merged partials equal the filter built in one pass."""
+    items = [f"gram-{i}" for i in range(1_000)]
+    whole = BloomFilter(1 << 14, 5)
+    whole.add_many(items)
+
+    merged = BloomFilter(1 << 14, 5)
+    for lo in range(0, 1_000, 137):
+        part = BloomFilter(1 << 14, 5)
+        part.add_many(items[lo:lo + 137])
+        merged.merge(BloomFilter.from_bytes(part.to_bytes(), 5))
+    assert np.array_equal(whole.words, merged.words)
+
+
+def test_bloom_sizing_formula():
+    """m/k follow the standard construction and scale with n and p."""
+    small = BloomFilter.sized_for(1_000, 0.01)
+    big = BloomFilter.sized_for(1_000_000, 0.01)
+    tight = BloomFilter.sized_for(1_000, 0.0001)
+    assert big.m > small.m and tight.m > small.m
+    # ~9.6 bits/item at 1% → k ≈ 7
+    assert 6 <= small.k <= 8
+    with pytest.raises(AssertionError):
+        BloomFilter(1 << 10, 3).merge(BloomFilter(1 << 11, 3))

@@ -44,6 +44,7 @@ def _run(name, sf_dir):
         "suppliers_per_part", "order_priority_counts", "dedup_exact",
         "training_data_pipeline", "embedding_norms", "label_centroids",
         "cohort_retention", "token_pmi_bigrams",
+        "top_event_type_per_user", "viewers_never_purchased",
     ],
 )
 def test_empty_input_yields_zero_rows(name, empty_dir, ray_session):
