@@ -299,6 +299,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from docling_eval_ray.stages.bloom import decontaminate_bloom
 
     q["decontaminate_bloom"] = decontaminate_bloom
+    # CVAT pre-annotation writer → reader round trip (S11/M3 writer half)
+    from docling_eval_ray.sources.cvat import cvat_preannotation_roundtrip
+
+    q["cvat_preannotation_roundtrip"] = cvat_preannotation_roundtrip
     # non-SQL-expressible pipelines (rows-only checks; fixture-tested in
     # tests/): flagship extraction + span ops
     from docling_eval_ray.pipelines.flagship import flagship

@@ -171,12 +171,14 @@ def cvat_to_spans(image: dict) -> tuple[list[dict], str]:
     return spans, "success"
 
 
-def build_cvat_gt(xml_path: str):
-    """CVAT annotations file → Dataset(CVAT_GT_SCHEMA); images without a
-    reading order become status rows (skip-and-count), not exceptions."""
+def build_cvat_gt(xml_path: str | list[str]):
+    """CVAT annotations file(s) → Dataset(CVAT_GT_SCHEMA); images
+    without a reading order become status rows (skip-and-count), not
+    exceptions."""
     import ray.data as rd
 
-    ds = rd.read_binary_files([xml_path])
+    paths = [xml_path] if isinstance(xml_path, str) else list(xml_path)
+    ds = rd.read_binary_files(paths)
 
     def build(t: pa.Table) -> pa.Table:
         rows = []
@@ -200,3 +202,127 @@ def cvat_gt_build(sf_dir: str = ""):
     """Driver query over the committed sample annotations (``sf_dir``
     unused, as for the other raw-fixture queries)."""
     return build_cvat_gt(SAMPLE_XML)
+
+
+# ---------------------------------------------------------------------------
+# CVAT pre-annotation WRITER (the other half of the round trip;
+# reference dataset_builders/cvat_preannotation_builder.py +
+# datamodels/cvat_types.py)
+# ---------------------------------------------------------------------------
+
+
+def spans_to_cvat_image_xml(doc_id: str, spans: list[dict],
+                            boxes: list[dict], *, img_id: int,
+                            width: float, height: float) -> str:
+    """One annotated page → CVAT ``<image>`` element.
+
+    Field layout follows the reference emitters: ``<image id name width
+    height>`` (cvat_types.py:195-218 ``AnnotatedImage.to_cvat``) wrapping
+    one ``<box label source="docling" occluded="0" xtl ytl xbr ybr
+    z_order>`` per element with z_order = element index
+    (cvat_types.py:156-157 ``AnnotationBBox.to_cvat``). Two additions
+    close the loop with THIS repo's reader (the reference reads text
+    from the PDF instead, a stubbed backend here): a ``<attribute
+    name="text">`` child per box, and a ``reading_order`` polyline
+    through the box centers in span order (the line_annotations slot
+    the reference models at cvat_types.py:161-165 but emits only when
+    ``lines=True``). Built with ElementTree so attribute text is
+    escaped correctly."""
+    import xml.etree.ElementTree as _ET
+
+    img = _ET.Element("image", {
+        "id": str(img_id), "name": doc_id,
+        "width": str(width), "height": str(height),
+    })
+    centers = []
+    for i, (s, b) in enumerate(zip(spans, boxes)):
+        box = _ET.SubElement(img, "box", {
+            "label": s["kind"], "source": "docling", "occluded": "0",
+            "xtl": repr(float(b["l"])), "ytl": repr(float(b["t"])),
+            "xbr": repr(float(b["r"])), "ybr": repr(float(b["b"])),
+            "z_order": str(i),
+        })
+        attr = _ET.SubElement(box, "attribute", {"name": "text"})
+        attr.text = s["text"]
+        centers.append(((b["l"] + b["r"]) / 2.0, (b["t"] + b["b"]) / 2.0))
+    if centers:
+        _ET.SubElement(img, "polyline", {
+            "label": "reading_order", "source": "docling", "occluded": "0",
+            "points": ";".join(f"{x},{y}" for x, y in centers),
+        })
+    return _ET.tostring(img, encoding="unicode")
+
+
+def write_cvat_preannotations(ds, out_dir: str, *, num_buckets: int = 2,
+                              width: float = 612.0, height: float = 792.0):
+    """Dataset of (doc_id, spans, boxes) rows → bucketed CVAT task
+    files ``task_{NN}_preannotate.xml`` (the reference's bucket layout,
+    cvat_preannotation_builder.py:713-719, with its XML declaration +
+    ``<annotations>`` wrapper).
+
+    Distribution: pages hash-bucket on ``doc_id`` and each bucket's
+    file is rendered and written INSIDE its map_groups task — the
+    driver never sees page payloads, only (bucket, path, n_images)
+    receipts; buckets are the resume unit (one file per bucket, the
+    partitioned-sink rule). img_id is the page's rank within its
+    bucket (deterministic: buckets sort by doc_id)."""
+    import pandas as pd
+
+    from ..functions.groups import bucketed_group_apply
+    from pathlib import Path as _P
+
+    _P(out_dir).mkdir(parents=True, exist_ok=True)
+
+    def render_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        import zlib
+
+        bucket = zlib.crc32(g["doc_id"].iloc[0].encode()) % num_buckets
+        parts = ['<?xml version="1.0" encoding="utf-8"?>', "<annotations>"]
+        for i, row in enumerate(g.itertuples(index=False)):
+            parts.append(spans_to_cvat_image_xml(
+                row.doc_id, list(row.spans), list(row.boxes),
+                img_id=i, width=width, height=height,
+            ))
+        parts.append("</annotations>")
+        path = _P(out_dir) / f"task_{bucket:02}_preannotate.xml"
+        path.write_text("\n".join(parts))
+        return pd.DataFrame(
+            {"bucket": [int(bucket)], "path": [str(path)],
+             "n_images": [len(g)]}
+        )
+
+    import numpy as np
+    import pyarrow.compute as _pc
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        import zlib
+
+        b = np.array(
+            [zlib.crc32(d.encode()) % num_buckets
+             for d in t["doc_id"].to_pylist()], np.int64,
+        )
+        return t.append_column("__task_bucket", pa.array(b))
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return bucketed.groupby("__task_bucket").map_groups(
+        lambda g: render_bucket(g.drop(columns=["__task_bucket"])),
+        batch_format="pandas",
+    )
+
+
+def cvat_preannotation_roundtrip(sf_dir: str = ""):
+    """Driver query: DPBench GT spans → CVAT pre-annotation task files
+    → re-parsed through THIS module's reader. Returns the re-read GT
+    rows; tests assert span-sequence equality with the source."""
+    import tempfile
+
+    from .dpbench import SAMPLE_DIR as _DP_SAMPLE
+    from .dpbench import build_dpbench_gt
+
+    gt = build_dpbench_gt(_DP_SAMPLE).select_columns(
+        ["doc_id", "spans", "boxes"]
+    )
+    out_dir = tempfile.mkdtemp(prefix="cvat_preannot_", dir="/tmp")
+    receipts = write_cvat_preannotations(gt, out_dir).to_pandas()
+    return build_cvat_gt(sorted(receipts["path"]))

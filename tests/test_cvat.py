@@ -58,3 +58,68 @@ def test_cvat_reading_order_revisit_skipped():
     assert [s["kind"] for s in spans] == [
         "title", "text", "text", "footnote"
     ]
+
+
+# ---------------------------------------------------------------------------
+# pre-annotation writer round trip
+# ---------------------------------------------------------------------------
+
+
+def test_cvat_preannotation_roundtrip(ray_session, tmp_path):
+    """GT spans → task XML files → reader: span sequences survive the
+    round trip (kind, text, order; media boxes re-ref through the
+    cvat/<name>/<boxid> convention)."""
+    from docling_eval_ray.sources.cvat import (
+        build_cvat_gt,
+        write_cvat_preannotations,
+    )
+    from docling_eval_ray.sources.dpbench import SAMPLE_DIR, build_dpbench_gt
+
+    gt = build_dpbench_gt(SAMPLE_DIR)
+    src = gt.to_pandas().set_index("doc_id")
+
+    receipts = write_cvat_preannotations(
+        gt.select_columns(["doc_id", "spans", "boxes"]), str(tmp_path)
+    ).to_pandas()
+    # bucketed task files, one per bucket, named like the reference
+    assert all(p.startswith(str(tmp_path) + "/task_") for p in receipts["path"])
+    assert receipts["n_images"].sum() == len(src)
+
+    back = build_cvat_gt(sorted(receipts["path"])).to_pandas()
+    back = back.set_index("doc_id")
+    assert sorted(back.index) == sorted(src.index)
+    for doc_id in src.index:
+        a, b = src.loc[doc_id]["spans"], back.loc[doc_id]["spans"]
+        assert [s["kind"] for s in a] == [s["kind"] for s in b]
+        assert [s["offset"] for s in a] == [s["offset"] for s in b]
+        from docling_eval_ray.datamodel.schema import MEDIA_KINDS
+
+        for sa, sb in zip(a, b):
+            if sa["kind"] in MEDIA_KINDS:
+                # media-kind boxes (picture AND table in the CVAT
+                # convention — regions get cropped, not transcribed)
+                # re-reference through the reader's cvat/<name>/<boxid>
+                assert sb["media_ref"].startswith(f"cvat/{doc_id}/")
+                assert sb["text"] == ""
+            else:
+                assert sa["text"] == sb["text"]
+
+
+def test_cvat_image_xml_escaping(ray_session):
+    """Attribute text with XML-hostile characters survives write+parse."""
+    from docling_eval_ray.sources.cvat import (
+        parse_cvat_xml,
+        spans_to_cvat_image_xml,
+    )
+
+    spans = [{"kind": "text", "text": 'a < b & "c" > d', "media_ref": "",
+              "offset": 0}]
+    boxes = [{"l": 1.0, "t": 2.0, "r": 3.0, "b": 4.0}]
+    xml = ('<?xml version="1.0" encoding="utf-8"?>\n<annotations>\n'
+           + spans_to_cvat_image_xml("doc&x", spans, boxes, img_id=0,
+                                     width=100, height=100)
+           + "\n</annotations>")
+    img = parse_cvat_xml(xml)[0]
+    assert img["name"] == "doc&x"
+    assert img["boxes"][0]["text"] == 'a < b & "c" > d'
+    assert img["boxes"][0]["l"] == 1.0
