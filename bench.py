@@ -161,6 +161,9 @@ def run_benchmarks() -> dict:
     )
     from docling_eval_ray.pipelines import corpus_ops as co
     from docling_eval_ray.stages.media import media_decode_stats
+    from docling_eval_ray.stages.bloom import (
+        decontaminate_bloom as _decontaminate_bloom,
+    )
 
     bench_input = _prepare_bench_input()
 
@@ -213,6 +216,11 @@ def run_benchmarks() -> dict:
         ("events_interarrival", r.events_interarrival),
         ("label_centroids", label_centroids),
         ("training_data_pipeline", tdp),
+        ("funnel_conversion", r.funnel_conversion),
+        ("cohort_retention", r.cohort_retention),
+        ("token_pmi_bigrams", r.token_pmi_bigrams),
+        ("top_event_type_per_user", r.top_event_type_per_user),
+        ("decontaminate_bloom", _decontaminate_bloom),
     ]:
         t0 = time.time()
         out = fn(SF_DIR)
