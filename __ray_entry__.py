@@ -144,6 +144,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "quality_repetition": c.quality_repetition,
             "decontaminate_ngrams": c.decontaminate_ngrams,
             "tfidf_topk": c.tfidf_topk,
+            "bm25_scores": c.bm25_scores,
+            "token_fuzzy_pairs": c.token_fuzzy_pairs,
             "token_heavy_hitters": c.token_heavy_hitters,
             "stratified_sample": c.stratified_sample,
             "embedding_cluster_assign": c.embedding_cluster_assign,

@@ -877,3 +877,187 @@ def exact_token_vocabulary(sf_dir: str):
     vocab = toks.groupby("tok").aggregate(Min("tok", alias_name="m"))
     n = vocab.count()
     return pd.DataFrame({"n_tokens_distinct": [np.int64(n)]})
+
+
+# ---------------------------------------------------------------------------
+# bm25_scores — Okapi BM25 retrieval scoring against a fixed query
+# ---------------------------------------------------------------------------
+
+#: fixed query terms (deterministic; present in the synthetic vocab)
+BM25_QUERY = ("scan", "join", "merge")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_scores(sf_dir: str):
+    """Per-document Okapi BM25 score against the fixed ``BM25_QUERY``
+    (public Robertson/Sparck-Jones formula, the retrieval twin of
+    ``tfidf_topk``): ``score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b +
+    b·dl/avgdl))`` with ``idf = ln((N−df+0.5)/(df+0.5) + 1)``. Only
+    docs containing ≥1 query term appear (SQL's tf-join semantics).
+
+    Distribution: docs never split across batches, so pass 1 emits
+    FINAL per-doc rows (dl + one tf per term) with no shuffle; the
+    materialized per-doc table is re-consumed by (a) a batch-partial +
+    tiny-Sum global reduce for N/Σdl/df and (b) the broadcast-idf
+    scoring map. Nothing corpus-sized reaches the driver — the globals
+    are |terms|+2 numbers. Float path mirrors the oracle's expression
+    tree exactly (lm_perplexity log precedent)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    terms = list(BM25_QUERY)
+
+    def perdoc(t: pa.Table) -> pa.Table:
+        ex = _token_table(t)
+        cols = {"doc_id": t["doc_id"],
+                "dl": pc.cast(pc.list_value_length(
+                    pc.split_pattern_regex(
+                        pc.utf8_trim(t["text"], characters=" "), r"\s+"
+                    )), pa.float64())}
+        # per-term tf via one Arrow group_by over the exploded table
+        tfs = pa.TableGroupBy(
+            ex.filter(pc.is_in(ex["tok"], value_set=pa.array(terms))),
+            ["doc_id", "tok"],
+        ).aggregate([([], "count_all")])
+        df = tfs.to_pandas().pivot_table(
+            index="doc_id", columns="tok", values="count_all",
+            aggfunc="sum", fill_value=0,
+        )
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        for term in terms:
+            v = (df[term].reindex(ids).fillna(0).to_numpy(np.float64)
+                 if term in df.columns else np.zeros(len(ids)))
+            cols[f"tf_{term}"] = pa.array(v, pa.float64())
+        return pa.table(cols)
+
+    stats = ds.map_batches(perdoc, batch_format="pyarrow").materialize()
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = {"n": pa.array([float(len(t))], pa.float64()),
+               "sdl": pa.array([pc.sum(t["dl"]).as_py() or 0.0],
+                               pa.float64())}
+        for term in terms:
+            d = pc.sum(pc.cast(pc.greater(t[f"tf_{term}"], 0.0),
+                               pa.int64())).as_py() or 0
+            out[f"df_{term}"] = pa.array([float(d)], pa.float64())
+        return pa.table(out)
+
+    agg = stats.map_batches(partial, batch_format="pyarrow").aggregate(
+        *[Sum(c, alias_name=c)
+          for c in ["n", "sdl"] + [f"df_{t}" for t in terms]]
+    )
+    n = float(agg["n"] or 0.0)
+    if n == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                             "bm25": pd.Series([], dtype=np.float64)})
+    avgdl = agg["sdl"] / n
+    idf = {t: float(np.log((n - agg[f"df_{t}"] + 0.5)
+                           / (agg[f"df_{t}"] + 0.5) + 1.0))
+           for t in terms}
+
+    def score(t: pa.Table) -> pa.Table:
+        dl = t["dl"].to_numpy(zero_copy_only=False)
+        norm = BM25_K1 * ((1.0 - BM25_B) + BM25_B * dl / avgdl)
+        s = np.zeros(len(t), np.float64)
+        any_tf = np.zeros(len(t), bool)
+        for term in terms:  # fixed summation order
+            tf = t[f"tf_{term}"].to_numpy(zero_copy_only=False)
+            s = s + idf[term] * ((tf * (BM25_K1 + 1.0)) / (tf + norm))
+            any_tf |= tf > 0
+        return pa.table(
+            {"doc_id": pc.cast(t["doc_id"], pa.int64()),
+             "bm25": pa.array(np.round(s, 6), pa.float64())}
+        ).filter(pa.array(any_tf))
+
+    return stats.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# token_fuzzy_pairs — blocked edit-distance vocabulary variant pairs
+# ---------------------------------------------------------------------------
+
+FUZZY_MAX_DIST = 2
+
+
+def _lev(a: str, b: str) -> int:
+    """Plain Wagner-Fischer; exact match for DuckDB ``levenshtein``."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def token_fuzzy_pairs(sf_dir: str, *, max_dist: int = FUZZY_MAX_DIST):
+    """All distinct-vocabulary pairs within edit distance ``max_dist``
+    (w1 < w2) — the spelling-variant / fuzzy-join shape of a corpus
+    profiler.
+
+    Distribution: the vocabulary is reduced exactly as in
+    ``exact_token_vocabulary`` (per-batch distinct partials, one
+    groupby dedup — the exchange moves distinct tokens per batch, not
+    occurrences); each word then replicates to the LENGTH BANDS
+    ``len..len+max_dist`` and pairs are evaluated only in the band
+    equal to the longer word's length, so every qualifying pair is
+    produced exactly once and every band holds only words within
+    ``max_dist`` of its length (the classic band-join bound: edit
+    distance ≥ length difference). In-band comparison is all-pairs
+    Wagner-Fischer — at open-vocabulary scale, sub-block the bands by
+    q-gram prefix before the quadratic step."""
+    from ray.data.aggregate import Min
+
+    from ..functions.groups import bucketed_group_apply
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        return pa.table({"tok": pc.unique(_token_table(t)["tok"])})
+
+    vocab = (
+        ds.map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby("tok").aggregate(Min("tok", alias_name="m"))
+        .select_columns(["tok"])
+    )
+
+    def to_bands(t: pa.Table) -> pa.Table:
+        toks = t["tok"].to_pylist()
+        words, bands = [], []
+        for w in toks:
+            for band in range(len(w), len(w) + max_dist + 1):
+                words.append(w)
+                bands.append(band)
+        return pa.table({"tok": pa.array(words, pa.string()),
+                         "band": pa.array(bands, pa.int64())})
+
+    banded = vocab.map_batches(to_bands, batch_format="pyarrow")
+
+    def pairs_in_band(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for band, sub in g.groupby("band", sort=False):
+            ws = sorted(set(sub["tok"]))
+            for i in range(len(ws)):
+                for j in range(i + 1, len(ws)):
+                    a, b = ws[i], ws[j]
+                    if max(len(a), len(b)) != band:
+                        continue  # counted in its own max-length band
+                    d = _lev(a, b)
+                    if d <= max_dist:
+                        out.append((a, b, d))
+        return pd.DataFrame(
+            {"w1": [o[0] for o in out], "w2": [o[1] for o in out],
+             "d": np.array([o[2] for o in out], np.int64)}
+        )
+
+    res = bucketed_group_apply(banded, ["band"], pairs_in_band)
+    df = res.to_pandas()  # pair-table-sized (vocab-bounded), not corpus
+    if len(df) == 0:
+        return pd.DataFrame({"w1": pd.Series([], dtype=str),
+                             "w2": pd.Series([], dtype=str),
+                             "d": pd.Series([], dtype=np.int64)})
+    return df

@@ -1790,3 +1790,43 @@ ORACLE_SQL["viewers_never_purchased"] = """
     EXCEPT
     SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
 """
+
+
+# BM25 mirrors the Ray float path: every operand DOUBLE, identical
+# expression tree (0.25 = 1-b exact in binary; k1+1 summed the same way)
+ORACLE_SQL["bm25_scores"] = _TOKS_CTE + r""",
+    dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+           FROM toks GROUP BY doc_id),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                     CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                         AS avgdl
+              FROM dl),
+    tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+           FROM toks WHERE tok IN ('scan', 'join', 'merge')
+           GROUP BY doc_id, tok),
+    df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok)
+    SELECT tf.doc_id,
+           round_even(sum(
+               ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * ((tf.tf * (1.2 + 1.0))
+                  / (tf.tf + 1.2 * ((1.0 - 0.75)
+                                    + 0.75 * dl.dl / stats.avgdl)))
+           ), 6) AS bm25
+    FROM tf
+    JOIN df USING (tok)
+    JOIN dl USING (doc_id)
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+"""
+
+ORACLE_SQL["token_fuzzy_pairs"] = r"""
+    WITH v AS (
+        SELECT DISTINCT unnest(regexp_split_to_array(trim(text), '\s+'))
+            AS w
+        FROM documents
+    )
+    SELECT a.w AS w1, b.w AS w2,
+           CAST(levenshtein(a.w, b.w) AS BIGINT) AS d
+    FROM v a, v b
+    WHERE a.w < b.w AND levenshtein(a.w, b.w) <= 2
+"""
