@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_pmi_bigrams": r.token_pmi_bigrams,
         "top_event_type_per_user": r.top_event_type_per_user,
         "viewers_never_purchased": r.viewers_never_purchased,
+        "user_event_sequences": r.user_event_sequences,
         # outer-join tier of hash_join (left / full)
         "customer_order_counts": r.customer_order_counts,
         "user_hour_activity": r.user_hour_activity,

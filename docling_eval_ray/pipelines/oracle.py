@@ -1830,3 +1830,11 @@ ORACLE_SQL["token_fuzzy_pairs"] = r"""
     FROM v a, v b
     WHERE a.w < b.w AND levenshtein(a.w, b.w) <= 2
 """
+
+
+ORACLE_SQL["user_event_sequences"] = """
+    SELECT user_id,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS seq,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+"""

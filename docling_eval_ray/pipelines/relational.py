@@ -2041,3 +2041,33 @@ def viewers_never_purchased(sf_dir: str):
     if out.count() == 0:  # to_pandas() of an empty Dataset loses schema
         return pd.DataFrame({"user_id": pd.Series([], dtype=np.int64)})
     return out
+
+
+def user_event_sequences(sf_dir: str):
+    """Per-user ordered event-type sequence string (``a>b>c`` in
+    (ts, event_id) order) — the ORDERED string_agg shape, the standard
+    prep step for session-path mining. One bucketed shuffle on
+    ``user_id``; ordering happens strictly inside the group (mergesort
+    for stability), and the output is one row per user."""
+    from ..functions.groups import bucketed_group_apply
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "ts", "event_id"])
+
+    def concat(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        out = g.groupby("user_id", sort=False).agg(
+            seq=("event_type", ">".join), n_events=("event_type", "size")
+        ).reset_index()
+        out["user_id"] = out["user_id"].astype(np.int64)
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out
+
+    out = bucketed_group_apply(ds, ["user_id"], concat).materialize()
+    if out.count() == 0:  # to_pandas() of an empty Dataset loses schema
+        return pd.DataFrame(
+            {"user_id": pd.Series([], dtype=np.int64),
+             "seq": pd.Series([], dtype=str),
+             "n_events": pd.Series([], dtype=np.int64)}
+        )
+    return out

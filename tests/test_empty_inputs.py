@@ -45,7 +45,7 @@ def _run(name, sf_dir):
         "training_data_pipeline", "embedding_norms", "label_centroids",
         "cohort_retention", "token_pmi_bigrams",
         "top_event_type_per_user", "viewers_never_purchased",
-        "bm25_scores", "token_fuzzy_pairs",
+        "bm25_scores", "token_fuzzy_pairs", "user_event_sequences",
     ],
 )
 def test_empty_input_yields_zero_rows(name, empty_dir, ray_session):
