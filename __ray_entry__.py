@@ -88,6 +88,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_event_type_per_user": r.top_event_type_per_user,
         "viewers_never_purchased": r.viewers_never_purchased,
         "user_event_sequences": r.user_event_sequences,
+        "event_transitions": r.event_transitions,
+        "orderkey_islands": r.orderkey_islands,
         # outer-join tier of hash_join (left / full)
         "customer_order_counts": r.customer_order_counts,
         "user_hour_activity": r.user_hour_activity,
@@ -156,6 +158,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "fixed_size_sample": c.fixed_size_sample,
             "source_quota_cap": c.source_quota_cap,
             "exact_token_vocabulary": c.exact_token_vocabulary,
+            "dataset_split_assign": c.dataset_split_assign,
+            "lang_mixture_weights": c.lang_mixture_weights,
         }
     )
     # content-cleaning ops (all oracled): PII redaction, CCNet-style

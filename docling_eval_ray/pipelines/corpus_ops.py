@@ -1061,3 +1061,89 @@ def token_fuzzy_pairs(sf_dir: str, *, max_dist: int = FUZZY_MAX_DIST):
                              "w2": pd.Series([], dtype=str),
                              "d": pd.Series([], dtype=np.int64)})
     return df
+
+
+# ---------------------------------------------------------------------------
+# dataset_split_assign — deterministic hash train/val/test split census
+# ---------------------------------------------------------------------------
+
+#: md5(doc_id) % 100 thresholds: <80 train, <90 val, else test.
+SPLIT_EDGES = (80, 90)
+
+
+def dataset_split_assign(sf_dir: str):
+    """Deterministic train/val/test split census per language: split =
+    md5(doc_id) % 100 against ``SPLIT_EDGES`` — reproducible across
+    engines and runs, stable under repartitioning, and independent of
+    row order (the properties a corpus split must have; same md5-prefix
+    device as ``deterministic_sample``). Streaming partial counts per
+    batch; the final groupby is |split|×|lang|-sized."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = np.array(
+            [md5_prefix32(str(i)) % 100 for i in t["doc_id"].to_pylist()],
+            dtype=np.int64,
+        )
+        split = np.where(
+            h < SPLIT_EDGES[0], "train",
+            np.where(h < SPLIT_EDGES[1], "val", "test"),
+        )
+        df = pd.DataFrame(
+            {"split": split, "lang": t["lang"].to_numpy(zero_copy_only=False)}
+        )
+        out = df.value_counts().rename("n_docs").reset_index()
+        out["n_docs"] = out["n_docs"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    out = _final_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["split", "lang"], ["n_docs"],
+    ).materialize()
+    if out.count() == 0:
+        return pd.DataFrame(
+            {"split": pd.Series([], dtype=str),
+             "lang": pd.Series([], dtype=str),
+             "n_docs": pd.Series([], dtype=np.int64)}
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# lang_mixture_weights — temperature-scaled sampling weights per language
+# ---------------------------------------------------------------------------
+
+#: sampling temperature α: weight ∝ p_lang^α (α<1 upsamples the tail —
+#: the multilingual mixing rule of mC4 / XLM-R).
+MIXTURE_ALPHA = 0.3
+
+
+def lang_mixture_weights(sf_dir: str):
+    """Temperature-based language sampling weights for corpus mixing:
+    w_l = p_l^α / Σ p^α with p_l the language's document share and
+    α = ``MIXTURE_ALPHA`` (the mC4/XLM-R upsampling rule). One partial+
+    final count groupby (language-domain-sized); the power/normalize
+    step runs on the driver over the ≤|lang| rows."""
+    ds = _read(sf_dir, "documents", columns=["lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lang, n = np.unique(
+            t["lang"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table({"lang": pa.array(lang),
+                         "n_docs": pa.array(n.astype(np.int64), pa.int64())})
+
+    counts = _final_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"), ["lang"], ["n_docs"]
+    ).to_pandas()  # |lang| rows — domain-sized, not corpus-sized
+    if len(counts) == 0:
+        return pd.DataFrame(
+            {"lang": pd.Series([], dtype=str),
+             "n_docs": pd.Series([], dtype=np.int64),
+             "weight": pd.Series([], dtype=np.float64)}
+        )
+    p = counts["n_docs"].to_numpy(np.float64) / counts["n_docs"].sum()
+    pw = p ** MIXTURE_ALPHA
+    counts["weight"] = np.round(pw / pw.sum(), 6)
+    counts["n_docs"] = counts["n_docs"].astype(np.int64)
+    return counts[["lang", "n_docs", "weight"]]

@@ -1838,3 +1838,60 @@ ORACLE_SQL["user_event_sequences"] = """
            CAST(count(*) AS BIGINT) AS n_events
     FROM events GROUP BY user_id
 """
+
+
+ORACLE_SQL["event_transitions"] = """
+    WITH w AS (
+        SELECT event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev
+        FROM events
+    )
+    SELECT prev AS prev_type, event_type AS next_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM w WHERE prev IS NOT NULL
+    GROUP BY 1, 2
+"""
+
+
+ORACLE_SQL["orderkey_islands"] = """
+    WITH f AS (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'),
+    w AS (
+        SELECT o_orderkey,
+               o_orderkey - row_number() OVER (ORDER BY o_orderkey) AS g
+        FROM f
+    )
+    SELECT min(o_orderkey) AS start_key, max(o_orderkey) AS end_key,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM w GROUP BY g
+"""
+
+
+ORACLE_SQL["dataset_split_assign"] = """
+    WITH h AS (
+        SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS UBIGINT) % 100 AS b, lang
+        FROM documents
+    )
+    SELECT CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+           lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM h GROUP BY 1, 2
+"""
+
+
+ORACLE_SQL["lang_mixture_weights"] = """
+    WITH c AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY lang
+    ),
+    p AS (
+        SELECT lang, n_docs,
+               pow(n_docs / (SELECT sum(n_docs) FROM c), 0.3) AS pw
+        FROM c
+    )
+    SELECT lang, n_docs,
+           round_even(pw / (SELECT sum(pw) FROM p), 6) AS weight
+    FROM p
+"""

@@ -2071,3 +2071,99 @@ def user_event_sequences(sf_dir: str):
              "n_events": pd.Series([], dtype=np.int64)}
         )
     return out
+
+
+def event_transitions(sf_dir: str):
+    """First-order Markov transition counts over per-user event streams:
+    (prev_type, next_type, n) for consecutive events in (ts, event_id)
+    order — the LAG-bigram shape behind session-path mining and funnel
+    discovery. One bucketed shuffle on ``user_id``; the per-bucket apply
+    emits (prev, next) partial counts (≤ |event_type|² rows per bucket),
+    so the final groupby is domain-sized, not corpus-sized."""
+    from ..functions.groups import bucketed_group_apply
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "ts", "event_id"])
+
+    def bigrams(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        same = np.concatenate([[False], uid[1:] == uid[:-1]])
+        out = pd.DataFrame(
+            {"prev_type": np.concatenate([[""], et[:-1]])[same],
+             "next_type": et[same]}
+        )
+        part = out.value_counts().rename("n").reset_index()
+        part["n"] = part["n"].astype(np.int64)
+        return part
+
+    partials = bucketed_group_apply(ds, ["user_id"], bigrams)
+    out = _final_groupby(
+        partials, ["prev_type", "next_type"], ["n"]
+    ).materialize()
+    if out.count() == 0:
+        return pd.DataFrame(
+            {"prev_type": pd.Series([], dtype=str),
+             "next_type": pd.Series([], dtype=str),
+             "n": pd.Series([], dtype=np.int64)}
+        )
+    return out
+
+
+def orderkey_islands(sf_dir: str):
+    """Gaps-and-islands over the filtered order-key space: maximal runs
+    of consecutive ``o_orderkey`` whose status is 'F' → (start_key,
+    end_key, n_orders). The classic ``key − ROW_NUMBER()`` trick, made
+    distributed by ``functions/ranks.py:global_row_number`` (range-
+    partitioned rank: boundary sample → tiny offset aggregate → one
+    shuffle). Island merge is a partial min/max/count per batch plus one
+    bucketed final merge, so only island-sized rows cross the wire."""
+    from ..functions.groups import bucketed_group_apply
+    from ..functions.ranks import global_row_number
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderstatus"], "F"))
+        .select(["o_orderkey"]),
+        batch_format="pyarrow",
+    )
+    ranked = global_row_number(ds, "o_orderkey")
+
+    def grp(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        rn = t["rn"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderkey": pa.array(k, pa.int64()),
+            "g": pa.array((k - rn).astype(np.int64), pa.int64()),
+        })
+
+    def island_partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.groupby("g", as_index=False).agg(
+            start_key=("o_orderkey", "min"),
+            end_key=("o_orderkey", "max"),
+            n_orders=("o_orderkey", "size"),
+        )
+        out["n_orders"] = out["n_orders"].astype(np.int64)
+        return out
+
+    def island_final(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.groupby("g", as_index=False).agg(
+            start_key=("start_key", "min"),
+            end_key=("end_key", "max"),
+            n_orders=("n_orders", "sum"),
+        )
+        out["n_orders"] = out["n_orders"].astype(np.int64)
+        return out[["start_key", "end_key", "n_orders"]]
+
+    partials = ranked.map_batches(
+        grp, batch_format="pyarrow"
+    ).map_batches(island_partial, batch_format="pandas")
+    out = bucketed_group_apply(partials, ["g"], island_final).materialize()
+    if out.count() == 0:
+        return pd.DataFrame(
+            {"start_key": pd.Series([], dtype=np.int64),
+             "end_key": pd.Series([], dtype=np.int64),
+             "n_orders": pd.Series([], dtype=np.int64)}
+        )
+    return out

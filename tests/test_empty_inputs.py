@@ -46,6 +46,8 @@ def _run(name, sf_dir):
         "cohort_retention", "token_pmi_bigrams",
         "top_event_type_per_user", "viewers_never_purchased",
         "bm25_scores", "token_fuzzy_pairs", "user_event_sequences",
+        "event_transitions", "orderkey_islands", "dataset_split_assign",
+        "lang_mixture_weights",
     ],
 )
 def test_empty_input_yields_zero_rows(name, empty_dir, ray_session):
