@@ -90,6 +90,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_sequences": r.user_event_sequences,
         "event_transitions": r.event_transitions,
         "orderkey_islands": r.orderkey_islands,
+        "order_percent_rank": r.order_percent_rank,
+        "promo_revenue_share": r.promo_revenue_share,
+        "priority_line_counts": r.priority_line_counts,
+        "top_suppliers_by_revenue": r.top_suppliers_by_revenue,
+        "important_parts_stock": r.important_parts_stock,
         # outer-join tier of hash_join (left / full)
         "customer_order_counts": r.customer_order_counts,
         "user_hour_activity": r.user_hour_activity,
@@ -160,6 +165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "exact_token_vocabulary": c.exact_token_vocabulary,
             "dataset_split_assign": c.dataset_split_assign,
             "lang_mixture_weights": c.lang_mixture_weights,
+            "mixture_resample_census": c.mixture_resample_census,
         }
     )
     # content-cleaning ops (all oracled): PII redaction, CCNet-style

@@ -221,6 +221,10 @@ def run_benchmarks() -> dict:
         ("token_pmi_bigrams", r.token_pmi_bigrams),
         ("top_event_type_per_user", r.top_event_type_per_user),
         ("decontaminate_bloom", _decontaminate_bloom),
+        ("order_percent_rank", r.order_percent_rank),
+        ("priority_line_counts", r.priority_line_counts),
+        ("event_transitions", r.event_transitions),
+        ("mixture_resample_census", co.mixture_resample_census),
     ]:
         t0 = time.time()
         out = fn(SF_DIR)

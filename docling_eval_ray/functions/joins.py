@@ -87,13 +87,18 @@ def dim_join(large_ds, small_ds, on: str, *,
     dimension scan. This is the size-policy answer to "customer scales
     with sf": the pattern stays a broadcast only while the side is
     provably small."""
+    # metadata-only schema probe BEFORE materialize: materializing an
+    # empty dataset drops the schema entirely in this Ray version, so a
+    # zero-row dimension (e.g. empty parquet input) would otherwise be
+    # unjoinable even though the read knows its columns
+    pre_schema = small_ds.schema(fetch_if_missing=False)
     small_ds = small_ds.materialize()
     n = small_ds.count()
     if n <= broadcast_limit:
         if n == 0:
             # typed empty frame: to_pandas() of an empty Dataset can
             # lose the column structure the probe-side merge needs
-            sch = small_ds.schema()
+            sch = small_ds.schema() or pre_schema
             if sch is None:
                 raise ValueError(
                     "dim_join dimension side has no derivable schema "

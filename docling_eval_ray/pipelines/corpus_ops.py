@@ -1147,3 +1147,62 @@ def lang_mixture_weights(sf_dir: str):
     counts["weight"] = np.round(pw / pw.sum(), 6)
     counts["n_docs"] = counts["n_docs"].astype(np.int64)
     return counts[["lang", "n_docs", "weight"]]
+
+
+# ---------------------------------------------------------------------------
+# mixture_resample_census — deterministic corpus resample at mixture weights
+# ---------------------------------------------------------------------------
+
+#: hash-space granularity for per-language keep thresholds.
+RESAMPLE_SCALE = 1_000_000
+#: salt so the resample hash is independent of dataset_split_assign's.
+RESAMPLE_SALT = "#mix"
+
+
+def mixture_resample_census(sf_dir: str):
+    """Deterministic corpus resampling at the mC4 temperature-mixture
+    rate: language l keeps each document with probability
+    w_l / max(w) (the dominant language keeps everything; tail
+    languages keep proportionally to their upsampled weight), decided
+    by md5(doc_id + salt) — reproducible, order-independent, and
+    shuffle-free on the corpus side. Composition of
+    ``lang_mixture_weights`` (domain-sized count groupby → driver
+    weight table → broadcast thresholds) with the hash-filter census
+    pattern of ``dataset_split_assign``."""
+    counts_df = lang_mixture_weights(sf_dir)
+    if len(counts_df) == 0:
+        return pd.DataFrame(
+            {"lang": pd.Series([], dtype=str),
+             "n_kept": pd.Series([], dtype=np.int64)}
+        )
+    w = counts_df["weight"].to_numpy(np.float64)
+    frac = np.round(w / w.max(), 6)
+    thresh = {
+        lang: int(np.round(f * RESAMPLE_SCALE, 0))
+        for lang, f in zip(counts_df["lang"], frac)
+    }
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        h = np.array(
+            [md5_prefix32(str(i) + RESAMPLE_SALT) % RESAMPLE_SCALE
+             for i in t["doc_id"].to_pylist()],
+            dtype=np.int64,
+        )
+        lim = np.array([thresh.get(la, 0) for la in lang], dtype=np.int64)
+        kept = lang[h < lim]
+        u, n = np.unique(kept, return_counts=True)
+        return pa.table({"lang": pa.array(u),
+                         "n_kept": pa.array(n.astype(np.int64), pa.int64())})
+
+    out = _final_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"), ["lang"], ["n_kept"]
+    ).materialize()
+    if out.count() == 0:
+        return pd.DataFrame(
+            {"lang": pd.Series([], dtype=str),
+             "n_kept": pd.Series([], dtype=np.int64)}
+        )
+    return out

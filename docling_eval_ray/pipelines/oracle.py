@@ -1895,3 +1895,92 @@ ORACLE_SQL["lang_mixture_weights"] = """
            round_even(pw / (SELECT sum(pw) FROM p), 6) AS weight
     FROM p
 """
+
+
+ORACLE_SQL["order_percent_rank"] = """
+    SELECT o_orderkey,
+           CAST(row_number() OVER (ORDER BY o_totalprice, o_orderkey)
+                AS BIGINT) AS rn,
+           round_even(percent_rank() OVER
+                      (ORDER BY o_totalprice, o_orderkey), 6) AS pr
+    FROM orders
+"""
+
+
+ORACLE_SQL["promo_revenue_share"] = """
+    SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+           round_even(
+               100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                THEN l_extendedprice * (1 - l_discount)
+                                ELSE 0 END)
+               / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1
+"""
+
+
+ORACLE_SQL["priority_line_counts"] = """
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY l_linestatus
+"""
+
+
+ORACLE_SQL["mixture_resample_census"] = """
+    WITH c AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY lang
+    ),
+    p AS (
+        SELECT lang, pow(n_docs / (SELECT sum(n_docs) FROM c), 0.3) AS pw
+        FROM c
+    ),
+    w AS (
+        SELECT lang,
+               round_even(pw / (SELECT sum(pw) FROM p), 6) AS weight
+        FROM p
+    ),
+    t AS (
+        SELECT lang,
+               CAST(round_even(
+                   round_even(weight / (SELECT max(weight) FROM w), 6)
+                   * 1000000, 0) AS BIGINT) AS lim
+        FROM w
+    ),
+    h AS (
+        SELECT d.lang,
+               CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+                                        || '#mix'), 1, 8))
+                    AS UBIGINT) % 1000000 AS hv,
+               t.lim
+        FROM documents d JOIN t ON d.lang = t.lang
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_kept
+    FROM h WHERE hv < lim GROUP BY lang
+"""
+
+
+ORACLE_SQL["top_suppliers_by_revenue"] = """
+    WITH s AS (
+        SELECT l_suppkey,
+               round_even(sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS total_revenue
+        FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT l_suppkey, total_revenue FROM s
+    WHERE total_revenue = (SELECT max(total_revenue) FROM s)
+"""
+
+
+ORACLE_SQL["important_parts_stock"] = """
+    WITH s AS (
+        SELECT l_partkey, sum(l_quantity) AS total_qty
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, total_qty FROM s
+    WHERE total_qty > (SELECT sum(total_qty) FROM s) * 0.0008
+"""

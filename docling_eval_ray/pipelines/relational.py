@@ -2167,3 +2167,211 @@ def orderkey_islands(sf_dir: str):
              "n_orders": pd.Series([], dtype=np.int64)}
         )
     return out
+
+
+def order_percent_rank(sf_dir: str):
+    """ROW_NUMBER + PERCENT_RANK over the whole orders table by
+    (o_totalprice, o_orderkey) — the direct SQL-window oracle for the
+    range-partitioned rank primitive (``functions/ranks.py``): boundary
+    sample → tiny offset aggregate → ONE shuffle, never a global sort
+    plus sequential scan. The tiebreak makes the total order unique, so
+    SQL RANK == ROW_NUMBER and percent_rank is (rn−1)/(n−1) exactly."""
+    from ..functions.ranks import global_row_number
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    n = ds.count()  # parquet metadata count — no scan
+    ranked = global_row_number(ds, "o_totalprice", tiebreak=["o_orderkey"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        rn = t["rn"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pr = (
+            np.round((rn - 1) / (n - 1), 6)
+            if n > 1 else np.zeros(len(rn), np.float64)
+        )
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "rn": pa.array(rn, pa.int64()),
+            "pr": pa.array(pr, pa.float64()),
+        })
+
+    out = ranked.map_batches(finish, batch_format="pyarrow").materialize()
+    if out.count() == 0:
+        return pd.DataFrame(
+            {"o_orderkey": pd.Series([], dtype=np.int64),
+             "rn": pd.Series([], dtype=np.int64),
+             "pr": pd.Series([], dtype=np.float64)}
+        )
+    return out
+
+
+def promo_revenue_share(sf_dir: str):
+    """TPC-H Q14-shaped ratio-of-conditional-sums: per ship month, the
+    share of discounted revenue coming from PROMO-type parts. The part
+    dimension routes through ``dim_join`` (broadcast under the size
+    threshold, bucketed hash join above it); revenue partials combine
+    per batch so the final shuffle moves one row per month per batch."""
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"])
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_type"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "p_partkey": b["l_partkey"].to_numpy(),
+            "revenue": (b["l_extendedprice"]
+                        * (1.0 - b["l_discount"])).to_numpy(),
+            "ship_month": b["l_shipdate"].dt.strftime("%Y-%m"),
+        })
+
+    joined = dim_join(
+        li.map_batches(derive, batch_format="pandas"), part, on="p_partkey"
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        promo = np.where(b["p_type"].to_numpy() == "PROMO",
+                         b["revenue"].to_numpy(), 0.0)
+        out = (
+            b.assign(promo_revenue=promo)
+            .groupby("ship_month", as_index=False)
+            .agg(promo_revenue=("promo_revenue", "sum"),
+                 total_revenue=("revenue", "sum"))
+        )
+        return out
+
+    partials = joined.map_batches(partial, batch_format="pandas")
+    final = _final_groupby(partials, ["ship_month"],
+                           ["promo_revenue", "total_revenue"])
+
+    def ratio(t: pa.Table) -> pa.Table:
+        pr = t["promo_revenue"].to_numpy(zero_copy_only=False)
+        tr = t["total_revenue"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "ship_month": t["ship_month"],
+            "promo_pct": pa.array(np.round(100.0 * pr / tr, 4),
+                                  pa.float64()),
+        })
+
+    out = final.map_batches(ratio, batch_format="pyarrow").materialize()
+    if out.count() == 0:
+        return pd.DataFrame(
+            {"ship_month": pd.Series([], dtype=str),
+             "promo_pct": pd.Series([], dtype=np.float64)}
+        )
+    return out
+
+
+def priority_line_counts(sf_dir: str):
+    """TPC-H Q12-shaped conditional counting over a large⋈large join:
+    lineitem ⋈ orders on the order key (ONE bucketed hash-join
+    shuffle), then per line status the count of lines whose order is
+    urgent/high priority vs the rest — SUM(CASE WHEN …) re-expressed as
+    a vectorized mask partial so only (status, 2×count) rows cross the
+    final exchange."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linestatus"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderpriority"])
+    # inner join with an empty side is empty; the metadata-only count
+    # guard avoids hash-joining a schema-less empty map_batches output
+    if li.count() == 0 or orders.count() == 0:
+        return pd.DataFrame(
+            {"l_linestatus": pd.Series([], dtype=str),
+             "high_line_count": pd.Series([], dtype=np.int64),
+             "low_line_count": pd.Series([], dtype=np.int64)}
+        )
+    li = li.map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "l_linestatus"]),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(li, orders, on="o_orderkey", num_buckets=16)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        hi = np.isin(b["o_orderpriority"].to_numpy(),
+                     ("1-URGENT", "2-HIGH")).astype(np.int64)
+        out = (
+            b.assign(high_line_count=hi, low_line_count=1 - hi)
+            .groupby("l_linestatus", as_index=False)
+            .agg(high_line_count=("high_line_count", "sum"),
+                 low_line_count=("low_line_count", "sum"))
+        )
+        out["high_line_count"] = out["high_line_count"].astype(np.int64)
+        out["low_line_count"] = out["low_line_count"].astype(np.int64)
+        return out
+
+    partials = joined.map_batches(partial, batch_format="pandas")
+    out = _final_groupby(
+        partials, ["l_linestatus"], ["high_line_count", "low_line_count"]
+    ).materialize()
+    if out.count() == 0:
+        return pd.DataFrame(
+            {"l_linestatus": pd.Series([], dtype=str),
+             "high_line_count": pd.Series([], dtype=np.int64),
+             "low_line_count": pd.Series([], dtype=np.int64)}
+        )
+    return out
+
+
+def top_suppliers_by_revenue(sf_dir: str):
+    """TPC-H Q15-shaped argmax-over-aggregate: supplier(s) whose summed
+    discounted revenue equals the global maximum — the correlated
+    ``HAVING agg = (SELECT max(agg))`` shape. Partial revenue sums per
+    batch → one domain-sized groupby → the max is a distributed scalar
+    aggregate over that SAME result (no driver table pull) → broadcast-
+    scalar filter. Ties all survive, as in SQL."""
+    li = _read(sf_dir, "lineitem",
+               columns=["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        return pa.table({"l_suppkey": t["l_suppkey"], "total_revenue": rev})
+
+    partials = li.map_batches(derive, batch_format="pyarrow").map_batches(
+        _partial_groupby(["l_suppkey"], {"total_revenue": "total_revenue"}),
+        batch_format="pyarrow",
+    )
+    agg = _final_groupby(partials, ["l_suppkey"], ["total_revenue"]).map_batches(
+        lambda t: _round_cols(t, {"total_revenue": 2}), batch_format="pyarrow"
+    ).materialize()
+    if agg.count() == 0:
+        return pd.DataFrame(
+            {"l_suppkey": pd.Series([], dtype=np.int64),
+             "total_revenue": pd.Series([], dtype=np.float64)}
+        )
+    mx = agg.max("total_revenue")
+    out = agg.map_batches(
+        lambda t: t.filter(pc.equal(t["total_revenue"], mx)),
+        batch_format="pyarrow",
+    ).materialize()
+    return out
+
+
+#: HAVING threshold: a part is "important" above this fraction of the
+#: corpus-wide quantity (TPC-H Q11's FRACTION, sized to the test sf).
+IMPORTANT_STOCK_FRACTION = 0.0008
+
+
+def important_parts_stock(sf_dir: str):
+    """TPC-H Q11-shaped fraction-of-total HAVING: parts whose summed
+    lineitem quantity exceeds ``IMPORTANT_STOCK_FRACTION`` of the global
+    quantity. Same two-aggregate composition as
+    ``top_suppliers_by_revenue`` — the scalar side (global sum) is a
+    distributed aggregate over the grouped result, broadcast into a
+    streaming filter. Quantities are integral doubles, so the sums are
+    order-independent-exact and the threshold compare cannot flip."""
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"])
+    partials = li.map_batches(
+        _partial_groupby(["l_partkey"], {"l_quantity": "total_qty"}),
+        batch_format="pyarrow",
+    )
+    agg = _final_groupby(partials, ["l_partkey"], ["total_qty"]).materialize()
+    if agg.count() == 0:
+        return pd.DataFrame(
+            {"l_partkey": pd.Series([], dtype=np.int64),
+             "total_qty": pd.Series([], dtype=np.float64)}
+        )
+    threshold = agg.sum("total_qty") * IMPORTANT_STOCK_FRACTION
+    return agg.map_batches(
+        lambda t: t.filter(pc.greater(t["total_qty"], threshold)),
+        batch_format="pyarrow",
+    ).materialize()

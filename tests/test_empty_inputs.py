@@ -47,7 +47,9 @@ def _run(name, sf_dir):
         "top_event_type_per_user", "viewers_never_purchased",
         "bm25_scores", "token_fuzzy_pairs", "user_event_sequences",
         "event_transitions", "orderkey_islands", "dataset_split_assign",
-        "lang_mixture_weights",
+        "lang_mixture_weights", "order_percent_rank", "promo_revenue_share",
+        "priority_line_counts", "mixture_resample_census",
+        "top_suppliers_by_revenue", "important_parts_stock",
     ],
 )
 def test_empty_input_yields_zero_rows(name, empty_dir, ray_session):
