@@ -41,11 +41,12 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="docling_eval_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    for cmd in ("create-gt", "create-eval", "evaluate", "create-sliced"):
+    for cmd in ("create-gt", "create-eval", "evaluate", "create-sliced",
+                "run-flagship"):
         sp = sub.add_parser(cmd)
         sp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
         sp.add_argument("--output", required=True)
-        if cmd == "create-eval":
+        if cmd in ("create-eval", "run-flagship"):
             sp.add_argument("--partitions", type=int, default=8)
         if cmd == "evaluate":
             sp.add_argument("--modality", action="append", default=None)
@@ -119,6 +120,37 @@ def main(argv: list[str] | None = None) -> int:
                 args.sf_dir, args.output, num_partitions=args.partitions
             )
             print(json.dumps(res))
+        elif args.cmd == "run-flagship":
+            # the `ray job submit` entrypoint shape: run the flagship
+            # with lineage checkpointing, then emit the job-level
+            # throughput + per-stage latency report (north-star clause;
+            # on a real cluster: ray job submit -- python -m
+            # docling_eval_ray run-flagship --sf-dir ... --output ...)
+            import time as _time
+
+            from .state.lineage import (
+                committed_partitions,
+                flagship_checkpointed,
+            )
+            from .state.metrics import merge_stage_metrics
+
+            t0 = _time.time()
+            res = flagship_checkpointed(
+                args.sf_dir, args.output, num_partitions=args.partitions
+            )
+            wall = _time.time() - t0
+            recs = committed_partitions(args.output)
+            rows = sum(r.get("row_count", 0) for r in recs.values())
+            print(json.dumps({
+                "ran": res["ran"],
+                "skipped": res["skipped"],
+                "rows": rows,
+                "wall_s": round(wall, 3),
+                "rows_per_sec": round(rows / wall, 1) if wall > 0 else None,
+                "stage_latency": merge_stage_metrics(
+                    [r.get("stage_metrics", []) for r in recs.values()]
+                ),
+            }))
         elif args.cmd == "evaluate":
             from .pipelines.orchestrate import (
                 consolidate,

@@ -139,6 +139,8 @@ def run_partitioned(partition_ids: list[int], make_ds, out_dir: str,
             except Exception:
                 pass  # stats optional: commit still valid without range
         os.rename(tmp_dir, final_dir)
+        from .metrics import dataset_stage_metrics
+
         commit_partition(
             out_dir,
             {
@@ -148,6 +150,9 @@ def run_partitioned(partition_ids: list[int], make_ds, out_dir: str,
                 "doc_id_max": doc_max,
                 "row_count": n_rows,
                 "wall_s": round(time.time() - t0, 3),
+                # per-stage latency/row/byte metrics from the executed
+                # Dataset (north-star "stage metrics" clause)
+                "stage_metrics": dataset_stage_metrics(ds),
                 "status": "committed",
             },
         )

@@ -59,3 +59,69 @@ def test_crash_replay_repeats_only_missing_partition(ray_session, tmp_path):
     assert res["ran"] == [2]
     assert sorted(res["skipped"]) == [0, 1, 3]
     assert read_checkpointed(out).count() == 500
+
+
+def test_stage_metrics_parser():
+    from docling_eval_ray.state.metrics import (
+        merge_stage_metrics,
+        parse_dataset_stats,
+    )
+
+    text = """Operator 1 ReadParquet->SplitBlocks(8): 1 tasks executed, 8 blocks produced in 0.28s
+* Remote wall time: 269.05us min, 9.23ms max, 1.52ms mean, 12.16ms total
+* Output num rows per block: 62 min, 63 max, 62 mean, 500 total
+* Output size bytes per block: 992 min, 1008 max, 1000 mean, 8000 total
+* Operator throughput:
+\t* Ray Data throughput: 1799.42 rows/s
+
+Operator 2 MapBatches(<lambda>): 8 tasks executed, 8 blocks produced in 0.6s
+* Output num rows per block: 62 min, 63 max, 62 mean, 500 total
+* Output size bytes per block: 992 min, 1008 max, 1000 mean, 8000 total
+* Operator throughput:
+\t* Ray Data throughput: 838.30 rows/s
+
+Dataset throughput:
+\t* Ray Data throughput: 506.36 rows/s
+"""
+    rows = parse_dataset_stats(text)
+    assert [r["stage"] for r in rows] == [
+        "ReadParquet->SplitBlocks(8)", "MapBatches(<lambda>)"
+    ]
+    assert rows[0] == {
+        "stage": "ReadParquet->SplitBlocks(8)", "tasks": 1, "blocks": 8,
+        "wall_s": 0.28, "rows_out": 500, "bytes_out": 8000,
+        "rows_per_s": 1799.42,
+    }
+    merged = merge_stage_metrics([rows, rows])
+    by_name = {m["stage"]: m for m in merged}
+    assert by_name["MapBatches(<lambda>)"]["tasks"] == 16
+    assert by_name["MapBatches(<lambda>)"]["rows_out"] == 1000
+    assert abs(by_name["MapBatches(<lambda>)"]["wall_s"] - 1.2) < 1e-9
+
+
+def test_lineage_records_stage_metrics(ray_session, tmp_path):
+    out = str(tmp_path / "ckpt_metrics")
+    flagship_checkpointed(SF_DIR, out, num_partitions=2)
+    manifest = committed_partitions(out)
+    for rec in manifest.values():
+        stages = rec["stage_metrics"]
+        assert stages, "per-stage metrics missing from lineage record"
+        names = " ".join(s["stage"] for s in stages)
+        assert "ReadParquet" in names
+        assert all(s["wall_s"] >= 0 for s in stages)
+        # the partition's extraction output rows appear in some stage
+        assert any(s["rows_out"] for s in stages)
+
+
+def test_cli_run_flagship(ray_session, tmp_path, capsys):
+    from docling_eval_ray.__main__ import main
+
+    out = str(tmp_path / "job_out")
+    rc = main(["run-flagship", "--sf-dir", SF_DIR, "--output", out,
+               "--partitions", "2"])
+    assert rc in (0, None)
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sorted(report["ran"]) == [0, 1]
+    assert report["rows"] == 500
+    assert report["rows_per_sec"] > 0
+    assert report["stage_latency"], "job report missing per-stage latency"
