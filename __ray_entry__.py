@@ -95,6 +95,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_line_counts": r.priority_line_counts,
         "top_suppliers_by_revenue": r.top_suppliers_by_revenue,
         "important_parts_stock": r.important_parts_stock,
+        "lineitem_quantity_ranks": r.lineitem_quantity_ranks,
+        "lineitem_measures_unpivot": r.lineitem_measures_unpivot,
+        "orders_price_percentiles": r.orders_price_percentiles,
         # outer-join tier of hash_join (left / full)
         "customer_order_counts": r.customer_order_counts,
         "user_hour_activity": r.user_hour_activity,

@@ -1984,3 +1984,49 @@ ORACLE_SQL["important_parts_stock"] = """
     SELECT l_partkey, total_qty FROM s
     WHERE total_qty > (SELECT sum(total_qty) FROM s) * 0.0008
 """
+
+
+ORACLE_SQL["lineitem_quantity_ranks"] = """
+    SELECT DISTINCT l_quantity,
+           CAST(rank() OVER (ORDER BY l_quantity) AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER (ORDER BY l_quantity) AS BIGINT) AS drnk
+    FROM lineitem
+"""
+
+
+ORACLE_SQL["lineitem_measures_unpivot"] = """
+    SELECT l_returnflag, 'quantity' AS measure,
+           round_even(avg(l_quantity), 4) AS avg_value
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT l_returnflag, 'extendedprice',
+           round_even(avg(l_extendedprice), 4)
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT l_returnflag, 'discount',
+           round_even(avg(l_discount), 4)
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+
+ORACLE_SQL["orders_price_percentiles"] = """
+    SELECT CAST(0.25 AS DOUBLE) AS p,
+           round_even(percentile_cont(0.25)
+                      WITHIN GROUP (ORDER BY o_totalprice), 4) AS value
+    FROM orders
+    UNION ALL
+    SELECT CAST(0.5 AS DOUBLE),
+           round_even(percentile_cont(0.5)
+                      WITHIN GROUP (ORDER BY o_totalprice), 4)
+    FROM orders
+    UNION ALL
+    SELECT CAST(0.75 AS DOUBLE),
+           round_even(percentile_cont(0.75)
+                      WITHIN GROUP (ORDER BY o_totalprice), 4)
+    FROM orders
+    UNION ALL
+    SELECT CAST(0.9 AS DOUBLE),
+           round_even(percentile_cont(0.9)
+                      WITHIN GROUP (ORDER BY o_totalprice), 4)
+    FROM orders
+"""

@@ -2375,3 +2375,135 @@ def important_parts_stock(sf_dir: str):
         lambda t: t.filter(pc.greater(t["total_qty"], threshold)),
         batch_format="pyarrow",
     ).materialize()
+
+
+def lineitem_quantity_ranks(sf_dir: str):
+    """RANK + DENSE_RANK over a heavily-tied key (l_quantity), computed
+    WITHOUT any shuffle: the key domain is bounded, so a per-batch
+    value-count partial plus one domain-sized final aggregate gives the
+    full histogram, and rank(v) = 1 + Σ count(u<v) (dense_rank = index
+    in the sorted distinct values) falls out of a driver-side prefix
+    sum over ≤|domain| rows. The histogram-rank pattern — the right
+    plan whenever ties dominate (status codes, scores, star ratings);
+    contrast ``order_percent_rank`` where keys are near-unique and the
+    range-partitioned plan wins."""
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v, n = np.unique(
+            t["l_quantity"].to_numpy(zero_copy_only=False),
+            return_counts=True,
+        )
+        return pa.table({"l_quantity": pa.array(v, pa.float64()),
+                         "n": pa.array(n.astype(np.int64), pa.int64())})
+
+    counts = _final_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"), ["l_quantity"], ["n"]
+    ).to_pandas()  # ≤|distinct quantity| rows — domain-sized
+    if len(counts) == 0:
+        return pd.DataFrame(
+            {"l_quantity": pd.Series([], dtype=np.float64),
+             "rnk": pd.Series([], dtype=np.int64),
+             "drnk": pd.Series([], dtype=np.int64)}
+        )
+    counts = counts.sort_values("l_quantity").reset_index(drop=True)
+    n = counts["n"].to_numpy()
+    rnk = 1 + np.concatenate([[0], np.cumsum(n)[:-1]])
+    return pd.DataFrame(
+        {"l_quantity": counts["l_quantity"].to_numpy(np.float64),
+         "rnk": rnk.astype(np.int64),
+         "drnk": np.arange(1, len(counts) + 1, dtype=np.int64)}
+    )
+
+
+#: (output measure label, lineitem column) pairs for the unpivot.
+UNPIVOT_MEASURES = (
+    ("quantity", "l_quantity"),
+    ("extendedprice", "l_extendedprice"),
+    ("discount", "l_discount"),
+)
+
+
+def lineitem_measures_unpivot(sf_dir: str):
+    """UNPIVOT/melt: per return flag, the mean of each of three measure
+    columns as (flag, measure, avg_value) long-form rows. ONE scan
+    computes all three partial (sum, count) pairs; the melt runs on the
+    domain-sized aggregate — where SQL's UNION-ALL unpivot would scan
+    the fact table once per measure."""
+    cols = [c for _, c in UNPIVOT_MEASURES]
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag"] + cols)
+    partials = ds.map_batches(
+        _partial_groupby(["l_returnflag"], {c: f"sum_{c}" for c in cols},
+                         count_as="n_rows"),
+        batch_format="pyarrow",
+    )
+    agg = _final_groupby(
+        partials, ["l_returnflag"], [f"sum_{c}" for c in cols] + ["n_rows"]
+    ).to_pandas()  # |flags| rows
+    if len(agg) == 0:
+        return pd.DataFrame(
+            {"l_returnflag": pd.Series([], dtype=str),
+             "measure": pd.Series([], dtype=str),
+             "avg_value": pd.Series([], dtype=np.float64)}
+        )
+    rows = []
+    for label, c in UNPIVOT_MEASURES:
+        rows.append(pd.DataFrame({
+            "l_returnflag": agg["l_returnflag"],
+            "measure": label,
+            "avg_value": np.round(
+                agg[f"sum_{c}"].to_numpy(np.float64)
+                / agg["n_rows"].to_numpy(np.float64), 4),
+        }))
+    return pd.concat(rows, ignore_index=True)
+
+
+#: percentiles reported by orders_price_percentiles.
+PRICE_PERCENTILES = (0.25, 0.5, 0.75, 0.9)
+
+
+def orders_price_percentiles(sf_dir: str):
+    """Exact interpolated global percentiles (SQL PERCENTILE_CONT) of
+    o_totalprice via distributed order statistics: rank every row with
+    the range-partitioned ROW_NUMBER (one shuffle), broadcast the ≤2·|p|
+    target ranks {⌊(n−1)p⌋+1, ⌈(n−1)p⌉+1}, filter to just those rows
+    (a handful cross to the driver), and interpolate
+    lower + frac·(upper−lower) — never a full gather or a single-task
+    global sort."""
+    from ..functions.ranks import global_row_number
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    n = ds.count()
+    if n == 0:
+        # SQL-on-empty: a scalar aggregate still yields its row, with
+        # NULL — one (p, NULL) row per requested percentile
+        return pd.DataFrame(
+            {"p": np.array(PRICE_PERCENTILES, np.float64),
+             "value": np.full(len(PRICE_PERCENTILES), np.nan)}
+        )
+    targets = {}
+    for p in PRICE_PERCENTILES:
+        idx = (n - 1) * p  # 0-based fractional order statistic
+        targets.setdefault(int(np.floor(idx)) + 1, None)
+        targets.setdefault(int(np.ceil(idx)) + 1, None)
+    wanted = np.array(sorted(targets), dtype=np.int64)
+
+    ranked = global_row_number(ds, "o_totalprice", tiebreak=["o_orderkey"])
+    hits = ranked.map_batches(
+        lambda t: t.filter(
+            pc.is_in(t["rn"], value_set=pa.array(wanted, pa.int64()))
+        ).select(["rn", "o_totalprice"]),
+        batch_format="pyarrow",
+    ).to_pandas()  # ≤ 2·|percentiles| rows
+    by_rank = dict(zip(hits["rn"], hits["o_totalprice"]))
+    out = []
+    for p in PRICE_PERCENTILES:
+        idx = (n - 1) * p
+        lo, hi = int(np.floor(idx)) + 1, int(np.ceil(idx)) + 1
+        frac = idx - np.floor(idx)
+        v = by_rank[lo] + frac * (by_rank[hi] - by_rank[lo])
+        out.append((p, np.round(v, 4)))
+    return pd.DataFrame(
+        {"p": np.array([p for p, _ in out], np.float64),
+         "value": np.array([v for _, v in out], np.float64)}
+    )

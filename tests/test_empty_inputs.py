@@ -50,6 +50,7 @@ def _run(name, sf_dir):
         "lang_mixture_weights", "order_percent_rank", "promo_revenue_share",
         "priority_line_counts", "mixture_resample_census",
         "top_suppliers_by_revenue", "important_parts_stock",
+        "lineitem_quantity_ranks", "lineitem_measures_unpivot",
     ],
 )
 def test_empty_input_yields_zero_rows(name, empty_dir, ray_session):
@@ -75,3 +76,10 @@ def test_empty_input_funnel_zero_counts(empty_dir, ray_session):
     df = _run("funnel_conversion", empty_dir)
     assert list(df["step"]) == ["1_view", "2_click", "3_purchase"]
     assert list(df["n_users"]) == [0, 0, 0]
+
+
+def test_empty_input_percentiles_null_rows(empty_dir, ray_session):
+    # scalar-aggregate SQL-on-empty: one (p, NULL) row per percentile
+    df = _run("orders_price_percentiles", empty_dir)
+    assert len(df) == 4
+    assert df["value"].isna().all()
