@@ -246,6 +246,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["html_extraction"] = html_extraction
     q["reading_order_reconstruction"] = reading_order_reconstruction
+    # table/figure region detection (north-star layout-parse clause)
+    from docling_eval_ray.functions.regions import (
+        region_detection,
+        region_kind_census,
+    )
+
+    q["region_detection"] = region_detection
+    q["region_kind_census"] = region_kind_census
     # mergeable-sketch path (HLL distinct; accuracy tested vs exact)
     from docling_eval_ray.stages.sketches import approx_token_vocabulary
 

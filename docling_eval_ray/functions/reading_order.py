@@ -25,15 +25,20 @@ def _gaps(starts: np.ndarray, ends: np.ndarray) -> list[tuple[float, float]]:
     return out
 
 
-def xy_cut_order(boxes: np.ndarray) -> list[int]:
-    """Reading order of (n, 4) ltrb boxes as a permutation of 0..n−1.
+def xy_cut_leaves(boxes: np.ndarray, *, min_gap: float = 0.0) -> list[np.ndarray]:
+    """XY-cut leaf REGIONS of (n, 4) ltrb boxes, in reading order.
+
+    The recursive-cut tree's leaves are the page's atomic layout
+    regions (paragraph blocks, table bodies, figures) — the same
+    segmentation ``xy_cut_order`` reads in order; region detection
+    (``functions/regions.py``) classifies them.
 
     Iterative (explicit work stack): with uniform spacing every split
     peels one box, so recursion depth would be O(n) — a ~2000-box page
     (an ~80k-char document) blew the interpreter recursion limit.
     """
     boxes = np.asarray(boxes, dtype=np.float64)
-    out: list[int] = []
+    out: list[np.ndarray] = []
     work: list[np.ndarray] = [np.arange(len(boxes))]
 
     def split(ids: np.ndarray):
@@ -43,8 +48,12 @@ def xy_cut_order(boxes: np.ndarray) -> list[int]:
         # widest empty x-gap (column gutter); take the WIDER one — a
         # column gutter is wider than inter-paragraph spacing, so this
         # is what detects multi-column layouts
-        ygaps = _gaps(b[:, 1], b[:, 3])
-        xgaps = _gaps(b[:, 0], b[:, 2])
+        # min_gap: ignore gaps at or under this width — 0 for full
+        # decomposition (reading order), >0 to stop at block boundaries
+        # (region segmentation): intra-table cell gutters and line
+        # spacing stay merged, real block separations still split
+        ygaps = [g for g in _gaps(b[:, 1], b[:, 3]) if g[1] - g[0] > min_gap]
+        xgaps = [g for g in _gaps(b[:, 0], b[:, 2]) if g[1] - g[0] > min_gap]
         ycut = max(ygaps, key=lambda g: g[1] - g[0]) if ygaps else None
         xcut = max(xgaps, key=lambda g: g[1] - g[0]) if xgaps else None
         yw = ycut[1] - ycut[0] if ycut else -1.0
@@ -71,20 +80,31 @@ def xy_cut_order(boxes: np.ndarray) -> list[int]:
 
     while work:
         ids = work.pop()
-        if len(ids) <= 1:
-            out.extend(ids.tolist())
+        if len(ids) == 0:
+            continue
+        if len(ids) == 1:
+            out.append(ids)
             continue
         parts = split(ids)
         if parts is None:
             # leaf: top-to-bottom, then left-to-right, then stable index
             b = boxes[ids]
             order = np.lexsort((ids, b[:, 0], b[:, 1]))
-            out.extend(ids[order].tolist())
+            out.append(ids[order])
         else:
             first, second = parts
             work.append(second)
             work.append(first)  # LIFO: first region is processed first
 
+    return out
+
+
+def xy_cut_order(boxes: np.ndarray) -> list[int]:
+    """Reading order of (n, 4) ltrb boxes as a permutation of 0..n−1:
+    the concatenation of the ordered leaves' ordered members."""
+    out: list[int] = []
+    for leaf in xy_cut_leaves(boxes):
+        out.extend(leaf.tolist())
     return out
 
 

@@ -2030,3 +2030,22 @@ ORACLE_SQL["orders_price_percentiles"] = """
                       WITHIN GROUP (ORDER BY o_totalprice), 4)
     FROM orders
 """
+
+
+ORACLE_SQL["region_kind_census"] = """
+    WITH a AS (
+        SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS UBIGINT) % 3 AS arch
+        FROM documents
+    ),
+    k AS (
+        SELECT 'text' AS kind FROM a WHERE arch = 0
+        UNION ALL SELECT 'text' FROM a WHERE arch = 0
+        UNION ALL SELECT 'text' FROM a WHERE arch = 1
+        UNION ALL SELECT 'table' FROM a WHERE arch = 1
+        UNION ALL SELECT 'figure' FROM a WHERE arch = 2
+        UNION ALL SELECT 'text' FROM a WHERE arch = 2
+    )
+    SELECT kind, CAST(count(*) AS BIGINT) AS n_regions
+    FROM k GROUP BY kind
+"""
