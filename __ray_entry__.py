@@ -98,6 +98,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_quantity_ranks": r.lineitem_quantity_ranks,
         "lineitem_measures_unpivot": r.lineitem_measures_unpivot,
         "orders_price_percentiles": r.orders_price_percentiles,
+        "q6_forecast_revenue": r.q6_forecast_revenue,
+        "customer_order_flags": r.customer_order_flags,
+        "price_quantity_regression": r.price_quantity_regression,
         # outer-join tier of hash_join (left / full)
         "customer_order_counts": r.customer_order_counts,
         "user_hour_activity": r.user_hour_activity,

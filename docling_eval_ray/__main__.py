@@ -2,6 +2,9 @@
 
     python -m docling_eval_ray create-gt   --sf-dir D --output O
     python -m docling_eval_ray create-eval --sf-dir D --output O [--partitions N]
+    python -m docling_eval_ray create      --sf-dir D --output O  (gt + eval)
+    python -m docling_eval_ray create-cvat --sf-dir D --output O [--buckets N]
+    python -m docling_eval_ray run-flagship --sf-dir D --output O [--partitions N]
     python -m docling_eval_ray evaluate    --sf-dir D --output O [--modality M ...]
     python -m docling_eval_ray visualize   --output O [--modality M ...]
     python -m docling_eval_ray create-sliced --sf-dir D --output O
@@ -42,12 +45,14 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     for cmd in ("create-gt", "create-eval", "evaluate", "create-sliced",
-                "run-flagship"):
+                "run-flagship", "create", "create-cvat"):
         sp = sub.add_parser(cmd)
         sp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
         sp.add_argument("--output", required=True)
-        if cmd in ("create-eval", "run-flagship"):
+        if cmd in ("create-eval", "run-flagship", "create"):
             sp.add_argument("--partitions", type=int, default=8)
+        if cmd == "create-cvat":
+            sp.add_argument("--buckets", type=int, default=2)
         if cmd == "evaluate":
             sp.add_argument("--modality", action="append", default=None)
         if cmd == "create-sliced":
@@ -97,6 +102,16 @@ def main(argv: list[str] | None = None) -> int:
                 print(ascii_histogram(stats))
         return 0
 
+    if args.cmd == "create":
+        # the reference's combined verb (cli/main.py create = gt + eval):
+        # each sub-verb manages its own Ray session
+        rc = main(["create-gt", "--sf-dir", args.sf_dir,
+                   "--output", f"{args.output}/gt"]) or 0
+        rc2 = main(["create-eval", "--sf-dir", args.sf_dir,
+                    "--output", f"{args.output}/eval",
+                    "--partitions", str(args.partitions)]) or 0
+        return rc or rc2
+
     started = _ray_session()
     import ray
 
@@ -120,6 +135,41 @@ def main(argv: list[str] | None = None) -> int:
                 args.sf_dir, args.output, num_partitions=args.partitions
             )
             print(json.dumps(res))
+        elif args.cmd == "create-cvat":
+            # export the GT corpus as CVAT pre-annotation task files
+            # (reference create-cvat verb): per-span line boxes are
+            # synthesized deterministically from span order (the PDF
+            # raster that supplies true geometry is stubbed here)
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            from .sources.cvat import write_cvat_preannotations
+            from .sources.interleaved import read_interleaved_documents
+
+            def add_boxes(t: pa.Table) -> pa.Table:
+                # arrow-native: pandas round-trips mangle the spans
+                # list<struct> column into unconvertible object arrays
+                lens = pc.list_value_length(t["spans"]).to_pylist()
+                boxes = [
+                    [{"l": 5.0, "t": 5.0 + i * 12.0,
+                      "r": 605.0, "b": 14.0 + i * 12.0}
+                     for i in range(int(n or 0))]
+                    for n in lens
+                ]
+                return t.select(["doc_id", "spans"]).append_column(
+                    "boxes", pa.array(boxes)
+                )
+
+            ds = read_interleaved_documents(args.sf_dir).map_batches(
+                add_boxes, batch_format="pyarrow"
+            )
+            receipts = write_cvat_preannotations(
+                ds, f"{args.output}/cvat", num_buckets=args.buckets
+            ).to_pandas()
+            print(json.dumps({
+                "tasks": len(receipts),
+                "n_images": int(receipts["n_images"].sum()),
+            }))
         elif args.cmd == "run-flagship":
             # the `ray job submit` entrypoint shape: run the flagship
             # with lineage checkpointing, then emit the job-level

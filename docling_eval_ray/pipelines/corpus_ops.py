@@ -33,6 +33,10 @@ as Ray Data pipelines, every one DuckDB-oracled (pipelines/oracle.py):
   ``embedding_cluster_assign`` is its zero-iteration case.
 - ``fixed_size_sample``   — exact-size per-stratum sample via mergeable
   partial top-n on md5-prefix order.
+- ``dataset_split_assign`` / ``lang_mixture_weights`` /
+  ``mixture_resample_census`` — deterministic train/val/test hash
+  splits, mC4-temperature language mixture weights, and the hash-filter
+  resample census at those weights (broadcast thresholds, no shuffle).
 
 Scale notes: the only shuffles are the tiny partial→final groupbys
 (token df, heavy-hitter partials, window partials); everything else is

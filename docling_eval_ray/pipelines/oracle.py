@@ -2049,3 +2049,42 @@ ORACLE_SQL["region_kind_census"] = """
     SELECT kind, CAST(count(*) AS BIGINT) AS n_regions
     FROM k GROUP BY kind
 """
+
+
+ORACLE_SQL["q6_forecast_revenue"] = """
+    SELECT round_even(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+ORACLE_SQL["customer_order_flags"] = """
+    SELECT o_custkey,
+           CAST(max(CASE WHEN o_orderpriority = '1-URGENT'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS has_urgent,
+           CAST(min(CASE WHEN o_orderstatus = 'F'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS all_finished,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_custkey
+"""
+
+
+ORACLE_SQL["price_quantity_regression"] = """
+    WITH m AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS DOUBLE) AS n,
+               sum(l_quantity) AS sx, sum(l_extendedprice) AS sy,
+               sum(l_quantity * l_extendedprice) AS sxy,
+               sum(l_quantity * l_quantity) AS sxx
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           round_even((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+               AS slope,
+           round_even((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                       * sx) / n, 4) AS intercept
+    FROM m
+"""

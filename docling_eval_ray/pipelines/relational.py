@@ -2507,3 +2507,126 @@ def orders_price_percentiles(sf_dir: str):
         {"p": np.array([p for p, _ in out], np.float64),
          "value": np.array([v for _, v in out], np.float64)}
     )
+
+
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6: the pure filter-aggregate — three predicates pushed
+    into the parquet scan (row groups outside the shipdate year or the
+    discount band never leave storage), one global sum. The minimal
+    proof that selective reads prune at the source instead of
+    filtering post-read."""
+    import datetime
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1997, 1, 1)
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_extendedprice", "l_discount", "l_quantity",
+                 "l_shipdate"],
+        filter=(
+            (pc.field("l_shipdate") >= lo) & (pc.field("l_shipdate") < hi)
+            & (pc.field("l_discount") >= 0.05)
+            & (pc.field("l_discount") <= 0.07)
+            & (pc.field("l_quantity") < 24)
+        ),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.sum(pc.multiply(t["l_extendedprice"], t["l_discount"]))
+        return pa.table({"revenue": pa.array(
+            [rev.as_py() if rev.is_valid else 0.0], pa.float64())})
+
+    total = ds.map_batches(partial, batch_format="pyarrow").sum("revenue")
+    # SQL-on-empty: SUM over nothing is NULL, still one row
+    val = np.nan if total is None else np.round(total, 2)
+    return pd.DataFrame({"revenue": np.array([val], np.float64)})
+
+
+def customer_order_flags(sf_dir: str):
+    """Grouped boolean aggregates (BOOL_OR / BOOL_AND as max/min over
+    0-1 partials): per customer, whether ANY order is urgent and
+    whether ALL orders are finished, plus the order count. Mergeable
+    per-batch partials (max, min, sum) → one domain-sized groupby."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderpriority", "o_orderstatus"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        urgent = (b["o_orderpriority"].to_numpy() == "1-URGENT").astype(
+            np.int64)
+        finished = (b["o_orderstatus"].to_numpy() == "F").astype(np.int64)
+        out = (
+            b.assign(has_urgent=urgent, all_finished=finished, n_orders=1)
+            .groupby("o_custkey", as_index=False)
+            .agg(has_urgent=("has_urgent", "max"),
+                 all_finished=("all_finished", "min"),
+                 n_orders=("n_orders", "sum"))
+        )
+        for c in ("has_urgent", "all_finished", "n_orders"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("o_custkey")
+        .aggregate(
+            Max("has_urgent", alias_name="has_urgent"),
+            Min("all_finished", alias_name="all_finished"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+        .materialize()
+    )
+    if out.count() == 0:
+        return pd.DataFrame(
+            {"o_custkey": pd.Series([], dtype=np.int64),
+             "has_urgent": pd.Series([], dtype=np.int64),
+             "all_finished": pd.Series([], dtype=np.int64),
+             "n_orders": pd.Series([], dtype=np.int64)}
+        )
+    return out
+
+
+def price_quantity_regression(sf_dir: str):
+    """Per-group simple linear regression (price ~ quantity) from the
+    five mergeable moments (n, Σx, Σy, Σxy, Σx²) — the REGR_SLOPE /
+    REGR_INTERCEPT pair without ever co-locating a group's rows: each
+    batch emits one moment row per group, the final groupby is
+    |flags|-sized, and the closed form runs on the driver over those
+    few rows. The same partial+final slots accept any moment-expressible
+    statistic (corr and zscore already use them)."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = b["l_quantity"].to_numpy(np.float64)
+        y = b["l_extendedprice"].to_numpy(np.float64)
+        out = (
+            b.assign(n=1, sx=x, sy=y, sxy=x * y, sxx=x * x)
+            .groupby("l_returnflag", as_index=False)
+            .agg(n=("n", "sum"), sx=("sx", "sum"), sy=("sy", "sum"),
+                 sxy=("sxy", "sum"), sxx=("sxx", "sum"))
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    agg = _final_groupby(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["l_returnflag"], ["n", "sx", "sy", "sxy", "sxx"],
+    ).to_pandas()  # |returnflag| rows
+    if len(agg) == 0:
+        return pd.DataFrame(
+            {"l_returnflag": pd.Series([], dtype=str),
+             "slope": pd.Series([], dtype=np.float64),
+             "intercept": pd.Series([], dtype=np.float64)}
+        )
+    n = agg["n"].to_numpy(np.float64)
+    sx, sy = agg["sx"].to_numpy(), agg["sy"].to_numpy()
+    sxy, sxx = agg["sxy"].to_numpy(), agg["sxx"].to_numpy()
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return pd.DataFrame(
+        {"l_returnflag": agg["l_returnflag"],
+         "slope": np.round(slope, 4),
+         "intercept": np.round(intercept, 4)}
+    )

@@ -51,6 +51,7 @@ def _run(name, sf_dir):
         "priority_line_counts", "mixture_resample_census",
         "top_suppliers_by_revenue", "important_parts_stock",
         "lineitem_quantity_ranks", "lineitem_measures_unpivot",
+        "customer_order_flags", "price_quantity_regression",
     ],
 )
 def test_empty_input_yields_zero_rows(name, empty_dir, ray_session):
@@ -83,3 +84,10 @@ def test_empty_input_percentiles_null_rows(empty_dir, ray_session):
     df = _run("orders_price_percentiles", empty_dir)
     assert len(df) == 4
     assert df["value"].isna().all()
+
+
+def test_empty_input_q6_null_row(empty_dir, ray_session):
+    # scalar SUM over empty input: one row, NULL revenue
+    df = _run("q6_forecast_revenue", empty_dir)
+    assert len(df) == 1
+    assert df["revenue"].isna().all()

@@ -192,3 +192,30 @@ def test_comparison_html_sink(ray_session, tmp_path):
         html = (tmp_path / "viz" /
                 f"{dropped['doc_id'].iloc[0]}.html").read_text()
         assert 'class="miss"' in html
+
+
+def test_cli_create_and_create_cvat(ray_session, tmp_path, capsys):
+    import json as _json
+    import xml.etree.ElementTree as _ET
+
+    from docling_eval_ray.__main__ import main
+
+    out = str(tmp_path / "combined")
+    rc = main(["create", "--sf-dir", SF_DIR, "--output", out,
+               "--partitions", "2"])
+    assert rc in (0, None)
+    assert (tmp_path / "combined" / "gt" / "data").exists()
+    assert (tmp_path / "combined" / "eval" / "part=0").exists()
+
+    cv = str(tmp_path / "cvat_out")
+    rc = main(["create-cvat", "--sf-dir", SF_DIR, "--output", cv,
+               "--buckets", "2"])
+    assert rc in (0, None)
+    report = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["tasks"] == 2 and report["n_images"] == 500
+    files = sorted((tmp_path / "cvat_out" / "cvat").glob("*.xml"))
+    assert len(files) == 2
+    root = _ET.fromstring(files[0].read_text())
+    assert root.tag == "annotations"
+    assert len(root.findall("image")) > 0
+    assert root.find("image/box").get("label")

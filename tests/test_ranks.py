@@ -48,3 +48,29 @@ def test_single_block_and_skew(ray_session):
     assert sorted(out["rn"].tolist()) == list(range(1, len(keys) + 1))
     srt = out.sort_values("rn")
     assert (np.diff(srt["k"].to_numpy()) >= 0).all()
+
+
+def test_property_random_multisets(ray_session):
+    # randomized multiset keys at several shapes: rn is always the
+    # 1-based permutation consistent with (k, t) lexicographic order
+    rng = np.random.RandomState(11)
+    for trial, (size, dom) in enumerate(
+        [(1, 1), (7, 2), (64, 4), (300, 10), (999, 3)]
+    ):
+        k = rng.randint(0, dom, size=size).astype(np.int64)
+        df = pd.DataFrame(
+            {"k": k, "t": np.arange(size, dtype=np.int64)}
+        )
+        out = (
+            global_row_number(
+                _ds(df, blocks=min(7, size)), "k",
+                tiebreak=["t"], num_ranges=5,
+            )
+            .to_pandas()
+            .sort_values("rn")
+            .reset_index(drop=True)
+        )
+        assert out["rn"].tolist() == list(range(1, size + 1)), trial
+        want = df.sort_values(["k", "t"]).reset_index(drop=True)
+        assert out["k"].tolist() == want["k"].tolist(), trial
+        assert out["t"].tolist() == want["t"].tolist(), trial
