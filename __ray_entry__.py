@@ -337,12 +337,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         flagship_spans_flat,
         html_spans_flat,
         markdown_export,
+        skew_spans_flat,
         span_kind_census,
     )
 
     q["flagship_extraction"] = lambda sf_dir: flagship(sf_dir)
     q["flagship_spans_flat"] = flagship_spans_flat  # oracled (invariant)
     q["html_spans_flat"] = html_spans_flat          # oracled (invariant)
+    q["skew_spans_flat"] = skew_spans_flat          # oracled (invariant)
     q["markdown_export"] = markdown_export
     q["span_kind_census"] = span_kind_census
     from docling_eval_ray.pipelines.spans_queries import markdown_token_prf

@@ -434,6 +434,8 @@ ORACLE_SQL["flagship_spans_flat"] = _chunk_walk() + _SPANS_CTE + """
 # the raw-HTML extraction path reproduces the flagship span stream
 # exactly (shared chunk_plan synthesis; asserted in tests) — same oracle
 ORACLE_SQL["html_spans_flat"] = ORACLE_SQL["flagship_spans_flat"]
+# the skew-aware extraction path must reproduce the identical stream
+ORACLE_SQL["skew_spans_flat"] = ORACLE_SQL["flagship_spans_flat"]
 
 ORACLE_SQL["markdown_export"] = (
     _chunk_walk() + _SPANS_CTE + _md_cte("gt_md", "spans") + """

@@ -149,3 +149,17 @@ def sliced_spans_flat(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+
+
+def skew_spans_flat(sf_dir: str):
+    """The SKEW-AWARE extraction path (size-bucketed LPT scheduling,
+    stages/extract.py:extract_skew_aware — the north rule's "skew from
+    heavy documents handled via size-bucketed repartitioning" clause)
+    under the same strong hash gate as flagship_spans_flat: rebucketing
+    and descending-cost ordering must not change one span of one
+    document. Shares flagship_spans_flat's oracle SQL verbatim."""
+    from ..sources.interleaved import read_interleaved_documents
+    from ..stages.extract import extract_skew_aware
+
+    out = extract_skew_aware(read_interleaved_documents(sf_dir))
+    return _explode_spans(out.select_columns(["doc_id", "spans"]))
