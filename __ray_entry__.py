@@ -101,6 +101,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_forecast_revenue": r.q6_forecast_revenue,
         "customer_order_flags": r.customer_order_flags,
         "price_quantity_regression": r.price_quantity_regression,
+        "cheapest_parts_per_brand": r.cheapest_parts_per_brand,
+        "flag_price_median": r.flag_price_median,
         # outer-join tier of hash_join (left / full)
         "customer_order_counts": r.customer_order_counts,
         "user_hour_activity": r.user_hour_activity,

@@ -2090,3 +2090,21 @@ ORACLE_SQL["price_quantity_regression"] = """
                        * sx) / n, 4) AS intercept
     FROM m
 """
+
+
+ORACLE_SQL["cheapest_parts_per_brand"] = """
+    SELECT p_partkey, p_brand, p_retailprice FROM (
+        SELECT p_partkey, p_brand, p_retailprice,
+               min(p_retailprice) OVER (PARTITION BY p_brand) AS mn
+        FROM part
+    ) WHERE p_retailprice = mn
+"""
+
+
+ORACLE_SQL["flag_price_median"] = """
+    SELECT l_returnflag,
+           round_even(percentile_cont(0.5)
+                      WITHIN GROUP (ORDER BY l_extendedprice), 4)
+               AS median_price
+    FROM lineitem GROUP BY l_returnflag
+"""

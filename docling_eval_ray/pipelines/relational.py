@@ -2630,3 +2630,76 @@ def price_quantity_regression(sf_dir: str):
          "slope": np.round(slope, 4),
          "intercept": np.round(intercept, 4)}
     )
+
+
+def cheapest_parts_per_brand(sf_dir: str):
+    """Per-group argmin WITH ties: every part whose retail price equals
+    its brand's minimum. Two-aggregate composition — a domain-sized
+    grouped MIN (partial per batch, tiny final groupby) broadcast as a
+    dict into a second streaming scan's filter — so ties survive (the
+    LIMIT-k shape drops them) and no group's rows ever co-locate."""
+    import ray
+
+    from ray.data.aggregate import Min
+
+    ds = _read(sf_dir, "part",
+               columns=["p_partkey", "p_brand", "p_retailprice"])
+
+    def partial_min(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("p_brand", as_index=False).agg(
+            min_price=("p_retailprice", "min")
+        )
+
+    mins = (
+        ds.map_batches(partial_min, batch_format="pandas")
+        .groupby("p_brand")
+        .aggregate(Min("min_price", alias_name="min_price"))
+        .to_pandas()  # |brands| rows — domain-sized
+    )
+    if len(mins) == 0:
+        return pd.DataFrame(
+            {"p_partkey": pd.Series([], dtype=np.int64),
+             "p_brand": pd.Series([], dtype=str),
+             "p_retailprice": pd.Series([], dtype=np.float64)}
+        )
+    lut = ray.put(dict(zip(mins["p_brand"], mins["min_price"])))
+
+    def keep_min(b: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        m = _ray.get(lut)
+        lim = b["p_brand"].map(m).to_numpy(np.float64)
+        out = b[b["p_retailprice"].to_numpy() == lim]
+        return out[["p_partkey", "p_brand", "p_retailprice"]]
+
+    return ds.map_batches(keep_min, batch_format="pandas")
+
+
+def flag_price_median(sf_dir: str):
+    """Per-group INTERPOLATED median (SQL PERCENTILE_CONT 0.5 per
+    l_returnflag): one bucketed shuffle on the group key, np.quantile
+    (linear interpolation — the percentile_cont formula) inside the
+    group task. The grouped sibling of ``orders_price_percentiles``;
+    per-group state is bounded by the largest group."""
+    from ..functions.groups import bucketed_group_apply
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_extendedprice"])
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("l_returnflag", as_index=False).agg(
+            median_price=("l_extendedprice",
+                          lambda s: np.quantile(s.to_numpy(np.float64),
+                                                0.5))
+        )
+        out["median_price"] = np.round(
+            out["median_price"].to_numpy(np.float64), 4)
+        return out
+
+    out = bucketed_group_apply(ds, ["l_returnflag"], med).materialize()
+    if out.count() == 0:
+        return pd.DataFrame(
+            {"l_returnflag": pd.Series([], dtype=str),
+             "median_price": pd.Series([], dtype=np.float64)}
+        )
+    return out

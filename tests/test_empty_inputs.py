@@ -52,6 +52,7 @@ def _run(name, sf_dir):
         "top_suppliers_by_revenue", "important_parts_stock",
         "lineitem_quantity_ranks", "lineitem_measures_unpivot",
         "customer_order_flags", "price_quantity_regression",
+        "cheapest_parts_per_brand", "flag_price_median",
     ],
 )
 def test_empty_input_yields_zero_rows(name, empty_dir, ray_session):
