@@ -48,6 +48,14 @@ def global_row_number(ds, key: str, *, tiebreak: list[str] | None = None,
 
     tiebreak = tiebreak or []
 
+    # a global rank is an inherent pipeline breaker (the boundary sample
+    # and the range counts must both see every row before any row can be
+    # numbered), so materialize the input ONCE: sample, count, and rank
+    # then consume the same computed blocks instead of re-executing the
+    # upstream pipeline three times. The object store spills if needed —
+    # this is the exchange an MPP engine would stage to disk anyway.
+    ds = ds.materialize()
+
     def sample(t: pa.Table) -> pa.Table:
         k = t[key].to_numpy(zero_copy_only=False)
         if len(k) == 0:
