@@ -103,6 +103,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantity_regression": r.price_quantity_regression,
         "cheapest_parts_per_brand": r.cheapest_parts_per_brand,
         "flag_price_median": r.flag_price_median,
+        "daily_active_users": r.daily_active_users,
+        "orders_weekday_census": r.orders_weekday_census,
+        "customer_segment_share": r.customer_segment_share,
         # outer-join tier of hash_join (left / full)
         "customer_order_counts": r.customer_order_counts,
         "user_hour_activity": r.user_hour_activity,

@@ -2108,3 +2108,30 @@ ORACLE_SQL["flag_price_median"] = """
                AS median_price
     FROM lineitem GROUP BY l_returnflag
 """
+
+
+ORACLE_SQL["daily_active_users"] = """
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+    FROM events GROUP BY 1
+"""
+
+
+ORACLE_SQL["orders_weekday_census"] = """
+    SELECT CAST(isodow(o_orderdate) AS BIGINT) AS isodow,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round_even(sum(o_totalprice) / count(*), 4) AS avg_price
+    FROM orders GROUP BY 1
+"""
+
+
+ORACLE_SQL["customer_segment_share"] = """
+    WITH c AS (
+        SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+        FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, n_customers,
+           round_even(n_customers / (SELECT sum(n_customers) FROM c), 6)
+               AS share
+    FROM c
+"""

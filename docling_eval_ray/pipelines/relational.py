@@ -2703,3 +2703,126 @@ def flag_price_median(sf_dir: str):
              "median_price": pd.Series([], dtype=np.float64)}
         )
     return out
+
+
+def daily_active_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user) per day — the two-level distinct
+    aggregate: batch-local (day, user) dedup partials → one bucketed
+    shuffle on the pair collapses cross-batch duplicates → a per-day
+    count partial+final. Only (day × active-user) pairs ever cross the
+    wire, never events."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def pair_partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "day": b["ts"].dt.strftime("%Y-%m-%d"),
+            "user_id": b["user_id"].to_numpy(),
+        }).drop_duplicates()
+        return out
+
+    from ..functions.groups import bucketed_group_apply
+
+    pairs = ds.map_batches(pair_partial, batch_format="pandas")
+    # same pair → same hash bucket, so per-bucket drop_duplicates is a
+    # global distinct (the house bucketed pattern — never a native
+    # multi-key groupby, which single-tasks the sort-reduce)
+    distinct_pairs = bucketed_group_apply(
+        pairs, ["day", "user_id"], lambda g: g.drop_duplicates()
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        m, n = np.unique(
+            t["day"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table({"day": pa.array(m),
+                         "dau": pa.array(n.astype(np.int64), pa.int64())})
+
+    out = (
+        distinct_pairs.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("dau", alias_name="dau"))
+        .materialize()
+    )
+    if out.count() == 0:
+        return pd.DataFrame(
+            {"day": pd.Series([], dtype=str),
+             "dau": pd.Series([], dtype=np.int64)}
+        )
+    return out
+
+
+def orders_weekday_census(sf_dir: str):
+    """Per ISO weekday (Mon=1..Sun=7): order count + mean total price.
+    Calendar-part extraction inside the batch (pandas dayofweek+1 ==
+    SQL ISODOW), then the standard partial+final pair."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            b.assign(isodow=(b["o_orderdate"].dt.dayofweek + 1).astype(
+                np.int64), n_orders=1)
+            .groupby("isodow", as_index=False)
+            .agg(n_orders=("n_orders", "sum"),
+                 sum_price=("o_totalprice", "sum"))
+        )
+        out["n_orders"] = out["n_orders"].astype(np.int64)
+        return out
+
+    final = _final_groupby(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["isodow"], ["n_orders", "sum_price"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        avg = np.round(
+            t["sum_price"].to_numpy(zero_copy_only=False)
+            / t["n_orders"].to_numpy(zero_copy_only=False), 4)
+        return pa.table({
+            "isodow": pc.cast(t["isodow"], pa.int64()),
+            "n_orders": t["n_orders"],
+            "avg_price": pa.array(avg, pa.float64()),
+        })
+
+    out = final.map_batches(finish, batch_format="pyarrow").materialize()
+    if out.count() == 0:
+        return pd.DataFrame(
+            {"isodow": pd.Series([], dtype=np.int64),
+             "n_orders": pd.Series([], dtype=np.int64),
+             "avg_price": pd.Series([], dtype=np.float64)}
+        )
+    return out
+
+
+def customer_segment_share(sf_dir: str):
+    """Share-of-total per market segment (the COUNT(*) OVER () window
+    ratio): one domain-sized count groupby; the grand total is the sum
+    of those few rows on the driver — no second scan, no window
+    shuffle."""
+    ds = _read(sf_dir, "customer", columns=["c_mktsegment"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        s, n = np.unique(
+            t["c_mktsegment"].to_numpy(zero_copy_only=False),
+            return_counts=True,
+        )
+        return pa.table({"c_mktsegment": pa.array(s),
+                         "n_customers": pa.array(n.astype(np.int64),
+                                                 pa.int64())})
+
+    counts = _final_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["c_mktsegment"], ["n_customers"],
+    ).to_pandas()  # |segments| rows
+    if len(counts) == 0:
+        return pd.DataFrame(
+            {"c_mktsegment": pd.Series([], dtype=str),
+             "n_customers": pd.Series([], dtype=np.int64),
+             "share": pd.Series([], dtype=np.float64)}
+        )
+    total = counts["n_customers"].sum()
+    counts["share"] = np.round(
+        counts["n_customers"].to_numpy(np.float64) / float(total), 6)
+    counts["n_customers"] = counts["n_customers"].astype(np.int64)
+    return counts[["c_mktsegment", "n_customers", "share"]]
