@@ -71,3 +71,21 @@ def test_approx_token_vocabulary(ray_session):
         "'/root/testdata/sf0.001/documents.parquet')"
     ).fetchone()[0]
     assert abs(est_v - exact) / max(1, exact) < 0.1
+
+
+def test_grouped_hll_accuracy_vs_exact(ray_session):
+    import duckdb
+
+    from docling_eval_ray.stages.sketches import daily_active_users_hll
+
+    approx = daily_active_users_hll("/root/testdata/sf0.001").to_pandas()
+    exact = duckdb.sql(
+        "SELECT strftime(ts, '%Y-%m-%d') AS day, "
+        "count(DISTINCT user_id) AS dau "
+        "FROM '/root/testdata/sf0.001/events.parquet' GROUP BY 1"
+    ).df()
+    j = approx.merge(exact, on="day")
+    assert len(j) == len(exact) > 0
+    rel = (j["dau_approx"] - j["dau"]).abs() / j["dau"]
+    # p=12 -> ~1.6% standard error; allow 3 sigma headroom per group
+    assert rel.max() < 0.05, j[rel >= 0.05]
