@@ -182,10 +182,23 @@ def run_benchmarks() -> dict:
     ds = rd.read_parquet(bench_input, override_num_blocks=128)
     inter = ds.map_batches(_synth_batch, batch_format="pyarrow")
     out = extract_main_content(inter, batch_size=1024)  # fused task mode
-    total_spans = out.sum("n_spans")
+    # consume via a projected iter_batches (n_spans only — int64, ~40 MB
+    # at sf0.1) so execution stats attach to THIS dataset: Dataset.sum()
+    # would move the aggregation into a child dataset and lose them
+    import pyarrow.compute as _pc
+
+    proj = out.select_columns(["n_spans"])
+    total_spans = 0
+    for b in proj.iter_batches(batch_format="pyarrow"):
+        s = _pc.sum(b["n_spans"]).as_py()
+        total_spans += int(s or 0)
     headline = time.time() - t0
     n_docs = _count_rows(bench_input)
     timings["flagship_extraction"] = round(headline, 3)
+    # per-stage latency of the headline run (north-star metrics clause)
+    from docling_eval_ray.state.metrics import dataset_stage_metrics
+
+    stage_latency = dataset_stage_metrics(proj)
 
     # --- representative operator pipelines (raw sf tables) ---------------
     for name, fn in [
@@ -243,6 +256,7 @@ def run_benchmarks() -> dict:
         "n_docs": n_docs,
         "total_spans": int(total_spans),
         "docs_per_sec": round(n_docs / headline, 1) if headline else None,
+        "stage_latency": stage_latency,
     }
 
 
