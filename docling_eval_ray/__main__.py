@@ -190,15 +190,24 @@ def main(argv: list[str] | None = None) -> int:
             )
             wall = _time.time() - t0
             recs = committed_partitions(args.output)
-            rows = sum(r.get("row_count", 0) for r in recs.values())
+            # throughput and stage latency cover ONLY the partitions this
+            # run executed — a resume that skips everything must report
+            # 0 rows/sec, not the previous run's work over ~0 wall time
+            ran_recs = [recs[p] for p in res["ran"] if p in recs]
+            rows_ran = sum(r.get("row_count", 0) for r in ran_recs)
             print(json.dumps({
                 "ran": res["ran"],
                 "skipped": res["skipped"],
-                "rows": rows,
+                "rows": rows_ran,
+                "rows_total_committed": sum(
+                    r.get("row_count", 0) for r in recs.values()
+                ),
                 "wall_s": round(wall, 3),
-                "rows_per_sec": round(rows / wall, 1) if wall > 0 else None,
+                "rows_per_sec": (
+                    round(rows_ran / wall, 1) if wall > 0 else None
+                ),
                 "stage_latency": merge_stage_metrics(
-                    [r.get("stage_metrics", []) for r in recs.values()]
+                    [r.get("stage_metrics", []) for r in ran_recs]
                 ),
             }))
         elif args.cmd == "evaluate":

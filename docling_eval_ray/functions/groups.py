@@ -54,3 +54,32 @@ def bucketed_group_apply(ds, keys: list[str], bucket_fn, *,
     return bucketed.groupby(BUCKET_COL).map_groups(
         run, batch_format="pandas"
     )
+
+
+def final_groupby_sum(ds, keys: list[str], cols: list[str]):
+    """The final half of the partial+final aggregate pattern: groupby
+    the keys, Sum each pre-combined partial column under its own name.
+    (Lives here, beside ``bucketed_group_apply``, so functions/ never
+    reaches into pipelines/ for it.)"""
+    from ray.data.aggregate import Sum
+
+    return ds.groupby(keys).aggregate(
+        *[Sum(c, alias_name=c) for c in cols]
+    )
+
+
+def count_partial(key: str, out_col: str):
+    """Per-batch single-key count partial (pyarrow → pyarrow): one
+    (key, n) row per distinct key per batch — the partial half shared
+    by every census-style op; pair with ``final_groupby_sum``."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        k, n = np.unique(
+            t[key].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table({
+            key: pa.array(k),
+            out_col: pa.array(n.astype(np.int64), pa.int64()),
+        })
+
+    return fn

@@ -164,22 +164,13 @@ def region_kind_census(sf_dir: str):
     breaks the hash. Partial counts per batch; the final groupby is
     3 rows."""
     import pandas as pd
-    import pyarrow as pa
 
-    from ..pipelines.relational import _final_groupby
+    from .groups import count_partial, final_groupby_sum
 
     regs = region_detection(sf_dir)
-
-    def partial(t: pa.Table) -> pa.Table:
-        k, n = np.unique(
-            t["kind"].to_numpy(zero_copy_only=False), return_counts=True
-        )
-        return pa.table({"kind": pa.array(k),
-                         "n_regions": pa.array(n.astype(np.int64),
-                                               pa.int64())})
-
-    out = _final_groupby(
-        regs.map_batches(partial, batch_format="pyarrow"),
+    out = final_groupby_sum(
+        regs.map_batches(count_partial("kind", "n_regions"),
+                         batch_format="pyarrow"),
         ["kind"], ["n_regions"],
     ).materialize()
     if out.count() == 0:

@@ -1128,17 +1128,13 @@ def lang_mixture_weights(sf_dir: str):
     α = ``MIXTURE_ALPHA`` (the mC4/XLM-R upsampling rule). One partial+
     final count groupby (language-domain-sized); the power/normalize
     step runs on the driver over the ≤|lang| rows."""
+    from ..functions.groups import count_partial
+
     ds = _read(sf_dir, "documents", columns=["lang"])
-
-    def partial(t: pa.Table) -> pa.Table:
-        lang, n = np.unique(
-            t["lang"].to_numpy(zero_copy_only=False), return_counts=True
-        )
-        return pa.table({"lang": pa.array(lang),
-                         "n_docs": pa.array(n.astype(np.int64), pa.int64())})
-
     counts = _final_groupby(
-        ds.map_batches(partial, batch_format="pyarrow"), ["lang"], ["n_docs"]
+        ds.map_batches(count_partial("lang", "n_docs"),
+                       batch_format="pyarrow"),
+        ["lang"], ["n_docs"],
     ).to_pandas()  # |lang| rows — domain-sized, not corpus-sized
     if len(counts) == 0:
         return pd.DataFrame(

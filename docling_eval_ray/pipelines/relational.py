@@ -81,11 +81,12 @@ def _partial_groupby(keys: list[str], sums: dict[str, str],
 
 
 def _final_groupby(ds, keys: list[str], cols: list[str]):
-    from ray.data.aggregate import Sum
+    # canonical implementation lives in functions/groups.py (beside
+    # bucketed_group_apply); this alias keeps the module-local name the
+    # whole pipeline layer already uses
+    from ..functions.groups import final_groupby_sum
 
-    return ds.groupby(keys).aggregate(
-        *[Sum(c, alias_name=c) for c in cols]
-    )
+    return final_groupby_sum(ds, keys, cols)
 
 
 # ---------------------------------------------------------------------------
@@ -2094,6 +2095,14 @@ def event_transitions(sf_dir: str):
             {"prev_type": np.concatenate([[""], et[:-1]])[same],
              "next_type": et[same]}
         )
+        if len(out) == 0:
+            # typed empty: a bucket of single-event users must not emit
+            # a zero-column frame and split the block schemas
+            return pd.DataFrame(
+                {"prev_type": pd.Series([], dtype=str),
+                 "next_type": pd.Series([], dtype=str),
+                 "n": pd.Series([], dtype=np.int64)}
+            )
         part = out.value_counts().rename("n").reset_index()
         part["n"] = part["n"].astype(np.int64)
         return part
@@ -2732,15 +2741,11 @@ def daily_active_users(sf_dir: str):
         pairs, ["day", "user_id"], lambda g: g.drop_duplicates()
     )
 
-    def count_partial(t: pa.Table) -> pa.Table:
-        m, n = np.unique(
-            t["day"].to_numpy(zero_copy_only=False), return_counts=True
-        )
-        return pa.table({"day": pa.array(m),
-                         "dau": pa.array(n.astype(np.int64), pa.int64())})
+    from ..functions.groups import count_partial
 
     out = (
-        distinct_pairs.map_batches(count_partial, batch_format="pyarrow")
+        distinct_pairs.map_batches(count_partial("day", "dau"),
+                                   batch_format="pyarrow")
         .groupby("day")
         .aggregate(Sum("dau", alias_name="dau"))
         .materialize()
@@ -2802,17 +2807,11 @@ def customer_segment_share(sf_dir: str):
     shuffle."""
     ds = _read(sf_dir, "customer", columns=["c_mktsegment"])
 
-    def partial(t: pa.Table) -> pa.Table:
-        s, n = np.unique(
-            t["c_mktsegment"].to_numpy(zero_copy_only=False),
-            return_counts=True,
-        )
-        return pa.table({"c_mktsegment": pa.array(s),
-                         "n_customers": pa.array(n.astype(np.int64),
-                                                 pa.int64())})
+    from ..functions.groups import count_partial
 
     counts = _final_groupby(
-        ds.map_batches(partial, batch_format="pyarrow"),
+        ds.map_batches(count_partial("c_mktsegment", "n_customers"),
+                       batch_format="pyarrow"),
         ["c_mktsegment"], ["n_customers"],
     ).to_pandas()  # |segments| rows
     if len(counts) == 0:

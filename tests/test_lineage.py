@@ -83,20 +83,39 @@ Operator 2 MapBatches(<lambda>): 8 tasks executed, 8 blocks produced in 0.6s
 Dataset throughput:
 \t* Ray Data throughput: 506.36 rows/s
 """
+    text += """
+Operator 3 Aggregate: executed in 2.51s
+
+\tSuboperator 0 AggregateMap: 1 tasks executed, 8 blocks produced
+\t* Output num rows per block: 10 min, 12 max, 11 mean, 90 total
+
+\tSuboperator 1 AggregateReduce: 4 tasks executed, 4 blocks produced
+\t* Output num rows per block: 1 min, 2 max, 1 mean, 6 total
+"""
     rows = parse_dataset_stats(text)
     assert [r["stage"] for r in rows] == [
-        "ReadParquet->SplitBlocks(8)", "MapBatches(<lambda>)"
+        "ReadParquet->SplitBlocks(8)", "MapBatches(<lambda>)", "Aggregate"
     ]
     assert rows[0] == {
         "stage": "ReadParquet->SplitBlocks(8)", "tasks": 1, "blocks": 8,
         "wall_s": 0.28, "rows_out": 500, "bytes_out": 8000,
         "rows_per_s": 1799.42,
     }
+    # all-to-all header: wall captured, rows from the LAST suboperator
+    # (the output side), tasks/blocks stay None
+    assert rows[2]["wall_s"] == 2.51
+    assert rows[2]["rows_out"] == 6
+    assert rows[2]["tasks"] is None
     merged = merge_stage_metrics([rows, rows])
     by_name = {m["stage"]: m for m in merged}
     assert by_name["MapBatches(<lambda>)"]["tasks"] == 16
     assert by_name["MapBatches(<lambda>)"]["rows_out"] == 1000
     assert abs(by_name["MapBatches(<lambda>)"]["wall_s"] - 1.2) < 1e-9
+    assert by_name["MapBatches(<lambda>)"]["rows_per_s"] > 0
+    # unreported fields merge to None, never a fake 0
+    assert by_name["Aggregate"]["tasks"] is None
+    assert by_name["Aggregate"]["bytes_out"] is None
+    assert by_name["Aggregate"]["rows_out"] == 12
 
 
 def test_lineage_records_stage_metrics(ray_session, tmp_path):
