@@ -106,6 +106,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_active_users": r.daily_active_users,
         "orders_weekday_census": r.orders_weekday_census,
         "customer_segment_share": r.customer_segment_share,
+        "events_rolling_median": r.events_rolling_median,
+        "part_cooccurrence": r.part_cooccurrence,
         # outer-join tier of hash_join (left / full)
         "customer_order_counts": r.customer_order_counts,
         "user_hour_activity": r.user_hour_activity,

@@ -2135,3 +2135,26 @@ ORACLE_SQL["customer_segment_share"] = """
                AS share
     FROM c
 """
+
+
+ORACLE_SQL["events_rolling_median"] = """
+    SELECT event_id,
+           round_even(median(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+           ), 4) AS rolling_median
+    FROM events
+"""
+
+
+ORACLE_SQL["part_cooccurrence"] = """
+    WITH d AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM d a JOIN d b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+"""

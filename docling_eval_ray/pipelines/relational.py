@@ -2825,3 +2825,110 @@ def customer_segment_share(sf_dir: str):
         counts["n_customers"].to_numpy(np.float64) / float(total), 6)
     counts["n_customers"] = counts["n_customers"].astype(np.int64)
     return counts[["c_mktsegment", "n_customers", "share"]]
+
+
+#: rolling-median window length (rows, per user, event-time order).
+ROLLING_MEDIAN_WINDOW = 5
+
+
+def events_rolling_median(sf_dir: str):
+    """Per-user rolling MEDIAN of event value over the last
+    ``ROLLING_MEDIAN_WINDOW`` events in (ts, event_id) order — the
+    ordered sliding window with a NON-decomposable aggregate (a rolling
+    sum splits into partials; an order statistic needs the window's
+    rows, so the group must co-locate: one bucketed shuffle on user_id,
+    vectorized pandas rolling(min_periods=1) inside the bucket,
+    matching SQL's ROWS BETWEEN k PRECEDING AND CURRENT ROW frame)."""
+    from ..functions.groups import bucketed_group_apply
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "value"])
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        med = (
+            g.groupby("user_id", sort=False)["value"]
+            .rolling(ROLLING_MEDIAN_WINDOW, min_periods=1)
+            .median()
+            .to_numpy()
+        )
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "rolling_median": np.round(med, 4),
+        })
+
+    out = bucketed_group_apply(ds, ["user_id"], roll).materialize()
+    if out.count() == 0:
+        return pd.DataFrame(
+            {"event_id": pd.Series([], dtype=np.int64),
+             "rolling_median": pd.Series([], dtype=np.float64)}
+        )
+    return out
+
+
+#: co-occurrence support threshold: pairs appearing in ≥ this many orders.
+COOCCURRENCE_MIN_SUPPORT = 2
+
+
+def part_cooccurrence(sf_dir: str):
+    """Market-basket co-occurrence: unordered part pairs bought in the
+    same order, counted across orders, support ≥
+    ``COOCCURRENCE_MIN_SUPPORT``. Within-group pair EXPANSION (each
+    order emits C(k,2) pairs, k bounded by lines-per-order) via the
+    np.triu index trick per bucketed order group — the self-join shape
+    without a self-join: the only exchanges are the order-key bucket
+    shuffle and the pair-count partial+final groupby."""
+    from ..functions.groups import bucketed_group_apply
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            g.drop_duplicates()  # a part twice in one order counts once
+            .sort_values(["l_orderkey", "l_partkey"], kind="mergesort")
+        )
+        key = g["l_orderkey"].to_numpy()
+        part = g["l_partkey"].to_numpy()
+        starts = np.flatnonzero(
+            np.concatenate([[True], key[1:] != key[:-1]])
+        )
+        ends = np.concatenate([starts[1:], [len(key)]])
+        a_out, b_out = [], []
+        for s, e in zip(starts, ends):
+            k = e - s
+            if k < 2:
+                continue
+            ii, jj = np.triu_indices(k, k=1)
+            a_out.append(part[s:e][ii])
+            b_out.append(part[s:e][jj])
+        if not a_out:
+            return pd.DataFrame(
+                {"part_a": pd.Series([], dtype=np.int64),
+                 "part_b": pd.Series([], dtype=np.int64),
+                 "n_orders": pd.Series([], dtype=np.int64)}
+            )
+        out = pd.DataFrame({
+            "part_a": np.concatenate(a_out),
+            "part_b": np.concatenate(b_out),
+        })
+        part_counts = out.value_counts().rename("n_orders").reset_index()
+        part_counts["n_orders"] = part_counts["n_orders"].astype(np.int64)
+        return part_counts
+
+    partials = bucketed_group_apply(ds, ["l_orderkey"], pairs)
+    out = _final_groupby(
+        partials, ["part_a", "part_b"], ["n_orders"]
+    ).materialize()
+    flt = out.map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(t["n_orders"], COOCCURRENCE_MIN_SUPPORT)
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    if flt.count() == 0:
+        return pd.DataFrame(
+            {"part_a": pd.Series([], dtype=np.int64),
+             "part_b": pd.Series([], dtype=np.int64),
+             "n_orders": pd.Series([], dtype=np.int64)}
+        )
+    return flt

@@ -54,7 +54,8 @@ def _run(name, sf_dir):
         "customer_order_flags", "price_quantity_regression",
         "cheapest_parts_per_brand", "flag_price_median",
         "daily_active_users", "orders_weekday_census",
-        "customer_segment_share",
+        "customer_segment_share", "events_rolling_median",
+        "part_cooccurrence",
     ],
 )
 def test_empty_input_yields_zero_rows(name, empty_dir, ray_session):
