@@ -108,6 +108,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_segment_share": r.customer_segment_share,
         "events_rolling_median": r.events_rolling_median,
         "part_cooccurrence": r.part_cooccurrence,
+        "orderkey_set_compare": r.orderkey_set_compare,
+        "daily_revenue_change": r.daily_revenue_change,
         # outer-join tier of hash_join (left / full)
         "customer_order_counts": r.customer_order_counts,
         "user_hour_activity": r.user_hour_activity,

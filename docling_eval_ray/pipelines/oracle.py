@@ -2158,3 +2158,29 @@ ORACLE_SQL["part_cooccurrence"] = """
     GROUP BY 1, 2
     HAVING count(*) >= 2
 """
+
+
+ORACLE_SQL["orderkey_set_compare"] = """
+    WITH o AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+    l AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+    j AS (
+        SELECT CASE WHEN o.k IS NOT NULL AND l.k IS NOT NULL THEN 'both'
+                    WHEN o.k IS NOT NULL THEN 'orders_only'
+                    ELSE 'lineitem_only' END AS presence
+        FROM o FULL OUTER JOIN l ON o.k = l.k
+    )
+    SELECT presence, CAST(count(*) AS BIGINT) AS n_keys
+    FROM j GROUP BY presence
+"""
+
+
+ORACLE_SQL["daily_revenue_change"] = """
+    WITH d AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS day, sum(value) AS rev
+        FROM events GROUP BY 1
+    )
+    SELECT day, round_even(rev, 2) AS revenue,
+           round_even(100.0 * (rev - lag(rev) OVER (ORDER BY day))
+                      / lag(rev) OVER (ORDER BY day), 4) AS pct_change
+    FROM d
+"""

@@ -2932,3 +2932,84 @@ def part_cooccurrence(sf_dir: str):
              "n_orders": pd.Series([], dtype=np.int64)}
         )
     return flt
+
+
+def orderkey_set_compare(sf_dir: str):
+    """Full-outer SET reconciliation: how many order keys exist only in
+    orders, only in lineitem, or in both — the integrity census behind
+    every ingest/backfill check. Per-side batch-local distinct partials
+    → one bucketed shuffle where both sides' keys of a bucket meet →
+    per-bucket set algebra → 3-row class count. Keys cross the wire at
+    most once per side per batch."""
+    from ..functions.groups import bucketed_group_apply
+
+    def tag(col: str, side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            u = pc.unique(t[col])
+            return pa.table({
+                "k": u,
+                "side": pa.array([side] * len(u), pa.string()),
+            })
+
+        return fn
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey"]).map_batches(
+        tag("o_orderkey", "o"), batch_format="pyarrow"
+    )
+    line = _read(sf_dir, "lineitem", columns=["l_orderkey"]).map_batches(
+        tag("l_orderkey", "l"), batch_format="pyarrow"
+    )
+    both = orders.union(line)
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        has = g.groupby("k")["side"].agg(frozenset)
+        klass = has.map(
+            lambda s: "both" if len(s) == 2
+            else ("orders_only" if "o" in s else "lineitem_only")
+        )
+        out = klass.value_counts().rename("n_keys").reset_index()
+        out.columns = ["presence", "n_keys"]
+        out["n_keys"] = out["n_keys"].astype(np.int64)
+        return out
+
+    partials = bucketed_group_apply(both, ["k"], classify)
+    out = _final_groupby(partials, ["presence"], ["n_keys"]).materialize()
+    if out.count() == 0:
+        return pd.DataFrame(
+            {"presence": pd.Series([], dtype=str),
+             "n_keys": pd.Series([], dtype=np.int64)}
+        )
+    return out
+
+
+def daily_revenue_change(sf_dir: str):
+    """Day-over-day percent change of event revenue — LAG over an
+    AGGREGATE: the corpus collapses to one row per day (partial+final
+    sums), and the window runs over those few rows on the driver; the
+    shuffle never sees the window."""
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            b.assign(day=b["ts"].dt.strftime("%Y-%m-%d"))
+            .groupby("day", as_index=False)
+            .agg(revenue=("value", "sum"))
+        )
+        return out
+
+    daily = _final_groupby(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["day"], ["revenue"],
+    ).to_pandas()  # |days| rows
+    if len(daily) == 0:
+        return pd.DataFrame(
+            {"day": pd.Series([], dtype=str),
+             "revenue": pd.Series([], dtype=np.float64),
+             "pct_change": pd.Series([], dtype=np.float64)}
+        )
+    daily = daily.sort_values("day").reset_index(drop=True)
+    rev = daily["revenue"].to_numpy(np.float64)
+    prev = np.concatenate([[np.nan], rev[:-1]])
+    daily["pct_change"] = np.round(100.0 * (rev - prev) / prev, 4)
+    daily["revenue"] = np.round(rev, 2)
+    return daily[["day", "revenue", "pct_change"]]

@@ -55,7 +55,8 @@ def _run(name, sf_dir):
         "cheapest_parts_per_brand", "flag_price_median",
         "daily_active_users", "orders_weekday_census",
         "customer_segment_share", "events_rolling_median",
-        "part_cooccurrence",
+        "part_cooccurrence", "orderkey_set_compare",
+        "daily_revenue_change",
     ],
 )
 def test_empty_input_yields_zero_rows(name, empty_dir, ray_session):
