@@ -110,6 +110,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_cooccurrence": r.part_cooccurrence,
         "orderkey_set_compare": r.orderkey_set_compare,
         "daily_revenue_change": r.daily_revenue_change,
+        "customer_spend_quartiles": r.customer_spend_quartiles,
+        "events_zscore_by_type": r.events_zscore_by_type,
         # outer-join tier of hash_join (left / full)
         "customer_order_counts": r.customer_order_counts,
         "user_hour_activity": r.user_hour_activity,

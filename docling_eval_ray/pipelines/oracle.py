@@ -2184,3 +2184,32 @@ ORACLE_SQL["daily_revenue_change"] = """
                       / lag(rev) OVER (ORDER BY day), 4) AS pct_change
     FROM d
 """
+
+
+ORACLE_SQL["customer_spend_quartiles"] = """
+    WITH s AS (
+        SELECT o_custkey,
+               round_even(sum(o_totalprice), 2) AS total_spend
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, total_spend,
+           CAST(ntile(4) OVER (ORDER BY total_spend, o_custkey)
+                AS BIGINT) AS quartile
+    FROM s
+"""
+
+
+ORACLE_SQL["events_zscore_by_type"] = """
+    WITH m AS (
+        SELECT event_type,
+               CAST(count(*) AS DOUBLE) AS n,
+               sum(value) AS sv, sum(value * value) AS svv
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           round_even(
+               (e.value - m.sv / m.n)
+               / sqrt(m.svv / m.n - (m.sv / m.n) * (m.sv / m.n)), 4
+           ) AS z
+    FROM events e JOIN m ON e.event_type = m.event_type
+"""

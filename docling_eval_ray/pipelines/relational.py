@@ -3013,3 +3013,102 @@ def daily_revenue_change(sf_dir: str):
     daily["pct_change"] = np.round(100.0 * (rev - prev) / prev, 4)
     daily["revenue"] = np.round(rev, 2)
     return daily[["day", "revenue", "pct_change"]]
+
+
+def customer_spend_quartiles(sf_dir: str):
+    """NTILE(4) OVER the result of an aggregate — window-over-aggregate
+    composition: per-customer total spend (partial+final groupby), then
+    the range-partitioned global ROW_NUMBER assigns exact NTILE tiles
+    ((rn−1)·4 // n + 1) over the aggregate WITHOUT gathering it (the
+    customer domain scales with the corpus, so the rank stays
+    distributed where a driver-side qcut would not)."""
+    from ..functions.ranks import global_row_number
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    partials = orders.map_batches(
+        _partial_groupby(["o_custkey"], {"o_totalprice": "total_spend"}),
+        batch_format="pyarrow",
+    )
+    agg = _final_groupby(partials, ["o_custkey"], ["total_spend"]).map_batches(
+        lambda t: _round_cols(t, {"total_spend": 2}), batch_format="pyarrow"
+    ).materialize()
+    n = agg.count()
+    if n == 0:
+        return pd.DataFrame(
+            {"o_custkey": pd.Series([], dtype=np.int64),
+             "total_spend": pd.Series([], dtype=np.float64),
+             "quartile": pd.Series([], dtype=np.int64)}
+        )
+    ranked = global_row_number(agg, "total_spend", tiebreak=["o_custkey"])
+
+    def tile(t: pa.Table) -> pa.Table:
+        rn = t["rn"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # exact SQL NTILE: the first n%4 tiles get the extra row —
+        # ((rn-1)*4//n would split 38,37,38,37 where NTILE gives
+        # 38,38,37,37)
+        base, rem = divmod(n, 4)
+        cut = rem * (base + 1)
+        idx = rn - 1
+        quart = np.where(
+            idx < cut,
+            idx // (base + 1),
+            rem + (idx - cut) // max(base, 1),
+        ) + 1
+        return pa.table({
+            "o_custkey": t["o_custkey"],
+            "total_spend": t["total_spend"],
+            "quartile": pa.array(quart.astype(np.int64), pa.int64()),
+        })
+
+    return ranked.map_batches(tile, batch_format="pyarrow")
+
+
+def events_zscore_by_type(sf_dir: str):
+    """Per-group standardization: z = (value − μ_type) / σ_type with
+    population moments per event type — the grouped two-pass pattern:
+    a domain-sized moment aggregate (n, Σv, Σv²) broadcast into a
+    second streaming scan; rows never shuffle."""
+    import ray
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def mom(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["value"].to_numpy(np.float64)
+        out = (
+            b.assign(n=1, sv=v, svv=v * v)
+            .groupby("event_type", as_index=False)
+            .agg(n=("n", "sum"), sv=("sv", "sum"), svv=("svv", "sum"))
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    agg = _final_groupby(
+        ds.map_batches(mom, batch_format="pandas"),
+        ["event_type"], ["n", "sv", "svv"],
+    ).to_pandas()  # |event_type| rows
+    if len(agg) == 0:
+        return pd.DataFrame(
+            {"event_id": pd.Series([], dtype=np.int64),
+             "event_type": pd.Series([], dtype=str),
+             "z": pd.Series([], dtype=np.float64)}
+        )
+    n = agg["n"].to_numpy(np.float64)
+    mu = agg["sv"].to_numpy() / n
+    var = agg["svv"].to_numpy() / n - mu * mu
+    sd = np.sqrt(np.maximum(var, 0.0))
+    lut = ray.put({t: (m, s) for t, m, s in zip(agg["event_type"], mu, sd)})
+
+    def z(b: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        m = _ray.get(lut)
+        mus = b["event_type"].map(lambda t: m[t][0]).to_numpy(np.float64)
+        sds = b["event_type"].map(lambda t: m[t][1]).to_numpy(np.float64)
+        zv = np.round((b["value"].to_numpy(np.float64) - mus) / sds, 4)
+        return pd.DataFrame({
+            "event_id": b["event_id"].to_numpy(),
+            "event_type": b["event_type"].to_numpy(),
+            "z": zv,
+        })
+
+    return ds.map_batches(z, batch_format="pandas")

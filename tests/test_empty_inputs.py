@@ -56,7 +56,8 @@ def _run(name, sf_dir):
         "daily_active_users", "orders_weekday_census",
         "customer_segment_share", "events_rolling_median",
         "part_cooccurrence", "orderkey_set_compare",
-        "daily_revenue_change",
+        "daily_revenue_change", "customer_spend_quartiles",
+        "events_zscore_by_type",
     ],
 )
 def test_empty_input_yields_zero_rows(name, empty_dir, ray_session):
