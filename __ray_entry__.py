@@ -112,6 +112,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_revenue_change": r.daily_revenue_change,
         "customer_spend_quartiles": r.customer_spend_quartiles,
         "events_zscore_by_type": r.events_zscore_by_type,
+        "suppliers_above_region_avg": r.suppliers_above_region_avg,
+        "events_value_mad": r.events_value_mad,
         # outer-join tier of hash_join (left / full)
         "customer_order_counts": r.customer_order_counts,
         "user_hour_activity": r.user_hour_activity,

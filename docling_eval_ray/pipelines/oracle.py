@@ -2213,3 +2213,32 @@ ORACLE_SQL["events_zscore_by_type"] = """
            ) AS z
     FROM events e JOIN m ON e.event_type = m.event_type
 """
+
+
+ORACLE_SQL["suppliers_above_region_avg"] = """
+    WITH s AS (
+        SELECT s_suppkey, CAST(n_regionkey AS BIGINT) AS region, s_acctbal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    ),
+    a AS (SELECT region,
+                 round_even(sum(s_acctbal) / count(*), 6) AS avg_bal
+          FROM s GROUP BY region)
+    SELECT s.s_suppkey, s.region, s.s_acctbal
+    FROM s JOIN a ON s.region = a.region
+    WHERE s.s_acctbal > a.avg_bal
+"""
+
+
+ORACLE_SQL["events_value_mad"] = """
+    WITH m AS (
+        SELECT event_type,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           round_even(percentile_cont(0.5)
+                      WITHIN GROUP (ORDER BY abs(e.value - m.med)), 4)
+               AS mad
+    FROM events e JOIN m ON e.event_type = m.event_type
+    GROUP BY e.event_type
+"""

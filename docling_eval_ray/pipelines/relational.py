@@ -3112,3 +3112,107 @@ def events_zscore_by_type(sf_dir: str):
         })
 
     return ds.map_batches(z, batch_format="pandas")
+
+
+def suppliers_above_region_avg(sf_dir: str):
+    """Per-group aggregate-threshold filter: suppliers whose account
+    balance beats their REGION's average — the correlated-subquery
+    shape. Nation→region is a tiny broadcast; the per-region (sum,
+    count) moments aggregate to |regions| rows; a second streaming scan
+    filters against the broadcast thresholds. Supplier rows never
+    shuffle."""
+    import ray
+
+    empty = pd.DataFrame(
+        {"s_suppkey": pd.Series([], dtype=np.int64),
+         "region": pd.Series([], dtype=np.int64),
+         "s_acctbal": pd.Series([], dtype=np.float64)}
+    )
+    nation_ds = _read(sf_dir, "nation",
+                      columns=["n_nationkey", "n_regionkey"])
+    sup = _read(sf_dir, "supplier",
+                columns=["s_suppkey", "s_nationkey", "s_acctbal"])
+    # an empty dimension's to_pandas() loses its columns entirely; the
+    # join result is empty anyway (metadata-only count)
+    if nation_ds.count() == 0 or sup.count() == 0:
+        return empty
+    nation = nation_ds.to_pandas()
+    nat2reg = dict(zip(nation["n_nationkey"].astype(np.int64),
+                       nation["n_regionkey"].astype(np.int64)))
+    reg_ref = ray.put(nat2reg)
+
+    def mom(b: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        reg = b["s_nationkey"].astype(np.int64).map(_ray.get(reg_ref))
+        out = (
+            b.assign(region=reg.to_numpy(np.int64), n=1)
+            .groupby("region", as_index=False)
+            .agg(n=("n", "sum"), s=("s_acctbal", "sum"))
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    agg = _final_groupby(
+        sup.map_batches(mom, batch_format="pandas"), ["region"], ["n", "s"]
+    ).to_pandas()  # |regions| rows
+    if len(agg) == 0:
+        return pd.DataFrame(
+            {"s_suppkey": pd.Series([], dtype=np.int64),
+             "region": pd.Series([], dtype=np.int64),
+             "s_acctbal": pd.Series([], dtype=np.float64)}
+        )
+    # round the threshold on BOTH sides (round_even in SQL): the raw
+    # sum/n differs between engines in last-ulp with different
+    # summation order, and a balance sitting between the two averages
+    # would flip the filter
+    avg_ref = ray.put(dict(zip(
+        agg["region"].astype(np.int64),
+        np.round(agg["s"].to_numpy(np.float64)
+                 / agg["n"].to_numpy(np.float64), 6),
+    )))
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        reg = b["s_nationkey"].astype(np.int64).map(
+            _ray.get(reg_ref)).to_numpy(np.int64)
+        lim = np.array([_ray.get(avg_ref)[r] for r in reg], np.float64)
+        mask = b["s_acctbal"].to_numpy(np.float64) > lim
+        return pd.DataFrame({
+            "s_suppkey": b["s_suppkey"].to_numpy()[mask],
+            "region": reg[mask],
+            "s_acctbal": b["s_acctbal"].to_numpy()[mask],
+        })
+
+    return sup.map_batches(keep, batch_format="pandas")
+
+
+def events_value_mad(sf_dir: str):
+    """Median absolute deviation of event value per event type — NESTED
+    order statistics (median of |v − median|), which no partial sum can
+    carry: one bucketed shuffle co-locates each type's rows, and both
+    medians run vectorized inside the bucket task (np.quantile linear ==
+    SQL percentile_cont)."""
+    from ..functions.groups import bucketed_group_apply
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def mad(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for t, grp in g.groupby("event_type", sort=True):
+            v = grp["value"].to_numpy(np.float64)
+            med = np.quantile(v, 0.5)
+            rows.append((t, np.round(np.quantile(np.abs(v - med), 0.5), 4)))
+        return pd.DataFrame({
+            "event_type": [t for t, _ in rows],
+            "mad": np.array([m for _, m in rows], np.float64),
+        })
+
+    out = bucketed_group_apply(ds, ["event_type"], mad).materialize()
+    if out.count() == 0:
+        return pd.DataFrame(
+            {"event_type": pd.Series([], dtype=str),
+             "mad": pd.Series([], dtype=np.float64)}
+        )
+    return out

@@ -57,7 +57,8 @@ def _run(name, sf_dir):
         "customer_segment_share", "events_rolling_median",
         "part_cooccurrence", "orderkey_set_compare",
         "daily_revenue_change", "customer_spend_quartiles",
-        "events_zscore_by_type",
+        "events_zscore_by_type", "suppliers_above_region_avg",
+        "events_value_mad",
     ],
 )
 def test_empty_input_yields_zero_rows(name, empty_dir, ray_session):
