@@ -2205,13 +2205,16 @@ ORACLE_SQL["events_zscore_by_type"] = """
                CAST(count(*) AS DOUBLE) AS n,
                sum(value) AS sv, sum(value * value) AS svv
         FROM events GROUP BY event_type
+    ),
+    v AS (
+        SELECT event_type, sv / n AS mu,
+               round_even(svv / n - (sv / n) * (sv / n), 6) AS var
+        FROM m
     )
     SELECT e.event_id, e.event_type,
-           round_even(
-               (e.value - m.sv / m.n)
-               / sqrt(m.svv / m.n - (m.sv / m.n) * (m.sv / m.n)), 4
-           ) AS z
-    FROM events e JOIN m ON e.event_type = m.event_type
+           round_even((e.value - v.mu) / sqrt(v.var), 4) AS z
+    FROM events e JOIN v ON e.event_type = v.event_type
+    WHERE v.var > 0
 """
 
 

@@ -2916,14 +2916,22 @@ def part_cooccurrence(sf_dir: str):
         return part_counts
 
     partials = bucketed_group_apply(ds, ["l_orderkey"], pairs)
-    out = _final_groupby(
-        partials, ["part_a", "part_b"], ["n_orders"]
-    ).materialize()
-    flt = out.map_batches(
-        lambda t: t.filter(
-            pc.greater_equal(t["n_orders"], COOCCURRENCE_MIN_SUPPORT)
-        ),
-        batch_format="pyarrow",
+
+    # pair cardinality is the highest key cardinality in the repo —
+    # merge counts through the bucketed pattern (one hash shuffle on
+    # the pair), never the native multi-key aggregate's single
+    # sort-reduce; stream straight into the support filter and
+    # materialize ONCE (the unfiltered pair table is the largest
+    # intermediate and mostly discarded)
+    def merge_counts(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["part_a", "part_b"], as_index=False).agg(
+            n_orders=("n_orders", "sum")
+        )
+        out["n_orders"] = out["n_orders"].astype(np.int64)
+        return out[out["n_orders"] >= COOCCURRENCE_MIN_SUPPORT]
+
+    flt = bucketed_group_apply(
+        partials, ["part_a", "part_b"], merge_counts
     ).materialize()
     if flt.count() == 0:
         return pd.DataFrame(
@@ -3094,16 +3102,27 @@ def events_zscore_by_type(sf_dir: str):
         )
     n = agg["n"].to_numpy(np.float64)
     mu = agg["sv"].to_numpy() / n
-    var = agg["svv"].to_numpy() / n - mu * mu
-    sd = np.sqrt(np.maximum(var, 0.0))
-    lut = ray.put({t: (m, s) for t, m, s in zip(agg["event_type"], mu, sd)})
+    # round the variance on BOTH sides (round_even in SQL) so a
+    # constant-valued group's ±ulp residue becomes exactly 0 in both
+    # engines, then DROP such degenerate groups in both (SQL WHERE
+    # var > 0) — clamping on one side only would hash-mismatch
+    var = np.round(agg["svv"].to_numpy() / n - mu * mu, 6)
+    keepm = var > 0
+    sd = np.sqrt(var[keepm])
+    types = agg["event_type"].to_numpy()[keepm]
+    mu_map = dict(zip(types, mu[keepm]))
+    sd_map = dict(zip(types, sd))
+    lut = ray.put((mu_map, sd_map))
 
     def z(b: pd.DataFrame) -> pd.DataFrame:
         import ray as _ray
 
-        m = _ray.get(lut)
-        mus = b["event_type"].map(lambda t: m[t][0]).to_numpy(np.float64)
-        sds = b["event_type"].map(lambda t: m[t][1]).to_numpy(np.float64)
+        mus_d, sds_d = _ray.get(lut)  # one fetch per batch
+        mus = b["event_type"].map(mus_d)  # pandas dict-map, no lambda
+        ok = mus.notna().to_numpy()
+        b = b[ok]
+        mus = mus.to_numpy(np.float64)[ok]
+        sds = b["event_type"].map(sds_d).to_numpy(np.float64)
         zv = np.round((b["value"].to_numpy(np.float64) - mus) / sds, 4)
         return pd.DataFrame({
             "event_id": b["event_id"].to_numpy(),
@@ -3145,6 +3164,11 @@ def suppliers_above_region_avg(sf_dir: str):
         import ray as _ray
 
         reg = b["s_nationkey"].astype(np.int64).map(_ray.get(reg_ref))
+        # inner-join semantics: a nationkey absent from nation DROPS the
+        # row (as the oracle's JOIN does) instead of crashing the int
+        # cast on NaN
+        ok = reg.notna().to_numpy()
+        b, reg = b[ok], reg[ok]
         out = (
             b.assign(region=reg.to_numpy(np.int64), n=1)
             .groupby("region", as_index=False)
@@ -3175,9 +3199,12 @@ def suppliers_above_region_avg(sf_dir: str):
     def keep(b: pd.DataFrame) -> pd.DataFrame:
         import ray as _ray
 
-        reg = b["s_nationkey"].astype(np.int64).map(
-            _ray.get(reg_ref)).to_numpy(np.int64)
-        lim = np.array([_ray.get(avg_ref)[r] for r in reg], np.float64)
+        nat2reg_l = _ray.get(reg_ref)   # one fetch per batch, not per
+        avgs = _ray.get(avg_ref)        # row (get deserializes the dict)
+        reg = b["s_nationkey"].astype(np.int64).map(nat2reg_l)
+        ok = reg.notna().to_numpy()     # inner-join semantics (see mom)
+        b, reg = b[ok], reg[ok].to_numpy(np.int64)
+        lim = pd.Series(reg).map(avgs).to_numpy(np.float64)
         mask = b["s_acctbal"].to_numpy(np.float64) > lim
         return pd.DataFrame({
             "s_suppkey": b["s_suppkey"].to_numpy()[mask],

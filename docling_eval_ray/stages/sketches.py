@@ -184,8 +184,12 @@ def grouped_approx_distinct(ds, key: str, col: str, *, p: int = 12,
                 rows_k.append(sk[start])
                 rows_s.append(hll.to_bytes())
                 start = i
-        return pa.table({key: pa.array(rows_k),
-                         "sketch": pa.array(rows_s, pa.binary())})
+        # type the key column from the INPUT schema: pa.array([]) on an
+        # empty batch would infer null type and split block schemas
+        return pa.table({
+            key: pa.array(rows_k, t.schema.field(key).type),
+            "sketch": pa.array(rows_s, pa.binary()),
+        })
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
 
