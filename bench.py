@@ -236,6 +236,10 @@ def run_benchmarks() -> dict:
         ("priority_line_counts", r.priority_line_counts),
         ("event_transitions", r.event_transitions),
         ("mixture_resample_census", co.mixture_resample_census),
+        ("events_rolling_median", r.events_rolling_median),
+        ("part_cooccurrence", r.part_cooccurrence),
+        ("customer_spend_quartiles", r.customer_spend_quartiles),
+        ("daily_active_users", r.daily_active_users),
     ]:
         t0 = time.time()
         out = fn(SF_DIR)
