@@ -2245,3 +2245,21 @@ ORACLE_SQL["events_value_mad"] = """
     FROM events e JOIN m ON e.event_type = m.event_type
     GROUP BY e.event_type
 """
+
+
+ORACLE_SQL["cooccurrence_triangles"] = """
+    WITH d AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    e AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        FROM d a JOIN d b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e1.part_b = e2.part_a
+    JOIN e e3 ON e3.part_a = e1.part_a AND e3.part_b = e2.part_b
+"""

@@ -3243,3 +3243,41 @@ def events_value_mad(sf_dir: str):
              "mad": pd.Series([], dtype=np.float64)}
         )
     return out
+
+
+def cooccurrence_triangles(sf_dir: str):
+    """Distributed triangle count over the part co-occurrence graph —
+    graph pattern matching as two bucketed hash joins: wedge generation
+    (edges ⋈ edges on the shared middle vertex; a<b<c orientation comes
+    free from the pairs' canonical ordering) then closure (wedge
+    endpoints semi-joined back against the edge set). The edge set is
+    the already-materialized ``part_cooccurrence`` output, consumed
+    three times without re-execution; only wedges — bounded by
+    Σ deg(v)² — cross the wire."""
+    ed = part_cooccurrence(sf_dir)
+    if isinstance(ed, pd.DataFrame):  # empty-input typed frame
+        return pd.DataFrame({"n_triangles": pd.Series([0], dtype=np.int64)})
+
+    left = ed.map_batches(
+        lambda t: pa.table({"k": t["part_b"], "wa": t["part_a"]}),
+        batch_format="pyarrow",
+    )
+    right = ed.map_batches(
+        lambda t: pa.table({"k": t["part_a"], "wc": t["part_b"]}),
+        batch_format="pyarrow",
+    )
+    wedges = hash_join(left, right, on="k", num_buckets=16).map_batches(
+        lambda t: pa.table({"part_a": t["wa"], "part_b": t["wc"]}),
+        batch_format="pyarrow",
+    )
+    closed = hash_join(
+        wedges,
+        ed.map_batches(
+            lambda t: t.select(["part_a", "part_b"]), batch_format="pyarrow"
+        ),
+        on=["part_a", "part_b"],
+        num_buckets=16,
+    )
+    return pd.DataFrame(
+        {"n_triangles": pd.Series([closed.count()], dtype=np.int64)}
+    )

@@ -98,3 +98,9 @@ def test_empty_input_q6_null_row(empty_dir, ray_session):
     df = _run("q6_forecast_revenue", empty_dir)
     assert len(df) == 1
     assert df["revenue"].isna().all()
+
+
+def test_empty_input_triangles_zero(empty_dir, ray_session):
+    # COUNT over an empty join: one row, 0
+    df = _run("cooccurrence_triangles", empty_dir)
+    assert len(df) == 1 and df["n_triangles"].iloc[0] == 0
