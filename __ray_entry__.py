@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suppliers_above_region_avg": r.suppliers_above_region_avg,
         "events_value_mad": r.events_value_mad,
         "cooccurrence_triangles": r.cooccurrence_triangles,
+        "trailing2d_active_users": r.trailing2d_active_users,
         # outer-join tier of hash_join (left / full)
         "customer_order_counts": r.customer_order_counts,
         "user_hour_activity": r.user_hour_activity,

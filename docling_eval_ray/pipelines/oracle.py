@@ -2263,3 +2263,18 @@ ORACLE_SQL["cooccurrence_triangles"] = """
     JOIN e e2 ON e1.part_b = e2.part_a
     JOIN e e3 ON e3.part_a = e1.part_a AND e3.part_b = e2.part_b
 """
+
+
+ORACLE_SQL["trailing2d_active_users"] = """
+    WITH p AS (
+        SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day, user_id
+        FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM p)
+    SELECT d.day, CAST(count(DISTINCT p.user_id) AS BIGINT) AS wau
+    FROM days d
+    JOIN p ON p.day = d.day
+          OR p.day = strftime(CAST(d.day AS DATE) - INTERVAL 1 DAY,
+                              '%Y-%m-%d')
+    GROUP BY d.day
+"""

@@ -3281,3 +3281,69 @@ def cooccurrence_triangles(sf_dir: str):
     return pd.DataFrame(
         {"n_triangles": pd.Series([closed.count()], dtype=np.int64)}
     )
+
+
+def trailing2d_active_users(sf_dir: str):
+    """Distinct users over a TRAILING window (2-day active users per
+    day) — the sliding-window distinct, which no running sum can carry:
+    each distinct (day, user) pair is re-emitted into every window it
+    feeds (here: its own day and the next), clipped against the
+    broadcast day domain, re-deduplicated, and counted. Exchanges stay
+    (windows × active users)-sized, never event-sized."""
+    import datetime
+
+    import ray
+
+    from ..functions.groups import bucketed_group_apply
+
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def pair_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "day": b["ts"].dt.strftime("%Y-%m-%d"),
+            "user_id": b["user_id"].to_numpy(),
+        }).drop_duplicates()
+
+    pairs = bucketed_group_apply(
+        ds.map_batches(pair_partial, batch_format="pandas"),
+        ["day", "user_id"], lambda g: g.drop_duplicates(),
+    ).materialize()
+
+    # day domain: tiny by construction (calendar-sized) → driver + put
+    days_df = pairs.map_batches(
+        lambda b: b[["day"]].drop_duplicates(), batch_format="pandas"
+    ).to_pandas().drop_duplicates()
+    if len(days_df) == 0:
+        return pd.DataFrame(
+            {"day": pd.Series([], dtype=str),
+             "wau": pd.Series([], dtype=np.int64)}
+        )
+    day_set = ray.put(frozenset(days_df["day"]))
+
+    def expand(b: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        valid = _ray.get(day_set)
+        nxt = (
+            pd.to_datetime(b["day"]) + datetime.timedelta(days=1)
+        ).dt.strftime("%Y-%m-%d")
+        out = pd.concat([
+            b[["day", "user_id"]],
+            pd.DataFrame({"day": nxt.to_numpy(),
+                          "user_id": b["user_id"].to_numpy()}),
+        ], ignore_index=True)
+        return out[out["day"].isin(valid)]
+
+    expanded = pairs.map_batches(expand, batch_format="pandas")
+    deduped = bucketed_group_apply(
+        expanded, ["day", "user_id"], lambda g: g.drop_duplicates()
+    )
+
+    from ..functions.groups import count_partial, final_groupby_sum
+
+    out = final_groupby_sum(
+        deduped.map_batches(count_partial("day", "wau"),
+                            batch_format="pyarrow"),
+        ["day"], ["wau"],
+    ).materialize()
+    return out

@@ -58,7 +58,7 @@ def _run(name, sf_dir):
         "part_cooccurrence", "orderkey_set_compare",
         "daily_revenue_change", "customer_spend_quartiles",
         "events_zscore_by_type", "suppliers_above_region_avg",
-        "events_value_mad",
+        "events_value_mad", "trailing2d_active_users",
     ],
 )
 def test_empty_input_yields_zero_rows(name, empty_dir, ray_session):
