@@ -116,6 +116,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_mad": r.events_value_mad,
         "cooccurrence_triangles": r.cooccurrence_triangles,
         "trailing2d_active_users": r.trailing2d_active_users,
+        "lang_token_entropy": r.lang_token_entropy,
+        "doc_length_gini": r.doc_length_gini,
         # outer-join tier of hash_join (left / full)
         "customer_order_counts": r.customer_order_counts,
         "user_hour_activity": r.user_hour_activity,

@@ -2278,3 +2278,37 @@ ORACLE_SQL["trailing2d_active_users"] = """
                               '%Y-%m-%d')
     GROUP BY d.day
 """
+
+
+ORACLE_SQL["lang_token_entropy"] = """
+    WITH c AS (
+        SELECT lang, tok AS token, CAST(count(*) AS BIGINT) AS n
+        FROM (
+            SELECT lang,
+                   unnest(regexp_split_to_array(trim(text, ' '),
+                                                '\\s+')) AS tok
+            FROM documents
+        ) GROUP BY 1, 2
+    )
+    SELECT lang,
+           round_even(sum(-(n / t) * log2(n / t)), 4) AS entropy_bits
+    FROM (
+        SELECT lang, n,
+               CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE) AS t
+        FROM c
+    ) GROUP BY lang
+"""
+
+
+ORACLE_SQL["doc_length_gini"] = """
+    WITH r AS (
+        SELECT CAST(n_chars AS DOUBLE) AS x,
+               CAST(row_number() OVER (ORDER BY n_chars, doc_id)
+                    AS DOUBLE) AS rn
+        FROM documents
+    )
+    SELECT round_even(
+        2.0 * sum(rn * x) / (count(*) * sum(x))
+        - (count(*) + 1.0) / count(*), 6) AS gini
+    FROM r
+"""

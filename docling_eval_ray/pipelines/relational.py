@@ -3347,3 +3347,94 @@ def trailing2d_active_users(sf_dir: str):
         ["day"], ["wau"],
     ).materialize()
     return out
+
+
+def lang_token_entropy(sf_dir: str):
+    """Shannon entropy (bits) of each language's token distribution —
+    the corpus-diversity signal of a training mixture. One scan emits
+    (lang, token) count partials; a bucketed merge collapses them to
+    the per-language vocabulary; the entropy Σ −p·log2 p reduces each
+    language inside its bucket task, so only (lang, H) rows reach the
+    driver. Token probabilities divide by the language's OWN total
+    (computed in-bucket — all of a language's vocabulary co-locates)."""
+    from ..functions.groups import bucketed_group_apply
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        langs = t["lang"].to_numpy(zero_copy_only=False)
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim(t["text"], characters=" "), r"\s+"
+        )
+        toks = toks.combine_chunks() if isinstance(
+            toks, pa.ChunkedArray) else toks
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"lang": np.repeat(langs, lens), "token": flat})
+        out = df.value_counts().rename("n").reset_index()
+        if len(out) == 0:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({
+            "lang": pa.array(out["lang"].to_numpy()),
+            "token": pa.array(out["token"].to_numpy()),
+            "n": pa.array(out["n"].to_numpy(np.int64), pa.int64()),
+        })
+
+    counts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def entropy(g: pd.DataFrame) -> pd.DataFrame:
+        merged = g.groupby(["lang", "token"], as_index=False).agg(
+            n=("n", "sum")
+        )
+        rows = []
+        for lang, grp in merged.groupby("lang", sort=True):
+            n = grp["n"].to_numpy(np.float64)
+            p = n / n.sum()
+            rows.append((lang, np.round(-(p * np.log2(p)).sum(), 4)))
+        return pd.DataFrame({
+            "lang": [la for la, _ in rows],
+            "entropy_bits": np.array([h for _, h in rows], np.float64),
+        })
+
+    # bucket on lang ONLY: a language's whole vocabulary must co-locate
+    # for both the count merge and the probability normalization
+    out = bucketed_group_apply(counts, ["lang"], entropy).materialize()
+    if out.count() == 0:
+        return pd.DataFrame(
+            {"lang": pd.Series([], dtype=str),
+             "entropy_bits": pd.Series([], dtype=np.float64)}
+        )
+    return out
+
+
+def doc_length_gini(sf_dir: str):
+    """Gini coefficient of document lengths — the length-inequality
+    scalar of a corpus (skew planning input): with lengths sorted
+    ascending and ranked 1..n by the range-partitioned ROW_NUMBER,
+    G = 2·Σ(rn·x) / (n·Σx) − (n+1)/n. The two Σ are plain distributed
+    sums over the ranked stream; nothing but the scalar reaches the
+    driver."""
+    from ..functions.ranks import global_row_number
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    n = ds.count()
+    if n == 0:
+        return pd.DataFrame({"gini": pd.Series([np.nan], dtype=np.float64)})
+    ranked = global_row_number(ds, "n_chars", tiebreak=["doc_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        rn = t["rn"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "sx": pa.array([float(x.sum())], pa.float64()),
+            "srx": pa.array([float((rn * x).sum())], pa.float64()),
+        })
+
+    sums = ranked.map_batches(partial, batch_format="pyarrow")
+    sx = sums.sum("sx")
+    srx = sums.sum("srx")
+    gini = 2.0 * srx / (n * sx) - (n + 1) / n
+    return pd.DataFrame({"gini": pd.Series([np.round(gini, 6)],
+                                           dtype=np.float64)})

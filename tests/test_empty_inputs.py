@@ -104,3 +104,9 @@ def test_empty_input_triangles_zero(empty_dir, ray_session):
     # COUNT over an empty join: one row, 0
     df = _run("cooccurrence_triangles", empty_dir)
     assert len(df) == 1 and df["n_triangles"].iloc[0] == 0
+
+
+def test_empty_input_entropy_and_gini(empty_dir, ray_session):
+    assert len(_run("lang_token_entropy", empty_dir)) == 0
+    g = _run("doc_length_gini", empty_dir)  # scalar aggregate: NULL row
+    assert len(g) == 1 and g["gini"].isna().all()
