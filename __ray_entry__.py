@@ -118,6 +118,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trailing2d_active_users": r.trailing2d_active_users,
         "lang_token_entropy": r.lang_token_entropy,
         "doc_length_gini": r.doc_length_gini,
+        "longest_order_streak": r.longest_order_streak,
+        "lineitem_corr_matrix": r.lineitem_corr_matrix,
         # outer-join tier of hash_join (left / full)
         "customer_order_counts": r.customer_order_counts,
         "user_hour_activity": r.user_hour_activity,

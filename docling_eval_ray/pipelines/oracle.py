@@ -2312,3 +2312,55 @@ ORACLE_SQL["doc_length_gini"] = """
         - (count(*) + 1.0) / count(*), 6) AS gini
     FROM r
 """
+
+
+ORACLE_SQL["longest_order_streak"] = """
+    WITH d AS (
+        SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS day
+        FROM orders
+    ),
+    w AS (
+        SELECT o_custkey,
+               day - CAST(row_number() OVER (
+                   PARTITION BY o_custkey ORDER BY day
+               ) AS INTEGER) AS g
+        FROM d
+    ),
+    runs AS (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS len
+        FROM w GROUP BY o_custkey, g
+    )
+    SELECT o_custkey, max(len) AS longest_streak
+    FROM runs GROUP BY o_custkey
+"""
+
+
+ORACLE_SQL["lineitem_corr_matrix"] = """
+    WITH m AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               sum(l_quantity) AS sq, sum(l_extendedprice) AS sp,
+               sum(l_discount) AS sd,
+               sum(l_quantity * l_quantity) AS sqq,
+               sum(l_extendedprice * l_extendedprice) AS spp,
+               sum(l_discount * l_discount) AS sdd,
+               sum(l_quantity * l_extendedprice) AS sqp,
+               sum(l_quantity * l_discount) AS sqd,
+               sum(l_extendedprice * l_discount) AS spd
+        FROM lineitem
+    )
+    SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+           round_even((n * sqp - sq * sp)
+               / sqrt((n * sqq - sq * sq) * (n * spp - sp * sp)), 6)
+               AS corr
+    FROM m
+    UNION ALL
+    SELECT 'l_quantity', 'l_discount',
+           round_even((n * sqd - sq * sd)
+               / sqrt((n * sqq - sq * sq) * (n * sdd - sd * sd)), 6)
+    FROM m
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_discount',
+           round_even((n * spd - sp * sd)
+               / sqrt((n * spp - sp * sp) * (n * sdd - sd * sd)), 6)
+    FROM m
+"""

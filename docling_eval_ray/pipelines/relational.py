@@ -3438,3 +3438,99 @@ def doc_length_gini(sf_dir: str):
     gini = 2.0 * srx / (n * sx) - (n + 1) / n
     return pd.DataFrame({"gini": pd.Series([np.round(gini, 6)],
                                            dtype=np.float64)})
+
+
+def longest_order_streak(sf_dir: str):
+    """Grouped gaps-and-islands: each customer's longest run of
+    CONSECUTIVE order days — the per-entity streak metric (the grouped
+    sibling of ``orderkey_islands``). One bucketed shuffle on the
+    customer key; inside the bucket the classic date − rank trick runs
+    vectorized over distinct (customer, day) pairs, emitting one
+    (customer, max streak) row."""
+    from ..functions.groups import bucketed_group_apply
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+
+    def streak(g: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "c": g["o_custkey"].to_numpy(),
+            "day": g["o_orderdate"].dt.floor("D"),
+        }).drop_duplicates().sort_values(["c", "day"], kind="mergesort")
+        c = d["c"].to_numpy()
+        day = d["day"].to_numpy("datetime64[D]").astype(np.int64)
+        rn = np.arange(len(d), dtype=np.int64)
+        # new (customer, island) whenever customer changes or a gap > 1
+        grp_break = np.concatenate(
+            [[True], (c[1:] != c[:-1]) | (day[1:] - day[:-1] != 1)]
+        )
+        island = np.cumsum(grp_break) - 1
+        lengths = np.bincount(island)
+        # island -> customer: customer of each island's first row
+        island_cust = c[grp_break]
+        out = (
+            pd.DataFrame({"o_custkey": island_cust, "len": lengths})
+            .groupby("o_custkey", as_index=False)
+            .agg(longest_streak=("len", "max"))
+        )
+        out["longest_streak"] = out["longest_streak"].astype(np.int64)
+        return out
+
+    out = bucketed_group_apply(ds, ["o_custkey"], streak).materialize()
+    if out.count() == 0:
+        return pd.DataFrame(
+            {"o_custkey": pd.Series([], dtype=np.int64),
+             "longest_streak": pd.Series([], dtype=np.int64)}
+        )
+    return out
+
+
+#: column pairs reported by lineitem_corr_matrix.
+CORR_PAIRS = (
+    ("l_quantity", "l_extendedprice"),
+    ("l_quantity", "l_discount"),
+    ("l_extendedprice", "l_discount"),
+)
+
+
+def lineitem_corr_matrix(sf_dir: str):
+    """Pairwise Pearson correlations of three measures in ONE scan —
+    the multi-statistic moment pattern: a single map_batches emits all
+    nine moment partials (n, Σx per column, Σxy per pair, Σx² per
+    column), one scalar-sized final merge, and the closed forms run on
+    the driver. Three corr() calls in SQL scan the table three times;
+    here the corpus is read once."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    ds = _read(sf_dir, "lineitem", columns=cols)
+
+    def mom(b: pd.DataFrame) -> pd.DataFrame:
+        out = {"n": np.int64(len(b))}
+        arrs = {c: b[c].to_numpy(np.float64) for c in cols}
+        for c in cols:
+            out[f"s_{c}"] = arrs[c].sum()
+            out[f"ss_{c}"] = (arrs[c] * arrs[c]).sum()
+        for a, c2 in CORR_PAIRS:
+            out[f"sxy_{a}_{c2}"] = (arrs[a] * arrs[c2]).sum()
+        return pd.DataFrame([out])
+
+    parts = ds.map_batches(mom, batch_format="pandas").to_pandas()
+    if len(parts) == 0 or parts["n"].sum() == 0:
+        return pd.DataFrame(
+            {"col_a": pd.Series([], dtype=str),
+             "col_b": pd.Series([], dtype=str),
+             "corr": pd.Series([], dtype=np.float64)}
+        )
+    tot = parts.sum()
+    n = float(tot["n"])
+    rows = []
+    for a, c2 in CORR_PAIRS:
+        sx, sy = tot[f"s_{a}"], tot[f"s_{c2}"]
+        sxx, syy = tot[f"ss_{a}"], tot[f"ss_{c2}"]
+        sxy = tot[f"sxy_{a}_{c2}"]
+        num = n * sxy - sx * sy
+        den = np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        rows.append((a, c2, np.round(num / den, 6)))
+    return pd.DataFrame({
+        "col_a": [r[0] for r in rows],
+        "col_b": [r[1] for r in rows],
+        "corr": np.array([r[2] for r in rows], np.float64),
+    })
