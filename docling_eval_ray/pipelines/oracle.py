@@ -2364,3 +2364,27 @@ ORACLE_SQL["lineitem_corr_matrix"] = """
                / sqrt((n * spp - sp * sp) * (n * sdd - sd * sd)), 6)
     FROM m
 """
+
+
+ORACLE_SQL["daily_big_purchases_spine"] = """
+    WITH b AS (
+        SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi
+        FROM events
+    ),
+    spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d
+        FROM b
+    ),
+    agg AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               CAST(count(*) AS BIGINT) AS n_big,
+               round_even(sum(value), 2) AS revenue
+        FROM events
+        WHERE event_type = 'purchase' AND value >= 95
+        GROUP BY 1
+    )
+    SELECT strftime(spine.d, '%Y-%m-%d') AS day,
+           COALESCE(agg.n_big, 0) AS n_big,
+           COALESCE(agg.revenue, 0.0) AS revenue
+    FROM spine LEFT JOIN agg ON strftime(spine.d, '%Y-%m-%d') = agg.day
+"""

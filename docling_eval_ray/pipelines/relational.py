@@ -3534,3 +3534,58 @@ def lineitem_corr_matrix(sf_dir: str):
         "col_b": [r[1] for r in rows],
         "corr": np.array([r[2] for r in rows], np.float64),
     })
+
+
+#: "big purchase" threshold for the gap-filled daily series.
+BIG_PURCHASE_MIN = 95.0
+
+
+def daily_big_purchases_spine(sf_dir: str):
+    """Gap-filled daily time series: big-purchase count/revenue per
+    calendar day with MISSING DAYS ZERO-FILLED against a generated date
+    spine — the generate_series + LEFT JOIN + COALESCE shape that turns
+    a sparse event aggregate into a dense series. The spine bounds come
+    from distributed min/max over ALL events; the filtered aggregate is
+    day-domain-sized, so the spine join is a driver-side merge of two
+    calendar-sized frames."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    lo, hi = ds.min("ts"), ds.max("ts")
+    if lo is None:
+        return pd.DataFrame(
+            {"day": pd.Series([], dtype=str),
+             "n_big": pd.Series([], dtype=np.int64),
+             "revenue": pd.Series([], dtype=np.float64)}
+        )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        f = b[(b["event_type"] == "purchase")
+              & (b["value"] >= BIG_PURCHASE_MIN)]
+        out = (
+            f.assign(day=f["ts"].dt.strftime("%Y-%m-%d"), n_big=1)
+            .groupby("day", as_index=False)
+            .agg(n_big=("n_big", "sum"), revenue=("value", "sum"))
+        )
+        out["n_big"] = out["n_big"].astype(np.int64)
+        return out
+
+    agg = _final_groupby(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["day"], ["n_big", "revenue"],
+    ).to_pandas()  # ≤ |days| rows
+    spine = pd.DataFrame({
+        "day": pd.date_range(
+            pd.Timestamp(lo).floor("D"), pd.Timestamp(hi).floor("D"),
+            freq="D",
+        ).strftime("%Y-%m-%d")
+    })
+    if len(agg) == 0:
+        agg = pd.DataFrame(
+            {"day": pd.Series([], dtype=str),
+             "n_big": pd.Series([], dtype=np.int64),
+             "revenue": pd.Series([], dtype=np.float64)}
+        )
+    out = spine.merge(agg, on="day", how="left")
+    out["n_big"] = out["n_big"].fillna(0).astype(np.int64)
+    out["revenue"] = np.round(
+        out["revenue"].fillna(0.0).to_numpy(np.float64), 2)
+    return out

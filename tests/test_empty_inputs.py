@@ -60,6 +60,7 @@ def _run(name, sf_dir):
         "events_zscore_by_type", "suppliers_above_region_avg",
         "events_value_mad", "trailing2d_active_users",
         "longest_order_streak", "lineitem_corr_matrix",
+        "daily_big_purchases_spine",
     ],
 )
 def test_empty_input_yields_zero_rows(name, empty_dir, ray_session):
