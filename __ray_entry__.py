@@ -135,6 +135,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_last_error": r.events_asof_last_error,
         "documents_size_bands": r.documents_size_bands,
     }
+    # multimodal: perceptual-hash image dedup census (rows-only; the
+    # pHash kernel is the real algorithm over the documented stub pixels)
+    from docling_eval_ray.stages.media import media_phash_census
+
+    q["media_phash_census"] = media_phash_census
     # dedup family + similarity search (training-data ops)
     from docling_eval_ray.stages.dedup import (
         dedup_keep_canonical,

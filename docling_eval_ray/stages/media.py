@@ -276,3 +276,125 @@ def video_frame_samples(sf_dir: str, *, every: int = 8,
     videos = docs.map_batches(to_videos, batch_format="pyarrow")
     return stage(videos, FrameSample, kwargs=dict(every=every),
                  batch_size=batch_size, concurrency=concurrency)
+
+
+def pixels_from_payload(payload: bytes) -> "np.ndarray":
+    """Deterministic 32×32 grayscale from a payload (STUB pixel source:
+    the body bytes tiled — a real implementation decodes + resizes with
+    PIL). The pHash kernel downstream is the real algorithm either way."""
+    import numpy as np
+
+    body = payload[HEADER_SIZE:]
+    # counter-mode expansion: tiling the body verbatim repeats every
+    # row, collapsing the DCT spectrum so EVERY image hashed identically
+    raw = b"".join(
+        hashlib.blake2b(body + i.to_bytes(2, "big"),
+                        digest_size=32).digest()
+        for i in range(32)
+    )
+    return np.frombuffer(raw, dtype=np.uint8).reshape(32, 32).astype(
+        np.float64
+    )
+
+
+def phash64_from_pixels(px, basis=None) -> int:
+    """64-bit perceptual hash: 2-D DCT-II of the 32×32 image, keep the
+    8×8 low-frequency block, drop the DC term, threshold at the median
+    (the standard pHash construction). Small pixel perturbations flip
+    few bits (Hamming-near); distinct images land ~32 bits apart."""
+    import numpy as np
+
+    n = 32
+    if basis is None:
+        k = np.arange(n)
+        basis = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    d = basis @ px @ basis.T
+    vals = d[:8, :8].flatten()[1:]  # drop DC
+    med = np.median(vals)
+    bits = vals > med
+    return int(sum(1 << i for i, b in enumerate(bits) if b))
+
+
+class PHashImage:
+    """Actor-pool perceptual-hash stage: payload → (media_ref, phash).
+
+    The DCT basis matrix is built ONCE per actor in ``__init__`` (the
+    per-actor-state contract of every model stage here); ``__call__``
+    is a small matmul per image."""
+
+    def __init__(self):
+        import numpy as np
+
+        k = np.arange(32)
+        self._basis = np.cos(
+            np.pi * (2 * k[None, :] + 1) * k[:, None] / 64.0
+        )
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        hashes = [
+            f"{phash64_from_pixels(pixels_from_payload(p), self._basis):016x}"
+            for p in t["payload"].to_pylist()
+        ]
+        return pa.table({
+            "media_ref": t["media_ref"],
+            "phash": pa.array(hashes, pa.string()),
+        })
+
+
+def media_phash_census(sf_dir: str):
+    """Rows-only query: image-level dedup census via perceptual hash —
+    per phash, how many media spans carry it and how many DISTINCT
+    media_refs (same ref reused across documents = exact reuse; several
+    refs sharing a hash = near-duplicate pixels). Two-level aggregate:
+    batch-local (phash, ref) pair dedup → bucketed global pair dedup →
+    per-phash distinct-ref count, plus a straight occurrence count —
+    only pairs and counts shuffle, never payloads."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.groups import (
+        bucketed_group_apply,
+        count_partial,
+        final_groupby_sum,
+    )
+    from .util import stage
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    from ..sources.interleaved import _synth_batch
+
+    media = media_table_for_documents(
+        docs.map_batches(_synth_batch, batch_format="pyarrow")
+    )
+    hashed = stage(media, PHashImage, batch_size=256,
+                   concurrency=None).materialize()
+
+    occ = final_groupby_sum(
+        hashed.map_batches(count_partial("phash", "n_images"),
+                           batch_format="pyarrow"),
+        ["phash"], ["n_images"],
+    )
+
+    pairs = hashed.map_batches(
+        lambda b: b[["phash", "media_ref"]].drop_duplicates(),
+        batch_format="pandas",
+    )
+    distinct_pairs = bucketed_group_apply(
+        pairs, ["phash", "media_ref"], lambda g: g.drop_duplicates()
+    )
+    refs = final_groupby_sum(
+        distinct_pairs.map_batches(count_partial("phash", "n_refs"),
+                                   batch_format="pyarrow"),
+        ["phash"], ["n_refs"],
+    )
+    from ..functions.joins import hash_join
+
+    out = hash_join(occ, refs, on="phash", num_buckets=4).materialize()
+    if out.count() == 0:
+        return pd.DataFrame(
+            {"phash": pd.Series([], dtype=str),
+             "n_images": pd.Series([], dtype=np.int64),
+             "n_refs": pd.Series([], dtype=np.int64)}
+        )
+    return out

@@ -279,3 +279,42 @@ def test_frame_sampling(ray_session):
     df2 = video_frame_samples("/root/testdata/sf0.001", every=8).to_pandas()
     g2 = df2.groupby("media_ref")["frame_idx"].count()
     assert g.sort_index().equals(g2.sort_index())
+
+
+def test_phash_kernel_properties():
+    import numpy as np
+
+    from docling_eval_ray.stages.media import (
+        phash64_from_pixels,
+        pixels_from_payload,
+        synth_media_payload,
+    )
+
+    px = pixels_from_payload(synth_media_payload("pic/7"))
+    h0 = phash64_from_pixels(px)
+    # determinism
+    assert phash64_from_pixels(px.copy()) == h0
+    # robustness: a small local perturbation flips few bits
+    near = px.copy()
+    near[:2, :2] += 9.0
+    hn = phash64_from_pixels(near)
+    ham_near = bin(h0 ^ hn).count("1")
+    assert ham_near <= 10, ham_near
+    # discrimination: a different image lands far away
+    other = pixels_from_payload(synth_media_payload("pic/8"))
+    ham_far = bin(h0 ^ phash64_from_pixels(other)).count("1")
+    assert ham_far >= 16, ham_far
+
+
+def test_media_phash_census(ray_session):
+    from docling_eval_ray.stages.media import media_phash_census
+
+    df = media_phash_census(SF_DIR).to_pandas()
+    assert len(df) > 0
+    # media_refs are globally unique in the synthetic corpus and the
+    # payload is a pure function of the ref, so every occurrence is a
+    # distinct ref (n_images == n_refs) and the census totals cover
+    # every media span exactly once
+    assert (df["n_refs"] >= 1).all()
+    assert (df["n_images"] == df["n_refs"]).all()
+    assert int(df["n_images"].sum()) == 434  # media spans at sf0.001
