@@ -3548,8 +3548,13 @@ def daily_big_purchases_spine(sf_dir: str):
     from distributed min/max over ALL events; the filtered aggregate is
     day-domain-sized, so the spine join is a driver-side merge of two
     calendar-sized frames."""
+    from ray.data.aggregate import Max, Min
+
     ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
-    lo, hi = ds.min("ts"), ds.max("ts")
+    # both bounds in ONE pass — separate .min()/.max() calls each
+    # re-execute the scan
+    bounds = ds.aggregate(Min("ts"), Max("ts")) or {}
+    lo, hi = bounds.get("min(ts)"), bounds.get("max(ts)")
     if lo is None:
         return pd.DataFrame(
             {"day": pd.Series([], dtype=str),

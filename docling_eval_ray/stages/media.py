@@ -297,17 +297,19 @@ def pixels_from_payload(payload: bytes) -> "np.ndarray":
     )
 
 
+#: 32-point DCT-II basis shared by the kernel and the stage (built once
+#: at import; ~8 KiB, picklable — fine as a module global).
+_K32 = np.arange(32)
+_DCT_BASIS = np.cos(np.pi * (2 * _K32[None, :] + 1) * _K32[:, None] / 64.0)
+
+
 def phash64_from_pixels(px, basis=None) -> int:
     """64-bit perceptual hash: 2-D DCT-II of the 32×32 image, keep the
     8×8 low-frequency block, drop the DC term, threshold at the median
     (the standard pHash construction). Small pixel perturbations flip
     few bits (Hamming-near); distinct images land ~32 bits apart."""
-    import numpy as np
-
-    n = 32
     if basis is None:
-        k = np.arange(n)
-        basis = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+        basis = _DCT_BASIS
     d = basis @ px @ basis.T
     vals = d[:8, :8].flatten()[1:]  # drop DC
     med = np.median(vals)
@@ -316,19 +318,16 @@ def phash64_from_pixels(px, basis=None) -> int:
 
 
 class PHashImage:
-    """Actor-pool perceptual-hash stage: payload → (media_ref, phash).
+    """Perceptual-hash stage: payload → (media_ref, phash).
 
-    The DCT basis matrix is built ONCE per actor in ``__init__`` (the
-    per-actor-state contract of every model stage here); ``__call__``
-    is a small matmul per image."""
+    Stateless over the module-level ``_DCT_BASIS`` (the 8 KiB basis is
+    no reason to reserve actor CPUs — task mode via ``stages/util.py:
+    stage`` constructs this per batch, and that is fine HERE; a real
+    decode model would move the weight load into ``__init__`` and pass
+    ``concurrency=N``)."""
 
     def __init__(self):
-        import numpy as np
-
-        k = np.arange(32)
-        self._basis = np.cos(
-            np.pi * (2 * k[None, :] + 1) * k[:, None] / 64.0
-        )
+        self._basis = _DCT_BASIS
 
     def __call__(self, t: pa.Table) -> pa.Table:
         hashes = [
@@ -348,49 +347,38 @@ def media_phash_census(sf_dir: str):
     refs sharing a hash = near-duplicate pixels). Two-level aggregate:
     batch-local (phash, ref) pair dedup → bucketed global pair dedup →
     per-phash distinct-ref count, plus a straight occurrence count —
-    only pairs and counts shuffle, never payloads."""
-    import numpy as np
+    only (phash, ref, partial-count) rows shuffle, never payloads, and
+    the whole census is ONE bucketed exchange on the hash (shuffle
+    stages carry ~2 s fixed latency each — count them)."""
     import pandas as pd
-    import ray.data as rd
 
-    from ..functions.groups import (
-        bucketed_group_apply,
-        count_partial,
-        final_groupby_sum,
-    )
+    from ..functions.groups import bucketed_group_apply
+    from ..sources.interleaved import read_interleaved_documents
     from .util import stage
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"])
-    from ..sources.interleaved import _synth_batch
+    media = media_table_for_documents(read_interleaved_documents(sf_dir))
+    hashed = stage(media, PHashImage, batch_size=256, concurrency=None)
 
-    media = media_table_for_documents(
-        docs.map_batches(_synth_batch, batch_format="pyarrow")
-    )
-    hashed = stage(media, PHashImage, batch_size=256,
-                   concurrency=None).materialize()
+    def pair_partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            b.assign(n=1)
+            .groupby(["phash", "media_ref"], as_index=False)
+            .agg(n=("n", "sum"))
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return out
 
-    occ = final_groupby_sum(
-        hashed.map_batches(count_partial("phash", "n_images"),
-                           batch_format="pyarrow"),
-        ["phash"], ["n_images"],
-    )
+    pairs = hashed.map_batches(pair_partial, batch_format="pandas")
 
-    pairs = hashed.map_batches(
-        lambda b: b[["phash", "media_ref"]].drop_duplicates(),
-        batch_format="pandas",
-    )
-    distinct_pairs = bucketed_group_apply(
-        pairs, ["phash", "media_ref"], lambda g: g.drop_duplicates()
-    )
-    refs = final_groupby_sum(
-        distinct_pairs.map_batches(count_partial("phash", "n_refs"),
-                                   batch_format="pyarrow"),
-        ["phash"], ["n_refs"],
-    )
-    from ..functions.joins import hash_join
+    def census(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("phash", as_index=False).agg(
+            n_images=("n", "sum"), n_refs=("media_ref", "nunique")
+        )
+        out["n_images"] = out["n_images"].astype(np.int64)
+        out["n_refs"] = out["n_refs"].astype(np.int64)
+        return out
 
-    out = hash_join(occ, refs, on="phash", num_buckets=4).materialize()
+    out = bucketed_group_apply(pairs, ["phash"], census).materialize()
     if out.count() == 0:
         return pd.DataFrame(
             {"phash": pd.Series([], dtype=str),
