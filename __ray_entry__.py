@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "longest_order_streak": r.longest_order_streak,
         "lineitem_corr_matrix": r.lineitem_corr_matrix,
         "daily_big_purchases_spine": r.daily_big_purchases_spine,
+        "top_decile_revenue_share": r.top_decile_revenue_share,
         # outer-join tier of hash_join (left / full)
         "customer_order_counts": r.customer_order_counts,
         "user_hour_activity": r.user_hour_activity,

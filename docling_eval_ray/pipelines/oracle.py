@@ -2388,3 +2388,21 @@ ORACLE_SQL["daily_big_purchases_spine"] = """
            COALESCE(agg.revenue, 0.0) AS revenue
     FROM spine LEFT JOIN agg ON strftime(spine.d, '%Y-%m-%d') = agg.day
 """
+
+
+ORACLE_SQL["top_decile_revenue_share"] = """
+    WITH s AS (
+        SELECT o_custkey,
+               round_even(sum(o_totalprice), 2) AS total_spend
+        FROM orders GROUP BY o_custkey
+    ),
+    t AS (
+        SELECT total_spend,
+               ntile(10) OVER (ORDER BY total_spend, o_custkey) AS tile
+        FROM s
+    )
+    SELECT round_even(
+        sum(CASE WHEN tile = 10 THEN total_spend ELSE 0 END)
+        / sum(total_spend), 6) AS top_decile_share
+    FROM t
+"""

@@ -3594,3 +3594,52 @@ def daily_big_purchases_spine(sf_dir: str):
     out["revenue"] = np.round(
         out["revenue"].fillna(0.0).to_numpy(np.float64), 2)
     return out
+
+
+def top_decile_revenue_share(sf_dir: str):
+    """Revenue concentration: the share of total customer spend held by
+    the top NTILE(10) of customers — the Pareto/concentration scalar
+    (the Gini's tail-focused sibling). Per-customer spend aggregate →
+    distributed rank → exact NTILE(10) tile mask → two conditional
+    partial sums over the ranked stream; only the two scalars reach the
+    driver."""
+    from ..functions.ranks import global_row_number
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    partials = orders.map_batches(
+        _partial_groupby(["o_custkey"], {"o_totalprice": "total_spend"}),
+        batch_format="pyarrow",
+    )
+    agg = _final_groupby(
+        partials, ["o_custkey"], ["total_spend"]
+    ).map_batches(
+        lambda t: _round_cols(t, {"total_spend": 2}), batch_format="pyarrow"
+    ).materialize()
+    n = agg.count()
+    if n == 0:
+        return pd.DataFrame(
+            {"top_decile_share": pd.Series([np.nan], dtype=np.float64)}
+        )
+    ranked = global_row_number(agg, "total_spend", tiebreak=["o_custkey"])
+    base, rem = divmod(n, 10)
+    cut = rem * (base + 1)
+
+    def sums(t: pa.Table) -> pa.Table:
+        rn = t["rn"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = rn - 1
+        tile = np.where(
+            idx < cut, idx // (base + 1),
+            rem + (idx - cut) // max(base, 1),
+        ) + 1
+        x = t["total_spend"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "top": pa.array([float(x[tile == 10].sum())], pa.float64()),
+            "total": pa.array([float(x.sum())], pa.float64()),
+        })
+
+    parts = ranked.map_batches(sums, batch_format="pyarrow")
+    top, total = parts.sum("top"), parts.sum("total")
+    return pd.DataFrame(
+        {"top_decile_share": pd.Series([np.round(top / total, 6)],
+                                       dtype=np.float64)}
+    )

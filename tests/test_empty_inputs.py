@@ -112,3 +112,8 @@ def test_empty_input_entropy_and_gini(empty_dir, ray_session):
     assert len(_run("lang_token_entropy", empty_dir)) == 0
     g = _run("doc_length_gini", empty_dir)  # scalar aggregate: NULL row
     assert len(g) == 1 and g["gini"].isna().all()
+
+
+def test_empty_input_decile_share_null(empty_dir, ray_session):
+    g = _run("top_decile_revenue_share", empty_dir)
+    assert len(g) == 1 and g["top_decile_share"].isna().all()
