@@ -10,11 +10,13 @@
   above it → ``embedding_near_dups_ivf`` (cell-local pair search, no
   broadcast).
 * ``embedding_knn_ivf`` — the ANN scale path, fully distributed:
-  spherical-k-means centroids from a BOUNDED driver sample, vectors
-  shuffle-assigned to cells, queries replicated to their ``nprobe``
-  nearest cells, cell-local top-k, bucketed global merge. Approximate;
-  recall measured in tests (≈0.69 on the random sf0.001 corpus at
-  nprobe=4 of 10 cells).
+  spherical-k-means centroids from a BOUNDED unbiased hash-mod driver
+  sample, cell count derived from the metadata row count
+  (``n / TARGET_CELL_ROWS``), vectors shuffle-assigned to cells (hash
+  re-split into shards when a cell's estimated census is oversized),
+  queries replicated to their ``nprobe`` nearest cells' shards,
+  shard-local tiled top-k, bucketed global merge. Approximate; recall
+  measured in tests (≈0.69 on the random sf0.001 corpus at nprobe=4).
 
 Float discipline: all math in float64 so results bit-match the DuckDB
 oracle's ``list_cosine_similarity(CAST(embedding AS DOUBLE[]), ...)``
@@ -31,10 +33,42 @@ import pyarrow as pa
 KNN_QUERY = [0.125] * 64
 KNN_K = 10
 NEAR_DUP_THRESHOLD = 0.45
-#: centroid sampling bound: at most this many vectors ever reach the
+#: centroid sampling bound: at most ~this many vectors ever reach the
 #: driver (the ONLY driver-side step of the IVF family)
 IVF_SAMPLE_MAX = 4096
 IVF_CELLS = 10
+#: cell sizing: the IVF entry points derive n_cells from the metadata
+#: row count so the average cell holds ~TARGET_CELL_ROWS vectors —
+#: a fixed cell count would make per-cell work grow O((n/cells)^2)
+#: with the corpus (the round-2 scale-killer). Cells are capped at
+#: IVF_MAX_CELLS (the driver k-means must stay sample-sized); beyond
+#: cap×target vectors the per-cell RE-SPLIT below bounds task memory.
+TARGET_CELL_ROWS = 8192
+IVF_MAX_CELLS = 4096
+#: per-cell re-split bound: a skewed cell holding > SPLIT_FACTOR×target
+#: rows is hash-split into ≤ IVF_MAX_SPLIT sub-parts (triangle blocks
+#: for the pair search, member shards for kNN), so one task never holds
+#: more than ~SPLIT_FACTOR×target×2 vectors even under adversarial skew.
+IVF_MAX_SPLIT = 64
+SPLIT_FACTOR = 2.0
+#: matmul tile: bound the similarity-matrix allocation inside a task
+#: regardless of block size (tile × block instead of block × block)
+_SIM_TILE = 4096
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Deterministic avalanche hash of int64 ids (vectorized)."""
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _derive_cells(n: int, target: int = TARGET_CELL_ROWS) -> int:
+    """n_cells from the corpus row count: average cell ≈ target rows."""
+    import math
+
+    return int(min(IVF_MAX_CELLS, max(IVF_CELLS, math.ceil(n / target))))
 
 
 def _emb_matrix(t: pa.Table) -> np.ndarray:
@@ -153,19 +187,63 @@ def embedding_near_dups(sf_dir: str, *, threshold: float = NEAR_DUP_THRESHOLD,
     return stage(ds, _BlockPairwise, args=(ref, threshold))
 
 
+def _tiled_pairs(a_ids, a_mat, b_ids, b_mat, threshold, *, within):
+    """All (id_a<id_b, sim) pairs with sim≥threshold between two sides,
+    computed in row tiles so the similarity matrix allocation is bounded
+    by ``_SIM_TILE × |B|`` regardless of block size. ``within=True``
+    means A is B (self-pairs excluded by the id_a<id_b keep)."""
+    out_a, out_b, out_s = [], [], []
+    for lo in range(0, len(a_ids), _SIM_TILE):
+        hi = min(lo + _SIM_TILE, len(a_ids))
+        sims = a_mat[lo:hi] @ b_mat.T
+        ai, bj = np.nonzero(sims >= threshold)
+        a, b = a_ids[lo:hi][ai], b_ids[bj]
+        s = sims[ai, bj]
+        if within:
+            keep = a < b
+        else:
+            keep = a != b
+            a, b = np.minimum(a, b), np.maximum(a, b)
+        out_a.append(a[keep])
+        out_b.append(b[keep])
+        out_s.append(s[keep])
+    if not out_a:
+        z = np.array([], np.int64)
+        return z, z, np.array([], np.float64)
+    return (np.concatenate(out_a), np.concatenate(out_b),
+            np.concatenate(out_s))
+
+
+#: block-key encoding: key = cell·(MAX_SPLIT²) + i·MAX_SPLIT + j, i≤j —
+#: the triangle-block self-join. A cell split into s parts runs s(s+1)/2
+#: pair tasks of ≤ ~(est/s)² work each; a row in part u is replicated to
+#: the s blocks pairing u with every part (factor s, only in split cells).
+_KEY_M = IVF_MAX_SPLIT * IVF_MAX_SPLIT
+
+
 def embedding_near_dups_ivf(sf_dir: str, *,
                             threshold: float = NEAR_DUP_THRESHOLD,
-                            n_cells: int = IVF_CELLS, nassign: int = 2):
+                            n_cells: int | None = None, nassign: int = 2,
+                            target_cell_rows: int = TARGET_CELL_ROWS):
     """Near-dup pairs at corpus scale: multi-assign each vector to its
     ``nassign`` nearest cells, find pairs cell-locally, dedupe pairs
     that met in more than one shared cell. Approximate: a pair is found
     iff the two vectors share at least one assigned cell (multi-assign
-    covers cell boundaries; raise ``nassign`` for recall)."""
+    covers cell boundaries; raise ``nassign`` for recall).
+
+    Scale shape: ``n_cells`` defaults to ``n / TARGET_CELL_ROWS`` from
+    the metadata count (a fixed cell count would make per-cell work grow
+    quadratically with the corpus); cells the sample-estimated census
+    says exceed ``SPLIT_FACTOR×TARGET_CELL_ROWS`` rows are hash-split
+    into triangle blocks so one task never holds a mega-cell even under
+    adversarial skew; the pair kernel tiles its matmul as the last line
+    of defense."""
     import ray.data as rd
 
     from ..functions.groups import bucketed_group_apply
 
-    cents = sample_centroids(sf_dir, n_cells=n_cells)
+    cents, est, _n = ivf_centroids(sf_dir, n_cells=n_cells)
+    nsplit = _split_counts(est, target=target_cell_rows)
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
 
@@ -175,42 +253,61 @@ def embedding_near_dups_ivf(sf_dir: str, *,
         sims = block @ cents.T
         cells = np.argsort(-sims, axis=1)[:, :nassign]
         n, d = block.shape
-        flat = pa.array(
-            np.repeat(block, nassign, axis=0).ravel(), pa.float64()
-        )
+        # flatten (row, assignment) pairs, then expand each by its
+        # cell's split count s: part u=hash(id)%s meets every part v
+        # in block (min(u,v), max(u,v)) — all vectorized.
+        cell_f = cells.ravel().astype(np.int64)          # n·nassign
+        row_f = np.repeat(np.arange(n), nassign)
+        s = nsplit[cell_f]
+        u = (_splitmix64(ids[row_f]) % s.astype(np.uint64)).astype(np.int64)
+        tot = int(s.sum())
+        idx = np.repeat(np.arange(len(cell_f)), s)       # tot
+        offs = np.concatenate([[0], np.cumsum(s)])[:-1]
+        v = np.arange(tot) - np.repeat(offs, s)
+        uu = u[idx]
+        i, j = np.minimum(uu, v), np.maximum(uu, v)
+        key = cell_f[idx] * _KEY_M + i * IVF_MAX_SPLIT + j
+        rows = row_f[idx]
+        flat = pa.array(block[rows].ravel(), pa.float64())
         return pa.table(
             {
-                "cell": pa.array(cells.ravel().astype(np.int64), pa.int64()),
-                "vec_id": pa.array(np.repeat(ids, nassign), pa.int64()),
+                "block": pa.array(key, pa.int64()),
+                "sub": pa.array(uu, pa.int64()),
+                "vec_id": pa.array(ids[rows], pa.int64()),
                 "emb": pa.FixedSizeListArray.from_arrays(flat, d),
             }
         )
 
     assigned = ds.map_batches(assign, batch_format="pyarrow")
 
-    def cell_pairs(g: pa.Table) -> pa.Table:
-        ids = g["vec_id"].to_numpy(zero_copy_only=False)
+    def block_pairs(g: pa.Table) -> pa.Table:
+        ids = g["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sub = g["sub"].to_numpy(zero_copy_only=False)
+        key = int(g["block"][0].as_py())
+        i, j = (key // IVF_MAX_SPLIT) % IVF_MAX_SPLIT, key % IVF_MAX_SPLIT
         emb = g["emb"]
         if isinstance(emb, pa.ChunkedArray):
             emb = emb.combine_chunks()
         mat = emb.flatten().to_numpy(zero_copy_only=False).reshape(
             len(g), -1
         )
-        sims = mat @ mat.T
-        ai, bi = np.nonzero(sims >= threshold)
-        a, b = ids[ai], ids[bi]
-        keep = a < b
+        if i == j:
+            a, b, s = _tiled_pairs(ids, mat, ids, mat, threshold,
+                                   within=True)
+        else:
+            ma, mb = sub == i, sub == j
+            a, b, s = _tiled_pairs(ids[ma], mat[ma], ids[mb], mat[mb],
+                                   threshold, within=False)
         return pa.table(
             {
-                "vec_id_a": pa.array(a[keep], pa.int64()),
-                "vec_id_b": pa.array(b[keep], pa.int64()),
-                "sim": pa.array(np.round(sims[ai, bi][keep], 6),
-                                pa.float64()),
+                "vec_id_a": pa.array(a, pa.int64()),
+                "vec_id_b": pa.array(b, pa.int64()),
+                "sim": pa.array(np.round(s, 6), pa.float64()),
             }
         )
 
-    pairs = assigned.groupby("cell").map_groups(
-        cell_pairs, batch_format="pyarrow"
+    pairs = assigned.groupby("block").map_groups(
+        block_pairs, batch_format="pyarrow"
     )
     return bucketed_group_apply(
         pairs,
@@ -219,24 +316,60 @@ def embedding_near_dups_ivf(sf_dir: str, *,
     )
 
 
-def sample_centroids(sf_dir: str, *, n_cells: int = IVF_CELLS,
-                     sample_max: int = IVF_SAMPLE_MAX,
-                     seed: int = 42, iters: int = 10) -> np.ndarray:
-    """Spherical k-means centroids from a BOUNDED sample.
+def _hash_sample(sf_dir: str, sample_max: int):
+    """Unbiased bounded sample of the embeddings table.
 
-    ``ds.limit(sample_max)`` reads only the blocks needed for the sample
-    — the corpus itself never reaches the driver (the old build read the
-    whole embeddings table here). Deterministic: seeded init, fixed
-    Lloyd iteration count.
-    """
+    A deterministic hash-mod filter (``splitmix64(vec_id) % rate == 0``)
+    is pushed into the scan, so the sample is drawn uniformly from the
+    WHOLE corpus — ``limit(sample_max)`` would read only the first
+    blocks, and a corpus sorted/sharded by anything correlated with the
+    vectors (at 100 TB it will be) would then train centroids on one
+    region of the distribution and explode cell skew. Expected filtered
+    volume is ~2×sample_max rows; if the hash overshoots, rows are
+    ranked BY HASH (still unbiased) and truncated. Returns
+    ``(matrix, n)`` with n the metadata row count (no scan)."""
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["embedding"])
-    sample = ds.limit(sample_max).to_pandas()
+                         columns=["vec_id", "embedding"])
+    n = ds.count()  # parquet metadata, no scan
+    rate = max(1, n // max(1, sample_max // 2))
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _splitmix64(ids)
+        keep = (h % np.uint64(rate)) == 0
+        return pa.table(
+            {
+                "h": pa.array(h[keep].astype(np.int64), pa.int64()),
+                "embedding": t["embedding"].filter(pa.array(keep)),
+            }
+        )
+
+    sample = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    if len(sample) > sample_max:  # truncate in hash order: unbiased
+        sample = sample.nsmallest(sample_max, "h")
     m = _normalize(np.array(sample["embedding"].to_list(), dtype=np.float64))
+    return m, n
+
+
+def ivf_centroids(sf_dir: str, *, n_cells: int | None = None,
+                  sample_max: int = IVF_SAMPLE_MAX, seed: int = 42,
+                  iters: int = 10):
+    """Spherical k-means centroids + estimated per-cell populations.
+
+    Driven entirely by the bounded unbiased sample: after Lloyd
+    converges, the sample's assignment histogram scaled by ``n/|sample|``
+    estimates each cell's population — which sizes the per-cell re-split
+    WITHOUT an extra counting pass over the corpus (big cells have many
+    sample hits, so exactly the cells that need splitting are the ones
+    estimated accurately). Returns ``(centroids, est_counts, n)``."""
+    m, n = _hash_sample(sf_dir, sample_max)
+    if n_cells is None:
+        n_cells = _derive_cells(n)
     rng = np.random.default_rng(seed)
     cents = m[rng.choice(len(m), size=min(n_cells, len(m)), replace=False)]
+    assign = np.zeros(len(m), np.int64)
     for _ in range(iters):
         assign = np.argmax(m @ cents.T, axis=1)
         for c in range(len(cents)):
@@ -244,33 +377,62 @@ def sample_centroids(sf_dir: str, *, n_cells: int = IVF_CELLS,
             if len(members):
                 cents[c] = members.mean(axis=0)
         cents = _normalize(cents)
+    hist = np.bincount(assign, minlength=len(cents)).astype(np.float64)
+    est = hist * (n / max(1, len(m)))
+    return cents, est, n
+
+
+def sample_centroids(sf_dir: str, *, n_cells: int = IVF_CELLS,
+                     sample_max: int = IVF_SAMPLE_MAX,
+                     seed: int = 42, iters: int = 10) -> np.ndarray:
+    """Back-compat wrapper: centroids only (see ``ivf_centroids``)."""
+    cents, _, _ = ivf_centroids(
+        sf_dir, n_cells=n_cells, sample_max=sample_max, seed=seed,
+        iters=iters,
+    )
     return cents
 
 
+def _split_counts(est: np.ndarray, target: int = TARGET_CELL_ROWS,
+                  factor: float = SPLIT_FACTOR) -> np.ndarray:
+    """Per-cell sub-split count from estimated populations: cells above
+    ``factor×target`` rows split into ``ceil(est/target)`` hash parts,
+    capped at IVF_MAX_SPLIT. int64 vector indexed by cell id."""
+    s = np.ceil(est / target).astype(np.int64)
+    s[est <= factor * target] = 1
+    return np.clip(s, 1, IVF_MAX_SPLIT)
+
+
 def embedding_knn_ivf(sf_dir: str, *, k: int = KNN_K, nprobe: int = 4,
-                      n_cells: int = IVF_CELLS):
+                      n_cells: int | None = None,
+                      target_cell_rows: int = TARGET_CELL_ROWS):
     """Approximate per-vector k-NN via IVF cells — the ANN scale path,
     fully distributed:
 
-      1. centroids from a bounded driver sample (``sample_centroids``);
-         shipped to tasks in the closure (KBs).
+      1. centroids + estimated cell census from a bounded unbiased
+         driver sample (``ivf_centroids``); shipped in the closure (KBs).
+         ``n_cells`` defaults to ``n / TARGET_CELL_ROWS`` from the
+         metadata count so cells stay bounded as the corpus grows.
       2. one map_batches emits, per vector, its MEMBER row (owner =
-         nearest centroid) and ``nprobe`` QUERY rows (nearest cells) —
-         the shuffle-assign step.
-      3. ``groupby(cell)`` co-locates each cell's members with the
-         queries probing it; the cell-local matmul emits per-query local
-         top-k (k rows per probed cell, not the cell).
+         nearest centroid, hash-sharded when the cell's estimated census
+         exceeds the split threshold) and ``nprobe`` QUERY rows per
+         member shard of each probed cell — the shuffle-assign step.
+      3. ``groupby(shard)`` co-locates each member shard with the
+         queries probing it; the shard-local matmul emits per-query
+         local top-k (k rows per probed shard, not the shard).
       4. a bucketed groupby on vec_id merges local top-ks → global top-k.
 
     Nothing corpus-sized is ever held by one process; per-task memory is
-    bounded by the largest cell (the IVF contract — raise ``n_cells`` to
-    shrink cells).
+    bounded by ~SPLIT_FACTOR×TARGET_CELL_ROWS member vectors even under
+    adversarial skew (the re-split), and query replication only pays the
+    shard factor inside oversized cells.
     """
     import ray.data as rd
 
     from ..functions.groups import bucketed_group_apply
 
-    cents = sample_centroids(sf_dir, n_cells=n_cells)
+    cents, est, _n = ivf_centroids(sf_dir, n_cells=n_cells)
+    nsplit = _split_counts(est, target=target_cell_rows)
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
 
@@ -280,18 +442,33 @@ def embedding_knn_ivf(sf_dir: str, *, k: int = KNN_K, nprobe: int = 4,
         sims = block @ cents.T
         probe = np.argsort(-sims, axis=1)[:, :nprobe]  # col 0 == owner
         n, d = block.shape
-        # member rows (owner cell) + nprobe query rows per vector
-        cell = np.concatenate([probe[:, 0], probe.ravel()])
-        out_ids = np.concatenate([ids, np.repeat(ids, nprobe)])
+        # member rows: one per vector, shard = hash(id) % nsplit[owner]
+        owner = probe[:, 0].astype(np.int64)
+        m_shard = (_splitmix64(ids)
+                   % nsplit[owner].astype(np.uint64)).astype(np.int64)
+        m_key = owner * IVF_MAX_SPLIT + m_shard
+        # query rows: replicated to EVERY member shard of each probed
+        # cell (nsplit[cell] rows per probe; 1 for unsplit cells)
+        cell_f = probe.ravel().astype(np.int64)          # n·nprobe
+        row_f = np.repeat(np.arange(n), nprobe)
+        s = nsplit[cell_f]
+        tot = int(s.sum())
+        idx = np.repeat(np.arange(len(cell_f)), s)
+        offs = np.concatenate([[0], np.cumsum(s)])[:-1]
+        shard = np.arange(tot) - np.repeat(offs, s)
+        q_key = cell_f[idx] * IVF_MAX_SPLIT + shard
+        q_rows = row_f[idx]
+        key = np.concatenate([m_key, q_key])
+        out_ids = np.concatenate([ids, ids[q_rows]])
         role = np.concatenate(
-            [np.zeros(n, np.int8), np.ones(n * nprobe, np.int8)]
+            [np.zeros(n, np.int8), np.ones(len(q_rows), np.int8)]
         )
-        emb = np.concatenate([block, np.repeat(block, nprobe, axis=0)])
+        emb = np.concatenate([block, block[q_rows]])
         flat = pa.array(emb.ravel(), pa.float64())
         emb_col = pa.FixedSizeListArray.from_arrays(flat, d)
         return pa.table(
             {
-                "cell": pa.array(cell.astype(np.int64), pa.int64()),
+                "cell": pa.array(key, pa.int64()),
                 "vec_id": pa.array(out_ids, pa.int64()),
                 "role": pa.array(role, pa.int8()),
                 "emb": emb_col,
@@ -318,20 +495,28 @@ def embedding_knn_ivf(sf_dir: str, *, k: int = KNN_K, nprobe: int = 4,
                 {"vec_id": pa.array(z), "neighbor_id": pa.array(z),
                  "sim": pa.array(np.array([], dtype=np.float64))}
             )
-        sims = q_mat @ m_mat.T
-        sims[m_ids[None, :] == q_ids[:, None]] = -np.inf  # self-exclude
-        # local top-k per query (bounded by cell size)
-        topn = min(k, sims.shape[1])
-        part = np.argpartition(-sims, topn - 1, axis=1)[:, :topn]
-        rows = np.repeat(np.arange(len(q_ids)), topn)
-        cols = part.ravel()
-        s = sims[rows, cols]
-        keep = s > -np.inf
+        # tile over queries: sims allocation bounded by _SIM_TILE × |M|
+        # (query rows can be ~nprobe× the member count in a hot shard)
+        out_q, out_n, out_s = [], [], []
+        topn = min(k, len(m_ids))
+        for lo in range(0, len(q_ids), _SIM_TILE):
+            hi = min(lo + _SIM_TILE, len(q_ids))
+            sims = q_mat[lo:hi] @ m_mat.T
+            sims[m_ids[None, :] == q_ids[lo:hi, None]] = -np.inf  # self
+            part = np.argpartition(-sims, topn - 1, axis=1)[:, :topn]
+            rows = np.repeat(np.arange(hi - lo), topn)
+            cols = part.ravel()
+            s = sims[rows, cols]
+            keep = s > -np.inf
+            out_q.append(q_ids[lo:hi][rows][keep])
+            out_n.append(m_ids[cols][keep])
+            out_s.append(s[keep])
         return pa.table(
             {
-                "vec_id": pa.array(q_ids[rows][keep], pa.int64()),
-                "neighbor_id": pa.array(m_ids[cols][keep], pa.int64()),
-                "sim": pa.array(np.round(s[keep], 6), pa.float64()),
+                "vec_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                "sim": pa.array(np.round(np.concatenate(out_s), 6),
+                                pa.float64()),
             }
         )
 

@@ -79,3 +79,91 @@ def test_near_dup_size_routing(ray_session):
     r = set(map(tuple, routed[["vec_id_a", "vec_id_b"]].to_numpy()))
     assert r <= e
     assert len(r) >= 0.5 * len(e)
+
+
+def test_derive_cells_grows_with_corpus():
+    """n_cells scales with the metadata row count (the round-2 fixed
+    10-cell index made per-cell work grow O((n/10)^2) with the corpus)."""
+    from docling_eval_ray.stages.knn import (
+        IVF_CELLS,
+        IVF_MAX_CELLS,
+        TARGET_CELL_ROWS,
+        _derive_cells,
+    )
+
+    assert _derive_cells(1_000) == IVF_CELLS  # floor
+    assert _derive_cells(100 * TARGET_CELL_ROWS) == 100
+    assert _derive_cells(10**12) == IVF_MAX_CELLS  # cap: re-split takes over
+    assert _derive_cells(4 * TARGET_CELL_ROWS) >= 4
+
+
+def test_split_counts_bound_cells():
+    """Cells with oversized estimated census split into hash parts so a
+    task's member side stays ~target-bounded even under skew."""
+    import numpy as np
+
+    from docling_eval_ray.stages.knn import IVF_MAX_SPLIT, _split_counts
+
+    est = np.array([100.0, 8192.0, 100_000.0, 10**9])
+    s = _split_counts(est, target=8192)
+    assert s[0] == 1 and s[1] == 1  # under the split threshold
+    assert s[2] == 13  # ceil(100k / 8192)
+    assert s[3] == IVF_MAX_SPLIT  # capped
+    # members per part stay near target for the uncapped split cell
+    assert est[2] / s[2] <= 8192
+
+
+def test_near_dup_ivf_resplit_matches_unsplit(ray_session):
+    """Forcing a tiny target so EVERY cell re-splits into triangle
+    blocks must not lose pairs vs the unsplit IVF run (the block
+    decomposition is exact within a cell)."""
+    from docling_eval_ray.stages.knn import embedding_near_dups_ivf
+
+    plain = embedding_near_dups_ivf(SF_DIR).to_pandas()
+    split = embedding_near_dups_ivf(SF_DIR, target_cell_rows=16).to_pandas()
+    p = set(map(tuple, plain[["vec_id_a", "vec_id_b"]].to_numpy()))
+    s = set(map(tuple, split[["vec_id_a", "vec_id_b"]].to_numpy()))
+    assert s == p
+
+
+def test_knn_ivf_resplit_matches_unsplit(ray_session):
+    """Member-shard re-split with query replication must return the
+    same neighbor sets as the unsplit run (a query meets every member
+    of a probed cell exactly once across that cell's shards)."""
+    from docling_eval_ray.stages.knn import embedding_knn_ivf
+
+    plain = embedding_knn_ivf(SF_DIR).to_pandas()
+    split = embedding_knn_ivf(SF_DIR, target_cell_rows=16).to_pandas()
+    a = plain.groupby("vec_id")["neighbor_id"].apply(set)
+    b = split.groupby("vec_id")["neighbor_id"].apply(set)
+    assert a.to_dict() == b.to_dict()
+
+
+def test_ivf_recall_on_sorted_corpus(ray_session, tmp_path):
+    """Centroid sampling must be unbiased on a corpus SORTED by a vector
+    coordinate (a prefix `limit()` sample would train centroids on one
+    region of the distribution and collapse recall)."""
+    import pyarrow as pa
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    order = np.argsort(
+        [e[0] for e in t["embedding"].to_pylist()], kind="stable"
+    )
+    sorted_t = t.take(pa.array(order))
+    d = tmp_path / "sorted_sf"
+    d.mkdir()
+    pq.write_table(sorted_t, d / "embeddings.parquet")
+
+    ids = sorted_t["vec_id"].to_numpy(zero_copy_only=False)
+    m = np.array(sorted_t["embedding"].to_pylist(), dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    np.fill_diagonal(sims, -np.inf)
+    exact = {
+        int(ids[i]): set(ids[np.argsort(-sims[i])[:10]].tolist())
+        for i in range(len(ids))
+    }
+    got = embedding_knn_ivf(str(d)).to_pandas()
+    by_q = got.groupby("vec_id")["neighbor_id"].apply(set)
+    recalls = [len(by_q.get(q, set()) & exact[q]) / 10 for q in exact]
+    assert float(np.mean(recalls)) > 0.45  # same bar as the unsorted test
