@@ -205,60 +205,85 @@ def _status_filter(t: pa.Table) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 
+def _markdown_metric(t: pa.Table) -> pa.Table:
+    t = _status_filter(t)
+    gts = _md(t, "gt_spans")
+    preds = _md(t, "pred_spans")
+    rows = []
+    for did, g, p in zip(t["doc_id"].to_pylist(), gts, preds):
+        m = text_metrics(g, p)
+        rows.append(
+            {
+                "doc_id": did,
+                "bleu": round(m["bleu"], 6),
+                "f1": round(m["f1"], 6),
+                "precision": round(m["precision"], 6),
+                "recall": round(m["recall"], 6),
+                "edit_distance": round(m["edit_distance"], 6),
+                "meteor": round(m["meteor"], 6),
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=_MARKDOWN_SCHEMA)
+
+
 def evaluate_markdown(sf_dir: str, records=None):
     """Markdown text metrics per doc (markdown_text_evaluator analogue):
     bleu / f1 / precision / recall / edit_distance / meteor over the
     span→markdown projection (reference bundle incl. METEOR,
     markdown_text_evaluator.py:203-239)."""
     ds = records if records is not None else eval_records(sf_dir)
+    return ds.map_batches(_markdown_metric, batch_format="pyarrow")
 
-    def metric(t: pa.Table) -> pa.Table:
-        t = _status_filter(t)
-        gts = _md(t, "gt_spans")
-        preds = _md(t, "pred_spans")
-        rows = []
-        for did, g, p in zip(t["doc_id"].to_pylist(), gts, preds):
-            m = text_metrics(g, p)
-            rows.append(
-                {
-                    "doc_id": did,
-                    "bleu": round(m["bleu"], 6),
-                    "f1": round(m["f1"], 6),
-                    "precision": round(m["precision"], 6),
-                    "recall": round(m["recall"], 6),
-                    "edit_distance": round(m["edit_distance"], 6),
-                    "meteor": round(m["meteor"], 6),
-                }
-            )
-        return pa.Table.from_pylist(rows, schema=_MARKDOWN_SCHEMA)
 
-    return ds.map_batches(metric, batch_format="pyarrow")
+def _ocr_metric(t: pa.Table) -> pa.Table:
+    t = _status_filter(t)
+    gts = _md(t, "gt_spans")
+    preds = _md(t, "pred_spans")
+    rows = []
+    for did, g, p in zip(t["doc_id"].to_pylist(), gts, preds):
+        c = cer(g, p)
+        # np.round (not builtin round): bit-matches DuckDB round_even
+        # in last-ulp cases — this evaluator is oracle-gated
+        rows.append(
+            {
+                "doc_id": did,
+                "cer": float(np.round(c, 6)),
+                "char_accuracy": float(np.round(1.0 - c, 6)),
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=_OCR_SCHEMA)
 
 
 def evaluate_ocr(sf_dir: str, records=None):
     """Character error rate per doc (ocr_evaluator analogue); missing
     prediction text → CER 1.0."""
     ds = records if records is not None else eval_records(sf_dir)
+    return ds.map_batches(_ocr_metric, batch_format="pyarrow")
 
-    def metric(t: pa.Table) -> pa.Table:
-        t = _status_filter(t)
-        gts = _md(t, "gt_spans")
-        preds = _md(t, "pred_spans")
-        rows = []
-        for did, g, p in zip(t["doc_id"].to_pylist(), gts, preds):
-            c = cer(g, p)
-            # np.round (not builtin round): bit-matches DuckDB round_even
-            # in last-ulp cases — this evaluator is oracle-gated
-            rows.append(
-                {
-                    "doc_id": did,
-                    "cer": float(np.round(c, 6)),
-                    "char_accuracy": float(np.round(1.0 - c, 6)),
-                }
-            )
-        return pa.Table.from_pylist(rows, schema=_OCR_SCHEMA)
 
-    return ds.map_batches(metric, batch_format="pyarrow")
+def _ro_metric(t: pa.Table) -> pa.Table:
+    t = _status_filter(t)
+    rows = []
+    from collections import defaultdict, deque
+
+    for r in t.to_pylist():
+        gt, pred = r["gt_spans"], r["pred_spans"]
+        key = lambda s: (s["kind"], s["text"], s["media_ref"])
+        # positional alignment: duplicate spans match in order (a
+        # plain dict would collapse duplicates onto one index)
+        pred_pos = defaultdict(deque)
+        for i, s in enumerate(pred):
+            pred_pos[key(s)].append(i)
+        order = [
+            pred_pos[key(s)].popleft() if pred_pos[key(s)] else i
+            for i, s in enumerate(gt)
+        ]
+        ard, _ = ard_norm(order)
+        # np.round: oracle-gated (see evaluate_ocr note)
+        rows.append(
+            {"doc_id": r["doc_id"], "ard_norm": float(np.round(ard, 6))}
+        )
+    return pa.Table.from_pylist(rows, schema=_RO_SCHEMA)
 
 
 def evaluate_reading_order(sf_dir: str, records=None):
@@ -266,32 +291,7 @@ def evaluate_reading_order(sf_dir: str, records=None):
     order is where each GT span ended up in the prediction (matched on
     (kind, text, media_ref); unmatched spans keep their GT position)."""
     ds = records if records is not None else eval_records(sf_dir)
-
-    def metric(t: pa.Table) -> pa.Table:
-        t = _status_filter(t)
-        rows = []
-        from collections import defaultdict, deque
-
-        for r in t.to_pylist():
-            gt, pred = r["gt_spans"], r["pred_spans"]
-            key = lambda s: (s["kind"], s["text"], s["media_ref"])
-            # positional alignment: duplicate spans match in order (a
-            # plain dict would collapse duplicates onto one index)
-            pred_pos = defaultdict(deque)
-            for i, s in enumerate(pred):
-                pred_pos[key(s)].append(i)
-            order = [
-                pred_pos[key(s)].popleft() if pred_pos[key(s)] else i
-                for i, s in enumerate(gt)
-            ]
-            ard, _ = ard_norm(order)
-            # np.round: oracle-gated (see evaluate_ocr note)
-            rows.append(
-                {"doc_id": r["doc_id"], "ard_norm": float(np.round(ard, 6))}
-            )
-        return pa.Table.from_pylist(rows, schema=_RO_SCHEMA)
-
-    return ds.map_batches(metric, batch_format="pyarrow")
+    return ds.map_batches(_ro_metric, batch_format="pyarrow")
 
 
 def rejection_counts(sf_dir: str):
@@ -345,52 +345,45 @@ def _doc_boxes(doc_num: int, n_spans: int):
     return np.array(boxes, dtype=np.float64)
 
 
+def _layout_metric(t: pa.Table) -> pa.Table:
+    from ..functions.layout import image_map
+
+    t = _status_filter(t)
+    rows = []
+    for r in t.to_pylist():
+        doc_num = int(r["doc_id"].split("-")[1])
+        gt_spans = r["gt_spans"]
+        n = len(gt_spans)
+        if n == 0:
+            continue
+        gt_boxes = _doc_boxes(doc_num, n)
+        gt_labels = np.array([s["kind"] for s in gt_spans])
+        shift = _pred_shift(doc_num)
+        pred_boxes = gt_boxes + shift
+        pred_labels = gt_labels.copy()
+        scores = np.linspace(0.95, 0.5, n)
+        m = image_map(gt_boxes, gt_labels, pred_boxes, pred_labels,
+                      scores)
+        rows.append(
+            {"doc_id": r["doc_id"],
+             "image_map": float(np.round(m, 6))
+             if not np.isnan(m) else None}
+        )
+    return pa.Table.from_pylist(rows, schema=_LAYOUT_SCHEMA)
+
+
 def evaluate_layout(sf_dir: str, records=None):
     """Per-image mAP[0.5:0.95] (layout_evaluator M20/G3 analogue) over
     deterministic per-doc box layouts; prediction boxes are jittered for
     mutated docs (shift → lower IoU)."""
-    from ..functions.layout import image_map
-
     ds = records if records is not None else eval_records(sf_dir)
-
-    def metric(t: pa.Table) -> pa.Table:
-        t = _status_filter(t)
-        rows = []
-        for r in t.to_pylist():
-            doc_num = int(r["doc_id"].split("-")[1])
-            gt_spans = r["gt_spans"]
-            n = len(gt_spans)
-            if n == 0:
-                continue
-            gt_boxes = _doc_boxes(doc_num, n)
-            gt_labels = np.array([s["kind"] for s in gt_spans])
-            shift = _pred_shift(doc_num)
-            pred_boxes = gt_boxes + shift
-            pred_labels = gt_labels.copy()
-            scores = np.linspace(0.95, 0.5, n)
-            m = image_map(gt_boxes, gt_labels, pred_boxes, pred_labels,
-                          scores)
-            rows.append(
-                {"doc_id": r["doc_id"],
-                 "image_map": float(np.round(m, 6))
-                 if not np.isnan(m) else None}
-            )
-        return pa.Table.from_pylist(rows, schema=_LAYOUT_SCHEMA)
-
-    return ds.map_batches(metric, batch_format="pyarrow")
+    return ds.map_batches(_layout_metric, batch_format="pyarrow")
 
 
 _BBOX_TEXT_SCHEMA = None
 
 
-def evaluate_bbox_text(sf_dir: str, records=None):
-    """Matched-bbox text evaluation (reference
-    bbox_text_evaluator.py:100-327): per doc, text-bearing GT and pred
-    spans get deterministic page boxes; the fewer-box side pivots, every
-    other-side box maps to its max-IoU pivot box, orphan TRUE boxes
-    become empty-prediction matches; each match scores the full text
-    metric bundle (bleu/f1/precision/recall/edit_distance/meteor,
-    None→0). One output row per match."""
+def _bbox_text_metric(t: pa.Table) -> pa.Table:
     from ..functions.geometry import pivot_iou_mapping
 
     global _BBOX_TEXT_SCHEMA
@@ -402,57 +395,64 @@ def evaluate_bbox_text(sf_dir: str, records=None):
             edit_distance=pa.float64(), meteor=pa.float64(),
         )
     schema = _BBOX_TEXT_SCHEMA
-    ds = records if records is not None else eval_records(sf_dir)
-
-    def metric(t: pa.Table) -> pa.Table:
-        t = _status_filter(t)
-        rows = []
-        for r in t.to_pylist():
-            doc_num = int(r["doc_id"].split("-")[1])
-            gt = [s for s in r["gt_spans"] if s["text"]]
-            pred = [s for s in r["pred_spans"] if s["text"]]
-            shift = _pred_shift(doc_num)
-            gt_boxes = _doc_boxes(doc_num, len(gt))
-            pred_boxes = _doc_boxes(doc_num, len(pred)) + shift
-            pivot_is_true, mappings, orphans = pivot_iou_mapping(
-                gt_boxes, pred_boxes
+    t = _status_filter(t)
+    rows = []
+    for r in t.to_pylist():
+        doc_num = int(r["doc_id"].split("-")[1])
+        gt = [s for s in r["gt_spans"] if s["text"]]
+        pred = [s for s in r["pred_spans"] if s["text"]]
+        shift = _pred_shift(doc_num)
+        gt_boxes = _doc_boxes(doc_num, len(gt))
+        pred_boxes = _doc_boxes(doc_num, len(pred)) + shift
+        pivot_is_true, mappings, orphans = pivot_iou_mapping(
+            gt_boxes, pred_boxes
+        )
+        texts_piv = gt if pivot_is_true else pred
+        texts_oth = pred if pivot_is_true else gt
+        match_idx = 0
+        for pid, oids in mappings.items():
+            piv_txt = texts_piv[pid]["text"]
+            oth_txt = " ".join(texts_oth[o]["text"] for o in oids)
+            true_txt = piv_txt if pivot_is_true else oth_txt
+            pred_txt = oth_txt if pivot_is_true else piv_txt
+            m = text_metrics(true_txt, pred_txt)
+            rows.append(
+                {
+                    "doc_id": r["doc_id"], "match_idx": match_idx,
+                    "n_true": 1 if pivot_is_true else len(oids),
+                    "n_pred": len(oids) if pivot_is_true else 1,
+                    "is_orphan": False,
+                    **{k: round(m[k], 6)
+                       for k in ("bleu", "f1", "precision", "recall",
+                                 "edit_distance", "meteor")},
+                }
             )
-            texts_piv = gt if pivot_is_true else pred
-            texts_oth = pred if pivot_is_true else gt
-            match_idx = 0
-            for pid, oids in mappings.items():
-                piv_txt = texts_piv[pid]["text"]
-                oth_txt = " ".join(texts_oth[o]["text"] for o in oids)
-                true_txt = piv_txt if pivot_is_true else oth_txt
-                pred_txt = oth_txt if pivot_is_true else piv_txt
-                m = text_metrics(true_txt, pred_txt)
-                rows.append(
-                    {
-                        "doc_id": r["doc_id"], "match_idx": match_idx,
-                        "n_true": 1 if pivot_is_true else len(oids),
-                        "n_pred": len(oids) if pivot_is_true else 1,
-                        "is_orphan": False,
-                        **{k: round(m[k], 6)
-                           for k in ("bleu", "f1", "precision", "recall",
-                                     "edit_distance", "meteor")},
-                    }
-                )
-                match_idx += 1
-            for tid in orphans:
-                m = text_metrics(gt[tid]["text"], "")
-                rows.append(
-                    {
-                        "doc_id": r["doc_id"], "match_idx": match_idx,
-                        "n_true": 1, "n_pred": 0, "is_orphan": True,
-                        **{k: round(m[k], 6)
-                           for k in ("bleu", "f1", "precision", "recall",
-                                     "edit_distance", "meteor")},
-                    }
-                )
-                match_idx += 1
-        return pa.Table.from_pylist(rows, schema=schema)
+            match_idx += 1
+        for tid in orphans:
+            m = text_metrics(gt[tid]["text"], "")
+            rows.append(
+                {
+                    "doc_id": r["doc_id"], "match_idx": match_idx,
+                    "n_true": 1, "n_pred": 0, "is_orphan": True,
+                    **{k: round(m[k], 6)
+                       for k in ("bleu", "f1", "precision", "recall",
+                                 "edit_distance", "meteor")},
+                }
+            )
+            match_idx += 1
+    return pa.Table.from_pylist(rows, schema=schema)
 
-    return ds.map_batches(metric, batch_format="pyarrow")
+
+def evaluate_bbox_text(sf_dir: str, records=None):
+    """Matched-bbox text evaluation (reference
+    bbox_text_evaluator.py:100-327): per doc, text-bearing GT and pred
+    spans get deterministic page boxes; the fewer-box side pivots, every
+    other-side box maps to its max-IoU pivot box, orphan TRUE boxes
+    become empty-prediction matches; each match scores the full text
+    metric bundle (bleu/f1/precision/recall/edit_distance/meteor,
+    None→0). One output row per match."""
+    ds = records if records is not None else eval_records(sf_dir)
+    return ds.map_batches(_bbox_text_metric, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -491,38 +491,67 @@ def _doc_table_html(doc_num: int) -> tuple[str, str, bool]:
     return gt, pred, complex_
 
 
+def _tables_metric(t: pa.Table) -> pa.Table:
+    from ..functions.tables import grid_shape, parse_html_table, teds
+
+    rows = []
+    for doc_num in t["doc_id"].to_pylist():
+        gt, pred, complex_ = _doc_table_html(int(doc_num))
+        g_cells = parse_html_table(gt)
+        p_cells = parse_html_table(pred)
+        gr, gc = grid_shape(g_cells)
+        pr, pc_ = grid_shape(p_cells)
+        rows.append(
+            {
+                "doc_id": int(doc_num),
+                "teds_struct": round(
+                    teds(gt, pred, structure_only=True), 6
+                ),
+                "teds": round(teds(gt, pred, structure_only=False), 6),
+                "is_complex": bool(complex_),
+                "delta_rows": gr - pr,
+                "delta_cols": gc - pc_,
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=_TABLES_SCHEMA)
+
+
 def evaluate_tables(sf_dir: str):
     """TEDS per synthesized table, struct-only and struct+text, plus the
     complexity split key (table_evaluator G7) and row/col deltas (G8)."""
     import ray.data as rd
 
-    from ..functions.tables import grid_shape, parse_html_table, teds
-
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return docs.map_batches(_tables_metric, batch_format="pyarrow")
 
-    def metric(t: pa.Table) -> pa.Table:
-        rows = []
-        for doc_num in t["doc_id"].to_pylist():
-            gt, pred, complex_ = _doc_table_html(int(doc_num))
-            g_cells = parse_html_table(gt)
-            p_cells = parse_html_table(pred)
-            gr, gc = grid_shape(g_cells)
-            pr, pc_ = grid_shape(p_cells)
-            rows.append(
-                {
-                    "doc_id": int(doc_num),
-                    "teds_struct": round(
-                        teds(gt, pred, structure_only=True), 6
-                    ),
-                    "teds": round(teds(gt, pred, structure_only=False), 6),
-                    "is_complex": bool(complex_),
-                    "delta_rows": gr - pr,
-                    "delta_cols": gc - pc_,
-                }
-            )
-        return pa.Table.from_pylist(rows, schema=_TABLES_SCHEMA)
 
-    return docs.map_batches(metric, batch_format="pyarrow")
+def _timings_metric(t: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    t = _status_filter(t)
+    doc_num = (
+        pc.cast(pc.list_element(pc.split_pattern(t["doc_id"], "-"), 1),
+                pa.int64())
+        .to_numpy(zero_copy_only=False)
+    )
+    n = np.maximum(
+        1,
+        pc.list_value_length(t["gt_spans"]).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64),
+    )
+    n_pages = 1 + n // 12
+    total = np.round(0.01 * n + 0.005 * (doc_num % 7), 6)
+    return pa.Table.from_arrays(
+        [
+            t["doc_id"].combine_chunks()
+            if isinstance(t["doc_id"], pa.ChunkedArray)
+            else t["doc_id"],
+            pa.array(total, pa.float64()),
+            pa.array(np.round(total / n_pages, 6), pa.float64()),
+        ],
+        schema=_TIMINGS_SCHEMA,
+    )
 
 
 def evaluate_timings(sf_dir: str, records=None):
@@ -531,37 +560,8 @@ def evaluate_timings(sf_dir: str, records=None):
     synthesized deterministically from document size (the reference
     reads docling profiling dicts). Fully vectorized — the metric is
     pure arithmetic over span counts, no row iteration."""
-    import pyarrow.compute as pc
-
     ds = records if records is not None else eval_records(sf_dir)
-
-    def metric(t: pa.Table) -> pa.Table:
-        t = _status_filter(t)
-        doc_num = (
-            pc.cast(pc.list_element(pc.split_pattern(t["doc_id"], "-"), 1),
-                    pa.int64())
-            .to_numpy(zero_copy_only=False)
-        )
-        n = np.maximum(
-            1,
-            pc.list_value_length(t["gt_spans"]).to_numpy(
-                zero_copy_only=False
-            ).astype(np.int64),
-        )
-        n_pages = 1 + n // 12
-        total = np.round(0.01 * n + 0.005 * (doc_num % 7), 6)
-        return pa.Table.from_arrays(
-            [
-                t["doc_id"].combine_chunks()
-                if isinstance(t["doc_id"], pa.ChunkedArray)
-                else t["doc_id"],
-                pa.array(total, pa.float64()),
-                pa.array(np.round(total / n_pages, 6), pa.float64()),
-            ],
-            schema=_TIMINGS_SCHEMA,
-        )
-
-    return ds.map_batches(metric, batch_format="pyarrow")
+    return ds.map_batches(_timings_metric, batch_format="pyarrow")
 
 
 _CORPUS_MAP_PARTIAL_SCHEMA = None
@@ -663,76 +663,91 @@ def corpus_layout_map(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
-def _metric_means(ds, cols: list[str]) -> dict[str, tuple[float, int]]:
-    """col → (mean-over-non-null, n-non-null) via a streamed
-    partial+final aggregate: each batch emits one row of per-column
-    (sum, count) partials; one tiny global Sum merges them. Nothing
-    corpus-sized ever reaches the driver."""
-    import pyarrow.compute as pc
-    from ray.data.aggregate import Sum
-
-    def partial(t: pa.Table) -> pa.Table:
-        data = {}
-        for c in cols:
-            arr = pc.cast(t[c], pa.float64())
-            s = pc.sum(arr)  # null-skipping
-            n = pc.count(arr, mode="only_valid")
-            data[f"{c}__sum"] = pa.array(
-                [s.as_py() if s.is_valid else 0.0], pa.float64()
-            )
-            data[f"{c}__n"] = pa.array([n.as_py()], pa.int64())
-        return pa.table(data)
-
-    partials = ds.map_batches(partial, batch_format="pyarrow")
-    aggs = []
-    for c in cols:
-        aggs.append(Sum(f"{c}__sum", alias_name=f"{c}__sum"))
-        aggs.append(Sum(f"{c}__n", alias_name=f"{c}__n"))
-    res = partials.aggregate(*aggs)
-    out = {}
-    for c in cols:
-        n = int(res[f"{c}__n"])
-        out[c] = (float(res[f"{c}__sum"]) / n if n else float("nan"), n)
-    return out
-
-
 def evaluation_summary(sf_dir: str) -> pd.DataFrame:
     """The consolidation matrix (aggregations/consolidator.py analogue):
-    one row per (modality, metric) with the corpus mean. Each modality's
-    per-doc table is reduced by a distributed (sum, count) aggregate —
-    at corpus scale these tables are corpus-sized, so no ``to_pandas``
-    — and only the tiny (modality × metric) pivot is driver-side."""
-    # derive the eval records ONCE and share across every modality:
-    # re-deriving them per modality would re-run the flagship extraction
-    # seven times over the corpus. The materialized table is
-    # corpus-sized but object-store-resident (Ray spills it); at
-    # checkpointed production scale, substitute the persisted
-    # predictions parquet (state/lineage.py) for the materialize.
-    records = eval_records(sf_dir).materialize()
-    parts = []
-    for modality, ds, cols in [
-        ("markdown", evaluate_markdown(sf_dir, records),
-         ["bleu", "f1", "precision", "recall", "edit_distance", "meteor"]),
-        ("ocr", evaluate_ocr(sf_dir, records), ["cer", "char_accuracy"]),
-        ("reading_order", evaluate_reading_order(sf_dir, records),
-         ["ard_norm"]),
-        ("layout", evaluate_layout(sf_dir, records), ["image_map"]),
-        ("tables", evaluate_tables(sf_dir), ["teds_struct", "teds"]),
-        ("timings", evaluate_timings(sf_dir, records),
-         ["sec_per_doc", "sec_per_page"]),
-        ("bbox_text", evaluate_bbox_text(sf_dir, records),
-         ["bleu", "f1", "meteor"]),
-    ]:
-        means = _metric_means(ds, cols)
+    one row per (modality, metric) with the corpus mean.
+
+    Single-pass shape: the metric kernels are all row-local, so ONE
+    ``map_batches`` over the STREAMING eval-records output runs every
+    records-based modality on each batch and emits tiny
+    (modality, metric, sum, n) partial rows — the records table is never
+    materialized (the round-2 build held it corpus-sized in the object
+    store to share across seven separate passes). The tables modality
+    reads its own source and emits the same partial shape; one
+    |modalities×metrics|-row groupby merges everything, and only that
+    pivot reaches the driver."""
+    import pyarrow.compute as pc
+
+    from ..functions.groups import final_groupby_sum
+
+    def _partial_rows(mt: pa.Table, modality: str, cols: list[str]):
+        mods, mets, ss, ns = [], [], [], []
         for c in cols:
-            mean, n = means[c]
-            parts.append(
-                {
-                    "modality": modality,
-                    "metric": c,
-                    "mean": round(mean, 6),
-                    "n": n,
-                }
-            )
-    return pd.DataFrame(parts).sort_values(
-        ["modality", "metric"]).reset_index(drop=True)
+            arr = pc.cast(mt[c], pa.float64())
+            s = pc.sum(arr)  # null-skipping
+            n = pc.count(arr, mode="only_valid")
+            mods.append(modality)
+            mets.append(c)
+            ss.append(float(s.as_py()) if s.is_valid else 0.0)
+            ns.append(int(n.as_py()))
+        return mods, mets, ss, ns
+
+    def fused(t: pa.Table) -> pa.Table:
+        mods, mets, ss, ns = [], [], [], []
+        for modality, fn, cols in _SUMMARY_RECORD_MODALITIES:
+            m, k, s, n = _partial_rows(fn(t), modality, cols)
+            mods += m; mets += k; ss += s; ns += n
+        return pa.table(
+            {
+                "modality": pa.array(mods, pa.string()),
+                "metric": pa.array(mets, pa.string()),
+                "s": pa.array(ss, pa.float64()),
+                "n": pa.array(ns, pa.int64()),
+            }
+        )
+
+    def tables_partial(t: pa.Table) -> pa.Table:
+        mods, mets, ss, ns = _partial_rows(
+            _tables_metric(t), "tables", ["teds_struct", "teds"]
+        )
+        return pa.table(
+            {
+                "modality": pa.array(mods, pa.string()),
+                "metric": pa.array(mets, pa.string()),
+                "s": pa.array(ss, pa.float64()),
+                "n": pa.array(ns, pa.int64()),
+            }
+        )
+
+    import ray.data as rd
+
+    rec_partials = eval_records(sf_dir).map_batches(
+        fused, batch_format="pyarrow"
+    )
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    tab_partials = docs.map_batches(tables_partial, batch_format="pyarrow")
+    final = final_groupby_sum(
+        rec_partials.union(tab_partials), ["modality", "metric"], ["s", "n"]
+    ).to_pandas()  # |modality × metric| rows — driver-sized by construction
+    final["mean"] = [
+        round(s / n, 6) if n else float("nan")
+        for s, n in zip(final["s"], final["n"])
+    ]
+    return (
+        final[["modality", "metric", "mean", "n"]]
+        .sort_values(["modality", "metric"])
+        .reset_index(drop=True)
+    )
+
+
+#: records-based modalities fused into the single summary pass
+#: (tables reads its own source; see evaluation_summary)
+_SUMMARY_RECORD_MODALITIES = [
+    ("markdown", _markdown_metric,
+     ["bleu", "f1", "precision", "recall", "edit_distance", "meteor"]),
+    ("ocr", _ocr_metric, ["cer", "char_accuracy"]),
+    ("reading_order", _ro_metric, ["ard_norm"]),
+    ("layout", _layout_metric, ["image_map"]),
+    ("timings", _timings_metric, ["sec_per_doc", "sec_per_page"]),
+    ("bbox_text", _bbox_text_metric, ["bleu", "f1", "meteor"]),
+]
