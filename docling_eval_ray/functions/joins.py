@@ -227,28 +227,28 @@ def hash_join(left_ds, right_ds, on: str | list[str], *,
         lmask = pc.equal(g[_SIDE_COL], "l")
         left = g.filter(lmask)
         right = g.filter(pc.invert(lmask))
+        # row indices as pandas NULLABLE Int64 so outer-join misses stay
+        # pd.NA instead of round-tripping through float64 (which would
+        # silently corrupt take indices above 2^53 rows per bucket side)
         li = pd.DataFrame(
             {**{k: left[k].to_numpy(zero_copy_only=False) for k in keys},
-             "__li": np.arange(left.num_rows)}
+             "__li": pd.array(np.arange(left.num_rows), dtype="Int64")}
         )
         ri = pd.DataFrame(
             {**{k: right[k].to_numpy(zero_copy_only=False) for k in keys},
-             "__ri": np.arange(right.num_rows)}
+             "__ri": pd.array(np.arange(right.num_rows), dtype="Int64")}
         )
         pairs = li.merge(
             ri, on=keys, how={"full": "outer"}.get(how, how)
         )
 
         def _take_idx(col: str) -> pa.Array:
-            v = pairs[col].to_numpy(dtype="float64", na_value=np.nan) \
-                if pairs[col].dtype.kind == "f" else \
-                pairs[col].to_numpy().astype("float64")
-            miss = np.isnan(v)
+            v = pairs[col]
+            miss = v.isna().to_numpy()
+            idx = v.to_numpy(dtype=np.int64, na_value=0)
             # null take-index → null output value (Arrow semantics);
             # this is how outer-side columns stay typed (no NaN decay)
-            return pa.array(
-                np.where(miss, 0, v).astype(np.int64), mask=miss
-            )
+            return pa.array(idx, mask=miss)
 
         ltake, rtake = _take_idx("__li"), _take_idx("__ri")
         cols = []

@@ -567,7 +567,7 @@ def evaluate_timings(sf_dir: str, records=None):
 _CORPUS_MAP_PARTIAL_SCHEMA = None
 
 
-def corpus_layout_map(sf_dir: str):
+def corpus_layout_map(sf_dir: str, *, class_shards: int = 1):
     """Corpus-level mAP (G2), distributed per class.
 
     The reference gathers EVERYTHING into one torchmetrics state
@@ -578,9 +578,14 @@ def corpus_layout_map(sf_dir: str):
     task. One shuffle keyed on the class label pools each class's
     detections in one task, which sorts by score and computes the AP.
     The driver sees #classes rows. Per-class state is n_detections ×
-    16 bytes; if a single class's detections ever exceed a worker heap,
-    shard the score range and merge cumsums (documented bound: 10⁸
-    detections/class ≈ 1.6 GB — fine for any realistic corpus)."""
+    16 bytes (documented bound: 10⁸ detections/class ≈ 1.6 GB).
+
+    ``class_shards > 1`` engages the two-level reduce for a
+    detection-dominant class: shard tasks pool hash-slices of each
+    class's (score, tp) partials in parallel and the per-class root
+    merges the pre-pooled runs — identical values (same multiset, same
+    deterministic order), with the straggler's sort/match work spread
+    across shards."""
     from ..functions.layout import ap_from_pooled_masks, detection_tp_masks
 
     global _CORPUS_MAP_PARTIAL_SCHEMA
@@ -641,9 +646,80 @@ def corpus_layout_map(sf_dir: str):
 
     from ..functions.groups import bucketed_group_apply
 
-    per_class = bucketed_group_apply(
-        partials, ["label"], per_class_ap
-    ).take_all()  # #classes rows — tiny by construction
+    if class_shards > 1:
+        # two-level pooling for a detection-dominant class: the straggler
+        # single per-class task is split into `class_shards` shard tasks
+        # that each sort/pool their hash-slice of the class's detections
+        # and emit ONE run row (score/mask/tiebreak lists + n_gt
+        # partial); the per-class root then reduces pre-pooled runs —
+        # the (score, tp) arrays are mergeable, so values are identical
+        # to the single-level path (same multiset, same total order).
+        import pyarrow.compute as pc
+
+        def add_shard(t: pa.Table) -> pa.Table:
+            tb = t["tiebreak"].to_numpy(zero_copy_only=False)
+            return t.append_column(
+                "shard",
+                pa.array((tb % class_shards).astype(np.int64), pa.int64()),
+            )
+
+        sharded = partials.map_batches(add_shard, batch_format="pyarrow")
+
+        def shard_pool(g: pd.DataFrame) -> pd.DataFrame:
+            out = []
+            for (label, _s), sub in g.groupby(["label", "shard"],
+                                              sort=False):
+                det = sub[sub["is_det"]].sort_values(
+                    ["score", "tiebreak"], ascending=[False, True],
+                    kind="mergesort",
+                )
+                out.append(
+                    {
+                        "label": label,
+                        "n_gt_part": int(
+                            sub.loc[~sub["is_det"], "n_gt"].sum()
+                        ),
+                        "scores": det["score"].to_numpy(
+                            np.float64).tolist(),
+                        "masks": det["mask"].to_numpy(np.int64).tolist(),
+                        "tiebreaks": det["tiebreak"].to_numpy(
+                            np.int64).tolist(),
+                    }
+                )
+            return pd.DataFrame(
+                out,
+                columns=["label", "n_gt_part", "scores", "masks",
+                         "tiebreaks"],
+            )
+
+        runs = bucketed_group_apply(
+            sharded, ["label", "shard"], shard_pool
+        )
+
+        def merge_runs(g: pd.DataFrame) -> pd.DataFrame:
+            out = []
+            for label, sub in g.groupby("label", sort=False):
+                n_gt = int(sub["n_gt_part"].sum())
+                sc = np.concatenate(
+                    [np.asarray(x, np.float64) for x in sub["scores"]]
+                ) if len(sub) else np.array([], np.float64)
+                mk = np.concatenate(
+                    [np.asarray(x, np.int64) for x in sub["masks"]]
+                ) if len(sub) else np.array([], np.int64)
+                tb = np.concatenate(
+                    [np.asarray(x, np.int64) for x in sub["tiebreaks"]]
+                ) if len(sub) else np.array([], np.int64)
+                ap = ap_from_pooled_masks(sc, mk, n_gt, tiebreak=tb)
+                out.append({"label": label, "ap": ap})
+            return pd.DataFrame(out, columns=["label", "ap"])
+
+        per_class = bucketed_group_apply(
+            runs, ["label"], merge_runs
+        ).take_all()  # #classes rows — tiny by construction
+    else:
+        per_class = bucketed_group_apply(
+            partials, ["label"], per_class_ap
+        ).take_all()  # #classes rows — tiny by construction
     vals = [r["ap"] for r in per_class if not np.isnan(r["ap"])]
     rows = [
         {"label": "__overall__",

@@ -110,23 +110,56 @@ class BloomFilter:
         return (1.0 - math.exp(-self.k * n_items / self.m)) ** self.k
 
 
-def build_bloom_distributed(ds, grams_fn, *, m_bits: int, k: int):
-    """Distributed filter build, HLL-pattern: each batch emits one
-    serialized partial filter; the driver OR-merges the fixed-size
-    sketches (at 10^9-gram scale, swap the take_all for a tree-reduce
-    over ``ray.remote`` OR tasks — the partials stay m_bits each
-    either way)."""
+def _or_sketches(*items) -> bytes:
+    """OR-merge serialized filter partials: each item is either a bytes
+    blob (an inner tree node) or a pyarrow block of sketch rows (a
+    leaf). Runs as a ray task — one m_bits buffer per task."""
+    words = None
+    for item in items:
+        if isinstance(item, pa.Table):
+            # zero-row upstream blocks (e.g. a filter that drops a whole
+            # block) surface as schema-less empty tables — no sketch
+            blobs = (
+                item["sketch"].to_pylist()
+                if "sketch" in item.column_names else []
+            )
+        else:
+            blobs = [item] if item else []
+        for blob in blobs:
+            arr = np.frombuffer(blob, np.uint64)
+            words = arr.copy() if words is None else (words | arr)
+    return words.tobytes() if words is not None else b""
+
+
+def build_bloom_distributed(ds, grams_fn, *, m_bits: int, k: int,
+                            fanin: int = 8):
+    """Distributed filter build, HLL-pattern with a pairwise OR tree:
+    each batch emits one serialized partial filter; the fixed-size
+    partials merge through ``fanin``-way ``ray.remote`` OR tasks so the
+    driver holds O(1) sketches regardless of batch count (the round-2
+    build take_all'd one m_bits partial per batch onto the driver —
+    unguarded at 10^9-gram × many-batch scale)."""
+    import ray
 
     def partial(t: pa.Table) -> pa.Table:
         bf = BloomFilter(m_bits, k)
         bf.add_many(grams_fn(t))
         return pa.table({"sketch": pa.array([bf.to_bytes()], pa.binary())})
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
-    merged = BloomFilter(m_bits, k)
-    for row in parts:
-        merged.merge(BloomFilter.from_bytes(row["sketch"], k))
-    return merged
+    level = ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    if not level:
+        return BloomFilter(m_bits, k)
+    or_task = ray.remote(_or_sketches)
+    while len(level) > 1:
+        level = [
+            or_task.remote(*level[i:i + fanin])
+            for i in range(0, len(level), fanin)
+        ]
+    root = ray.get(level[0])
+    blob = _or_sketches(root) if isinstance(root, pa.Table) else root
+    if not blob:  # every block was empty
+        return BloomFilter(m_bits, k)
+    return BloomFilter.from_bytes(blob, k)
 
 
 class _BloomContaminationScorer:
@@ -180,13 +213,6 @@ def decontaminate_bloom(sf_dir: str, *, fpr: float = 0.01):
     bench = _read(sf_dir, "documents", columns=["doc_id", "text"]).filter(
         expr=f"doc_id < {BENCH_MAX_DOC_ID}"
     )
-    # expected gram count ~ benchmark token count (pruned read, tiny
-    # here); a production run would size from lineage stats instead
-    n_est = max(
-        int(bench.count()) * 256,  # generous per-doc gram allowance
-        1024,
-    )
-    proto = BloomFilter.sized_for(n_est, fpr)
 
     from ..functions.tokens import tokens_series as _ts
 
@@ -196,8 +222,27 @@ def decontaminate_bloom(sf_dir: str, *, fpr: float = 0.01):
             out.extend(_doc_ngrams(toks, DECON_NGRAM))
         return out
 
+    # size m from the ACTUAL gram count via a cheap pruned counting pass
+    # (the benchmark side is eval-suite-sized): a fixed per-doc gram
+    # allowance silently undersizes m for long benchmark docs, pushing
+    # the realized FPR above the requested one
+    n_grams = int(
+        bench.map_batches(
+            lambda t: pa.table(
+                {"n": pa.array([len(grams_of(t))], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ).sum("n")
+        or 0
+    )
+    proto = BloomFilter.sized_for(max(n_grams, 1024), fpr)
+
     bloom = build_bloom_distributed(
         bench, grams_of, m_bits=proto.m, k=proto.k
+    )
+    realized = bloom.theoretical_fpr(max(n_grams, 1))
+    assert realized <= fpr * 1.05, (
+        f"bloom sized for fpr={fpr} but theoretical fpr={realized:.4g}"
     )
     bloom_ref = ray.put(bloom)
 

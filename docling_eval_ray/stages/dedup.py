@@ -364,12 +364,31 @@ class _CandidateVerifier:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         a = batch["doc_id_a"].to_numpy()
         b = batch["doc_id_b"].to_numpy()
-        js = np.empty(len(a), dtype=np.float64)
-        for i in range(len(a)):
-            sa, sb = self._index[a[i]], self._index[b[i]]
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            denom = sa.size + sb.size - inter
-            js[i] = inter / denom if denom else 0.0
+        n = len(a)
+        if n == 0:
+            return pd.DataFrame(
+                {"doc_id_a": a, "doc_id_b": b,
+                 "jaccard": np.array([], np.float64)}
+            )
+        # batched intersections: tag every shingle hash with its pair id
+        # and lexsort once — a value appearing twice under one pair id is
+        # an intersection hit (each side's set is unique), so intersection
+        # sizes fall out of one adjacent-equality bincount instead of a
+        # Python-per-pair intersect1d loop.
+        a_sets = [self._index[x] for x in a]
+        b_sets = [self._index[x] for x in b]
+        la = np.fromiter((s.size for s in a_sets), np.int64, n)
+        lb = np.fromiter((s.size for s in b_sets), np.int64, n)
+        vals = np.concatenate(a_sets + b_sets)
+        pid = np.concatenate(
+            [np.repeat(np.arange(n), la), np.repeat(np.arange(n), lb)]
+        )
+        order = np.lexsort((vals, pid))
+        pv, vv = pid[order], vals[order]
+        dup = (pv[1:] == pv[:-1]) & (vv[1:] == vv[:-1])
+        inter = np.bincount(pv[1:][dup], minlength=n)
+        denom = la + lb - inter
+        js = np.where(denom > 0, inter / np.maximum(denom, 1), 0.0)
         js = np.round(js, 6)
         keep = js >= self._t
         return pd.DataFrame(
@@ -646,6 +665,20 @@ def connected_components(pairs_ds, *, max_iters: int = 50,
         if new_sum == label_sum:
             break
         label_sum = new_sum
+    else:
+        # a component with diameter > max_iters would exit here with
+        # unconverged (wrong) cluster ids — surface it instead of
+        # returning silently (near-clique dedup graphs converge in a few
+        # iterations; chain-shaped graphs are the hazard)
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge within {max_iters} "
+            "iterations; cluster ids may be incorrect for long-chain "
+            "components — raise max_iters",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.map_batches(
         lambda t: t.rename_columns(["doc_id", "cluster_id"]),
         batch_format="pyarrow",

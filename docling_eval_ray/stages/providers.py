@@ -181,8 +181,16 @@ class ApiPredictionProvider:
                 pred_spans.append(normalize_api_response(payload))
                 statuses.append("success")
                 attempts.append(n)
-            except (PermanentApiError, TransientApiError):
-                preds.append("")
+            except Exception as exc:
+                # skip-and-count contract: failures are NEVER raised —
+                # a malformed response / JSON error from a poisoned row
+                # must not put Ray into task retry loops. The error
+                # class is recorded in the prediction payload slot.
+                if not isinstance(exc, (PermanentApiError,
+                                        TransientApiError)):
+                    preds.append(f"<error:{type(exc).__name__}>")
+                else:
+                    preds.append("")
                 pred_spans.append([])
                 statuses.append("failure")
                 attempts.append(self._max_retries + 1)

@@ -70,3 +70,25 @@ def test_bloom_sizing_formula():
     assert 6 <= small.k <= 8
     with pytest.raises(AssertionError):
         BloomFilter(1 << 10, 3).merge(BloomFilter(1 << 11, 3))
+
+
+def test_tree_reduce_many_partials(ray_session):
+    """The pairwise OR tree over many forced partials (one per block)
+    must produce the same filter as a single-pass build, with the
+    driver never holding more than O(1) sketches."""
+    import ray.data as rd
+
+    from docling_eval_ray.stages.bloom import build_bloom_distributed
+
+    items = [f"gram-{i}" for i in range(2_000)]
+    # 40 blocks -> 40 leaf partials -> multi-level fanin-8 tree
+    ds = rd.from_items([{"g": g} for g in items], override_num_blocks=40)
+
+    def grams_of(t):
+        return t["g"].to_pylist()
+
+    bf = build_bloom_distributed(ds, grams_of, m_bits=1 << 14, k=5)
+    whole = BloomFilter(1 << 14, 5)
+    whole.add_many(items)
+    assert np.array_equal(bf.words, whole.words)
+    assert bf.contains_many(items).all()

@@ -2,6 +2,7 @@
 behavior per mutation class (F2 strategy)."""
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from docling_eval_ray.pipelines.evaluate import (
@@ -198,3 +199,17 @@ def test_corpus_layout_map_distributed_matches_pooled(ray_session):
     for cls, ap in want["per_class"].items():
         if not np.isnan(ap):
             assert got[cls] == pytest.approx(ap, abs=1e-3), cls
+
+
+def test_corpus_layout_map_sharded_matches_single(ray_session):
+    """Two-level per-class pooling (class_shards>1) must produce the
+    exact same AP table as the single-task-per-class path. The synthetic
+    corpus is already 1-class-dominant (most spans are kind=text), so
+    the dominant class genuinely splits across shards."""
+    from docling_eval_ray.pipelines.evaluate import corpus_layout_map
+
+    single = corpus_layout_map(SF_DIR).to_pandas()
+    sharded = corpus_layout_map(SF_DIR, class_shards=8).to_pandas()
+    s = single.sort_values("label").reset_index(drop=True)
+    h = sharded.sort_values("label").reset_index(drop=True)
+    pd.testing.assert_frame_equal(s, h)
