@@ -346,6 +346,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from docling_eval_ray.sources.omnidocbench import omnidocbench_gt_build
 
     q["omnidocbench_gt_build"] = omnidocbench_gt_build
+    # DocLayNet-v2 combined builder (layout dispatch + embedded-OTSL
+    # table parsing in one builder; label fallback, group elements)
+    from docling_eval_ray.sources.doclaynet_v2 import doclaynet_v2_gt_build
+
+    q["doclaynet_v2_gt_build"] = doclaynet_v2_gt_build
     # cloud-API provider harness (A5): rate-limited retrying actor pool
     # over a deterministic offline client
     from docling_eval_ray.stages.providers import api_predictions

@@ -147,6 +147,7 @@ def run_benchmarks() -> dict:
     from docling_eval_ray.pipelines.evaluate import (
         corpus_layout_map,
         evaluate_markdown,
+        evaluation_summary,
     )
     from docling_eval_ray.stages.extract import extract_main_content
     from docling_eval_ray.stages.knn import (
@@ -240,6 +241,21 @@ def run_benchmarks() -> dict:
         ("part_cooccurrence", r.part_cooccurrence),
         ("customer_spend_quartiles", r.customer_spend_quartiles),
         ("daily_active_users", r.daily_active_users),
+        # scale tiers forced past their size-routing gates, so the
+        # distributed paths get recorded wall-times (not just tests):
+        # tier-C MinHash verify = full shingle-table joins, no broadcast
+        ("minhash_near_dups_scaletier",
+         lambda sf: minhash_near_dups(sf, cand_filter_max=0,
+                                      cand_index_max=0)),
+        # IVF near-dup tier (dynamic cells + skew re-split), no exact
+        # broadcast
+        ("embedding_near_dups_ivf_tier",
+         lambda sf: embedding_near_dups(sf, exact_max=0)),
+        # two-level per-class mAP reduce (detection-dominant class path)
+        ("corpus_layout_map_sharded",
+         lambda sf: corpus_layout_map(sf, class_shards=8)),
+        # fused single-pass consolidation (no records materialize)
+        ("evaluation_summary", evaluation_summary),
     ]:
         t0 = time.time()
         out = fn(SF_DIR)
