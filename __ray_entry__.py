@@ -146,8 +146,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dedup_keep_canonical,
         minhash_near_dups,
         near_dup_clusters,
+        neardup_pagerank,
         ngram_jaccard_pairs,
         simhash_fingerprints,
+        simhash_near_dups,
     )
     from docling_eval_ray.stages.knn import (
         embedding_knn,
@@ -165,6 +167,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "dedup_keep_canonical": dedup_keep_canonical, # oracled (keep)
             "minhash_near_dups": minhash_near_dups,       # oracled (LSH+verify)
             "simhash_fingerprints": simhash_fingerprints, # oracled (bit-vote)
+            "simhash_near_dups": simhash_near_dups,       # oracled (banded exact)
+            "neardup_pagerank": neardup_pagerank,         # oracled (power iter)
             "embedding_knn": embedding_knn,               # oracled
             "embedding_near_dups": embedding_near_dups,   # oracled
             "embedding_knn_ivf": embedding_knn_ivf,       # rows-only (ANN)
@@ -214,6 +218,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "gopher_quality_filter": cl.gopher_quality_filter,
         }
     )
+    # BPE tokenizer: corpus-trained merges (one scan + vocab-sized
+    # groupby, driver loop over the histogram) + per-doc token counts
+    # under the learned merges (iterative — rows-only checks)
+    from docling_eval_ray.functions.bpe import (
+        bpe_token_counts,
+        bpe_train_merges,
+    )
+
+    q["bpe_train_merges"] = bpe_train_merges
+    q["bpe_token_counts"] = bpe_token_counts
     # end-to-end composition: quality -> dedup -> decontaminate -> pack
     from docling_eval_ray.pipelines.pretrain import training_data_pipeline
 

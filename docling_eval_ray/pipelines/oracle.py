@@ -746,8 +746,11 @@ ORACLE_SQL["stratified_sample"] = f"""
 
 # SimHash: bit-vote replica — token hash = top 8 bytes of md5, per-bit
 # majority over token multiset, reassembled via HUGEINT shifts
-ORACLE_SQL["simhash_fingerprints"] = r"""
-    WITH toks AS (
+#: shared SimHash bit-vote fragment (token hash = top 8 bytes of md5,
+#: per-bit majority over the token multiset, HUGEINT reassembly) —
+#: used by the fingerprint census AND the Hamming-pair detector
+_SIMHASH_FP_CTE = r"""
+    toks AS (
         SELECT doc_id,
                unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
         FROM documents WHERE trim(text) <> ''
@@ -771,10 +774,29 @@ ORACLE_SQL["simhash_fingerprints"] = r"""
                         ELSE CAST(0 AS HUGEINT) END) AS v
         FROM bits GROUP BY doc_id
     )
+"""
+
+ORACLE_SQL["simhash_fingerprints"] = f"""
+    WITH {_SIMHASH_FP_CTE}
     SELECT d.doc_id,
            lpad(lower(hex(CAST(COALESCE(f.v, 0) AS UBIGINT))), 16, '0')
                AS simhash
     FROM documents d LEFT JOIN fp f USING (doc_id)
+"""
+
+# SimHash Hamming-ball pairs: the banded Ray plan is EXACT (pigeonhole
+# over max_hamming+1 disjoint bands), so the oracle is the brute-force
+# self-join over the same fingerprints
+ORACLE_SQL["simhash_near_dups"] = f"""
+    WITH {_SIMHASH_FP_CTE},
+    fps AS (
+        SELECT d.doc_id, CAST(COALESCE(f.v, 0) AS UBIGINT) AS v
+        FROM documents d LEFT JOIN fp f USING (doc_id)
+    )
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           CAST(bit_count(xor(a.v, b.v)) AS BIGINT) AS hamming
+    FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.v, b.v)) <= 3
 """
 
 # language ID: stopword-rate argmax with first-max tie-break in profile
@@ -1425,6 +1447,78 @@ ORACLE_SQL["zscore_outliers"] = """
 # canonical-keep filter over the SAME component walk as
 # near_dup_clusters: drop docs whose component has a smaller member
 _NDC_SQL = ORACLE_SQL["near_dup_clusters"]
+
+# PageRank over the near-dup graph: fixed 3-iteration power method,
+# chained per-iteration CTEs over the SAME pair SQL as
+# near_dup_clusters; ranks rounded to 9 each iteration on both sides
+# (see stages/dedup.py:neardup_pagerank float discipline)
+ORACLE_SQL["neardup_pagerank"] = """
+    WITH
+        toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   CASE WHEN len(w) < 3 THEN array_to_string(w, ' ')
+                        ELSE w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] END AS s
+            FROM toks,
+                 UNNEST(range(CASE WHEN len(w) < 3 THEN 1
+                                   ELSE len(w) - 2 END)) AS t(i)
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT ia AS a, ib AS b
+            FROM inter
+            JOIN sizes na ON na.doc_id = ia
+            JOIN sizes nb ON nb.doc_id = ib
+            WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.1
+        ),
+        edges AS (
+            SELECT a AS s, b AS t FROM pairs
+            UNION
+            SELECT b, a FROM pairs
+        ),
+        deg AS (SELECT s, count(*) AS d FROM edges GROUP BY s),
+        nn AS (SELECT count(*) AS c FROM deg),
+        w AS (
+            SELECT e.s, e.t, 1.0 / d.d AS w
+            FROM edges e JOIN deg d ON d.s = e.s
+        ),
+        pr0 AS (
+            SELECT s AS node,
+                   round_even(1.0 / (SELECT c FROM nn), 9) AS pr
+            FROM deg
+        ),
+        pr1 AS (
+            SELECT w.t AS node,
+                   round_even((1.0 - 0.85) / (SELECT c FROM nn)
+                              + 0.85 * sum(p.pr * w.w), 9) AS pr
+            FROM w JOIN pr0 p ON p.node = w.s
+            GROUP BY w.t
+        ),
+        pr2 AS (
+            SELECT w.t AS node,
+                   round_even((1.0 - 0.85) / (SELECT c FROM nn)
+                              + 0.85 * sum(p.pr * w.w), 9) AS pr
+            FROM w JOIN pr1 p ON p.node = w.s
+            GROUP BY w.t
+        ),
+        pr3 AS (
+            SELECT w.t AS node,
+                   round_even((1.0 - 0.85) / (SELECT c FROM nn)
+                              + 0.85 * sum(p.pr * w.w), 9) AS pr
+            FROM w JOIN pr2 p ON p.node = w.s
+            GROUP BY w.t
+        )
+    SELECT node AS doc_id, round_even(pr, 6) AS pagerank FROM pr3
+"""
+
 _NDC_CTE = _NDC_SQL[: _NDC_SQL.rindex("SELECT")]  # shared WITH RECURSIVE prefix
 ORACLE_SQL["dedup_keep_canonical"] = _NDC_CTE + """
     SELECT d.doc_id, d.lang FROM documents d

@@ -586,6 +586,94 @@ def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
+def simhash_near_dups(sf_dir: str, *, max_hamming: int = 3):
+    """All document pairs whose 64-bit SimHashes differ in at most
+    ``max_hamming`` bits — the SimHash near-dup detector (public
+    Charikar/Manku scheme: Hamming-ball search via banding).
+
+    Scale shape (EXACT, not approximate): pigeonhole — a pair within
+    Hamming distance d must agree exactly on at least one of d+1
+    disjoint bands of the fingerprint. One fingerprint pass emits d+1
+    (band, band_value) rows per doc; a bucketed groupby co-locates each
+    band bucket; within a bucket the (tiny — bands of near-random bits
+    collide rarely) group does a vectorized all-pairs popcount; one more
+    bucketed exchange dedupes pairs that agreed on several bands. No
+    all-pairs corpus join anywhere; per-task work is bounded by the
+    largest single band collision group (exact-duplicate cliques).
+    Oracled in DuckDB via the shared fingerprint CTE + bit_count(xor).
+    """
+    import ray.data as rd
+
+    from ..functions.groups import bucketed_group_apply
+
+    n_bands = max_hamming + 1
+    assert 64 % n_bands == 0 or n_bands <= 64
+    width = 64 // n_bands
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def emit_bands(t: pa.Table) -> pa.Table:
+        vals = np.array(
+            [simhash64(s) for s in t["text"].to_pylist()], dtype=np.uint64
+        )
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        band = np.repeat(np.arange(n_bands, dtype=np.int64), n)
+        shifted = np.concatenate(
+            [(vals >> np.uint64(width * b)) & np.uint64((1 << width) - 1)
+             for b in range(n_bands)]
+        )
+        return pa.table(
+            {
+                "band": pa.array(band, pa.int64()),
+                "key": pa.array(shifted.astype(np.int64), pa.int64()),
+                "doc_id": pa.array(np.tile(ids, n_bands), pa.int64()),
+                "sim": pa.array(
+                    np.tile(vals, n_bands).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    banded = ds.map_batches(emit_bands, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_h = [], [], []
+        for _, sub in g.groupby(["band", "key"], sort=False):
+            if len(sub) < 2:
+                continue
+            ids = sub["doc_id"].to_numpy(np.int64)
+            vals = sub["sim"].to_numpy(np.int64).astype(np.uint64)
+            x = np.bitwise_xor.outer(vals, vals)
+            ham = np.unpackbits(
+                x.view(np.uint8).reshape(len(vals), len(vals), 8), axis=2
+            ).sum(axis=2)
+            ai, bi = np.nonzero(np.triu(ham <= max_hamming, k=1))
+            a, b = ids[ai], ids[bi]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            out_a.append(lo)
+            out_b.append(hi)
+            out_h.append(ham[ai, bi].astype(np.int64))
+        if not out_a:
+            return pd.DataFrame(
+                {"doc_id_a": np.array([], np.int64),
+                 "doc_id_b": np.array([], np.int64),
+                 "hamming": np.array([], np.int64)}
+            )
+        return pd.DataFrame(
+            {"doc_id_a": np.concatenate(out_a),
+             "doc_id_b": np.concatenate(out_b),
+             "hamming": np.concatenate(out_h)}
+        )
+
+    pairs = bucketed_group_apply(banded, ["band", "key"], bucket_pairs)
+    return bucketed_group_apply(
+        pairs,
+        ["doc_id_a", "doc_id_b"],
+        lambda g: g.drop_duplicates(["doc_id_a", "doc_id_b"]),
+    )
+
+
 # ---------------------------------------------------------------------------
 # near-dup clusters: connected components over verified pairs
 # ---------------------------------------------------------------------------
@@ -720,3 +808,140 @@ def dedup_keep_canonical(sf_dir: str, *, threshold: float = 0.1,
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "lang"])
     return semi_anti_join(docs, drop, "doc_id", anti=True)
+
+
+def neardup_pagerank(sf_dir: str, *, threshold: float = 0.1, k: int = 3,
+                     iters: int = 3, damping: float = 0.85):
+    """PageRank over the exact n-gram-Jaccard near-dup graph — a fixed
+    ``iters``-step power iteration (public Brin/Page formulation) that
+    scores how central each document is inside its duplication
+    neighborhood (dup-cluster hubs rank high; useful for picking
+    canonical representatives by authority instead of min-id).
+
+    Scale shape: edges are output-sized and materialized once;
+    out-degrees come from the census partial+final pattern; edge
+    weights (1/deg) attach via ONE bucketed hash join; each iteration
+    is then one hash join (rank onto edge source) plus one bucketed
+    sum by destination — nothing corpus-sized on the driver, per-task
+    state bounded by bucket. Every node of the symmetrized graph has
+    in-edges, so no dangling-mass term.
+
+    Float discipline: ranks round to 9 digits each iteration on BOTH
+    the Ray and SQL sides (sum-order drift ~1e-18 per step cannot
+    accumulate past the rounding grid), final output rounds to 6 —
+    DuckDB-oracled via chained per-iteration CTEs.
+    """
+    from ..functions.groups import (
+        bucketed_group_apply,
+        count_partial,
+        final_groupby_sum,
+    )
+    from ..functions.joins import hash_join
+
+    pairs = ngram_jaccard_pairs(sf_dir, k=k, threshold=threshold)
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        a = t["doc_id_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_id_b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b]), pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    edges = pairs.map_batches(
+        symmetrize, batch_format="pyarrow"
+    ).materialize()  # output-sized; reused every iteration
+
+    deg = final_groupby_sum(
+        edges.map_batches(count_partial("src", "deg"),
+                          batch_format="pyarrow"),
+        ["src"], ["deg"],
+    )
+    n_nodes = deg.count()
+    if n_nodes == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "pagerank": pa.array([], pa.float64())}
+        )
+
+    # weighted edges: w = 1/deg(src), attached once
+    weighted = hash_join(edges, deg, on="src").map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["src"],
+                "dst": t["dst"],
+                "w": pa.array(
+                    1.0 / t["deg"].to_numpy(zero_copy_only=False),
+                    pa.float64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    base = float(np.round(1.0 / n_nodes, 9))
+    state = deg.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t["src"],
+                "pr": pa.array(np.full(t.num_rows, base), pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    teleport = (1.0 - damping) / n_nodes
+    for _ in range(iters):
+        contrib = hash_join(
+            weighted,
+            state.map_batches(
+                lambda t: t.rename_columns(["src", "pr"]),
+                batch_format="pyarrow",
+            ),
+            on="src",
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["dst"],
+                    "c": pa.array(
+                        t["pr"].to_numpy(zero_copy_only=False)
+                        * t["w"].to_numpy(zero_copy_only=False),
+                        pa.float64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        summed = final_groupby_sum(contrib, ["node"], ["c"])
+        state = summed.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["node"],
+                    "pr": pa.array(
+                        np.round(
+                            teleport
+                            + damping
+                            * t["c"].to_numpy(zero_copy_only=False),
+                            9,
+                        ),
+                        pa.float64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    return state.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["node"],
+                "pagerank": pa.array(
+                    np.round(t["pr"].to_numpy(zero_copy_only=False), 6),
+                    pa.float64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )

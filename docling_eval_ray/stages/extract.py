@@ -228,6 +228,17 @@ def extract_main_content(
     expensive (real layout/OCR models): then size ``concurrency ×
     num_cpus`` to the node and leave ≥2 CPUs for the task stages
     (see ``default_pool_size``).
+
+    Model-backed sizing guide (the reference pins its converter to an
+    internal ``num_threads=16`` thread pool,
+    prediction_providers/docling_provider.py:78-115): give each actor
+    the model's thread budget via ``map_batches(..., num_cpus=T)`` so
+    Ray's scheduler accounts for the pool's REAL footprint —
+    ``concurrency = (node_cpus - 2) // T`` actors of ``num_cpus=T``
+    each, e.g. a 32-CPU node with a 16-thread model runs 1 actor +
+    16 reserved task CPUs, or 2×8-thread actors. Under-declaring
+    ``num_cpus=1`` for a 16-thread model oversubscribes the node 16×
+    and collapses the scaling curve.
     """
     from .util import stage
 
