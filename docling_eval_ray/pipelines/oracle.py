@@ -1448,6 +1448,19 @@ ORACLE_SQL["zscore_outliers"] = """
 # near_dup_clusters: drop docs whose component has a smaller member
 _NDC_SQL = ORACLE_SQL["near_dup_clusters"]
 
+# skyline / pareto front: brute-force NOT EXISTS dominance self-join
+ORACLE_SQL["parts_pareto_front"] = """
+    SELECT p_partkey, p_retailprice, p_size
+    FROM part b
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part a
+        WHERE a.p_retailprice <= b.p_retailprice
+          AND a.p_size >= b.p_size
+          AND (a.p_retailprice < b.p_retailprice
+               OR a.p_size > b.p_size)
+    )
+"""
+
 # PageRank over the near-dup graph: fixed 3-iteration power method,
 # chained per-iteration CTEs over the SAME pair SQL as
 # near_dup_clusters; ranks rounded to 9 each iteration on both sides

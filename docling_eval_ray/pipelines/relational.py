@@ -3643,3 +3643,57 @@ def top_decile_revenue_share(sf_dir: str):
         {"top_decile_share": pd.Series([np.round(top / total, 6)],
                                        dtype=np.float64)}
     )
+
+
+def _pareto_mask(price: np.ndarray, size: np.ndarray) -> np.ndarray:
+    """Non-dominated mask for (minimize price, maximize size): A
+    dominates B iff A.price ≤ B.price ∧ A.size ≥ B.size with one strict.
+    Single scan over ascending price levels (within a level only the
+    max-size points can survive; across levels a point survives iff its
+    size beats the best size of every strictly-cheaper point).
+    Property-tested against brute-force dominance."""
+    order = np.lexsort((-size, price))
+    p, s = price[order], size[order]
+    keep = np.zeros(len(p), bool)
+    best = -np.inf
+    i = 0
+    while i < len(p):
+        j = i
+        while j < len(p) and p[j] == p[i]:
+            j += 1
+        level_max = s[i]  # sorted desc within the level
+        if level_max > best:
+            keep[i:j] = s[i:j] == level_max
+        best = max(best, level_max)
+        i = j
+    out = np.zeros(len(p), bool)
+    out[order] = keep
+    return out
+
+
+def parts_pareto_front(sf_dir: str):
+    """Pareto-optimal parts on (cheapest price, largest size) — the
+    skyline query (public Börzsönyi et al. 2001 block-nested-loop
+    family), distributed via the closure property: the front of a union
+    is contained in the union of per-block fronts. Each batch emits its
+    LOCAL front (vectorized level scan); one candidate-sized exchange
+    reduces the unioned candidates with the same kernel. Per-task state
+    is bounded by the candidate front (worst case — every point
+    mutually non-dominated — degrades to the full relation in the final
+    task; real catalogs have fronts orders of magnitude smaller, and a
+    k-d re-split would bound it the way stages/knn.py re-splits cells).
+    Oracled via the NOT EXISTS dominance self-join."""
+    ds = _read(sf_dir, "part",
+               columns=["p_partkey", "p_retailprice", "p_size"])
+
+    def local_front(t: pa.Table) -> pa.Table:
+        price = t["p_retailprice"].to_numpy(zero_copy_only=False)
+        size = t["p_size"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.filter(pa.array(_pareto_mask(price, size)))
+
+    cand = ds.map_batches(local_front, batch_format="pyarrow")
+    # final reduce: one task over the unioned (candidate-front-sized)
+    # local fronts
+    return cand.repartition(1).map_batches(
+        local_front, batch_format="pyarrow", batch_size=None
+    )

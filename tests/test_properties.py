@@ -143,3 +143,24 @@ def test_minhash_estimate_accuracy_sweep():
         true_j = len(sa & sb) / len(sa | sb)
         est = float((sig_base == mh.signature(other)).mean())
         assert abs(est - true_j) < 0.15
+
+
+def test_pareto_mask_matches_brute_force():
+    """Skyline kernel: scan result == brute-force dominance on random
+    small relations with heavy ties."""
+    import numpy as np
+
+    from docling_eval_ray.pipelines.relational import _pareto_mask
+
+    rng = np.random.default_rng(0)
+    for _ in range(200):
+        n = int(rng.integers(1, 40))
+        price = rng.integers(0, 6, n).astype(float)
+        size = rng.integers(0, 6, n).astype(float)
+        m = _pareto_mask(price, size)
+        for b in range(n):
+            dom = (
+                (price <= price[b]) & (size >= size[b])
+                & ((price < price[b]) | (size > size[b]))
+            ).any()
+            assert m[b] == (not dom)
