@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_last_error": r.events_asof_last_error,
         "documents_size_bands": r.documents_size_bands,
         "parts_pareto_front": r.parts_pareto_front,
+        "top_tokens_per_lang": r.top_tokens_per_lang,
     }
     # multimodal: perceptual-hash image dedup census (rows-only; the
     # pHash kernel is the real algorithm over the documented stub pixels)

@@ -1448,6 +1448,24 @@ ORACLE_SQL["zscore_outliers"] = """
 # near_dup_clusters: drop docs whose component has a smaller member
 _NDC_SQL = ORACLE_SQL["near_dup_clusters"]
 
+# per-language token top-k with deterministic ties
+ORACLE_SQL["top_tokens_per_lang"] = r"""
+    WITH counts AS (
+        SELECT lang, tok AS token, count(*) AS n
+        FROM documents,
+             UNNEST(regexp_split_to_array(trim(text), '\s+')) AS t(tok)
+        GROUP BY lang, tok
+    ),
+    ranked AS (
+        SELECT lang, token, n,
+               row_number() OVER (
+                   PARTITION BY lang ORDER BY n DESC, token
+               ) AS rnk
+        FROM counts
+    )
+    SELECT lang, token, n, rnk FROM ranked WHERE rnk <= 5
+"""
+
 # skyline / pareto front: brute-force NOT EXISTS dominance self-join
 ORACLE_SQL["parts_pareto_front"] = """
     SELECT p_partkey, p_retailprice, p_size

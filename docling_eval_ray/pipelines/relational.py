@@ -3697,3 +3697,52 @@ def parts_pareto_front(sf_dir: str):
     return cand.repartition(1).map_batches(
         local_front, batch_format="pyarrow", batch_size=None
     )
+
+
+def top_tokens_per_lang(sf_dir: str, *, k: int = 5):
+    """Per-language token top-k with rank — the grouped heavy-hitter
+    census (per-group TOP-K, deterministic ties by token): per-batch
+    (lang, token) partial counts (one row per distinct pair per batch),
+    one bucketed sum on the pair, then a per-lang bucketed rank+head —
+    the global sort never sees more than |langs|×k rows and the
+    exchanges move vocabulary-sized rows, never the token stream."""
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        langs, toks, ns = [], [], []
+        from ..functions.tokens import sql_tokens
+
+        for lang, text in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
+            counts: dict[str, int] = {}
+            for w in sql_tokens(text):  # SQL-replica tokenization
+                counts[w] = counts.get(w, 0) + 1
+            langs.extend([lang] * len(counts))
+            toks.extend(counts)
+            ns.extend(counts.values())
+        return pa.table(
+            {
+                "lang": pa.array(langs, pa.string()),
+                "token": pa.array(toks, pa.string()),
+                "n_part": pa.array(ns, pa.int64()),
+            }
+        )
+
+    from ..functions.groups import bucketed_group_apply
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def sum_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["lang", "token"], as_index=False, sort=False)[
+            "n_part"
+        ].sum().rename(columns={"n_part": "n"})
+
+    counts = bucketed_group_apply(partials, ["lang", "token"], sum_bucket)
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["lang", "n", "token"],
+                          ascending=[True, False, True], kind="mergesort")
+        g["rnk"] = g.groupby("lang", sort=False).cumcount() + 1
+        out = g[g["rnk"] <= k]
+        return out.astype({"n": np.int64, "rnk": np.int64})
+
+    return bucketed_group_apply(counts, ["lang"], rank_bucket)
