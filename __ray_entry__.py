@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         simhash_near_dups,
     )
     from docling_eval_ray.stages.knn import (
+        centroid_similarity,
         embedding_knn,
         embedding_knn_ivf,
         embedding_near_dups,
@@ -176,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "embedding_knn_ivf": embedding_knn_ivf,       # rows-only (ANN)
             "embedding_norms": embedding_norms,           # oracled (L2)
             "label_centroids": label_centroids,           # oracled (k-means step)
+            "centroid_similarity": centroid_similarity,   # oracled (k×k cosine)
             "language_id": language_id,                   # oracled (argmax)
             "document_winnow": document_winnow,           # oracled (rolling hash)
         }

@@ -1466,6 +1466,27 @@ ORACLE_SQL["top_tokens_per_lang"] = r"""
     SELECT lang, token, n, rnk FROM ranked WHERE rnk <= 5
 """
 
+# centroid-pair cosine: centroids rounded to 6 before the cosine on
+# both sides (see stages/knn.py:centroid_similarity)
+ORACLE_SQL["centroid_similarity"] = """
+    WITH c AS (
+        SELECT label, g.b AS dim,
+               round_even(avg(embedding[g.b + 1]), 6) AS v
+        FROM embeddings CROSS JOIN generate_series(0, 63) AS g(b)
+        GROUP BY label, g.b
+    )
+    SELECT CAST(a.label AS BIGINT) AS label_a,
+           CAST(b.label AS BIGINT) AS label_b,
+           round_even(
+               sum(a.v * b.v)
+               / (sqrt((SELECT sum(x.v * x.v) FROM c x
+                        WHERE x.label = a.label))
+                  * sqrt((SELECT sum(y.v * y.v) FROM c y
+                          WHERE y.label = b.label))), 6) AS cos
+    FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+    GROUP BY a.label, b.label
+"""
+
 # skyline / pareto front: brute-force NOT EXISTS dominance self-join
 ORACLE_SQL["parts_pareto_front"] = """
     SELECT p_partkey, p_retailprice, p_size

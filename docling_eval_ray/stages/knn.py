@@ -612,3 +612,28 @@ def label_centroids(sf_dir: str):
         )
 
     return final.map_batches(finish, batch_format="pyarrow")
+
+
+def centroid_similarity(sf_dir: str):
+    """Pairwise cosine similarity between per-label mean vectors —
+    the cluster-geometry diagnostic run after a k-means/centroid pass
+    (how separable are the label clusters). Builds on
+    ``label_centroids`` (corpus scanned once, |labels|×64 partial rows
+    through the exchange); the centroid matrix itself is
+    labels×dim-sized — driver state by construction — so the k×k cosine
+    is one local matmul. Centroids round to 6 BEFORE the cosine on both
+    the Ray and SQL sides, so the oracle compares identical inputs."""
+    cent = label_centroids(sf_dir).to_pandas()  # |labels|×64 rows
+    piv = cent.pivot(index="label", columns="dim", values="centroid")
+    labels = piv.index.to_numpy().astype(np.int64)
+    m = piv.to_numpy(np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    ai, bi = np.nonzero(np.triu(np.ones_like(sims, bool), k=1))
+    return pa.table(
+        {
+            "label_a": pa.array(labels[ai], pa.int64()),
+            "label_b": pa.array(labels[bi], pa.int64()),
+            "cos": pa.array(np.round(sims[ai, bi], 6), pa.float64()),
+        }
+    )
