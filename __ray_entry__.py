@@ -137,6 +137,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_size_bands": r.documents_size_bands,
         "parts_pareto_front": r.parts_pareto_front,
         "top_tokens_per_lang": r.top_tokens_per_lang,
+        "chunk_with_overlap": r.chunk_with_overlap,
+        "events_value_1h_range_sum": r.events_value_1h_range_sum,
     }
     # multimodal: perceptual-hash image dedup census (rows-only; the
     # pHash kernel is the real algorithm over the documented stub pixels)

@@ -1487,6 +1487,30 @@ ORACLE_SQL["centroid_similarity"] = """
     GROUP BY a.label, b.label
 """
 
+# sliding-window chunking with overlap (size 8, stride 4)
+ORACLE_SQL["chunk_with_overlap"] = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        FROM documents
+    )
+    SELECT doc_id,
+           g.i AS chunk_idx,
+           array_to_string(w[g.i * 4 + 1 : g.i * 4 + 8], ' ') AS chunk_text,
+           CAST(least(8, len(w) - g.i * 4) AS BIGINT) AS n_tokens
+    FROM toks,
+         UNNEST(range(CAST(ceil(len(w) / 4.0) AS BIGINT))) AS g(i)
+"""
+
+# per-user trailing-1h RANGE window (peers included)
+ORACLE_SQL["events_value_1h_range_sum"] = """
+    SELECT event_id,
+           round_even(sum(value) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ), 6) AS sum_1h
+    FROM events
+"""
+
 # skyline / pareto front: brute-force NOT EXISTS dominance self-join
 ORACLE_SQL["parts_pareto_front"] = """
     SELECT p_partkey, p_retailprice, p_size

@@ -3746,3 +3746,83 @@ def top_tokens_per_lang(sf_dir: str, *, k: int = 5):
         return out.astype({"n": np.int64, "rnk": np.int64})
 
     return bucketed_group_apply(counts, ["lang"], rank_bucket)
+
+
+CHUNK_SIZE = 8
+CHUNK_STRIDE = 4
+
+
+def chunk_with_overlap(sf_dir: str, *, size: int = CHUNK_SIZE,
+                       stride: int = CHUNK_STRIDE):
+    """Overlapping context windows over each document's token stream —
+    the sliding-window chunking an LM-pretraining loader applies before
+    packing (size-8 windows, stride 4): one row per (doc, chunk) with
+    the window's text and token count. Map-only — chunks explode
+    row-locally, no shuffle; output rows ≈ corpus tokens / stride."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    from ..functions.tokens import sql_tokens
+
+    def explode(t: pa.Table) -> pa.Table:
+        dids, idxs, texts, ns = [], [], [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = sql_tokens(text)
+            start, ci = 0, 0
+            while start < len(toks):
+                win = toks[start : start + size]
+                dids.append(did)
+                idxs.append(ci)
+                texts.append(" ".join(win))
+                ns.append(len(win))
+                start += stride
+                ci += 1
+        return pa.table(
+            {
+                "doc_id": pa.array(dids, pa.int64()),
+                "chunk_idx": pa.array(idxs, pa.int64()),
+                "chunk_text": pa.array(texts, pa.string()),
+                "n_tokens": pa.array(ns, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def events_value_1h_range_sum(sf_dir: str):
+    """Per-user RANGE-framed time window: for every event, the sum of
+    ``value`` over that user's events in the trailing ONE HOUR —
+    ``RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW``
+    semantics, which (unlike the ROWS frames of the rolling_mean/median
+    ops) is keyed on the timestamp and includes the current row's
+    equal-timestamp PEERS. One bucketed shuffle on user_id; inside a
+    bucket each user's sorted series resolves both frame edges with two
+    vectorized searchsorteds over a prefix-sum (left edge ts-1h
+    side=left, right edge ts side=right for the peer rule)."""
+    from ..functions.groups import bucketed_group_apply
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                          "value"])
+    HOUR_US = np.int64(3_600_000_000)
+
+    def window_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_id, out_sum = [], []
+        for _, sub in g.groupby("user_id", sort=False):
+            sub = sub.sort_values(["ts", "event_id"], kind="mergesort")
+            ts = sub["ts"].to_numpy("datetime64[us]").astype(np.int64)
+            v = sub["value"].to_numpy(np.float64)
+            prefix = np.concatenate([[0.0], np.cumsum(v)])
+            lo = np.searchsorted(ts, ts - HOUR_US, side="left")
+            hi = np.searchsorted(ts, ts, side="right")  # include peers
+            out_id.append(sub["event_id"].to_numpy(np.int64))
+            out_sum.append(np.round(prefix[hi] - prefix[lo], 6))
+        if not out_id:
+            return pd.DataFrame(
+                {"event_id": np.array([], np.int64),
+                 "sum_1h": np.array([], np.float64)}
+            )
+        return pd.DataFrame(
+            {"event_id": np.concatenate(out_id),
+             "sum_1h": np.concatenate(out_sum)}
+        )
+
+    return bucketed_group_apply(ds, ["user_id"], window_bucket)
