@@ -3809,12 +3809,21 @@ def events_value_1h_range_sum(sf_dir: str):
         for _, sub in g.groupby("user_id", sort=False):
             sub = sub.sort_values(["ts", "event_id"], kind="mergesort")
             ts = sub["ts"].to_numpy("datetime64[us]").astype(np.int64)
-            v = sub["value"].to_numpy(np.float64)
-            prefix = np.concatenate([[0.0], np.cumsum(v)])
+            # prefix differences re-associate the float sum vs DuckDB's
+            # frame-local aggregation; carry the prefix in extended
+            # precision (longdouble) so the difference approximates the
+            # TRUE frame sum to ~1e-19 relative and the 6dp rounding
+            # grid is engine-independent (oracle-gate float discipline)
+            v = sub["value"].to_numpy(np.float64).astype(np.longdouble)
+            prefix = np.concatenate(
+                [np.zeros(1, np.longdouble), np.cumsum(v)]
+            )
             lo = np.searchsorted(ts, ts - HOUR_US, side="left")
             hi = np.searchsorted(ts, ts, side="right")  # include peers
             out_id.append(sub["event_id"].to_numpy(np.int64))
-            out_sum.append(np.round(prefix[hi] - prefix[lo], 6))
+            out_sum.append(
+                np.round((prefix[hi] - prefix[lo]).astype(np.float64), 6)
+            )
         if not out_id:
             return pd.DataFrame(
                 {"event_id": np.array([], np.int64),

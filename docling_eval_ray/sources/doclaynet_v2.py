@@ -125,6 +125,11 @@ def build_doclaynet_v2_record(data: dict) -> dict:
                 content = [c for c in cells if c.text != ""]
                 for cell, ctext in zip(content, texts):
                     cell.text = ctext
+                # unmatched content cells must NOT leak parse_otsl's
+                # placeholder token names ("fcel"/"ched") into the GT
+                # html — blank them like ecel cells
+                for cell in content[len(texts):]:
+                    cell.text = ""
                 n_rows, n_cols = grid_shape(cells)
                 tables.append(
                     {"html": cells_to_html(cells), "n_rows": n_rows,

@@ -187,6 +187,36 @@ def embedding_near_dups(sf_dir: str, *, threshold: float = NEAR_DUP_THRESHOLD,
     return stage(ds, _BlockPairwise, args=(ref, threshold))
 
 
+def _grouped_by_key(ds, key: str, fn, *, num_buckets: int = 64):
+    """``groupby(key).map_groups(fn)`` for key cardinality that SCALES
+    with the corpus (cells × shards): one shuffle on ``key %
+    num_buckets``, then ``fn`` applied per key segment inside each
+    bucket task — per-bucket instead of per-key Ray overhead (the
+    functions/groups.py rationale; a per-key map_groups at ~2 ms/group
+    is pathological past ~10⁴ keys), zero-copy pyarrow throughout."""
+
+    def bucket(t: pa.Table) -> pa.Table:
+        b = t[key].to_numpy(zero_copy_only=False) % num_buckets
+        return t.append_column("__b", pa.array(b.astype(np.int64),
+                                               pa.int64()))
+
+    bucketed = ds.map_batches(bucket, batch_format="pyarrow")
+
+    def run(g: pa.Table) -> pa.Table:
+        g = g.sort_by(key).drop_columns(["__b"])
+        keys = g[key].to_numpy(zero_copy_only=False)
+        bounds = np.flatnonzero(
+            np.concatenate([[True], keys[1:] != keys[:-1], [True]])
+        )
+        outs = [
+            fn(g.slice(bounds[i], bounds[i + 1] - bounds[i]))
+            for i in range(len(bounds) - 1)
+        ]
+        return pa.concat_tables(outs) if outs else fn(g)
+
+    return bucketed.groupby("__b").map_groups(run, batch_format="pyarrow")
+
+
 def _tiled_pairs(a_ids, a_mat, b_ids, b_mat, threshold, *, within):
     """All (id_a<id_b, sim) pairs with sim≥threshold between two sides,
     computed in row tiles so the similarity matrix allocation is bounded
@@ -281,6 +311,12 @@ def embedding_near_dups_ivf(sf_dir: str, *,
     assigned = ds.map_batches(assign, batch_format="pyarrow")
 
     def block_pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            z = pa.array([], pa.int64())
+            return pa.table(
+                {"vec_id_a": z, "vec_id_b": z,
+                 "sim": pa.array([], pa.float64())}
+            )
         ids = g["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         sub = g["sub"].to_numpy(zero_copy_only=False)
         key = int(g["block"][0].as_py())
@@ -306,8 +342,9 @@ def embedding_near_dups_ivf(sf_dir: str, *,
             }
         )
 
-    pairs = assigned.groupby("block").map_groups(
-        block_pairs, batch_format="pyarrow"
+    pairs = _grouped_by_key(
+        assigned, "block", block_pairs,
+        num_buckets=max(64, len(cents) // 4),
     )
     return bucketed_group_apply(
         pairs,
@@ -333,7 +370,7 @@ def _hash_sample(sf_dir: str, sample_max: int):
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     n = ds.count()  # parquet metadata, no scan
-    rate = max(1, n // max(1, sample_max // 2))
+    rate = max(1, n // (2 * sample_max))  # ~2×sample_max expected rows
 
     def pick(t: pa.Table) -> pa.Table:
         ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -369,7 +406,6 @@ def ivf_centroids(sf_dir: str, *, n_cells: int | None = None,
         n_cells = _derive_cells(n)
     rng = np.random.default_rng(seed)
     cents = m[rng.choice(len(m), size=min(n_cells, len(m)), replace=False)]
-    assign = np.zeros(len(m), np.int64)
     for _ in range(iters):
         assign = np.argmax(m @ cents.T, axis=1)
         for c in range(len(cents)):
@@ -377,6 +413,10 @@ def ivf_centroids(sf_dir: str, *, n_cells: int | None = None,
             if len(members):
                 cents[c] = members.mean(axis=0)
         cents = _normalize(cents)
+    # census from the FINAL centroids (the ones the data plane assigns
+    # against) — the in-loop assignment is one Lloyd step stale and a
+    # cell that grew under the last update could dodge the re-split
+    assign = np.argmax(m @ cents.T, axis=1)
     hist = np.bincount(assign, minlength=len(cents)).astype(np.float64)
     est = hist * (n / max(1, len(m)))
     return cents, est, n
@@ -520,8 +560,9 @@ def embedding_knn_ivf(sf_dir: str, *, k: int = KNN_K, nprobe: int = 4,
             }
         )
 
-    local = assigned.groupby("cell").map_groups(
-        cell_search, batch_format="pyarrow"
+    local = _grouped_by_key(
+        assigned, "cell", cell_search,
+        num_buckets=max(64, len(cents) // 4),
     )
 
     def merge_topk(g: pd.DataFrame) -> pd.DataFrame:

@@ -177,8 +177,12 @@ class ApiPredictionProvider:
         for did, spans in zip(doc_ids, spans_col):
             try:
                 payload, n = self._call_with_retry(did, spans)
+                # normalize BEFORE any list append: if it raises (a
+                # malformed payload), no column may be left one entry
+                # longer than the others
+                norm = normalize_api_response(payload)
                 preds.append(payload)
-                pred_spans.append(normalize_api_response(payload))
+                pred_spans.append(norm)
                 statuses.append("success")
                 attempts.append(n)
             except Exception as exc:

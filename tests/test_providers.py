@@ -104,3 +104,35 @@ def test_api_predictions_pipeline(ray_session):
             % 17 == 0).all()
     ok = df[df["status"] == "success"].iloc[0]
     assert len(ok["pred_spans"]) > 0
+
+
+def test_poisoned_normalize_stays_a_status_row(monkeypatch):
+    """A payload that the normalizer cannot parse must become ONE
+    aligned failure row (error class recorded), never a column-length
+    mismatch (the double-append regression) or a raised exception."""
+    import docling_eval_ray.stages.providers as prov
+
+    def boom(payload):
+        raise ValueError("malformed payload")
+
+    monkeypatch.setattr(prov, "normalize_api_response", boom)
+    import pyarrow as pa
+
+    from docling_eval_ray.datamodel.schema import SPAN_STRUCT
+
+    stage = prov.ApiPredictionProvider(rate_per_s=None)
+    t = pa.table(
+        {
+            "doc_id": pa.array(["doc-000001", "doc-000002"], pa.string()),
+            "spans": pa.array(
+                [[{"kind": "text", "text": "a", "media_ref": "",
+                   "offset": 0}]] * 2,
+                pa.list_(SPAN_STRUCT),
+            ),
+        }
+    )
+    out = stage(t)
+    assert out.num_rows == 2
+    assert out["status"].to_pylist() == ["failure", "failure"]
+    assert all(p.startswith("<error:ValueError>")
+               for p in out["prediction"].to_pylist())
