@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens_per_lang": r.top_tokens_per_lang,
         "chunk_with_overlap": r.chunk_with_overlap,
         "events_value_1h_range_sum": r.events_value_1h_range_sum,
+        "lang_unigram_kl": r.lang_unigram_kl,
     }
     # multimodal: perceptual-hash image dedup census (rows-only; the
     # pHash kernel is the real algorithm over the documented stub pixels)
@@ -150,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dedup_keep_canonical,
         minhash_near_dups,
         near_dup_clusters,
+        neardup_degree_histogram,
         neardup_pagerank,
         ngram_jaccard_pairs,
         simhash_fingerprints,
@@ -174,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "simhash_fingerprints": simhash_fingerprints, # oracled (bit-vote)
             "simhash_near_dups": simhash_near_dups,       # oracled (banded exact)
             "neardup_pagerank": neardup_pagerank,         # oracled (power iter)
+            "neardup_degree_histogram": neardup_degree_histogram,  # oracled
             "embedding_knn": embedding_knn,               # oracled
             "embedding_near_dups": embedding_near_dups,   # oracled
             "embedding_knn_ivf": embedding_knn_ivf,       # rows-only (ANN)

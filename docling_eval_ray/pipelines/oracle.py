@@ -1511,6 +1511,65 @@ ORACLE_SQL["events_value_1h_range_sum"] = """
     FROM events
 """
 
+# near-dup graph degree histogram (shared pair SQL)
+ORACLE_SQL["neardup_degree_histogram"] = """
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               CASE WHEN len(w) < 3 THEN array_to_string(w, ' ')
+                    ELSE w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] END AS s
+        FROM toks,
+             UNNEST(range(CASE WHEN len(w) < 3 THEN 1
+                               ELSE len(w) - 2 END)) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT ia AS a, ib AS b
+        FROM inter
+        JOIN sizes na ON na.doc_id = ia
+        JOIN sizes nb ON nb.doc_id = ib
+        WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.1
+    ),
+    edges AS (
+        SELECT a AS s, b AS t FROM pairs
+        UNION
+        SELECT b, a FROM pairs
+    ),
+    deg AS (SELECT s, count(*) AS degree FROM edges GROUP BY s)
+    SELECT degree, count(*) AS n_docs FROM deg GROUP BY degree
+"""
+
+# language-pair KL over the shared vocabulary (renormalized)
+ORACLE_SQL["lang_unigram_kl"] = r"""
+    WITH c AS (
+        SELECT lang, tok AS token, count(*) AS n
+        FROM documents,
+             UNNEST(regexp_split_to_array(trim(text), '\s+')) AS t(tok)
+        GROUP BY lang, tok
+    ),
+    p AS (
+        SELECT a.lang AS lang_a, b.lang AS lang_b,
+               CAST(a.n AS DOUBLE) AS na, CAST(b.n AS DOUBLE) AS nb
+        FROM c a JOIN c b ON a.token = b.token AND a.lang <> b.lang
+    ),
+    tot AS (
+        SELECT lang_a, lang_b, sum(na) AS sa, sum(nb) AS sb
+        FROM p GROUP BY 1, 2
+    )
+    SELECT p.lang_a, p.lang_b,
+           round_even(sum((na / sa) * ln((na / sa) / (nb / sb))), 6) AS kl
+    FROM p JOIN tot USING (lang_a, lang_b)
+    GROUP BY 1, 2
+"""
+
 # skyline / pareto front: brute-force NOT EXISTS dominance self-join
 ORACLE_SQL["parts_pareto_front"] = """
     SELECT p_partkey, p_retailprice, p_size

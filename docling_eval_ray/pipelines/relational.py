@@ -3835,3 +3835,104 @@ def events_value_1h_range_sum(sf_dir: str):
         )
 
     return bucketed_group_apply(ds, ["user_id"], window_bucket)
+
+
+def lang_unigram_kl(sf_dir: str):
+    """KL divergence between every ordered pair of language unigram
+    distributions, restricted to the pair's SHARED vocabulary and
+    renormalized over it (the corpus-mixing diagnostic: how far apart
+    the language token distributions are; symmetric-large values mean
+    clean separation, near-zero means near-duplicate sources).
+
+    Shape: per-batch (lang, token) partial counts → one bucketed sum
+    (vocabulary-sized exchange); a token-bucketed pass emits per-token
+    pair rows for every lang pair sharing that token; the |langs|²
+    pair totals reduce natively and broadcast back in the closure for
+    the contribution pass — the corpus is scanned once and nothing
+    larger than vocab × |lang pairs| crosses an exchange."""
+    from ..functions.groups import bucketed_group_apply
+    from ..functions.tokens import sql_tokens
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        langs, toks, ns = [], [], []
+        for lang, text in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
+            counts: dict[str, int] = {}
+            for w in sql_tokens(text):
+                counts[w] = counts.get(w, 0) + 1
+            langs.extend([lang] * len(counts))
+            toks.extend(counts)
+            ns.extend(counts.values())
+        return pa.table(
+            {
+                "lang": pa.array(langs, pa.string()),
+                "token": pa.array(toks, pa.string()),
+                "n_part": pa.array(ns, pa.int64()),
+            }
+        )
+
+    def sum_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["lang", "token"], as_index=False, sort=False)[
+            "n_part"
+        ].sum().rename(columns={"n_part": "n"})
+
+    counts = bucketed_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["lang", "token"], sum_bucket,
+    )
+
+    def pair_rows(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.merge(g, on="token", suffixes=("_a", "_b"))
+        out = out[out["lang_a"] != out["lang_b"]]
+        return out[["lang_a", "lang_b", "token", "n_a", "n_b"]]
+
+    pair_tbl = bucketed_group_apply(counts, ["token"], pair_rows)
+    pairs = pair_tbl.materialize()  # vocab × |lang pairs| rows, reused
+
+    # |langs|² intersection totals — native groupby is fine here
+    from ray.data.aggregate import Sum
+
+    tot = pairs.groupby(["lang_a", "lang_b"]).aggregate(
+        Sum("n_a", alias_name="sa"), Sum("n_b", alias_name="sb")
+    ).to_pandas()
+    totals = {
+        (r.lang_a, r.lang_b): (float(r.sa), float(r.sb))
+        for r in tot.itertuples()
+    }
+
+    def contrib(t: pa.Table) -> pa.Table:
+        la = t["lang_a"].to_pylist()
+        lb = t["lang_b"].to_pylist()
+        na = t["n_a"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = t["n_b"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sa = np.array([totals[(a, b)][0] for a, b in zip(la, lb)])
+        sb = np.array([totals[(a, b)][1] for a, b in zip(la, lb)])
+        p = na / sa
+        q = nb / sb
+        return pa.table(
+            {
+                "lang_a": t["lang_a"],
+                "lang_b": t["lang_b"],
+                "c": pa.array(p * np.log(p / q), pa.float64()),
+            }
+        )
+
+    final = _final_groupby(
+        pairs.map_batches(contrib, batch_format="pyarrow"),
+        ["lang_a", "lang_b"], ["c"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang_a": t["lang_a"],
+                "lang_b": t["lang_b"],
+                "kl": pa.array(
+                    np.round(t["c"].to_numpy(zero_copy_only=False), 6),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return final.map_batches(finish, batch_format="pyarrow")

@@ -980,3 +980,47 @@ def neardup_pagerank(sf_dir: str, *, threshold: float = 0.1, k: int = 3,
         ),
         batch_format="pyarrow",
     )
+
+
+def neardup_degree_histogram(sf_dir: str, *, threshold: float = 0.1,
+                             k: int = 3):
+    """Degree distribution of the exact near-dup graph: (degree,
+    n_docs) — the dedup-graph health census (a heavy tail means hub
+    documents / boilerplate cliques and predicts verification skew).
+    Edges symmetrize once; per-node degree via the census
+    partial+final pattern; the second groupby runs over the (tiny)
+    distinct-degree domain. Oracled on the shared pair SQL."""
+    from ..functions.groups import count_partial, final_groupby_sum
+
+    pairs = ngram_jaccard_pairs(sf_dir, k=k, threshold=threshold)
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        a = t["doc_id_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_id_b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"src": pa.array(np.concatenate([a, b]), pa.int64())}
+        )
+
+    edges = pairs.map_batches(symmetrize, batch_format="pyarrow")
+    deg = final_groupby_sum(
+        edges.map_batches(count_partial("src", "deg"),
+                          batch_format="pyarrow"),
+        ["src"], ["deg"],
+    )
+    hist = final_groupby_sum(
+        deg.map_batches(count_partial("deg", "n_docs"),
+                        batch_format="pyarrow"),
+        ["deg"], ["n_docs"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "degree": pc.cast(t["deg"], pa.int64()),
+                "n_docs": pc.cast(t["n_docs"], pa.int64()),
+            }
+        )
+
+    return hist.map_batches(finish, batch_format="pyarrow")
