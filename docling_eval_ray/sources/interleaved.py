@@ -132,3 +132,36 @@ def read_interleaved_documents(sf_dir: str, **read_kwargs):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"], **read_kwargs
     )
     return ds.map_batches(_synth_batch, batch_format="pyarrow")
+
+
+def read_canonical_interleaved(path: str, **read_kwargs):
+    """Read an ALREADY-interleaved table ``(doc_id: string, spans:
+    list<struct<kind,text,media_ref,offset>>)`` — the production entry
+    point of the north rule's input hint, where the corpus is a
+    Lance/Parquet table of interleaved documents rather than flat text.
+
+    Format negotiation is gated on what the environment provides:
+    a ``*.lance`` dataset directory reads through ``ray.data.read_lance``
+    when the ``lance`` package is importable (the north rule's storage
+    format; absent in this container — the gate mirrors
+    state/lineage.py), anything else through ``read_parquet``. Columns
+    are pruned to the canonical pair either way."""
+    import os
+
+    import ray.data as rd
+
+    cols = ["doc_id", "spans"]
+    is_lance = path.rstrip("/").endswith(".lance") or os.path.isdir(
+        os.path.join(path, "_versions")
+    )
+    if is_lance:
+        try:
+            import lance  # noqa: F401
+
+            return rd.read_lance(path, columns=cols, **read_kwargs)
+        except ImportError as e:  # pragma: no cover - lance absent here
+            raise ImportError(
+                "path looks like a Lance dataset but the 'lance' "
+                "package is not installed"
+            ) from e
+    return rd.read_parquet(path, columns=cols, **read_kwargs)

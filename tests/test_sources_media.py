@@ -318,3 +318,40 @@ def test_media_phash_census(ray_session):
     assert (df["n_refs"] >= 1).all()
     assert (df["n_images"] == df["n_refs"]).all()
     assert int(df["n_images"].sum()) == 434  # media spans at sf0.001
+
+
+def test_read_canonical_interleaved_roundtrip(ray_session, tmp_path):
+    """The production entry point reads an already-interleaved
+    (doc_id, spans) parquet table with pruned columns and preserves the
+    span-sequence invariant exactly; a .lance-looking path without the
+    lance package raises a clear ImportError (the gated format branch)."""
+    import pyarrow.parquet as pq
+    import pytest
+
+    from docling_eval_ray.sources.interleaved import (
+        read_canonical_interleaved,
+        read_interleaved_documents,
+    )
+
+    src = read_interleaved_documents("/root/testdata/sf0.001")
+    table = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    out = tmp_path / "canonical"
+    out.mkdir()
+    # persist the canonical table (plus a decoy column that must be
+    # pruned at the read)
+    full = src.to_pandas()
+    full["decoy"] = 1
+    import pyarrow as pa
+
+    pq.write_table(pa.Table.from_pandas(full), out / "part-0.parquet")
+
+    ds = read_canonical_interleaved(str(out))
+    assert set(ds.schema().names) == {"doc_id", "spans"}
+    got = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = src.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(got) == table.num_rows
+    for g, w in zip(got["spans"], want["spans"]):
+        assert list(g) == list(w)  # (kind, text, media_ref, offset) order
+
+    with pytest.raises(ImportError, match="lance"):
+        read_canonical_interleaved(str(out / "corpus.lance"))
