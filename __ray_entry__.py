@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         minhash_near_dups,
         near_dup_clusters,
         neardup_degree_histogram,
+        neardup_kcore,
         neardup_pagerank,
         ngram_jaccard_pairs,
         simhash_fingerprints,
@@ -177,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "simhash_near_dups": simhash_near_dups,       # oracled (banded exact)
             "neardup_pagerank": neardup_pagerank,         # oracled (power iter)
             "neardup_degree_histogram": neardup_degree_histogram,  # oracled
+            "neardup_kcore": neardup_kcore,               # oracled (peeling)
             "embedding_knn": embedding_knn,               # oracled
             "embedding_near_dups": embedding_near_dups,   # oracled
             "embedding_knn_ivf": embedding_knn_ivf,       # rows-only (ANN)

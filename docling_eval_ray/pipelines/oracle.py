@@ -1570,6 +1570,60 @@ ORACLE_SQL["lang_unigram_kl"] = r"""
     GROUP BY 1, 2
 """
 
+# k-core peeling, 3 fixed rounds (chained per-round CTEs over the
+# shared pair SQL; the neardup_pagerank oracle discipline)
+ORACLE_SQL["neardup_kcore"] = """
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               CASE WHEN len(w) < 3 THEN array_to_string(w, ' ')
+                    ELSE w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] END AS s
+        FROM toks,
+             UNNEST(range(CASE WHEN len(w) < 3 THEN 1
+                               ELSE len(w) - 2 END)) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    prs AS (
+        SELECT ia AS a, ib AS b
+        FROM inter
+        JOIN sizes na ON na.doc_id = ia
+        JOIN sizes nb ON nb.doc_id = ib
+        WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.1
+    ),
+    e0 AS (SELECT a AS s, b AS t FROM prs UNION SELECT b, a FROM prs),
+    d0 AS (SELECT s, count(*) AS d FROM e0 GROUP BY s),
+    k0 AS (SELECT s FROM d0 WHERE d >= 2),
+    e1 AS (
+        SELECT e.s, e.t FROM e0 e
+        JOIN k0 a ON e.s = a.s
+        JOIN k0 b ON e.t = b.s
+    ),
+    d1 AS (SELECT s, count(*) AS d FROM e1 GROUP BY s),
+    k1 AS (SELECT s FROM d1 WHERE d >= 2),
+    e2 AS (
+        SELECT e.s, e.t FROM e1 e
+        JOIN k1 a ON e.s = a.s
+        JOIN k1 b ON e.t = b.s
+    ),
+    d2 AS (SELECT s, count(*) AS d FROM e2 GROUP BY s),
+    k2 AS (SELECT s FROM d2 WHERE d >= 2),
+    e3 AS (
+        SELECT e.s, e.t FROM e2 e
+        JOIN k2 a ON e.s = a.s
+        JOIN k2 b ON e.t = b.s
+    ),
+    d3 AS (SELECT s, count(*) AS d FROM e3 GROUP BY s)
+    SELECT s AS doc_id, d AS degree FROM d3
+"""
+
 # skyline / pareto front: brute-force NOT EXISTS dominance self-join
 ORACLE_SQL["parts_pareto_front"] = """
     SELECT p_partkey, p_retailprice, p_size

@@ -1024,3 +1024,73 @@ def neardup_degree_histogram(sf_dir: str, *, threshold: float = 0.1,
         )
 
     return hist.map_batches(finish, batch_format="pyarrow")
+
+
+def neardup_kcore(sf_dir: str, *, k: int = 2, rounds: int = 3,
+                  threshold: float = 0.1, shingle_k: int = 3):
+    """k-core peeling of the near-dup graph, ``rounds`` fixed
+    iterations: repeatedly drop nodes with degree < k and the edges
+    touching them — the denser-than-pairs duplication structure (a
+    2-core member sits in a duplication CLUSTER, not just one pair;
+    boilerplate families survive peeling, incidental pairs don't).
+    Output: (doc_id, degree) of the survivors after the last peel.
+
+    Shape per round: per-node degree via the census partial+final
+    pattern, survivors filtered by degree, edges semi-joined against
+    the survivor set on BOTH endpoints (distributed ``semi_anti_join``
+    — no driver membership set). Edges are output-sized and
+    re-materialized once per round. Fixed round count keeps it
+    DuckDB-oracle-able via chained per-round CTEs (the
+    neardup_pagerank discipline; full k-core = iterate to fixpoint)."""
+    import pyarrow.compute as pc
+
+    from ..functions.groups import count_partial, final_groupby_sum
+    from ..functions.joins import semi_anti_join
+
+    pairs = ngram_jaccard_pairs(sf_dir, k=shingle_k, threshold=threshold)
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        a = t["doc_id_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_id_b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "s": pa.array(np.concatenate([a, b]), pa.int64()),
+                "t": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    edges = pairs.map_batches(
+        symmetrize, batch_format="pyarrow"
+    ).materialize()
+
+    def degrees(e):
+        return final_groupby_sum(
+            e.map_batches(count_partial("s", "degree"),
+                          batch_format="pyarrow"),
+            ["s"], ["degree"],
+        )
+
+    for _ in range(rounds):
+        keep = degrees(edges).filter(expr=f"degree >= {k}").map_batches(
+            lambda t: pa.table({"s": pc.cast(t["s"], pa.int64())}),
+            batch_format="pyarrow",
+        ).materialize()  # survivor set: output-sized, used twice
+        e1 = semi_anti_join(edges, keep, on="s")
+        e2 = semi_anti_join(
+            e1.map_batches(lambda t: t.rename_columns(["t", "s"]),
+                           batch_format="pyarrow"),
+            keep, on="s",
+        ).map_batches(lambda t: t.rename_columns(["t", "s"]),
+                      batch_format="pyarrow")
+        edges = e2.materialize()
+
+    final = degrees(edges)
+    return final.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.cast(t["s"], pa.int64()),
+                "degree": pc.cast(t["degree"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
