@@ -123,11 +123,14 @@ _MUTATION_CTE = r""",
 
 _STATUS_FILTER = "WHERE doc_id % 10 <> 3"
 
-ORACLE_SQL: dict[str, str] = {
-    # --- dedup / similarity (training-data ops) ---
-    "ngram_jaccard_pairs": """
-        WITH toks AS (
-            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+#: shared exact near-dup fragment: 3-shingle sets → pairwise
+#: intersection counts (toks/sh/sizes/inter) — the SQL replica of
+#: stages/dedup.py:ngram_jaccard_pairs(k=3). Every near-dup-graph
+#: oracle (pairs, clusters, pagerank, degree histogram, k-core)
+#: interpolates THIS text so the shingle construction and the 0.1
+#: threshold live in exactly one place.
+_NEARDUP_INTER_CTE = r"""toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
             FROM documents
         ),
         sh AS (
@@ -143,36 +146,10 @@ ORACLE_SQL: dict[str, str] = {
             SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
             GROUP BY 1, 2
-        )
-        SELECT ia AS doc_id_a, ib AS doc_id_b,
-               round_even(CAST(c AS DOUBLE) / (na.n + nb.n - c), 6) AS jaccard
-        FROM inter
-        JOIN sizes na ON na.doc_id = ia
-        JOIN sizes nb ON nb.doc_id = ib
-        WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.1
-    """,
-    # connected components over the exact near-dup graph: recursive
-    # reachability (walk(s,l): node s can reach label l), component id =
-    # min reachable doc id — mirrors the Ray min-label propagation
-    "near_dup_clusters": """
-        WITH RECURSIVE toks AS (
-            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
-            FROM documents
-        ),
-        sh AS (
-            SELECT DISTINCT doc_id,
-                   CASE WHEN len(w) < 3 THEN array_to_string(w, ' ')
-                        ELSE w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] END AS s
-            FROM toks,
-                 UNNEST(range(CASE WHEN len(w) < 3 THEN 1
-                                   ELSE len(w) - 2 END)) AS t(i)
-        ),
-        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        inter AS (
-            SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
-            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
-        ),
+        )"""
+
+#: …extended to the symmetric edge list of the near-dup graph
+_NEARDUP_EDGES_CTE = _NEARDUP_INTER_CTE + """,
         pairs AS (
             SELECT ia AS a, ib AS b
             FROM inter
@@ -184,7 +161,24 @@ ORACLE_SQL: dict[str, str] = {
             SELECT a AS s, b AS t FROM pairs
             UNION
             SELECT b, a FROM pairs
-        ),
+        )"""
+
+ORACLE_SQL: dict[str, str] = {
+    # --- dedup / similarity (training-data ops) ---
+    "ngram_jaccard_pairs": f"""
+        WITH {_NEARDUP_INTER_CTE}
+        SELECT ia AS doc_id_a, ib AS doc_id_b,
+               round_even(CAST(c AS DOUBLE) / (na.n + nb.n - c), 6) AS jaccard
+        FROM inter
+        JOIN sizes na ON na.doc_id = ia
+        JOIN sizes nb ON nb.doc_id = ib
+        WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.1
+    """,
+    # connected components over the exact near-dup graph: recursive
+    # reachability (walk(s,l): node s can reach label l), component id =
+    # min reachable doc id — mirrors the Ray min-label propagation
+    "near_dup_clusters": f"""
+        WITH RECURSIVE {_NEARDUP_EDGES_CTE},
         walk(s, l) AS (
             SELECT s, s FROM (SELECT DISTINCT s FROM edges) nodes
             UNION
@@ -1511,38 +1505,9 @@ ORACLE_SQL["events_value_1h_range_sum"] = """
     FROM events
 """
 
-# near-dup graph degree histogram (shared pair SQL)
-ORACLE_SQL["neardup_degree_histogram"] = """
-    WITH toks AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
-        FROM documents
-    ),
-    sh AS (
-        SELECT DISTINCT doc_id,
-               CASE WHEN len(w) < 3 THEN array_to_string(w, ' ')
-                    ELSE w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] END AS s
-        FROM toks,
-             UNNEST(range(CASE WHEN len(w) < 3 THEN 1
-                               ELSE len(w) - 2 END)) AS t(i)
-    ),
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    inter AS (
-        SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
-        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    ),
-    pairs AS (
-        SELECT ia AS a, ib AS b
-        FROM inter
-        JOIN sizes na ON na.doc_id = ia
-        JOIN sizes nb ON nb.doc_id = ib
-        WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.1
-    ),
-    edges AS (
-        SELECT a AS s, b AS t FROM pairs
-        UNION
-        SELECT b, a FROM pairs
-    ),
+# near-dup graph degree histogram (shared edge SQL)
+ORACLE_SQL["neardup_degree_histogram"] = f"""
+    WITH {_NEARDUP_EDGES_CTE},
     deg AS (SELECT s, count(*) AS degree FROM edges GROUP BY s)
     SELECT degree, count(*) AS n_docs FROM deg GROUP BY degree
 """
@@ -1571,38 +1536,13 @@ ORACLE_SQL["lang_unigram_kl"] = r"""
 """
 
 # k-core peeling, 3 fixed rounds (chained per-round CTEs over the
-# shared pair SQL; the neardup_pagerank oracle discipline)
-ORACLE_SQL["neardup_kcore"] = """
-    WITH toks AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
-        FROM documents
-    ),
-    sh AS (
-        SELECT DISTINCT doc_id,
-               CASE WHEN len(w) < 3 THEN array_to_string(w, ' ')
-                    ELSE w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] END AS s
-        FROM toks,
-             UNNEST(range(CASE WHEN len(w) < 3 THEN 1
-                               ELSE len(w) - 2 END)) AS t(i)
-    ),
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    inter AS (
-        SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
-        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    ),
-    prs AS (
-        SELECT ia AS a, ib AS b
-        FROM inter
-        JOIN sizes na ON na.doc_id = ia
-        JOIN sizes nb ON nb.doc_id = ib
-        WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.1
-    ),
-    e0 AS (SELECT a AS s, b AS t FROM prs UNION SELECT b, a FROM prs),
-    d0 AS (SELECT s, count(*) AS d FROM e0 GROUP BY s),
+# shared edge SQL; the neardup_pagerank oracle discipline)
+ORACLE_SQL["neardup_kcore"] = f"""
+    WITH {_NEARDUP_EDGES_CTE},
+    d0 AS (SELECT s, count(*) AS d FROM edges GROUP BY s),
     k0 AS (SELECT s FROM d0 WHERE d >= 2),
     e1 AS (
-        SELECT e.s, e.t FROM e0 e
+        SELECT e.s, e.t FROM edges e
         JOIN k0 a ON e.s = a.s
         JOIN k0 b ON e.t = b.s
     ),
@@ -1641,38 +1581,8 @@ ORACLE_SQL["parts_pareto_front"] = """
 # chained per-iteration CTEs over the SAME pair SQL as
 # near_dup_clusters; ranks rounded to 9 each iteration on both sides
 # (see stages/dedup.py:neardup_pagerank float discipline)
-ORACLE_SQL["neardup_pagerank"] = """
-    WITH
-        toks AS (
-            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
-            FROM documents
-        ),
-        sh AS (
-            SELECT DISTINCT doc_id,
-                   CASE WHEN len(w) < 3 THEN array_to_string(w, ' ')
-                        ELSE w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] END AS s
-            FROM toks,
-                 UNNEST(range(CASE WHEN len(w) < 3 THEN 1
-                                   ELSE len(w) - 2 END)) AS t(i)
-        ),
-        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        inter AS (
-            SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
-            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
-        ),
-        pairs AS (
-            SELECT ia AS a, ib AS b
-            FROM inter
-            JOIN sizes na ON na.doc_id = ia
-            JOIN sizes nb ON nb.doc_id = ib
-            WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.1
-        ),
-        edges AS (
-            SELECT a AS s, b AS t FROM pairs
-            UNION
-            SELECT b, a FROM pairs
-        ),
+ORACLE_SQL["neardup_pagerank"] = f"""
+    WITH {_NEARDUP_EDGES_CTE},
         deg AS (SELECT s, count(*) AS d FROM edges GROUP BY s),
         nn AS (SELECT count(*) AS c FROM deg),
         w AS (

@@ -995,6 +995,8 @@ def neardup_degree_histogram(sf_dir: str, *, threshold: float = 0.1,
     pairs = ngram_jaccard_pairs(sf_dir, k=k, threshold=threshold)
 
     def symmetrize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # empty filtered blocks can be schema-less
+            return pa.table({"src": pa.array([], pa.int64())})
         a = t["doc_id_a"].to_numpy(zero_copy_only=False)
         b = t["doc_id_b"].to_numpy(zero_copy_only=False)
         return pa.table(
@@ -1026,30 +1028,38 @@ def neardup_degree_histogram(sf_dir: str, *, threshold: float = 0.1,
     return hist.map_batches(finish, batch_format="pyarrow")
 
 
-def neardup_kcore(sf_dir: str, *, k: int = 2, rounds: int = 3,
-                  threshold: float = 0.1, shingle_k: int = 3):
+def neardup_kcore(sf_dir: str, *, core_k: int = 2, rounds: int = 3,
+                  threshold: float = 0.1, k: int = 3):
     """k-core peeling of the near-dup graph, ``rounds`` fixed
-    iterations: repeatedly drop nodes with degree < k and the edges
-    touching them — the denser-than-pairs duplication structure (a
-    2-core member sits in a duplication CLUSTER, not just one pair;
+    iterations: repeatedly drop nodes with degree < ``core_k`` and the
+    edges touching them — the denser-than-pairs duplication structure
+    (a 2-core member sits in a duplication CLUSTER, not just one pair;
     boilerplate families survive peeling, incidental pairs don't).
+    ``k`` is the shingle size, as in every sibling near-dup entry.
     Output: (doc_id, degree) of the survivors after the last peel.
 
     Shape per round: per-node degree via the census partial+final
     pattern, survivors filtered by degree, edges semi-joined against
     the survivor set on BOTH endpoints (distributed ``semi_anti_join``
-    — no driver membership set). Edges are output-sized and
-    re-materialized once per round. Fixed round count keeps it
-    DuckDB-oracle-able via chained per-round CTEs (the
-    neardup_pagerank discipline; full k-core = iterate to fixpoint)."""
+    — no driver membership set; the endpoint swap is NAME-based, not
+    positional, so it composes with whatever column order the join
+    emits). Edges are output-sized and re-materialized once per round;
+    a metadata-count guard exits as soon as the graph peels to empty
+    (a materialized empty dataset is schema-less in this Ray version).
+    Fixed round count keeps it DuckDB-oracle-able via chained
+    per-round CTEs (the neardup_pagerank discipline; full k-core =
+    iterate to fixpoint)."""
     import pyarrow.compute as pc
 
     from ..functions.groups import count_partial, final_groupby_sum
     from ..functions.joins import semi_anti_join
 
-    pairs = ngram_jaccard_pairs(sf_dir, k=shingle_k, threshold=threshold)
+    pairs = ngram_jaccard_pairs(sf_dir, k=k, threshold=threshold)
 
     def symmetrize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # empty filtered blocks can be schema-less
+            return pa.table({"s": pa.array([], pa.int64()),
+                             "t": pa.array([], pa.int64())})
         a = t["doc_id_a"].to_numpy(zero_copy_only=False)
         b = t["doc_id_b"].to_numpy(zero_copy_only=False)
         return pa.table(
@@ -1059,9 +1069,19 @@ def neardup_kcore(sf_dir: str, *, k: int = 2, rounds: int = 3,
             }
         )
 
+    def swap_endpoints(t: pa.Table) -> pa.Table:
+        return pa.table({"s": t["t"], "t": t["s"]})
+
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "degree": pa.array([], pa.int64())}
+    )
+
     edges = pairs.map_batches(
         symmetrize, batch_format="pyarrow"
     ).materialize()
+    if edges.count() == 0:
+        return empty
 
     def degrees(e):
         return final_groupby_sum(
@@ -1071,18 +1091,22 @@ def neardup_kcore(sf_dir: str, *, k: int = 2, rounds: int = 3,
         )
 
     for _ in range(rounds):
-        keep = degrees(edges).filter(expr=f"degree >= {k}").map_batches(
+        keep = degrees(edges).filter(
+            expr=f"degree >= {core_k}"
+        ).map_batches(
             lambda t: pa.table({"s": pc.cast(t["s"], pa.int64())}),
             batch_format="pyarrow",
         ).materialize()  # survivor set: output-sized, used twice
+        if keep.count() == 0:
+            return empty
         e1 = semi_anti_join(edges, keep, on="s")
         e2 = semi_anti_join(
-            e1.map_batches(lambda t: t.rename_columns(["t", "s"]),
-                           batch_format="pyarrow"),
+            e1.map_batches(swap_endpoints, batch_format="pyarrow"),
             keep, on="s",
-        ).map_batches(lambda t: t.rename_columns(["t", "s"]),
-                      batch_format="pyarrow")
+        ).map_batches(swap_endpoints, batch_format="pyarrow")
         edges = e2.materialize()
+        if edges.count() == 0:
+            return empty
 
     final = degrees(edges)
     return final.map_batches(

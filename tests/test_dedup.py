@@ -176,3 +176,92 @@ def test_connected_components_known_graph(ray_session):
            for r in connected_components(ds).take_all()}
     assert got == {10: 10, 11: 10, 12: 10, 13: 10,
                    20: 20, 21: 20, 22: 20, 30: 30, 31: 30}
+
+
+def _phrase(tag: str) -> str:
+    return " ".join(f"{tag}{c}" for c in "abcdef")
+
+
+def _write_docs(path, texts: dict[int, str]) -> None:
+    pd.DataFrame(
+        {"doc_id": pd.array(sorted(texts), dtype="int64"),
+         "text": [texts[i] for i in sorted(texts)]}
+    ).to_parquet(path / "documents.parquet")
+
+
+def test_neardup_kcore_multi_round_peel(ray_session, tmp_path):
+    """Regression: rounds 2+ must keep filtering BOTH edge endpoints.
+
+    Path graph 0-1-2-3-4 (adjacent docs share one 6-word phrase = four
+    interior 3-shingles, Jaccard >= 0.1; nothing else shared). The
+    2-core peel needs two rounds to reach the empty fixpoint: round 1
+    drops the path ends, round 2 drops the remaining 3-path. A
+    positional endpoint swap (the original bug) leaves dangling edges
+    after round 2 and returns a nonempty result here."""
+    from docling_eval_ray.stages.dedup import neardup_kcore, ngram_jaccard_pairs
+
+    p = [_phrase(f"p{i}") for i in range(4)]
+    u = [" ".join(f"u{i}{j}" for j in range(8)) for i in range(5)]
+    _write_docs(tmp_path, {
+        0: f"{u[0]} {p[0]}",
+        1: f"{p[0]} {u[1]} {p[1]}",
+        2: f"{p[1]} {u[2]} {p[2]}",
+        3: f"{p[2]} {u[3]} {p[3]}",
+        4: f"{p[3]} {u[4]}",
+    })
+
+    pairs = sorted(
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in ngram_jaccard_pairs(str(tmp_path)).take_all()
+    )
+    assert pairs == [(0, 1), (1, 2), (2, 3), (3, 4)]  # the path, exactly
+
+    got = neardup_kcore(str(tmp_path))
+    got_df = got if isinstance(got, pd.DataFrame) else got.to_pandas()
+    assert len(got_df) == 0
+    assert sorted(got_df.columns) == ["degree", "doc_id"]
+
+    # the chained-CTE oracle agrees (empty) on the same input
+    import duckdb
+
+    from docling_eval_ray.pipelines.oracle import ORACLE_SQL
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{tmp_path}/documents.parquet'")
+    assert len(con.sql(ORACLE_SQL["neardup_kcore"]).df()) == 0
+    con.close()
+
+
+def test_neardup_kcore_triangle_survives(ray_session, tmp_path):
+    """Triangle {1,2,3} + pendant chain 1-4-5: the chain peels away in
+    two rounds, the triangle survives with degree 2 everywhere —
+    matches the DuckDB oracle row-for-row."""
+    from docling_eval_ray.stages.dedup import neardup_kcore
+
+    e12, e13, e23 = _phrase("q12"), _phrase("q13"), _phrase("q23")
+    e14, e45 = _phrase("q14"), _phrase("q45")
+    _write_docs(tmp_path, {
+        1: f"{e12} {e13} {e14}",
+        2: f"{e12} {e23}",
+        3: f"{e13} {e23}",
+        4: f"{e14} {e45}",
+        5: f"{e45} v50 v51 v52 v53",
+    })
+
+    got = neardup_kcore(str(tmp_path))
+    got_df = (got if isinstance(got, pd.DataFrame) else got.to_pandas())
+    got_rows = sorted(map(tuple, got_df[["doc_id", "degree"]].values))
+    assert got_rows == [(1, 2), (2, 2), (3, 2)]
+
+    import duckdb
+
+    from docling_eval_ray.pipelines.oracle import ORACLE_SQL
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{tmp_path}/documents.parquet'")
+    want = sorted(map(tuple,
+                      con.sql(ORACLE_SQL["neardup_kcore"]).df().values))
+    con.close()
+    assert got_rows == want

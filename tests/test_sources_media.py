@@ -353,5 +353,11 @@ def test_read_canonical_interleaved_roundtrip(ray_session, tmp_path):
     for g, w in zip(got["spans"], want["spans"]):
         assert list(g) == list(w)  # (kind, text, media_ref, offset) order
 
-    with pytest.raises(ImportError, match="lance"):
-        read_canonical_interleaved(str(out / "corpus.lance"))
+    # the ImportError gate only fires while lance is absent; with the
+    # package installed the branch becomes a real read (of a missing
+    # path here), so encode the gate, not the container's package set
+    try:
+        import lance  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="lance"):
+            read_canonical_interleaved(str(out / "corpus.lance"))
