@@ -308,14 +308,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["region_detection"] = region_detection
     q["region_kind_census"] = region_kind_census
-    # mergeable-sketch path (HLL distinct; accuracy tested vs exact)
+    # mergeable-sketch path (HLL distinct, t-digest quantiles;
+    # accuracy tested vs exact)
     from docling_eval_ray.stages.sketches import (
         approx_token_vocabulary,
         daily_active_users_hll,
+        events_type_p99_tdigest,
+        events_value_tdigest,
     )
 
     q["approx_token_vocabulary"] = approx_token_vocabulary
     q["daily_active_users_hll"] = daily_active_users_hll
+    q["events_value_tdigest"] = events_value_tdigest
+    q["events_type_p99_tdigest"] = events_type_p99_tdigest
     # F3-F7 fixture-schema evaluators (FIXTURES.md parity; known-answer
     # behavior tested)
     from docling_eval_ray.pipelines.fixture_eval import (

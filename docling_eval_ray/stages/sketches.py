@@ -228,3 +228,236 @@ def daily_active_users_hll(sf_dir: str):
     keyed = ds.map_batches(day_key, batch_format="pyarrow")
     return grouped_approx_distinct(keyed, "day", "user_id",
                                    out_col="dau_approx")
+
+
+# ---------------------------------------------------------------------------
+# t-digest: mergeable quantile sketch (Dunning & Ertl's merging digest,
+# k1 scale function) — the at-scale replacement for exact percentiles
+# the way HyperLogLog replaces exact distincts. Deterministic: centroids
+# are built by one stable sort + greedy scale-bounded merge, no
+# randomness, so partial→merge→quantile reproduces bit-for-bit across
+# runs and block orders of the SAME partials.
+# ---------------------------------------------------------------------------
+
+
+class TDigest:
+    """Merging t-digest with the k1 (arcsine) scale function.
+
+    ``delta`` bounds the centroid count (~delta centroids, ~16·delta
+    bytes serialized), and quantile error is O(q(1-q)/delta) — tightest
+    in the tails, which is exactly where fixed-bin histograms
+    (``quantile_from_histogram``) are weakest. Public algorithm:
+    Dunning & Ertl, "Computing extremely accurate quantiles using
+    t-digests" (arXiv:1902.04023).
+    """
+
+    def __init__(self, delta: int = 200):
+        self.delta = delta
+        self.means = np.empty(0, np.float64)
+        self.weights = np.empty(0, np.float64)
+        self.min = float("inf")
+        self.max = float("-inf")
+
+    def _k(self, q: np.ndarray) -> np.ndarray:
+        return self.delta / (2.0 * np.pi) * np.arcsin(
+            np.clip(2.0 * q - 1.0, -1.0, 1.0)
+        )
+
+    def _compress(self, means: np.ndarray, weights: np.ndarray) -> None:
+        order = np.argsort(means, kind="stable")
+        m, w = means[order], weights[order]
+        total = w.sum()
+        if total == 0:
+            self.means, self.weights = m[:0], w[:0]
+            return
+        out_m: list[float] = []
+        out_w: list[float] = []
+        w_left = 0.0  # total weight strictly left of the open centroid
+        k_lo = float(self._k(np.array([0.0]))[0])
+        cm, cw = float(m[0]), float(w[0])
+        for i in range(1, len(m)):
+            q_hi = (w_left + cw + w[i]) / total
+            if float(self._k(np.array([q_hi]))[0]) - k_lo <= 1.0:
+                cm += (m[i] - cm) * (w[i] / (cw + w[i]))
+                cw += float(w[i])
+            else:
+                out_m.append(cm)
+                out_w.append(cw)
+                w_left += cw
+                k_lo = float(self._k(np.array([w_left / total]))[0])
+                cm, cw = float(m[i]), float(w[i])
+        out_m.append(cm)
+        out_w.append(cw)
+        self.means = np.asarray(out_m, np.float64)
+        self.weights = np.asarray(out_w, np.float64)
+
+    def add_many(self, values: np.ndarray) -> None:
+        v = np.asarray(values, np.float64)
+        v = v[~np.isnan(v)]
+        if v.size == 0:
+            return
+        self.min = min(self.min, float(v.min()))
+        self.max = max(self.max, float(v.max()))
+        self._compress(
+            np.concatenate([self.means, v]),
+            np.concatenate([self.weights, np.ones(v.size, np.float64)]),
+        )
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        assert self.delta == other.delta
+        out = TDigest(self.delta)
+        out.min = min(self.min, other.min)
+        out.max = max(self.max, other.max)
+        out._compress(
+            np.concatenate([self.means, other.means]),
+            np.concatenate([self.weights, other.weights]),
+        )
+        return out
+
+    def quantile(self, q: float) -> float:
+        """Interpolated quantile: each centroid contributes half its
+        weight on either side of its mean; tails clamp to the tracked
+        exact min/max."""
+        if self.weights.size == 0:
+            return float("nan")
+        total = self.weights.sum()
+        target = q * total
+        cum = np.cumsum(self.weights) - self.weights / 2.0
+        if target <= cum[0]:
+            lo_w = cum[0]
+            if lo_w <= 0:
+                return float(self.means[0])
+            frac = max(target, 0.0) / lo_w
+            return self.min + frac * (float(self.means[0]) - self.min)
+        if target >= cum[-1]:
+            hi_w = total - cum[-1]
+            if hi_w <= 0:
+                return float(self.means[-1])
+            frac = min(target - cum[-1], hi_w) / hi_w
+            return float(self.means[-1]) + frac * (
+                self.max - float(self.means[-1])
+            )
+        i = int(np.searchsorted(cum, target, side="right"))
+        span = cum[i] - cum[i - 1]
+        frac = (target - cum[i - 1]) / span if span > 0 else 0.0
+        return float(self.means[i - 1]
+                     + frac * (self.means[i] - self.means[i - 1]))
+
+    def to_bytes(self) -> bytes:
+        import struct
+
+        head = struct.pack("<qdd", self.means.size, self.min, self.max)
+        return (head + self.means.tobytes() + self.weights.tobytes())
+
+    @classmethod
+    def from_bytes(cls, data: bytes, delta: int = 200) -> "TDigest":
+        import struct
+
+        n, mn, mx = struct.unpack_from("<qdd", data, 0)
+        off = struct.calcsize("<qdd")
+        td = cls(delta)
+        td.min, td.max = mn, mx
+        td.means = np.frombuffer(data, np.float64, n, off).copy()
+        td.weights = np.frombuffer(
+            data, np.float64, n, off + 8 * n
+        ).copy()
+        return td
+
+
+def approx_quantiles(ds, col: str, qs: list[float], *,
+                     delta: int = 200) -> dict[float, float]:
+    """Distributed approximate quantiles: one serialized t-digest per
+    batch → driver merge (sketches are ~16·delta bytes — the same
+    sketch-sized take_all contract as ``approx_distinct``; tree-reduce
+    via the bloom fan-in pattern if batches ever number 10^6)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        td = TDigest(delta)
+        td.add_many(t[col].to_numpy(zero_copy_only=False))
+        return pa.table({"sketch": pa.array([td.to_bytes()], pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    merged = TDigest(delta)
+    for row in parts:
+        merged = merged.merge(TDigest.from_bytes(row["sketch"], delta))
+    return {q: merged.quantile(q) for q in qs}
+
+
+def events_value_tdigest(sf_dir: str):
+    """Rows-only query: approximate value quantiles (p01/p25/p50/p75/
+    p99) over events via per-batch t-digest merge — the sketch-path
+    counterpart of the exact sort-based quantiles; accuracy vs
+    np.quantile asserted in tests/test_sketches.py."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    qs = [0.01, 0.25, 0.50, 0.75, 0.99]
+    est = approx_quantiles(ds, "value", qs)
+    return pa.table(
+        {
+            "q": pa.array(qs, pa.float64()),
+            "value_approx": pa.array(
+                [round(est[q], 6) for q in qs], pa.float64()
+            ),
+        }
+    )
+
+
+def grouped_approx_quantile(ds, key: str, col: str, q: float, *,
+                            delta: int = 200,
+                            out_col: str = "quantile_approx"):
+    """Per-group approximate quantile: (batch, group) t-digest partials
+    → ONE bucketed shuffle on the group key → digest merge + quantile
+    inside the bucket task. Same exchange bound as
+    ``grouped_approx_distinct``: (groups × batches) sketch rows, flat in
+    the group sizes — a per-group p99 at 10^9 rows/group moves KiB, not
+    rows."""
+    import pandas as pd
+
+    from ..functions.groups import bucketed_group_apply
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t[key].to_numpy(zero_copy_only=False)
+        vals = t[col].to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        sk, sv = keys[order], vals[order]
+        rows_k, rows_s = [], []
+        start = 0
+        for i in range(1, len(sk) + 1):
+            if i == len(sk) or sk[i] != sk[start]:
+                td = TDigest(delta)
+                td.add_many(sv[start:i])
+                rows_k.append(sk[start])
+                rows_s.append(td.to_bytes())
+                start = i
+        return pa.table({
+            key: pa.array(rows_k, t.schema.field(key).type),
+            "sketch": pa.array(rows_s, pa.binary()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_k, out_v = [], []
+        for k, grp in g.groupby(key, sort=True):
+            merged = TDigest(delta)
+            for s in grp["sketch"]:
+                merged = merged.merge(TDigest.from_bytes(bytes(s), delta))
+            out_k.append(k)
+            out_v.append(round(merged.quantile(q), 6))
+        return pd.DataFrame({key: out_k,
+                             out_col: np.asarray(out_v, np.float64)})
+
+    return bucketed_group_apply(parts, [key], merge_bucket)
+
+
+def events_type_p99_tdigest(sf_dir: str):
+    """Rows-only query: per-event-type approximate p99 of ``value`` via
+    the grouped t-digest (accuracy vs the exact per-group percentile
+    asserted in tests/test_sketches.py)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    return grouped_approx_quantile(ds, "event_type", "value", 0.99,
+                                   out_col="p99_approx")

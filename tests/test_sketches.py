@@ -89,3 +89,83 @@ def test_grouped_hll_accuracy_vs_exact(ray_session):
     rel = (j["dau_approx"] - j["dau"]).abs() / j["dau"]
     # p=12 -> ~1.6% standard error; allow 3 sigma headroom per group
     assert rel.max() < 0.05, j[rel >= 0.05]
+
+
+def test_tdigest_accuracy_rank_error():
+    """Rank error |F(est) - q| stays within 0.01 at delta=200 on a
+    skewed deterministic sample (tail-accurate where the histogram
+    sketch is weakest)."""
+    from docling_eval_ray.stages.sketches import TDigest
+
+    rng = np.random.default_rng(7)
+    vals = np.exp(rng.normal(0.0, 1.5, 50_000))  # lognormal, heavy tail
+    td = TDigest(200)
+    for chunk in np.array_split(vals, 25):
+        td.add_many(chunk)
+    for q in [0.01, 0.1, 0.5, 0.9, 0.99, 0.999]:
+        est = td.quantile(q)
+        rank = float(np.mean(vals <= est))
+        assert abs(rank - q) < 0.01, (q, est, rank)
+
+
+def test_tdigest_merge_matches_single_digest():
+    """Merging per-shard digests estimates like one digest over all
+    data (rank error bound holds through the merge)."""
+    from docling_eval_ray.stages.sketches import TDigest
+
+    rng = np.random.default_rng(11)
+    vals = rng.gamma(2.0, 3.0, 40_000)
+    parts = []
+    for chunk in np.array_split(vals, 16):
+        td = TDigest(200)
+        td.add_many(chunk)
+        parts.append(td)
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.merge(p)
+    assert merged.weights.sum() == len(vals)
+    assert merged.means.size <= 2 * 200  # scale bound holds post-merge
+    for q in [0.05, 0.5, 0.95]:
+        rank = float(np.mean(vals <= merged.quantile(q)))
+        assert abs(rank - q) < 0.01
+
+
+def test_tdigest_serialization_roundtrip():
+    from docling_eval_ray.stages.sketches import TDigest
+
+    td = TDigest(100)
+    td.add_many(np.arange(1000, dtype=np.float64))
+    rt = TDigest.from_bytes(td.to_bytes(), 100)
+    assert rt.min == td.min and rt.max == td.max
+    assert np.array_equal(rt.means, td.means)
+    assert np.array_equal(rt.weights, td.weights)
+    assert rt.quantile(0.5) == td.quantile(0.5)
+
+
+def test_events_value_tdigest_vs_exact(ray_session):
+    """Pipeline accuracy: the sketch quantiles of events.value land
+    within 0.01 rank error of the exact distribution at sf0.001."""
+    import pyarrow.parquet as pq
+
+    from docling_eval_ray.stages.sketches import (
+        events_type_p99_tdigest,
+        events_value_tdigest,
+    )
+
+    vals = pq.read_table(
+        "/root/testdata/sf0.001/events.parquet", columns=["value"]
+    )["value"].to_numpy()
+    out = events_value_tdigest("/root/testdata/sf0.001").to_pandas()
+    for q, est in zip(out["q"], out["value_approx"]):
+        rank = float(np.mean(vals <= est))
+        assert abs(rank - q) < 0.01, (q, est, rank)
+
+    # grouped p99: rank error per event_type
+    t = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                      columns=["event_type", "value"]).to_pandas()
+    got = events_type_p99_tdigest("/root/testdata/sf0.001").to_pandas()
+    assert set(got["event_type"]) == set(t["event_type"].unique())
+    for _, row in got.iterrows():
+        grp = t.loc[t["event_type"] == row["event_type"], "value"].to_numpy()
+        rank = float(np.mean(grp <= row["p99_approx"]))
+        assert abs(rank - 0.99) < 0.02, (row["event_type"], rank)
