@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         neardup_degree_histogram,
         neardup_kcore,
         neardup_pagerank,
+        ngram_containment_pairs,
         ngram_jaccard_pairs,
         simhash_fingerprints,
         simhash_near_dups,
@@ -162,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         centroid_similarity,
         embedding_knn,
         embedding_knn_ivf,
+        embedding_label_medoid,
         embedding_near_dups,
         embedding_norms,
         label_centroids,
@@ -171,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q.update(
         {
             "ngram_jaccard_pairs": ngram_jaccard_pairs,   # oracled, exact
+            "ngram_containment_pairs": ngram_containment_pairs,  # oracled
             "near_dup_clusters": near_dup_clusters,       # oracled (CC)
             "dedup_keep_canonical": dedup_keep_canonical, # oracled (keep)
             "minhash_near_dups": minhash_near_dups,       # oracled (LSH+verify)
@@ -185,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "embedding_norms": embedding_norms,           # oracled (L2)
             "label_centroids": label_centroids,           # oracled (k-means step)
             "centroid_similarity": centroid_similarity,   # oracled (k×k cosine)
+            "embedding_label_medoid": embedding_label_medoid,  # oracled
             "language_id": language_id,                   # oracled (argmax)
             "document_winnow": document_winnow,           # oracled (rolling hash)
         }

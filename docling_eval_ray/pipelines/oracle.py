@@ -1505,6 +1505,55 @@ ORACLE_SQL["events_value_1h_range_sum"] = """
     FROM events
 """
 
+# per-label cosine medoid via the Σcos(a,b) = â·Σb̂ identity — the
+# normalized-sum matrix rounds to 6 before the dot on BOTH sides
+# (stages/knn.py:embedding_label_medoid float discipline); ties at the
+# rounded score break to the smallest vec_id
+ORACLE_SQL["embedding_label_medoid"] = """
+    WITH e AS (
+        SELECT vec_id, CAST(label AS BIGINT) AS label,
+               CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ),
+    u AS (
+        SELECT vec_id, label, g.i AS dim,
+               v[g.i + 1]
+                   / sqrt(list_sum(list_transform(v, x -> x * x))) AS nv
+        FROM e, UNNEST(range(len(v))) AS g(i)
+    ),
+    s AS (
+        SELECT label, dim, round_even(sum(nv), 6) AS sv
+        FROM u GROUP BY label, dim
+    ),
+    score AS (
+        SELECT u.vec_id, u.label,
+               round_even(sum(u.nv * s.sv), 6) AS sc
+        FROM u JOIN s ON s.label = u.label AND s.dim = u.dim
+        GROUP BY u.vec_id, u.label
+    ),
+    r AS (
+        SELECT label, vec_id AS medoid_vec_id, sc AS score,
+               row_number() OVER (
+                   PARTITION BY label ORDER BY sc DESC, vec_id
+               ) AS rn
+        FROM score
+    )
+    SELECT label, medoid_vec_id, score FROM r WHERE rn = 1
+"""
+
+# subset-duplicate detector: max-containment |A∩B|/min(|A|,|B|) over
+# the shared shingle-intersection fragment
+ORACLE_SQL["ngram_containment_pairs"] = f"""
+    WITH {_NEARDUP_INTER_CTE}
+    SELECT ia AS doc_id_a, ib AS doc_id_b,
+           round_even(CAST(c AS DOUBLE) / least(na.n, nb.n), 6)
+               AS containment
+    FROM inter
+    JOIN sizes na ON na.doc_id = ia
+    JOIN sizes nb ON nb.doc_id = ib
+    WHERE CAST(c AS DOUBLE) / least(na.n, nb.n) >= 0.5
+"""
+
 # near-dup graph degree histogram (shared edge SQL)
 ORACLE_SQL["neardup_degree_histogram"] = f"""
     WITH {_NEARDUP_EDGES_CTE},

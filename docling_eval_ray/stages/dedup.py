@@ -60,6 +60,16 @@ def _hash64(s: str) -> int:
 # ---------------------------------------------------------------------------
 
 
+def _jaccard_score(c: np.ndarray, na: np.ndarray,
+                   nb: np.ndarray) -> np.ndarray:
+    return c / (na + nb - c)
+
+
+def _containment_score(c: np.ndarray, na: np.ndarray,
+                       nb: np.ndarray) -> np.ndarray:
+    return c / np.minimum(na, nb)
+
+
 def ngram_jaccard_pairs(sf_dir: str, *, k: int = 3, threshold: float = 0.1,
                         max_df: int | None = None):
     """All document pairs with k-word-shingle Jaccard ≥ threshold.
@@ -78,6 +88,28 @@ def ngram_jaccard_pairs(sf_dir: str, *, k: int = 3, threshold: float = 0.1,
     on each pair's intersection (standard stop-shingle semantics in
     near-dup mining).
     """
+    return _ngram_pair_scores(sf_dir, k=k, threshold=threshold,
+                              max_df=max_df, score_fn=_jaccard_score,
+                              out_col="jaccard")
+
+
+def ngram_containment_pairs(sf_dir: str, *, k: int = 3,
+                            threshold: float = 0.5,
+                            max_df: int | None = None):
+    """All document pairs with k-word-shingle max-containment
+    ``|A∩B| / min(|A|,|B|)`` ≥ threshold — the subset-duplicate
+    detector: a short document embedded verbatim inside a long one has
+    LOW Jaccard (the union is dominated by the long doc) but
+    containment ≈ 1. Broder's containment measure; same inverted-index
+    plan as ``ngram_jaccard_pairs`` (shared machinery, different
+    row-local score), same ``max_df`` stop-shingle cap."""
+    return _ngram_pair_scores(sf_dir, k=k, threshold=threshold,
+                              max_df=max_df, score_fn=_containment_score,
+                              out_col="containment")
+
+
+def _ngram_pair_scores(sf_dir: str, *, k: int, threshold: float,
+                       max_df: int | None, score_fn, out_col: str):
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
@@ -146,24 +178,24 @@ def ngram_jaccard_pairs(sf_dir: str, *, k: int = 3, threshold: float = 0.1,
 
     co = bucketed_group_apply(exploded, ["shingle"], bucket_pairs)
 
-    # second shuffle keyed on the pair: sum intersections + Jaccard,
-    # vectorized per bucket (Ray's native multi-key aggregate was 15×
-    # slower here — one 33 s sort-reduce task for ~12k pairs)
+    # second shuffle keyed on the pair: sum intersections + row-local
+    # score, vectorized per bucket (Ray's native multi-key aggregate was
+    # 15× slower here — one 33 s sort-reduce task for ~12k pairs)
     def agg_bucket(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby(
             ["doc_id_a", "doc_id_b"], as_index=False, sort=False
         ).agg(c=("c", "sum"), na=("na", "first"), nb=("nb", "first"))
-        j = out["c"].to_numpy(np.float64) / (
-            out["na"].to_numpy(np.float64)
-            + out["nb"].to_numpy(np.float64)
-            - out["c"].to_numpy(np.float64)
+        j = score_fn(
+            out["c"].to_numpy(np.float64),
+            out["na"].to_numpy(np.float64),
+            out["nb"].to_numpy(np.float64),
         )
         keep = j >= threshold
         return pd.DataFrame(
             {
                 "doc_id_a": out["doc_id_a"].to_numpy()[keep],
                 "doc_id_b": out["doc_id_b"].to_numpy()[keep],
-                "jaccard": np.round(j[keep], 6),
+                out_col: np.round(j[keep], 6),
             }
         )
 

@@ -678,3 +678,92 @@ def centroid_similarity(sf_dir: str):
             "cos": pa.array(np.round(sims[ai, bi], 6), pa.float64()),
         }
     )
+
+
+def embedding_label_medoid(sf_dir: str):
+    """(label, medoid_vec_id, score) — the per-label cosine medoid: the
+    member vector maximizing its summed cosine similarity to all other
+    members of the label. The trick that makes this distributed WITHOUT
+    a pairwise pass: Σ_b cos(a,b) = â · Σ_b b̂, so a per-label sum of
+    NORMALIZED vectors (one label_centroids-shaped partial+final
+    groupby, |labels|×dim rows through the exchange) plus one streaming
+    scoring pass replaces the O(n²)-per-label matmul entirely. The sum
+    matrix is labels×dim — driver state by construction (the
+    centroid_similarity contract) — and per-batch argmax partials keep
+    the final merge |labels|×batches-sized. Sums round to 6 BEFORE the
+    dot on both the Ray and SQL sides (the centroid_similarity float
+    discipline); ties at the rounded score break to the smallest
+    vec_id."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "label", "embedding"])
+
+    def partial_sums(t: pa.Table) -> pa.Table:
+        m = _normalize(_emb_matrix(t))
+        labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), m.shape[1]), np.float64)
+        np.add.at(sums, inv, m)
+        d = m.shape[1]
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64),
+                                        len(uniq)), pa.int64()),
+                "s_part": pa.array(sums.ravel(), pa.float64()),
+            }
+        )
+
+    svec = (
+        ds.map_batches(partial_sums, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("s_part", alias_name="s"))
+        .to_pandas()  # |labels|×dim rows — driver-sized
+    )
+    piv = svec.pivot(index="label", columns="dim", values="s")
+    s_labels = piv.index.to_numpy().astype(np.int64)
+    s_matrix = np.round(piv.to_numpy(np.float64), 6)
+    label_row = {int(l): i for i, l in enumerate(s_labels)}
+
+    def partial_argmax(t: pa.Table) -> pa.Table:
+        m = _normalize(_emb_matrix(t))
+        labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vec_ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rows = np.fromiter((label_row[int(l)] for l in labels),
+                           np.int64, len(labels))
+        scores = np.round(np.einsum("ij,ij->i", m, s_matrix[rows]), 6)
+        # per-label best within the batch: sort by (label, -score, vec_id)
+        order = np.lexsort((vec_ids, -scores, labels))
+        lab_sorted = labels[order]
+        first = np.ones(len(order), bool)
+        first[1:] = lab_sorted[1:] != lab_sorted[:-1]
+        best = order[first]
+        return pa.table(
+            {
+                "label": pa.array(labels[best], pa.int64()),
+                "medoid_vec_id": pa.array(vec_ids[best], pa.int64()),
+                "score": pa.array(scores[best], pa.float64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial_argmax, batch_format="pyarrow"
+    ).to_pandas()  # |labels|×batches rows — bounded
+    parts = parts.sort_values(
+        ["label", "score", "medoid_vec_id"],
+        ascending=[True, False, True], kind="mergesort",
+    )
+    final = parts.groupby("label", as_index=False, sort=True).first()
+    return pa.table(
+        {
+            "label": pa.array(final["label"].to_numpy(np.int64), pa.int64()),
+            "medoid_vec_id": pa.array(
+                final["medoid_vec_id"].to_numpy(np.int64), pa.int64()
+            ),
+            "score": pa.array(
+                final["score"].to_numpy(np.float64), pa.float64()
+            ),
+        }
+    )
