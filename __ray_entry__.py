@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "n_chars_quantiles": r.n_chars_quantiles,
         "lang_chars_quantiles": r.lang_chars_quantiles,
         "orders_without_lineitems": r.orders_without_lineitems,
+        "orders_without_lineitems_bloom": r.orders_without_lineitems_bloom,
         "events_asof_last_error": r.events_asof_last_error,
         "documents_size_bands": r.documents_size_bands,
         "parts_pareto_front": r.parts_pareto_front,
@@ -212,6 +213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "pack_sequences": c.pack_sequences,
             "kmeans_assign": c.kmeans_assign,
             "fixed_size_sample": c.fixed_size_sample,
+            "weighted_sample_topk": c.weighted_sample_topk,  # oracled (E-S race)
             "source_quota_cap": c.source_quota_cap,
             "exact_token_vocabulary": c.exact_token_vocabulary,
             "dataset_split_assign": c.dataset_split_assign,

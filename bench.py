@@ -142,6 +142,7 @@ def run_benchmarks() -> dict:
     from docling_eval_ray.sources.interleaved import _synth_batch
     from docling_eval_ray.stages.dedup import (
         minhash_near_dups,
+        ngram_containment_pairs,
         ngram_jaccard_pairs,
     )
     from docling_eval_ray.pipelines.evaluate import (
@@ -153,8 +154,13 @@ def run_benchmarks() -> dict:
     from docling_eval_ray.stages.knn import (
         embedding_knn,
         embedding_knn_ivf,
+        embedding_label_medoid,
         embedding_near_dups,
         label_centroids,
+    )
+    from docling_eval_ray.stages.sketches import (
+        events_type_p99_tdigest,
+        events_value_tdigest,
     )
     from docling_eval_ray.pipelines import cleaning as cl
     from docling_eval_ray.pipelines.pretrain import (
@@ -241,6 +247,13 @@ def run_benchmarks() -> dict:
         ("part_cooccurrence", r.part_cooccurrence),
         ("customer_spend_quartiles", r.customer_spend_quartiles),
         ("daily_active_users", r.daily_active_users),
+        ("ngram_containment_pairs", ngram_containment_pairs),
+        ("embedding_label_medoid", embedding_label_medoid),
+        ("events_value_tdigest", events_value_tdigest),
+        ("events_type_p99_tdigest", events_type_p99_tdigest),
+        ("weighted_sample_topk", co.weighted_sample_topk),
+        ("orders_without_lineitems_bloom",
+         r.orders_without_lineitems_bloom),
         # scale tiers forced past their size-routing gates, so the
         # distributed paths get recorded wall-times (not just tests):
         # tier-C MinHash verify = full shingle-table joins, no broadcast

@@ -140,9 +140,21 @@ def _pad_tag_bucket(side: str, on: list[str], out_schema: pa.Schema,
                     # cast BEFORE hashing: pd.util.hash_array views ints
                     # at native width, so an int32 -1 and an int64 -1
                     # would otherwise bucket-misroute across sides
-                    key = batch[k].cast(
-                        out_schema.field(k).type
-                    ).to_numpy(zero_copy_only=False)
+                    arr = batch[k].cast(out_schema.field(k).type)
+                    if pa.types.is_integer(arr.type):
+                        # ONE null in an integer batch decays the whole
+                        # to_numpy to float64 (NaN), silently hashing
+                        # every row of the batch differently from the
+                        # null-free other side — fill nulls first (null
+                        # keys never match a join anyway; they only need
+                        # a deterministic bucket)
+                        if isinstance(arr, pa.ChunkedArray):
+                            arr = arr.combine_chunks()
+                        key = arr.fill_null(0).to_numpy(
+                            zero_copy_only=False
+                        ).astype(np.int64)
+                    else:
+                        key = arr.to_numpy(zero_copy_only=False)
                     h = h * _KEY_PRIME + pd.util.hash_array(
                         np.ascontiguousarray(key)
                     )
@@ -347,3 +359,75 @@ def _ensure_arrow_pair(ds):
             "unknown columns) — materialize or supply a typed empty side"
         )
     return ds, sch
+
+
+def bloom_semi_anti_join(left_ds, right_ds, on: str, *, anti: bool = False,
+                         fpr: float = 0.001, num_buckets: int = 32):
+    """Bloom-prefiltered semi/anti join — EXACT results (identical rows
+    to ``semi_anti_join``), but only left rows that PASS a Bloom filter
+    of the right keys enter the exchange. At 100-TB scale this is the
+    standard runtime-filter join optimization: a selective semi join
+    (most left keys absent from the right) moves only candidates —
+    corpus × selectivity + the fpr tail — through the shuffle instead
+    of the whole left side, at the cost of one sketch-sized broadcast.
+
+    Exactness by construction (one-sided Bloom error):
+    * semi: the filter can only over-admit (false positive), and every
+      admitted candidate is re-checked by the exact join — no misses.
+    * anti: a key FAILING the filter is DEFINITELY absent (no false
+      negatives) → emit directly, zero shuffle for those rows; keys
+      passing go through the exact anti join and the two streams union.
+
+    The filter is built with the fan-in OR tree
+    (``stages/bloom.py:build_bloom_distributed``), sized from the right
+    side's metadata count, and broadcast once via ``ray.put`` — read in
+    every probe task, never re-shipped per batch."""
+    import ray
+
+    from ..stages.bloom import BloomFilter, build_bloom_distributed
+
+    left_ds, left_schema = _ensure_arrow_pair(left_ds)
+    keys_only = right_ds.select_columns([on])
+    n_right = keys_only.count()
+
+    sized = BloomFilter.sized_for(max(n_right, 1), fpr)
+
+    def key_grams(t: pa.Table) -> list:
+        if on not in t.column_names:  # schema-less empty block
+            return []
+        col = t[on].drop_null()
+        return [str(v) for v in col.to_pylist()]
+
+    bf = build_bloom_distributed(keys_only, key_grams,
+                                 m_bits=sized.m, k=sized.k)
+    blob_ref = ray.put(bf.to_bytes())
+    k_probes = bf.k
+
+    def probe(t: pa.Table, *, want_pass: bool) -> pa.Table:
+        import numpy as _np
+        import ray as _ray
+
+        from ..stages.bloom import BloomFilter as _BF
+
+        f = _BF.from_bytes(_ray.get(blob_ref), k_probes)
+        vals = t[on].to_pylist()
+        hit = _np.zeros(len(vals), bool)
+        nn = [i for i, v in enumerate(vals) if v is not None]
+        if nn:
+            hit[nn] = f.contains_many([str(vals[i]) for i in nn])
+        # NULL keys: semi drops them (never match), anti keeps them —
+        # a null never hits the filter, so they ride the miss stream
+        mask = hit if want_pass else ~hit
+        return t.filter(pa.array(mask))
+
+    candidates = left_ds.map_batches(
+        lambda t: probe(t, want_pass=True), batch_format="pyarrow"
+    )
+    exact = semi_anti_join(candidates, keys_only, on=on, anti=anti,
+                           num_buckets=num_buckets)
+    if not anti:
+        return exact
+    definite = left_ds.map_batches(
+        lambda t: probe(t, want_pass=False), batch_format="pyarrow"
+    )
+    return exact.union(definite)

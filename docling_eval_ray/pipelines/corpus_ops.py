@@ -1206,3 +1206,61 @@ def mixture_resample_census(sf_dir: str):
              "n_kept": pd.Series([], dtype=np.int64)}
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample_topk — deterministic weighted sampling without
+# replacement (Efraimidis–Spirakis exponential race)
+# ---------------------------------------------------------------------------
+
+WEIGHTED_SAMPLE_K = 100
+
+
+def weighted_sample_topk(sf_dir: str, *, k: int = WEIGHTED_SAMPLE_K):
+    """Deterministic weighted sample of ``k`` documents with inclusion
+    probability ∝ ``n_chars`` — the data-mixing primitive for
+    importance-weighted corpus subsetting. Efraimidis–Spirakis
+    exponential race with a hash-derived uniform (public algorithm,
+    IPL 2006): key = −ln(u)/w with u = (md5_prefix32(doc_id)+1)/2³²,
+    take the k SMALLEST keys. Hash-deterministic, so it is exactly
+    replicable in SQL (unlike rng-based sampling) and stable under
+    re-partitioning.
+
+    Scale shape: per-batch local top-k of the key (top-k is a mergeable
+    summary — the ``fixed_size_sample`` discipline), then one
+    k×batches-sized final merge; the corpus never shuffles. Keys round
+    to 9 on BOTH sides before ranking (ties break by doc_id), the
+    neardup_pagerank float discipline."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        u = (
+            np.array([md5_prefix32(str(i)) for i in b["doc_id"]],
+                     dtype=np.float64)
+            + 1.0
+        ) / 4294967296.0
+        key = np.round(-np.log(u) / b["n_chars"].to_numpy(np.float64), 9)
+        cand = pd.DataFrame(
+            {"doc_id": b["doc_id"].to_numpy(),
+             "n_chars": b["n_chars"].to_numpy(),
+             "sample_key": key}
+        )
+        return cand.sort_values(
+            ["sample_key", "doc_id"], kind="mergesort"
+        ).head(k)
+
+    cands = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = cands.sort_values(
+        ["sample_key", "doc_id"], kind="mergesort"
+    ).head(k).reset_index(drop=True)
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"].to_numpy(np.int64), pa.int64()),
+            "n_chars": pa.array(
+                out["n_chars"].to_numpy(np.int64), pa.int64()
+            ),
+            "sample_key": pa.array(
+                out["sample_key"].to_numpy(np.float64), pa.float64()
+            ),
+        }
+    )

@@ -588,6 +588,11 @@ ORACLE_SQL["orders_without_lineitems"] = """
     ANTI JOIN lineitem ON o_orderkey = l_orderkey
 """
 
+# the Bloom-prefiltered plan computes the SAME rows (one-sided error:
+# misses are definite absences; passes re-verified by the exact join)
+ORACLE_SQL["orders_without_lineitems_bloom"] = \
+    ORACLE_SQL["orders_without_lineitems"]
+
 
 # as-of join: DuckDB's native ASOF LEFT JOIN pins the semantics (most
 # recent right row at-or-before the left timestamp, per key)
@@ -1503,6 +1508,22 @@ ORACLE_SQL["events_value_1h_range_sum"] = """
                RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
            ), 6) AS sum_1h
     FROM events
+"""
+
+# Efraimidis–Spirakis weighted sample: key = −ln(u)/w, u hash-derived,
+# k smallest keys win; keys round to 9 on both sides before ranking
+ORACLE_SQL["weighted_sample_topk"] = """
+    WITH h AS (
+        SELECT doc_id, n_chars,
+               (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS UBIGINT) + 1) / 4294967296.0 AS u
+        FROM documents
+    )
+    SELECT doc_id, n_chars,
+           round_even(-ln(u) / n_chars, 9) AS sample_key
+    FROM h
+    ORDER BY round_even(-ln(u) / n_chars, 9), doc_id
+    LIMIT 100
 """
 
 # per-label cosine medoid via the Σcos(a,b) = â·Σb̂ identity — the

@@ -1294,6 +1294,25 @@ def orders_without_lineitems(sf_dir: str):
     return semi_anti_join(orders, line, on="o_orderkey", anti=True)
 
 
+def orders_without_lineitems_bloom(sf_dir: str):
+    """The same anti-join through the Bloom-prefiltered plan
+    (``functions/joins.py:bloom_semi_anti_join``): orders whose key
+    FAILS the Bloom filter of lineitem keys are emitted without ever
+    entering the exchange (one-sided error: a Bloom miss is a definite
+    absence), and only the pass-stream goes through the exact
+    distributed anti-join. Identical rows to ``orders_without_lineitems``
+    — same oracle — by construction; at 100 TB the exchange carries
+    corpus × match-rate + fpr instead of the whole left side."""
+    from ..functions.joins import bloom_semi_anti_join
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    line = _read(sf_dir, "lineitem", columns=["l_orderkey"]).map_batches(
+        lambda t: t.rename_columns(["o_orderkey"]), batch_format="pyarrow"
+    )
+    return bloom_semi_anti_join(orders, line, on="o_orderkey", anti=True)
+
+
 def events_asof_last_error(sf_dir: str):
     """Distributed AS-OF join (the custom temporal operator Ray Data
     lacks natively): for every click event, the most recent error event
