@@ -64,22 +64,34 @@ def main(argv: list[str] | None = None) -> int:
     vp.add_argument("--modality", action="append", default=None)
     vp.add_argument("--html", action="store_true",
                     help="also write per-doc comparison HTML (S11)")
+    vp.add_argument("--png", action="store_true",
+                    help="also write per-doc comparison PNG pages "
+                         "(S11; from-scratch stdlib codec)")
     vp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
 
     args = p.parse_args(argv)
 
-    if args.cmd == "visualize" and args.html:
+    if args.cmd == "visualize" and (args.html or args.png):
         started = _ray_session()
         import ray
 
         try:
-            from .functions.viz import write_comparison_html
             from .pipelines.evaluate import eval_records
 
-            out = write_comparison_html(
-                eval_records(args.sf_dir), f"{args.output}/html"
-            )
-            print(json.dumps({"html_files": out.count()}))
+            counts = {}
+            if args.html:
+                from .functions.viz import write_comparison_html
+
+                counts["html_files"] = write_comparison_html(
+                    eval_records(args.sf_dir), f"{args.output}/html"
+                ).count()
+            if args.png:
+                from .functions.viz import write_comparison_png
+
+                counts["png_files"] = write_comparison_png(
+                    eval_records(args.sf_dir), f"{args.output}/png"
+                ).count()
+            print(json.dumps(counts))
         finally:
             if started:
                 ray.shutdown()

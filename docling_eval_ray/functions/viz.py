@@ -199,3 +199,58 @@ def write_comparison_html(eval_ds, out_dir: str):
         )
 
     return eval_ds.map_batches(sink, batch_format="pyarrow")
+
+
+def write_comparison_png(eval_ds, out_dir: str, *, width: int = 256,
+                         height: int = 256):
+    """PNG twin of ``write_comparison_html`` (reference S11 renders PNG
+    pages via matplotlib, readingorder_evaluator.py:298-498): one PNG
+    per document — GT page left, prediction page right, 4px divider —
+    rasterized with numpy and encoded by the from-scratch stdlib codec
+    (``functions/png.py``). Same embarrassingly-parallel sink shape:
+    each map_batches task writes its own batch's files; returns
+    (doc_id, path, n_bytes)."""
+    from pathlib import Path
+
+    import numpy as np
+    import pyarrow as pa
+
+    Path(out_dir).mkdir(parents=True, exist_ok=True)
+
+    def sink(t: pa.Table) -> pa.Table:
+        from ..pipelines.evaluate import _doc_boxes, _pred_shift
+        from .png import boxes_image, encode_png
+
+        def as_dicts(arr):
+            return [{"l": b[0], "t": b[1], "r": b[2], "b": b[3]}
+                    for b in np.asarray(arr).reshape(-1, 4)]
+
+        ids, paths, sizes = [], [], []
+        for r in t.to_pylist():
+            doc_num = int(r["doc_id"].split("-")[-1])
+            gt_boxes = as_dicts(_doc_boxes(doc_num, len(r["gt_spans"])))
+            pred_boxes = as_dicts(
+                np.asarray(_doc_boxes(doc_num, len(r["pred_spans"])))
+                + _pred_shift(doc_num)
+            )
+            # _doc_boxes pages are 100×100 (evaluate.py geometry)
+            gt_img = boxes_image(gt_boxes, width=width, height=height,
+                                 page_w=100.0, page_h=100.0)
+            pred_img = boxes_image(pred_boxes, width=width, height=height,
+                                   page_w=100.0, page_h=100.0)
+            divider = np.full((height, 4, 3), 0, np.uint8)
+            png = encode_png(np.hstack([gt_img, divider, pred_img]))
+            p = Path(out_dir) / f"{r['doc_id']}.png"
+            p.write_bytes(png)
+            ids.append(r["doc_id"])
+            paths.append(str(p))
+            sizes.append(len(png))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.string()),
+                "path": pa.array(paths, pa.string()),
+                "n_bytes": pa.array(sizes, pa.int64()),
+            }
+        )
+
+    return eval_ds.map_batches(sink, batch_format="pyarrow")

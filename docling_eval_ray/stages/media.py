@@ -279,12 +279,20 @@ def video_frame_samples(sf_dir: str, *, every: int = 8,
 
 
 def pixels_from_payload(payload: bytes) -> "np.ndarray":
-    """Deterministic 32×32 grayscale from a payload (STUB pixel source:
-    the body bytes tiled — a real implementation decodes + resizes with
-    PIL). The pHash kernel downstream is the real algorithm either way."""
+    """32×32 grayscale pixels from a payload. PNG bodies get a REAL
+    decode (the from-scratch stdlib-zlib codec in ``functions/png.py``)
+    → BT.601 luma → nearest-neighbor resize; any other format falls
+    back to the deterministic stub expansion (no JPEG entropy coder in
+    the container). The pHash kernel downstream is the real algorithm
+    either way."""
     import numpy as np
 
     body = payload[HEADER_SIZE:]
+    if body[:8] == b"\x89PNG\r\n\x1a\n":
+        from ..functions.png import decode_png, resize_nearest, to_grayscale
+
+        gray = to_grayscale(decode_png(body))
+        return resize_nearest(gray, 32, 32).astype(np.float64)
     # counter-mode expansion: tiling the body verbatim repeats every
     # row, collapsing the DCT spectrum so EVERY image hashed identically
     raw = b"".join(
