@@ -323,6 +323,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         events_value_tdigest,
     )
 
+    # offline HF-snapshot source (S1): hub shard layout + integrity
+    from docling_eval_ray.sources.hf_snapshot import hf_snapshot_roundtrip
+
+    q["hf_snapshot_roundtrip"] = hf_snapshot_roundtrip  # oracled (census)
     q["approx_token_vocabulary"] = approx_token_vocabulary
     q["daily_active_users_hll"] = daily_active_users_hll
     q["events_value_tdigest"] = events_value_tdigest

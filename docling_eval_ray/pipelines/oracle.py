@@ -1510,6 +1510,12 @@ ORACLE_SQL["events_value_1h_range_sum"] = """
     FROM events
 """
 
+# HF-snapshot round-trip: the census matches the original table iff
+# the hub-layout export + shard-checked read lost nothing
+ORACLE_SQL["hf_snapshot_roundtrip"] = """
+    SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+"""
+
 # Efraimidis–Spirakis weighted sample: key = −ln(u)/w, u hash-derived,
 # k smallest keys win; keys round to 9 on both sides before ranking
 ORACLE_SQL["weighted_sample_topk"] = """
