@@ -7,13 +7,15 @@ side table). Decode/resize/feature-extract run as actor-pool
 ``map_batches`` stages with SMALL batch sizes (fat rows × batch ×
 concurrency must fit the worker heap).
 
-The image/audio codec libraries are not in this container, so the codec
-itself is stubbed: payloads use a deterministic 16-byte header
-(``DERIMG`` magic + width + height + seed) that the "decoder" parses,
-and pixel statistics are derived deterministically from the seed. The
-Ray-side plumbing — schema, actor signature, batch sizing, output
-layout — is real and tested; swapping in PIL/ffmpeg changes only the
-bodies marked STUB.
+PNG is a REAL codec here (from-scratch stdlib implementation,
+``functions/png.py``): a third of the synthetic payloads carry actual
+encoded PNG bodies, which decode/resize/pHash process through genuine
+pixel paths. Formats needing an entropy coder (JPEG) stay stubbed:
+those payloads use a deterministic 16-byte header (``DERIMG`` magic +
+width + height + seed) that the "decoder" parses, with pixel statistics
+derived from the seed. The Ray-side plumbing — schema, actor signature,
+batch sizing, output layout — is identical for both; swapping in
+PIL/ffmpeg changes only the bodies marked STUB.
 """
 
 from __future__ import annotations
@@ -32,10 +34,29 @@ HEADER_SIZE = struct.calcsize(_FMT)
 
 
 def synth_media_payload(media_ref: str) -> bytes:
-    """Deterministic fake image payload for a media_ref: header + bytes
-    derived from the ref hash (stand-in for real encoded pixels)."""
+    """Deterministic image payload for a media_ref. Every third ref
+    (seed % 3 == 0) carries a REAL encoded PNG body (noise pixels
+    expanded from the ref hash, encoded by the from-scratch codec in
+    ``functions/png.py``) so the decode/resize/pHash stages exercise a
+    real format end-to-end; the rest keep the opaque stand-in bytes
+    (the no-codec formats a 100-TB corpus also contains)."""
     h = hashlib.blake2b(media_ref.encode(), digest_size=8).digest()
     seed = int.from_bytes(h[:4], "big")
+    if seed % 3 == 0:
+        from ..functions.png import encode_png
+
+        width = 16 + (seed % 48)
+        height = 16 + ((seed >> 8) % 48)
+        raw = b"".join(
+            hashlib.blake2b(h + i.to_bytes(4, "big"),
+                            digest_size=64).digest()
+            for i in range(-(-width * height * 3 // 64))
+        )
+        img = np.frombuffer(
+            raw[: width * height * 3], dtype=np.uint8
+        ).reshape(height, width, 3)
+        body = encode_png(img)
+        return struct.pack(_FMT, _MAGIC, width, height, seed) + body
     width = 64 + (seed % 192)
     height = 64 + ((seed >> 8) % 192)
     body = hashlib.blake2b(h, digest_size=32).digest() * 4
@@ -69,18 +90,16 @@ def media_table_for_documents(ds):
 class DecodeImage:
     """Actor-pool decode stage: payload → (width, height, ok).
 
-    STUB: parses the deterministic header instead of a real codec. A
-    real implementation imports PIL in ``__init__`` (once per actor) and
-    decodes in ``__call__``; bad payloads become ok=False rows
+    PNG bodies go through the REAL from-scratch codec
+    (``functions/png.py`` — dims come from the actual pixel decode,
+    CRC-checked); other formats parse the deterministic header (no
+    stdlib JPEG decoder). Bad payloads become ok=False rows
     (skip-and-count), never raised."""
 
     def __init__(self):
-        try:  # real codec if present (not in this container)
-            from PIL import Image  # noqa: F401
+        from ..functions.png import decode_png
 
-            self._pil = True
-        except ImportError:
-            self._pil = False
+        self._decode_png = decode_png  # bound once per actor
 
     def __call__(self, t: pa.Table) -> pa.Table:
         widths, heights, ok = [], [], []
@@ -89,6 +108,10 @@ class DecodeImage:
                 magic, w, h, _seed = struct.unpack(_FMT, payload[:HEADER_SIZE])
                 if magic != _MAGIC:
                     raise ValueError("bad magic")
+                body = payload[HEADER_SIZE:]
+                if body[:8] == b"\x89PNG\r\n\x1a\n":
+                    img = self._decode_png(body)
+                    h, w = img.shape[0], img.shape[1]
                 widths.append(w)
                 heights.append(h)
                 ok.append(True)
@@ -158,23 +181,30 @@ class ResizeImage:
     """Actor-pool resize stage: payload → payload with the longest side
     capped at ``max_dim`` (aspect preserved, never upscaled).
 
-    STUB: rewrites the deterministic header; a real implementation
-    PIL-resizes in ``__call__`` with the codec imported once per actor.
-    The Ray-side contract is real: binary in → binary out, new
-    dimensions as typed columns, small batches bound memory."""
+    PNG bodies are REALLY resampled (decode → nearest-neighbor →
+    re-encode via ``functions/png.py``, codec bound once per actor);
+    other formats rewrite the deterministic header (no stdlib JPEG).
+    The Ray-side contract is the same either way: binary in → binary
+    out, new dimensions as typed columns, small batches bound memory."""
 
     def __init__(self, max_dim: int = 128):
         self._max = max_dim
+        from ..functions.png import decode_png, encode_png, resize_nearest
+
+        self._codec = (decode_png, encode_png, resize_nearest)
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        decode_png, encode_png, resize_nearest = self._codec
         payloads, widths, heights = [], [], []
         for payload in t["payload"].to_pylist():
             magic, w, h, seed = struct.unpack(_FMT, payload[:HEADER_SIZE])
             scale = min(1.0, self._max / max(w, h))
             nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+            body = payload[HEADER_SIZE:]
+            if body[:8] == b"\x89PNG\r\n\x1a\n" and (nw, nh) != (w, h):
+                body = encode_png(resize_nearest(decode_png(body), nh, nw))
             payloads.append(
-                struct.pack(_FMT, magic, nw, nh, seed)
-                + payload[HEADER_SIZE:]
+                struct.pack(_FMT, magic, nw, nh, seed) + body
             )
             widths.append(nw)
             heights.append(nh)

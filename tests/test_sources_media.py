@@ -361,3 +361,55 @@ def test_read_canonical_interleaved_roundtrip(ray_session, tmp_path):
     except ImportError:
         with pytest.raises(ImportError, match="lance"):
             read_canonical_interleaved(str(out / "corpus.lance"))
+
+
+def test_media_png_payloads_use_real_codec():
+    """A third of synthetic payloads carry real PNG bodies: DecodeImage
+    must take its dims from the actual pixel decode, and ResizeImage
+    must re-encode genuinely resampled pixels (not just rewrite the
+    header)."""
+    import struct as _s
+
+    import pyarrow as pa
+
+    from docling_eval_ray.functions.png import decode_png
+    from docling_eval_ray.stages.media import (
+        _FMT,
+        HEADER_SIZE,
+        DecodeImage,
+        ResizeImage,
+        synth_media_payload,
+    )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    refs = [f"pic/{i}" for i in range(30)]
+    payloads = [synth_media_payload(r) for r in refs]
+    png_rows = [i for i, p in enumerate(payloads)
+                if p[HEADER_SIZE:HEADER_SIZE + 8] == sig]
+    assert len(png_rows) >= 5  # ~1/3 of refs
+    t = pa.table({
+        "media_ref": pa.array(refs), "payload": pa.array(payloads),
+        "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+    })
+    dec = DecodeImage()(t)
+    assert dec["decode_ok"].to_pylist() == [True] * len(refs)
+    i = png_rows[0]
+    img = decode_png(payloads[i][HEADER_SIZE:])
+    assert (dec["width"][i].as_py(), dec["height"][i].as_py()) == (
+        img.shape[1], img.shape[0]
+    )
+    # a CRC-corrupted PNG body is a skip-and-count row, not a raise
+    bad = bytearray(payloads[i])
+    bad[HEADER_SIZE + 20] ^= 0xFF
+    t_bad = pa.table({
+        "media_ref": pa.array(["x"]),
+        "payload": pa.array([bytes(bad)]),
+        "n_bytes": pa.array([len(bad)], pa.int64()),
+    })
+    assert DecodeImage()(t_bad)["decode_ok"].to_pylist() == [False]
+    # real resample: the resized PNG body decodes at the NEW dims
+    out = ResizeImage(max_dim=8)(t)
+    p2 = out["payload"][i].as_py()
+    _, nw, nh, _ = _s.unpack(_FMT, p2[:HEADER_SIZE])
+    img2 = decode_png(p2[HEADER_SIZE:])
+    assert (img2.shape[1], img2.shape[0]) == (nw, nh) and max(nw, nh) <= 8
