@@ -147,6 +147,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from docling_eval_ray.stages.media import media_phash_census
 
     q["media_phash_census"] = media_phash_census
+    # audio modality: REAL PCM WAV codec + numpy DSP features
+    from docling_eval_ray.stages.audio import audio_feature_stats
+
+    q["audio_feature_stats"] = audio_feature_stats  # rows-only (DSP)
     # dedup family + similarity search (training-data ops)
     from docling_eval_ray.stages.dedup import (
         dedup_keep_canonical,

@@ -168,6 +168,9 @@ def run_benchmarks() -> dict:
     )
     from docling_eval_ray.pipelines import corpus_ops as co
     from docling_eval_ray.stages.media import media_decode_stats
+    from docling_eval_ray.stages.audio import (
+        audio_feature_stats as _audio_feature_stats,
+    )
     from docling_eval_ray.stages.bloom import (
         decontaminate_bloom as _decontaminate_bloom,
     )
@@ -221,6 +224,7 @@ def run_benchmarks() -> dict:
         ("evaluate_markdown", evaluate_markdown),
         ("corpus_layout_map", corpus_layout_map),
         ("media_decode_stats", media_decode_stats),
+        ("audio_feature_stats", _audio_feature_stats),
         ("quality_repetition", co.quality_repetition),
         ("tfidf_topk", co.tfidf_topk),
         ("token_heavy_hitters", co.token_heavy_hitters),

@@ -1,0 +1,181 @@
+"""Audio column stages — REAL PCM WAV codec + numpy DSP features.
+
+The multimodal brief treats audio as opaque ``binary`` columns with
+typed metadata and actor-pool decode/feature stages. Unlike JPEG, the
+WAV container with PCM samples needs no entropy coder — it is a RIFF
+header plus raw int16 frames — so this modality runs a genuine codec
+end-to-end in this container (the PNG precedent, ``functions/png.py``):
+
+* ``synth_audio_payload`` — deterministic 16-bit mono PCM WAV per
+  media_ref: a seed-derived mixture of two sine tones + hash noise,
+  written with stdlib ``wave``;
+* ``DecodeAudio`` — actor-pool stage: WAV bytes → (sample_rate,
+  n_samples, duration_s, ok), parsed with ``wave`` (skip-and-count on
+  malformed payloads, never raised);
+* ``AudioFeatures`` — actor-pool stage computing real DSP features
+  with numpy: RMS level, zero-crossing rate, and the dominant
+  frequency from an rFFT magnitude spectrum — the vectorized per-batch
+  shape a learned audio embedder would occupy (A1/A2 contract: state
+  in ``__init__``, work in ``__call__``).
+
+At 100-TB scale these are the same fat-row rules as images: small
+``batch_size`` × concurrency bounds worker heap; payloads ride a side
+table keyed by media_ref, never inlined into document rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import struct
+import wave
+
+import numpy as np
+import pyarrow as pa
+
+SAMPLE_RATE = 8000
+
+
+def synth_audio_payload(media_ref: str, *, rate: int = SAMPLE_RATE) -> bytes:
+    """Deterministic mono 16-bit PCM WAV: two seed-derived tones plus
+    low-level hash noise, 0.1-0.6 s."""
+    h = hashlib.blake2b(media_ref.encode(), digest_size=16).digest()
+    seed = int.from_bytes(h[:4], "big")
+    n = rate // 10 + (seed % (rate // 2))  # 0.1..0.6 s
+    f1 = 100.0 + (seed % 1500)
+    f2 = 100.0 + ((seed >> 12) % 3000)
+    t = np.arange(n, dtype=np.float64) / rate
+    sig = 0.55 * np.sin(2 * np.pi * f1 * t) + 0.25 * np.sin(
+        2 * np.pi * f2 * t
+    )
+    # deterministic noise floor from counter-mode hash expansion
+    raw = b"".join(
+        hashlib.blake2b(h + i.to_bytes(4, "big"), digest_size=64).digest()
+        for i in range(-(-n // 64))
+    )
+    noise = (np.frombuffer(raw[:n], np.uint8).astype(np.float64) - 127.5)
+    sig += noise / 127.5 * 0.05
+    pcm = np.clip(sig * 32767.0, -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """(sample_rate, float64 samples in [-1, 1]) from PCM WAV bytes."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise ValueError(
+                f"unsupported WAV sample width {w.getsampwidth()}"
+            )
+        rate = w.getframerate()
+        frames = w.readframes(w.getnframes())
+        pcm = np.frombuffer(frames, "<i2").astype(np.float64)
+        if w.getnchannels() > 1:  # downmix: mean across channels
+            pcm = pcm.reshape(-1, w.getnchannels()).mean(axis=1)
+    return rate, pcm / 32768.0
+
+
+def audio_table_for_documents(ds):
+    """Audio side table (media_ref, payload, n_bytes): one clip per
+    media span, mirroring ``media_table_for_documents``."""
+    import pyarrow.compute as pc
+
+    def explode(t: pa.Table) -> pa.Table:
+        spans = t.column("spans").combine_chunks()
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.chunk(0)
+        flat = spans.flatten()
+        refs = flat.field("media_ref")
+        refs = refs.filter(pc.not_equal(refs, "")).to_pylist()
+        payloads = [synth_audio_payload(r) for r in refs]
+        return pa.table(
+            {
+                "media_ref": pa.array(refs, pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+                "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+class DecodeAudio:
+    """Actor-pool decode: WAV payload → (sample_rate, n_samples,
+    duration_s, decode_ok); malformed payloads become ok=False rows."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        rates, counts, durs, ok = [], [], [], []
+        for payload in t["payload"].to_pylist():
+            try:
+                rate, pcm = decode_wav(payload)
+                rates.append(rate)
+                counts.append(len(pcm))
+                durs.append(round(len(pcm) / rate, 6))
+                ok.append(True)
+            except Exception:
+                rates.append(0)
+                counts.append(0)
+                durs.append(0.0)
+                ok.append(False)
+        return (
+            t.select(["media_ref", "n_bytes"])
+            .append_column("sample_rate", pa.array(rates, pa.int32()))
+            .append_column("n_samples", pa.array(counts, pa.int64()))
+            .append_column("duration_s", pa.array(durs, pa.float64()))
+            .append_column("decode_ok", pa.array(ok, pa.bool_()))
+        )
+
+
+class AudioFeatures:
+    """Actor-pool DSP features: RMS, zero-crossing rate, dominant
+    frequency (rFFT argmax above DC). All numpy; rows with undecodable
+    payloads are skipped (the decode stage already censuses them)."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        refs, rms, zcr, domf = [], [], [], []
+        for ref, payload in zip(t["media_ref"].to_pylist(),
+                                t["payload"].to_pylist()):
+            try:
+                rate, pcm = decode_wav(payload)
+            except Exception:
+                continue
+            if len(pcm) == 0:
+                continue
+            refs.append(ref)
+            rms.append(round(float(np.sqrt(np.mean(pcm * pcm))), 6))
+            zcr.append(round(
+                float(np.mean(np.signbit(pcm[1:]) != np.signbit(pcm[:-1]))),
+                6,
+            ))
+            spec = np.abs(np.fft.rfft(pcm))
+            spec[0] = 0.0  # ignore DC
+            domf.append(round(
+                float(np.argmax(spec) * rate / len(pcm)), 3
+            ))
+        return pa.table(
+            {
+                "media_ref": pa.array(refs, pa.string()),
+                "rms": pa.array(rms, pa.float64()),
+                "zero_cross_rate": pa.array(zcr, pa.float64()),
+                "dominant_hz": pa.array(domf, pa.float64()),
+            }
+        )
+
+
+def audio_feature_stats(sf_dir: str, *, batch_size: int = 256,
+                        concurrency=None):
+    """Rows-only query: per-clip real-DSP features for every media span
+    (decode + features over the audio side table; the audio twin of
+    ``media_decode_stats``)."""
+    from ..sources.interleaved import read_interleaved_documents
+    from .util import stage
+
+    docs = read_interleaved_documents(sf_dir)
+    audio = audio_table_for_documents(docs)
+    return stage(audio, AudioFeatures, batch_size=batch_size,
+                 concurrency=concurrency)
