@@ -380,14 +380,20 @@ def bloom_semi_anti_join(left_ds, right_ds, on: str, *, anti: bool = False,
 
     The filter is built with the fan-in OR tree
     (``stages/bloom.py:build_bloom_distributed``), sized from the right
-    side's metadata count, and broadcast once via ``ray.put`` — read in
-    every probe task, never re-shipped per batch."""
+    side's count, and broadcast once via ``ray.put``. Probe stages run
+    in TASK mode — an actor pool here would reserve CPUs for up to two
+    concurrent probe stages and can deadlock a small cluster (the
+    actor-reservation pitfall) — with the deserialized bit array cached
+    per WORKER PROCESS (module-level cache keyed by the object ref), so
+    the array still deserializes once per worker, never per batch. The
+    right side is materialized once (key column only) and reused by the
+    count, the filter build, and the exact join."""
     import ray
 
     from ..stages.bloom import BloomFilter, build_bloom_distributed
 
     left_ds, left_schema = _ensure_arrow_pair(left_ds)
-    keys_only = right_ds.select_columns([on])
+    keys_only = right_ds.select_columns([on]).materialize()
     n_right = keys_only.count()
 
     sized = BloomFilter.sized_for(max(n_right, 1), fpr)
@@ -404,19 +410,14 @@ def bloom_semi_anti_join(left_ds, right_ds, on: str, *, anti: bool = False,
     k_probes = bf.k
 
     def probe(t: pa.Table, *, want_pass: bool) -> pa.Table:
-        import numpy as _np
-        import ray as _ray
-
-        from ..stages.bloom import BloomFilter as _BF
-
-        f = _BF.from_bytes(_ray.get(blob_ref), k_probes)
+        f = _bloom_probe_filter(blob_ref, k_probes)
         vals = t[on].to_pylist()
-        hit = _np.zeros(len(vals), bool)
+        hit = np.zeros(len(vals), bool)
         nn = [i for i, v in enumerate(vals) if v is not None]
         if nn:
             hit[nn] = f.contains_many([str(vals[i]) for i in nn])
-        # NULL keys: semi drops them (never match), anti keeps them —
-        # a null never hits the filter, so they ride the miss stream
+        # NULL keys never hit the filter, so they ride the miss stream —
+        # semi drops them downstream, anti emits them directly (SQL)
         mask = hit if want_pass else ~hit
         return t.filter(pa.array(mask))
 
@@ -431,3 +432,23 @@ def bloom_semi_anti_join(left_ds, right_ds, on: str, *, anti: bool = False,
         lambda t: probe(t, want_pass=False), batch_format="pyarrow"
     )
     return exact.union(definite)
+
+
+#: per-worker-process cache of deserialized Bloom probe filters, keyed
+#: by object-ref hex (empty at pickle time — the module ships by-value;
+#: each worker process fills its own copy on the first probe task)
+_BLOOM_PROBE_CACHE: dict = {}
+
+
+def _bloom_probe_filter(blob_ref, k: int):
+    import ray
+
+    from ..stages.bloom import BloomFilter
+
+    key = (blob_ref.hex() if hasattr(blob_ref, "hex") else id(blob_ref), k)
+    f = _BLOOM_PROBE_CACHE.get(key)
+    if f is None:
+        f = BloomFilter.from_bytes(ray.get(blob_ref), k)
+        _BLOOM_PROBE_CACHE.clear()  # hold at most one filter per worker
+        _BLOOM_PROBE_CACHE[key] = f
+    return f

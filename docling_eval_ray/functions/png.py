@@ -189,9 +189,12 @@ def resize_nearest(img: np.ndarray, h: int, w: int) -> np.ndarray:
 
 
 def to_grayscale(img: np.ndarray) -> np.ndarray:
-    """ITU-R BT.601 luma (the classic integer-weight formula)."""
+    """ITU-R BT.601 luma; gray / gray+alpha inputs pass the luminance
+    channel through (a 2-channel GA image has no chroma to weight)."""
     if img.ndim == 2:
         return img.astype(np.float64)
+    if img.shape[2] < 3:  # gray or gray+alpha
+        return img[:, :, 0].astype(np.float64)
     rgb = img[:, :, :3].astype(np.float64)
     return rgb @ np.array([0.299, 0.587, 0.114])
 

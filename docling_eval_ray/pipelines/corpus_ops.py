@@ -1230,10 +1230,13 @@ def weighted_sample_topk(sf_dir: str, *, k: int = WEIGHTED_SAMPLE_K):
     summary — the ``fixed_size_sample`` discipline), then one
     k×batches-sized final merge; the corpus never shuffles. Keys round
     to 9 on BOTH sides before ranking (ties break by doc_id), the
-    neardup_pagerank float discipline."""
+    neardup_pagerank float discipline. Zero-weight rows are excluded on
+    BOTH sides (numpy -ln(u)/0 is inf where SQL yields NULL — the
+    filter pins the invariant; weight-0 rows are unsampleable anyway)."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["n_chars"] > 0]
         u = (
             np.array([md5_prefix32(str(i)) for i in b["doc_id"]],
                      dtype=np.float64)

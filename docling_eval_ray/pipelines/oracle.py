@@ -1523,7 +1523,7 @@ ORACLE_SQL["weighted_sample_topk"] = """
         SELECT doc_id, n_chars,
                (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                      AS UBIGINT) + 1) / 4294967296.0 AS u
-        FROM documents
+        FROM documents WHERE n_chars > 0
     )
     SELECT doc_id, n_chars,
            round_even(-ln(u) / n_chars, 9) AS sample_key

@@ -17,10 +17,11 @@ row undercount three stages later) — then hands the deterministic,
 sorted file list to ``ray.data.read_parquet`` with column pruning, so
 the scan itself is the standard streaming source (O1 path ordering).
 
-``write_hf_snapshot`` is the fixture-shaped inverse (driver-sized
-tables → hub-layout shards + dataset_infos.json) used by tests and the
-round-trip query; a production exporter would be ``write_parquet`` with
-a filename provider plus this module's manifest conventions.
+``write_hf_snapshot_dataset`` is the distributed inverse (streaming
+``repartition(shards)`` + ``write_parquet`` into staging, then a
+shard-count-sized rename pass stamps the hub names) used by the
+round-trip query; ``write_hf_snapshot`` is its fixture-shaped
+driver-side twin for tests.
 """
 
 from __future__ import annotations
@@ -119,6 +120,13 @@ def write_hf_snapshot(table: pa.Table, root: str, *, split: str = "train",
     ``dataset_infos.json``."""
     out = Path(root)
     (out / "data").mkdir(parents=True, exist_ok=True)
+    # clear stale shards for this split FIRST: a leftover file with a
+    # different of-MMMMM total would otherwise poison every later read
+    # (the shard-count integrity check rejects mixed totals)
+    pat = re.compile(rf"^{re.escape(split)}-\d{{5}}-of-\d{{5}}\.parquet$")
+    for f in (out / "data").iterdir():
+        if pat.match(f.name):
+            f.unlink()
     n = table.num_rows
     for i in range(shards):
         idx = list(range(i, n, shards))
@@ -136,23 +144,70 @@ def write_hf_snapshot(table: pa.Table, root: str, *, split: str = "train",
     return info[name]
 
 
+def write_hf_snapshot_dataset(ds, root: str, *, split: str = "train",
+                              shards: int = 2,
+                              name: str = "snapshot") -> dict:
+    """DISTRIBUTED hub-layout exporter: the Dataset streams through
+    ``repartition(shards)`` + ``write_parquet`` into a staging dir
+    (each write task emits its own file — no driver materialization),
+    then the shard-count-sized rename pass stamps the hub names
+    ``<split>-NNNNN-of-MMMMM.parquet`` and writes dataset_infos.json.
+    The scale path behind the fixture-sized ``write_hf_snapshot``."""
+    import shutil
+
+    out = Path(root)
+    staging = out / f"_staging_{split}"
+    if staging.exists():
+        shutil.rmtree(staging)
+    (out / "data").mkdir(parents=True, exist_ok=True)
+    pat = re.compile(rf"^{re.escape(split)}-\d{{5}}-of-\d{{5}}\.parquet$")
+    for f in (out / "data").iterdir():
+        if pat.match(f.name):
+            f.unlink()
+    ds = ds.repartition(shards)
+    ds.write_parquet(str(staging))
+    files = sorted(staging.glob("*.parquet"))
+    total = len(files)
+    n = 0
+    for i, f in enumerate(files):
+        n += pq.read_metadata(f).num_rows
+        f.rename(out / "data" / f"{split}-{i:05d}-of-{total:05d}.parquet")
+    shutil.rmtree(staging)
+    info = {
+        name: {
+            "splits": {split: {"num_examples": n}},
+            "features": {
+                fld.name: str(fld.type)
+                for fld in pq.read_schema(
+                    out / "data" / f"{split}-00000-of-{total:05d}.parquet"
+                )
+            },
+        }
+    }
+    (out / "dataset_infos.json").write_text(json.dumps(info, indent=2))
+    return info[name]
+
+
 def hf_snapshot_roundtrip(sf_dir: str):
     """Oracled round-trip query: export the documents table as a
-    hub-layout snapshot (2 shards + dataset_infos.json under /tmp),
-    read it back through ``read_hf_snapshot`` with column pruning and
-    the metadata integrity check, and return the per-language census —
-    which hash-matches the census DuckDB computes on the ORIGINAL
-    table iff the export/read cycle lost nothing."""
-    import hashlib
+    hub-layout snapshot (distributed writer, 2 shards +
+    dataset_infos.json under a fresh per-run /tmp dir — no cross-run
+    or cross-process collisions), read it back through
+    ``read_hf_snapshot`` with column pruning and the metadata
+    integrity check, and return the per-language census — which
+    hash-matches the census DuckDB computes on the ORIGINAL table iff
+    the export/read cycle lost nothing."""
+    import tempfile
+
+    import ray.data as rd
 
     from ..functions.groups import count_partial, final_groupby_sum
 
-    src = pq.read_table(f"{sf_dir}/documents.parquet",
-                        columns=["doc_id", "lang"])
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    root = f"/tmp/hf_snapshot_{tag}"
-    write_hf_snapshot(src, root, split="train", shards=2,
-                      name="documents")
+    src = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "lang"])
+    root = tempfile.mkdtemp(prefix="hf_snapshot_")
+    write_hf_snapshot_dataset(src, root, split="train", shards=2,
+                              name="documents")
     ds = read_hf_snapshot(root, split="train", columns=["lang"],
                           verify_num_examples=True)
     out = final_groupby_sum(

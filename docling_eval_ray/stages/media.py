@@ -202,7 +202,13 @@ class ResizeImage:
             nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
             body = payload[HEADER_SIZE:]
             if body[:8] == b"\x89PNG\r\n\x1a\n" and (nw, nh) != (w, h):
-                body = encode_png(resize_nearest(decode_png(body), nh, nw))
+                try:
+                    body = encode_png(
+                        resize_nearest(decode_png(body), nh, nw)
+                    )
+                except Exception:
+                    pass  # corrupt PNG: keep the original body (the
+                    # decode stage censuses it as ok=False)
             payloads.append(
                 struct.pack(_FMT, magic, nw, nh, seed) + body
             )
@@ -321,8 +327,12 @@ def pixels_from_payload(payload: bytes) -> "np.ndarray":
     if body[:8] == b"\x89PNG\r\n\x1a\n":
         from ..functions.png import decode_png, resize_nearest, to_grayscale
 
-        gray = to_grayscale(decode_png(body))
-        return resize_nearest(gray, 32, 32).astype(np.float64)
+        try:
+            gray = to_grayscale(decode_png(body))
+            return resize_nearest(gray, 32, 32).astype(np.float64)
+        except Exception:
+            pass  # corrupt PNG → deterministic stub (skip-and-count
+            # contract: a pixel source must never kill the census task)
     # counter-mode expansion: tiling the body verbatim repeats every
     # row, collapsing the DCT spectrum so EVERY image hashed identically
     raw = b"".join(

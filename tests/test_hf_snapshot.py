@@ -84,3 +84,31 @@ def test_hf_snapshot_roundtrip_census(ray_session):
     import collections
     want = collections.Counter(t["lang"].to_pylist())
     assert dict(zip(got["lang"], got["n_docs"])) == dict(want)
+
+
+def test_write_hf_snapshot_clears_stale_shards(ray_session, tmp_path):
+    """A leftover shard with a different of-MMMMM total must not poison
+    later reads: both writers clear the split's old shards first."""
+    write_hf_snapshot(_table(), str(tmp_path), shards=4)
+    write_hf_snapshot(_table(), str(tmp_path), shards=2)  # re-export
+    assert sorted(f.name for f in (tmp_path / "data").iterdir()) == [
+        "train-00000-of-00002.parquet", "train-00001-of-00002.parquet"
+    ]
+    assert read_hf_snapshot(str(tmp_path)).count() == 20
+
+
+def test_write_hf_snapshot_dataset_distributed(ray_session, tmp_path):
+    """The streaming exporter: repartition + write_parquet + rename —
+    correct hub names, correct num_examples, readable back."""
+    import ray.data as rd
+
+    from docling_eval_ray.sources.hf_snapshot import write_hf_snapshot_dataset
+
+    ds = rd.from_arrow(_table(30))
+    info = write_hf_snapshot_dataset(ds, str(tmp_path), shards=3,
+                                     name="docs")
+    assert info["splits"]["train"]["num_examples"] == 30
+    names = sorted(f.name for f in (tmp_path / "data").iterdir())
+    assert names == [f"train-{i:05d}-of-00003.parquet" for i in range(3)]
+    back = read_hf_snapshot(str(tmp_path), verify_num_examples=True)
+    assert sorted(back.to_pandas()["doc_id"]) == list(range(30))

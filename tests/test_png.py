@@ -108,3 +108,26 @@ def test_comparison_png_sink(ray_session, tmp_path):
     assert img.shape == (256, 516, 3)  # 256 + 4px divider + 256
     assert (img[:, 256:260] == 0).all()  # the divider
     assert (img != 255).any()
+
+
+def test_pixels_from_payload_corrupt_png_falls_back_to_stub():
+    """A corrupt PNG body must NOT raise out of the pixel source (the
+    pHash census is skip-and-count): it falls back to the stub."""
+    from docling_eval_ray.stages.media import HEADER_SIZE, pixels_from_payload
+
+    good = encode_png(np.zeros((10, 10, 3), np.uint8))
+    bad = bytearray(good)
+    bad[25] ^= 0xFF  # CRC mismatch inside IHDR/IDAT
+    px = pixels_from_payload(b"\x00" * HEADER_SIZE + bytes(bad))
+    assert px.shape == (32, 32)  # stub path, no exception
+
+
+def test_grayscale_gray_alpha_channels():
+    """decode_png emits H×W×2 for gray+alpha; to_grayscale must pass
+    the luminance channel through instead of crashing on the BT.601
+    matmul."""
+    img = np.zeros((5, 4, 2), np.uint8)
+    img[:, :, 0] = 200  # luminance
+    img[:, :, 1] = 7    # alpha
+    g = to_grayscale(decode_png(encode_png(img)))
+    assert g.shape == (5, 4) and (g == 200.0).all()
