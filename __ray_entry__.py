@@ -141,6 +141,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_with_overlap": r.chunk_with_overlap,
         "events_value_1h_range_sum": r.events_value_1h_range_sum,
         "lang_unigram_kl": r.lang_unigram_kl,
+        "table_profile": r.table_profile,
+        "large_quantity_orders": r.large_quantity_orders,
     }
     # multimodal: perceptual-hash image dedup census (rows-only; the
     # pHash kernel is the real algorithm over the documented stub pixels)

@@ -1510,6 +1510,49 @@ ORACLE_SQL["events_value_1h_range_sum"] = """
     FROM events
 """
 
+# one-pass data-quality profile — SQL generated from the SAME spec the
+# Ray side profiles (relational.PROFILE_SPEC), so column/metric
+# coverage cannot drift between the two sides
+from .relational import PROFILE_SPEC as _PROFILE_SPEC
+
+
+def _profile_arm(col: str, kind: str) -> str:
+    expr = f"CAST(length({col}) AS BIGINT)" if kind == "str" else col
+    return f"""
+    SELECT '{col}' AS col_name, 'null_count' AS metric,
+           CAST(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               AS value FROM documents
+    UNION ALL SELECT '{col}', 'min', CAST(min({expr}) AS DOUBLE)
+        FROM documents
+    UNION ALL SELECT '{col}', 'max', CAST(max({expr}) AS DOUBLE)
+        FROM documents
+    UNION ALL SELECT '{col}', 'mean',
+        round_even(CAST(sum({expr}) AS DOUBLE)
+                   / count({expr}), 6) FROM documents"""
+
+
+ORACLE_SQL["table_profile"] = "\n    UNION ALL".join(
+    _profile_arm(c, k) for c, k in sorted(_PROFILE_SPEC)
+)
+
+# TPC-H Q18 shape: top large-quantity orders with customer
+ORACLE_SQL["large_quantity_orders"] = """
+    WITH totals AS (
+        SELECT l_orderkey AS o_orderkey,
+               sum(l_quantity) AS tq
+        FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150
+    )
+    SELECT c_name, c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           o_totalprice,
+           round_even(tq, 2) AS total_qty
+    FROM orders
+    JOIN totals USING (o_orderkey)
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+"""
+
 # HF-snapshot round-trip: the census matches the original table iff
 # the hub-layout export + shard-checked read lost nothing
 ORACLE_SQL["hf_snapshot_roundtrip"] = """

@@ -3955,3 +3955,164 @@ def lang_unigram_kl(sf_dir: str):
         )
 
     return final.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# table_profile — one-pass data-quality profile (the ingest sweep)
+# ---------------------------------------------------------------------------
+
+#: (column, kind) spec shared with the SQL oracle generator — numeric
+#: columns profile value min/max/mean, string columns length min/max/mean
+PROFILE_SPEC: tuple[tuple[str, str], ...] = (
+    ("doc_id", "num"),
+    ("text", "str"),
+    ("lang", "str"),
+    ("source", "str"),
+    ("n_chars", "num"),
+)
+
+
+def table_profile(sf_dir: str):
+    """(col_name, metric, value) data-quality profile of the documents
+    table in ONE streaming pass: per column, null_count + min + max +
+    mean — over the values for numeric columns, over the character
+    lengths for string columns (the ingest-time sweep a pipeline runs
+    before committing a new source). Per-batch partials carry exact
+    int64 sums (columns × batches rows — bounded driver merge, the
+    sketch-op contract), so the means divide identical integers on the
+    Ray and SQL sides before the shared 6dp rounding."""
+    cols = [c for c, _ in PROFILE_SPEC]
+    ds = _read(sf_dir, "documents", columns=cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        names, nulls, mins, maxs, sums, counts = [], [], [], [], [], []
+        for col, kind in PROFILE_SPEC:
+            arr = t[col].combine_chunks() if isinstance(
+                t[col], pa.ChunkedArray) else t[col]
+            n_null = arr.null_count
+            vals = arr.drop_null()
+            if kind == "str":
+                vals = pc.utf8_length(vals)
+            v = vals.to_numpy(zero_copy_only=False).astype(np.int64)
+            names.append(col)
+            nulls.append(n_null)
+            mins.append(int(v.min()) if len(v) else np.iinfo(np.int64).max)
+            maxs.append(int(v.max()) if len(v) else np.iinfo(np.int64).min)
+            sums.append(int(v.sum()))
+            counts.append(len(v))
+        return pa.table(
+            {
+                "col_name": pa.array(names, pa.string()),
+                "nulls": pa.array(nulls, pa.int64()),
+                "mn": pa.array(mins, pa.int64()),
+                "mx": pa.array(maxs, pa.int64()),
+                "s": pa.array(sums, pa.int64()),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow"
+    ).to_pandas()  # columns × batches rows — bounded
+    g = parts.groupby("col_name", sort=True).agg(
+        nulls=("nulls", "sum"), mn=("mn", "min"), mx=("mx", "max"),
+        s=("s", "sum"), n=("n", "sum"),
+    )
+    names, metrics, values = [], [], []
+    for col, _ in sorted(PROFILE_SPEC):
+        row = g.loc[col]
+        for metric, val in (
+            ("null_count", float(row["nulls"])),
+            ("min", float(row["mn"])),
+            ("max", float(row["mx"])),
+            ("mean", float(np.round(row["s"] / max(row["n"], 1), 6))),
+        ):
+            names.append(col)
+            metrics.append(metric)
+            values.append(val)
+    return pa.table(
+        {
+            "col_name": pa.array(names, pa.string()),
+            "metric": pa.array(metrics, pa.string()),
+            "value": pa.array(values, pa.float64()),
+        }
+    )
+
+
+def large_quantity_orders(sf_dir: str):
+    """TPC-H Q18 shape (top large-quantity orders): orders whose total
+    lineitem quantity exceeds the threshold, enriched with the
+    customer, top 100 by (o_totalprice DESC, o_orderkey). Plan: the
+    lineitem corpus pre-aggregates per-batch (orderkey, qty) partials →
+    one domain-sized groupby → HAVING filter (the surviving keys are
+    output-sized) → bucketed hash joins to orders and customer → global
+    top-k. Only qualifying orderkeys and their dimension rows cross an
+    exchange after the first groupby."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.joins import hash_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        keys = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        sums = np.bincount(inv, weights=qty, minlength=len(uniq))
+        return pa.table(
+            {
+                "o_orderkey": pa.array(uniq.astype(np.int64), pa.int64()),
+                "q_part": pa.array(sums, pa.float64()),
+            }
+        )
+
+    totals = (
+        li.map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(Sum("q_part", alias_name="total_qty"))
+        .filter(expr="total_qty > 150")
+    )
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_totalprice",
+                            "o_orderdate"])
+    joined = hash_join(orders, totals, on="o_orderkey")
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    # NAME-based key rename (rename_columns is positional — the
+    # neardup_kcore lesson): o_custkey becomes the customer join key
+    joined = joined.map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "c_custkey": t["o_custkey"],
+                "o_totalprice": t["o_totalprice"],
+                "o_orderdate": t["o_orderdate"],
+                "total_qty": t["total_qty"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    full = hash_join(joined, cust, on="c_custkey")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_name": t["c_name"],
+                "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "o_orderdate": pc.cast(
+                    pc.strftime(t["o_orderdate"], format="%Y-%m-%d"),
+                    pa.string(),
+                ),
+                "o_totalprice": pc.cast(t["o_totalprice"], pa.float64()),
+                "total_qty": pa.array(
+                    np.round(
+                        t["total_qty"].to_numpy(zero_copy_only=False), 2
+                    ),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    out = full.map_batches(finish, batch_format="pyarrow")
+    return out.sort(["o_totalprice", "o_orderkey"],
+                    descending=[True, False]).limit(100)
