@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cube": r.events_cube,
         "latest_event_per_user": r.latest_event_per_user,
         "events_in_windows": r.events_in_windows,
+        "events_in_windows_distributed": r.events_in_windows_distributed,
         "order_priority_counts": r.order_priority_counts,
         "suppliers_per_part": r.suppliers_per_part,
         "lineitem_discount_corr": r.lineitem_discount_corr,
@@ -172,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         embedding_knn_ivf,
         embedding_label_medoid,
         embedding_near_dups,
+        label_pca_component,
         embedding_norms,
         label_centroids,
     )
@@ -196,6 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "label_centroids": label_centroids,           # oracled (k-means step)
             "centroid_similarity": centroid_similarity,   # oracled (k×k cosine)
             "embedding_label_medoid": embedding_label_medoid,  # oracled
+            "label_pca_component": label_pca_component,  # rows-only (eig)
             "language_id": language_id,                   # oracled (argmax)
             "document_winnow": document_winnow,           # oracled (rolling hash)
         }

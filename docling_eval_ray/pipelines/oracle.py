@@ -1878,6 +1878,12 @@ ORACLE_SQL["events_in_windows"] = """
 """
 
 
+# the shuffle-tier interval join computes the SAME rows (time-bucket
+# co-partition; every pair meets exactly once in the event's bucket)
+ORACLE_SQL["events_in_windows_distributed"] = \
+    ORACLE_SQL["events_in_windows"]
+
+
 # per-source quota cap (bounded top-N per group)
 ORACLE_SQL["source_quota_cap"] = """
     SELECT doc_id, source

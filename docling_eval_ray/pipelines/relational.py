@@ -4116,3 +4116,96 @@ def large_quantity_orders(sf_dir: str):
     out = full.map_batches(finish, batch_format="pyarrow")
     return out.sort(["o_totalprice", "o_orderkey"],
                     descending=[True, False]).limit(100)
+
+
+def events_in_windows_distributed(sf_dir: str):
+    """The SHUFFLE tier of the interval join: identical output to
+    ``events_in_windows`` (same oracle) but built for an interval side
+    too large to broadcast. Time-bucket co-partitioning: every window
+    replicates to each fixed-width time bucket it overlaps (bounded by
+    ceil(window_len / bucket) + 1 rows per window); every event lands
+    in exactly ONE bucket, so each matching (event, window) pair meets
+    exactly once — no post-join dedup. One bucketed exchange keyed on
+    the time bucket, vectorized band checks inside the bucket task,
+    per-window partials out, domain-sized final groupby."""
+    from ..functions.groups import bucketed_group_apply
+
+    bucket_us = 24 * 3600 * 1_000_000  # 1-day co-partition grid
+
+    win_rows = []
+    for wid, ws, we in RANGE_WINDOWS:
+        ws_us = int(ws.astype("int64"))
+        we_us = int(we.astype("int64"))
+        for b in range(ws_us // bucket_us, (we_us - 1) // bucket_us + 1):
+            win_rows.append((b, wid, ws_us, we_us))
+    import ray.data as rd
+
+    windows = rd.from_arrow(pa.table(
+        {
+            "bucket": pa.array([r[0] for r in win_rows], pa.int64()),
+            "side": pa.array(["w"] * len(win_rows), pa.string()),
+            "wid": pa.array([r[1] for r in win_rows], pa.int64()),
+            "t0": pa.array([r[2] for r in win_rows], pa.int64()),
+            "t1": pa.array([r[3] for r in win_rows], pa.int64()),
+            "value": pa.array([0.0] * len(win_rows), pa.float64()),
+        }
+    ))
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def tag_events(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(ts // bucket_us, pa.int64()),
+                "side": pa.array(["e"] * len(ts), pa.string()),
+                "wid": pa.array(np.full(len(ts), -1), pa.int64()),
+                "t0": pa.array(ts, pa.int64()),
+                "t1": pa.array(np.zeros(len(ts), np.int64), pa.int64()),
+                "value": t["value"],
+            }
+        )
+
+    tagged = ds.map_batches(tag_events, batch_format="pyarrow").union(
+        windows
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, grp in g.groupby("bucket", sort=False):
+            w = grp[grp["side"] == "w"]
+            e = grp[grp["side"] == "e"]
+            if not len(w) or not len(e):
+                continue
+            ts = e["t0"].to_numpy()
+            val = e["value"].to_numpy()
+            for wid, t0, t1 in zip(w["wid"].to_numpy(),
+                                   w["t0"].to_numpy(),
+                                   w["t1"].to_numpy()):
+                m = (ts >= t0) & (ts < t1)
+                if m.any():
+                    rows.append((wid, int(m.sum()), float(val[m].sum())))
+        out = pd.DataFrame(
+            rows, columns=["window_id", "n_events", "sum_value"]
+        )
+        return out.astype(
+            {"window_id": np.int64, "n_events": np.int64,
+             "sum_value": np.float64}
+        )
+
+    partials = bucketed_group_apply(tagged, ["bucket"], join_bucket)
+    final = _final_groupby(partials, ["window_id"],
+                           ["n_events", "sum_value"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_id": pc.cast(t["window_id"], pa.int64()),
+                "n_events": pc.cast(t["n_events"], pa.int64()),
+                "sum_value": pa.array(
+                    np.round(t["sum_value"].to_numpy(), 2), pa.float64()
+                ),
+            }
+        )
+
+    return final.map_batches(finish, batch_format="pyarrow")

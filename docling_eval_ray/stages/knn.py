@@ -767,3 +767,73 @@ def embedding_label_medoid(sf_dir: str):
             ),
         }
     )
+
+
+def label_pca_component(sf_dir: str):
+    """(label, dim, component, explained_var_ratio) — the top principal
+    component of each label's embedding cloud, computed WITHOUT
+    materializing any label's vectors: covariance is a mergeable
+    statistic (n, Σx, Σxxᵀ per label), so one streaming pass emits a
+    fixed-size partial row per (batch, label) — n + a dim sum + a
+    dim×dim outer-product sum, ~33 KB at dim 64 — and the driver merge
+    is labels×batches-sized (the sketch-op contract). Eigendecomposition
+    runs on the labels×dim×dim merged state (driver-sized by
+    construction); the component's sign is canonicalized so its
+    largest-|coordinate| entry is positive. Rows-only (no SQL
+    eigensolver); accuracy vs a direct numpy PCA asserted in
+    tests/test_knn.py."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _emb_matrix(t)
+        labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        d = m.shape[1]
+        out_l, out_n, out_s, out_o = [], [], [], []
+        for gi, lab in enumerate(uniq):
+            block = m[inv == gi]
+            out_l.append(int(lab))
+            out_n.append(block.shape[0])
+            out_s.append(block.sum(axis=0).tolist())
+            out_o.append((block.T @ block).ravel().tolist())
+        return pa.table(
+            {
+                "label": pa.array(out_l, pa.int64()),
+                "n": pa.array(out_n, pa.int64()),
+                "s": pa.array(out_s, pa.list_(pa.float64(), d)),
+                "o": pa.array(out_o, pa.list_(pa.float64(), d * d)),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow"
+    ).to_pandas()  # labels × batches fixed-size rows — bounded
+
+    labels_out, dims_out, comp_out, evr_out = [], [], [], []
+    for lab, grp in parts.groupby("label", sort=True):
+        n = int(grp["n"].sum())
+        s = np.sum(np.stack(grp["s"].to_numpy()), axis=0)
+        d = s.shape[0]
+        o = np.sum(np.stack(grp["o"].to_numpy()), axis=0).reshape(d, d)
+        mu = s / n
+        cov = o / n - np.outer(mu, mu)
+        vals, vecs = np.linalg.eigh(cov)  # ascending
+        comp = vecs[:, -1]
+        if comp[np.argmax(np.abs(comp))] < 0:
+            comp = -comp
+        evr = float(vals[-1] / max(vals.sum(), 1e-300))
+        labels_out.extend([int(lab)] * d)
+        dims_out.extend(range(d))
+        comp_out.extend(np.round(comp, 6).tolist())
+        evr_out.extend([round(evr, 6)] * d)
+    return pa.table(
+        {
+            "label": pa.array(labels_out, pa.int64()),
+            "dim": pa.array(dims_out, pa.int64()),
+            "component": pa.array(comp_out, pa.float64()),
+            "explained_var_ratio": pa.array(evr_out, pa.float64()),
+        }
+    )

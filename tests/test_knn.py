@@ -167,3 +167,30 @@ def test_ivf_recall_on_sorted_corpus(ray_session, tmp_path):
     by_q = got.groupby("vec_id")["neighbor_id"].apply(set)
     recalls = [len(by_q.get(q, set()) & exact[q]) / 10 for q in exact]
     assert float(np.mean(recalls)) > 0.45  # same bar as the unsorted test
+
+
+def test_label_pca_component_matches_direct(ray_session):
+    """The streaming covariance-partial PCA must match a direct numpy
+    PCA over each label's gathered vectors (same eigensolver, merged
+    vs one-shot covariance — agreement to float-merge tolerance), with
+    the sign canonicalized identically."""
+    import pyarrow.parquet as pq
+
+    from docling_eval_ray.stages.knn import label_pca_component
+
+    got = label_pca_component("/root/testdata/sf0.001").to_pandas()
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet",
+                      columns=["label", "embedding"]).to_pandas()
+    for lab, grp in t.groupby("label"):
+        m = np.stack(grp["embedding"].to_numpy()).astype(np.float64)
+        cov = np.cov(m, rowvar=False, bias=True)
+        vals, vecs = np.linalg.eigh(cov)
+        want = vecs[:, -1]
+        if want[np.argmax(np.abs(want))] < 0:
+            want = -want
+        sub = got[got["label"] == lab].sort_values("dim")
+        assert np.allclose(sub["component"].to_numpy(), want, atol=1e-4)
+        want_evr = vals[-1] / vals.sum()
+        assert abs(sub["explained_var_ratio"].iloc[0] - want_evr) < 1e-4
+        # unit length, sign canon
+        assert abs(np.linalg.norm(sub["component"].to_numpy()) - 1) < 1e-3
