@@ -151,9 +151,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["media_phash_census"] = media_phash_census
     # audio modality: REAL PCM WAV codec + numpy DSP features
-    from docling_eval_ray.stages.audio import audio_feature_stats
+    from docling_eval_ray.stages.audio import (
+        audio_feature_stats,
+        audio_fingerprint_census,
+    )
 
     q["audio_feature_stats"] = audio_feature_stats  # rows-only (DSP)
+    q["audio_fingerprint_census"] = audio_fingerprint_census  # rows-only
     # dedup family + similarity search (training-data ops)
     from docling_eval_ray.stages.dedup import (
         dedup_keep_canonical,

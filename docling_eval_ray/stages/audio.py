@@ -179,3 +179,98 @@ def audio_feature_stats(sf_dir: str, *, batch_size: int = 256,
     audio = audio_table_for_documents(docs)
     return stage(audio, AudioFeatures, batch_size=batch_size,
                  concurrency=concurrency)
+
+
+def audio_fingerprint64(pcm: np.ndarray, rate: int) -> int:
+    """64-bit robust audio fingerprint (Haitsma–Kalker construction,
+    public 2002 algorithm): frame the signal, take per-frame energies
+    in 32 log-spaced bands + a frame-to-frame energy delta, emit the
+    sign bits of the band-delta differences, fold frames together by
+    majority vote into 64 bits. Small perturbations flip few bits;
+    distinct clips land far apart (the pHash contract, for audio)."""
+    frame = max(256, rate // 31)
+    hop = frame // 2
+    n_frames = max(1, (len(pcm) - frame) // hop + 1)
+    bands = 65  # 65 band energies → 64 band-delta differences = 64 bits
+    edges = np.linspace(1, frame // 2 + 1, bands + 1).astype(int)
+    votes = np.zeros(64, np.int64)
+    prev_e = None
+    total = 0
+    for i in range(n_frames):
+        seg = pcm[i * hop : i * hop + frame]
+        if len(seg) < frame:
+            seg = np.pad(seg, (0, frame - len(seg)))
+        spec = np.abs(np.fft.rfft(seg * np.hanning(frame)))
+        e = np.array([
+            spec[edges[j]:edges[j + 1]].sum()
+            for j in range(len(edges) - 1)
+        ])
+        if len(e) < bands:
+            e = np.pad(e, (0, bands - len(e)))
+        if prev_e is not None:
+            d = (e[1:] - e[:-1]) - (prev_e[1:] - prev_e[:-1])
+            bits = (d > 0).astype(np.int64)
+            k = min(64, len(bits))
+            votes[:k] += 2 * bits[:k] - 1
+            total += 1
+        prev_e = e
+    if total == 0:
+        return 0
+    fp = 0
+    for b in range(64):
+        if votes[b] > 0:
+            fp |= 1 << b
+    return fp
+
+
+class AudioFingerprint:
+    """Actor-pool stage: WAV payload → (media_ref, fingerprint hex)."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        refs, fps = [], []
+        for ref, payload in zip(t["media_ref"].to_pylist(),
+                                t["payload"].to_pylist()):
+            try:
+                rate, pcm = decode_wav(payload)
+            except Exception:
+                continue
+            refs.append(ref)
+            fps.append(f"{audio_fingerprint64(pcm, rate):016x}")
+        return pa.table(
+            {
+                "media_ref": pa.array(refs, pa.string()),
+                "fingerprint": pa.array(fps, pa.string()),
+            }
+        )
+
+
+def audio_fingerprint_census(sf_dir: str, *, batch_size: int = 256,
+                             concurrency=None):
+    """Rows-only query: (fingerprint, n_clips) exact-dup census
+    over the audio side table — the audio twin of
+    ``media_phash_census`` (one shuffle over fingerprint-sized rows;
+    payloads never cross the exchange)."""
+    import pyarrow.compute as pc
+
+    from ..functions.groups import count_partial, final_groupby_sum
+    from ..sources.interleaved import read_interleaved_documents
+    from .util import stage
+
+    docs = read_interleaved_documents(sf_dir)
+    audio = audio_table_for_documents(docs)
+    fps = stage(audio, AudioFingerprint, batch_size=batch_size,
+                concurrency=concurrency)
+    out = final_groupby_sum(
+        fps.map_batches(count_partial("fingerprint", "n_clips"),
+                        batch_format="pyarrow"),
+        ["fingerprint"], ["n_clips"],
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "fingerprint": t["fingerprint"],
+                "n_clips": pc.cast(t["n_clips"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

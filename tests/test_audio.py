@@ -97,3 +97,40 @@ def test_audio_feature_stats_pipeline(ray_session):
     a = df.sort_values("media_ref").reset_index(drop=True)
     b = df2.sort_values("media_ref").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_audio_fingerprint_properties():
+    """pHash contract for audio: deterministic, robust to small noise
+    (few bits flip), discriminative across clips (many bits differ),
+    and all 64 bit positions are exercised across a clip population."""
+    from docling_eval_ray.stages.audio import (
+        audio_fingerprint64,
+        decode_wav,
+        synth_audio_payload,
+    )
+
+    rate, pcm = decode_wav(synth_audio_payload("clip/1"))
+    h0 = audio_fingerprint64(pcm, rate)
+    assert h0 == audio_fingerprint64(pcm.copy(), rate)
+    rng = np.random.default_rng(3)
+    near = pcm + rng.normal(0, 0.002, len(pcm))
+    ham_near = bin(h0 ^ audio_fingerprint64(near, rate)).count("1")
+    assert ham_near <= 10, ham_near
+    _, other = decode_wav(synth_audio_payload("clip/2"))
+    ham_far = bin(h0 ^ audio_fingerprint64(other, rate)).count("1")
+    assert ham_far >= 12, ham_far
+    seen = 0
+    for i in range(12):
+        _, p = decode_wav(synth_audio_payload(f"clip/{i}"))
+        seen |= audio_fingerprint64(p, rate)
+    assert bin(seen).count("1") > 40  # high bit positions populated
+
+
+def test_audio_fingerprint_census(ray_session):
+    from docling_eval_ray.stages.audio import audio_fingerprint_census
+
+    df = audio_fingerprint_census("/root/testdata/sf0.001").to_pandas()
+    assert df["n_clips"].sum() == 434
+    # refs are unique and payloads are ref-derived → overwhelmingly
+    # distinct fingerprints
+    assert len(df) > 400
