@@ -170,6 +170,10 @@ def run_benchmarks() -> dict:
     from docling_eval_ray.stages.media import media_decode_stats
     from docling_eval_ray.stages.audio import (
         audio_feature_stats as _audio_feature_stats,
+        audio_fingerprint_census as _audio_fingerprint_census,
+    )
+    from docling_eval_ray.stages.knn import (
+        label_pca_component as _label_pca_component,
     )
     from docling_eval_ray.stages.bloom import (
         decontaminate_bloom as _decontaminate_bloom,
@@ -258,6 +262,11 @@ def run_benchmarks() -> dict:
         ("weighted_sample_topk", co.weighted_sample_topk),
         ("orders_without_lineitems_bloom",
          r.orders_without_lineitems_bloom),
+        ("table_profile", r.table_profile),
+        ("large_quantity_orders", r.large_quantity_orders),
+        ("events_in_windows_distributed", r.events_in_windows_distributed),
+        ("label_pca_component", _label_pca_component),
+        ("audio_fingerprint_census", _audio_fingerprint_census),
         # scale tiers forced past their size-routing gates, so the
         # distributed paths get recorded wall-times (not just tests):
         # tier-C MinHash verify = full shingle-table joins, no broadcast

@@ -4044,13 +4044,15 @@ def large_quantity_orders(sf_dir: str):
     lineitem quantity exceeds the threshold, enriched with the
     customer, top 100 by (o_totalprice DESC, o_orderkey). Plan: the
     lineitem corpus pre-aggregates per-batch (orderkey, qty) partials →
-    one domain-sized groupby → HAVING filter (the surviving keys are
-    output-sized) → bucketed hash joins to orders and customer → global
-    top-k. Only qualifying orderkeys and their dimension rows cross an
-    exchange after the first groupby."""
+    ONE domain-sized groupby → HAVING filter → size-routed ``dim_join``
+    to orders and customer (broadcast while the qualifying set and the
+    dimension fit the gate, bucketed hash join beyond it) → per-batch
+    local top-100 partials merged on the driver (top-k is a mergeable
+    summary — no global sort exchange). Exactly one all-to-all at these
+    sizes; the joins and the ranking shuffle nothing."""
     from ray.data.aggregate import Sum
 
-    from ..functions.joins import hash_join
+    from ..functions.joins import dim_join
 
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
 
@@ -4075,7 +4077,7 @@ def large_quantity_orders(sf_dir: str):
     orders = _read(sf_dir, "orders",
                    columns=["o_orderkey", "o_custkey", "o_totalprice",
                             "o_orderdate"])
-    joined = hash_join(orders, totals, on="o_orderkey")
+    joined = dim_join(orders, totals, on="o_orderkey")
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
     # NAME-based key rename (rename_columns is positional — the
     # neardup_kcore lesson): o_custkey becomes the customer join key
@@ -4091,10 +4093,10 @@ def large_quantity_orders(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    full = hash_join(joined, cust, on="c_custkey")
+    full = dim_join(joined, cust, on="c_custkey")
 
-    def finish(t: pa.Table) -> pa.Table:
-        return pa.table(
+    def topk_partial(t: pa.Table) -> pa.Table:
+        out = pa.table(
             {
                 "c_name": t["c_name"],
                 "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
@@ -4112,10 +4114,21 @@ def large_quantity_orders(sf_dir: str):
                 ),
             }
         )
+        idx = pc.sort_indices(
+            out,
+            sort_keys=[("o_totalprice", "descending"),
+                       ("o_orderkey", "ascending")],
+        )
+        return out.take(idx[:100])
 
-    out = full.map_batches(finish, batch_format="pyarrow")
-    return out.sort(["o_totalprice", "o_orderkey"],
-                    descending=[True, False]).limit(100)
+    parts = full.map_batches(
+        topk_partial, batch_format="pyarrow"
+    ).to_pandas()  # 100 × batches rows — bounded driver merge
+    parts = parts.sort_values(
+        ["o_totalprice", "o_orderkey"], ascending=[False, True],
+        kind="mergesort",
+    ).head(100).reset_index(drop=True)
+    return pa.Table.from_pandas(parts, preserve_index=False)
 
 
 def events_in_windows_distributed(sf_dir: str):
