@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_event_per_user": r.latest_event_per_user,
         "events_in_windows": r.events_in_windows,
         "events_in_windows_distributed": r.events_in_windows_distributed,
+        "events_debounce": r.events_debounce,
         "order_priority_counts": r.order_priority_counts,
         "suppliers_per_part": r.suppliers_per_part,
         "lineitem_discount_corr": r.lineitem_discount_corr,
@@ -161,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # dedup family + similarity search (training-data ops)
     from docling_eval_ray.stages.dedup import (
         dedup_keep_canonical,
+        leakage_safe_split,
         minhash_near_dups,
         near_dup_clusters,
         neardup_degree_histogram,
@@ -189,6 +191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "ngram_containment_pairs": ngram_containment_pairs,  # oracled
             "near_dup_clusters": near_dup_clusters,       # oracled (CC)
             "dedup_keep_canonical": dedup_keep_canonical, # oracled (keep)
+            "leakage_safe_split": leakage_safe_split,     # oracled (CC+split)
             "minhash_near_dups": minhash_near_dups,       # oracled (LSH+verify)
             "simhash_fingerprints": simhash_fingerprints, # oracled (bit-vote)
             "simhash_near_dups": simhash_near_dups,       # oracled (banded exact)

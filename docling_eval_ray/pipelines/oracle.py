@@ -588,6 +588,26 @@ ORACLE_SQL["orders_without_lineitems"] = """
     ANTI JOIN lineitem ON o_orderkey = l_orderkey
 """
 
+# leakage-safe split: near-dup components share a split by
+# construction — the cluster map CTE composes the recursive
+# reachability walk with the md5-mod split arithmetic
+ORACLE_SQL["leakage_safe_split"] = f"""
+    WITH RECURSIVE {_NEARDUP_EDGES_CTE},
+    walk(s, l) AS (
+        SELECT s, s FROM (SELECT DISTINCT s FROM edges) nodes
+        UNION
+        SELECT e.s, w.l FROM edges e JOIN walk w ON e.t = w.s
+    ),
+    cmap AS (SELECT s AS doc_id, min(l) AS cluster_id FROM walk GROUP BY s)
+    SELECT CAST(
+               CAST(('0x' || substr(md5(CAST(
+                   COALESCE(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 8))
+                   AS UBIGINT) % 10 AS BIGINT) AS split,
+           count(*) AS n_docs
+    FROM documents d LEFT JOIN cmap c USING (doc_id)
+    GROUP BY 1
+"""
+
 # the Bloom-prefiltered plan computes the SAME rows (one-sided error:
 # misses are definite absences; passes re-verified by the exact join)
 ORACLE_SQL["orders_without_lineitems_bloom"] = \
@@ -1882,6 +1902,22 @@ ORACLE_SQL["events_in_windows"] = """
 # co-partition; every pair meets exactly once in the event's bucket)
 ORACLE_SQL["events_in_windows_distributed"] = \
     ORACLE_SQL["events_in_windows"]
+
+
+# stream debounce: LAG gap over (user, type) in (ts, event_id) order
+ORACLE_SQL["events_debounce"] = """
+    SELECT event_id, user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts
+    FROM (
+        SELECT event_id, user_id, event_type, ts,
+               ts - lag(ts) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id
+               ) AS gap
+        FROM events
+    )
+    WHERE gap IS NULL OR gap > INTERVAL 300 SECOND
+"""
 
 
 # per-source quota cap (bounded top-N per group)

@@ -4222,3 +4222,51 @@ def events_in_windows_distributed(sf_dir: str):
         )
 
     return final.map_batches(finish, batch_format="pyarrow")
+
+
+def events_debounce(sf_dir: str, *, gap_s: int = 300):
+    """Stream debounce: keep an event iff the PREVIOUS event of the
+    same (user_id, event_type) — in (ts, event_id) order — is more than
+    ``gap_s`` seconds older (or absent). The web-log / telemetry dedup
+    that collapses rapid-fire repeats while keeping the cadence. One
+    bucketed exchange on the (user, type) key pair; inside each bucket
+    the gap test is a vectorized diff over the sorted group (all of a
+    key's rows meet in one task — the as-of-join discipline). Oracled
+    against the LAG window."""
+    from ..functions.groups import bucketed_group_apply
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+    gap_us = gap_s * 1_000_000
+
+    def tag(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "ts_us": t["ts"].cast(pa.int64()),
+                "user_id": t["user_id"],
+                "event_type": t["event_type"],
+            }
+        )
+
+    def debounce(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type", "ts_us", "event_id"],
+                          kind="mergesort")
+        ts = g["ts_us"].to_numpy()
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        prev_same = np.zeros(len(g), bool)
+        prev_same[1:] = (uid[1:] == uid[:-1]) & (et[1:] == et[:-1])
+        gap = np.empty(len(g), np.int64)
+        gap[0] = np.iinfo(np.int64).max
+        gap[1:] = ts[1:] - ts[:-1]
+        keep = ~prev_same | (gap > gap_us)
+        out = g.loc[keep, ["event_id", "user_id", "event_type"]].copy()
+        out["ts"] = pd.to_datetime(
+            g.loc[keep, "ts_us"], unit="us"
+        ).dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+        return out
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    return bucketed_group_apply(tagged, ["user_id", "event_type"],
+                                debounce)

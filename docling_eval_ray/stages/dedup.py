@@ -1150,3 +1150,60 @@ def neardup_kcore(sf_dir: str, *, core_k: int = 2, rounds: int = 3,
         ),
         batch_format="pyarrow",
     )
+
+
+def leakage_safe_split(sf_dir: str, *, n_splits: int = 10,
+                       threshold: float = 0.1, k: int = 3):
+    """(split, n_docs) — train/val/test assignment keyed on the
+    near-dup CLUSTER, not the document: every member of a connected
+    near-dup component hashes from the component's canonical id, so
+    near-duplicates can never straddle a split boundary (the
+    benchmark-leakage failure mode of naive per-doc splits; same intent
+    as dataset_split_assign but cluster-safe). Non-participating docs
+    are their own singleton cluster.
+
+    Shape: the cluster map is OUTPUT-sized (only docs in some pair) →
+    broadcast LEFT join onto the doc stream (no shuffle), COALESCE to
+    the doc's own id, md5-mod split, census partials → one domain-sized
+    groupby. Oracled end-to-end through the recursive-reachability CTE
+    + the same md5 arithmetic."""
+    import ray.data as rd
+
+    from ..functions.groups import count_partial, final_groupby_sum
+    from ..functions.joins import broadcast_join
+    from ..functions.tokens import md5_prefix32
+
+    clusters = near_dup_clusters(
+        sf_dir, threshold=threshold, k=k
+    ).to_pandas()  # output-sized: members of at least one pair
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+    joined = broadcast_join(docs, clusters, on="doc_id", how="left")
+
+    def assign(b: pd.DataFrame) -> pa.Table:
+        cid = b["cluster_id"].fillna(b["doc_id"]).astype(np.int64)
+        split = np.array(
+            [md5_prefix32(str(c)) % n_splits for c in cid], np.int64
+        )
+        u, n = np.unique(split, return_counts=True)
+        return pa.table(
+            {
+                "split": pa.array(u, pa.int64()),
+                "n_docs": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    partials = joined.map_batches(assign, batch_format="pandas")
+    out = final_groupby_sum(partials, ["split"], ["n_docs"])
+    import pyarrow.compute as pc
+
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "split": pc.cast(t["split"], pa.int64()),
+                "n_docs": pc.cast(t["n_docs"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

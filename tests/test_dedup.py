@@ -265,3 +265,30 @@ def test_neardup_kcore_triangle_survives(ray_session, tmp_path):
                       con.sql(ORACLE_SQL["neardup_kcore"]).df().values))
     con.close()
     assert got_rows == want
+
+
+def test_leakage_safe_split_keeps_clusters_together(ray_session):
+    """The defining property: every member of a near-dup component gets
+    the SAME split (hashing the canonical id), and the census covers
+    every document exactly once."""
+    import pyarrow.parquet as pq
+
+    from docling_eval_ray.functions.tokens import md5_prefix32
+    from docling_eval_ray.stages.dedup import (
+        leakage_safe_split,
+        near_dup_clusters,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    census = leakage_safe_split(sf).to_pandas()
+    n_docs = pq.read_metadata(f"{sf}/documents.parquet").num_rows
+    assert census["n_docs"].sum() == n_docs
+    assert census["split"].between(0, 9).all()
+
+    clusters = near_dup_clusters(sf).to_pandas()
+    assert len(clusters) > 0
+    splits = clusters.assign(
+        split=[md5_prefix32(str(c)) % 10 for c in clusters["cluster_id"]]
+    )
+    # all members of a cluster share one split
+    assert (splits.groupby("cluster_id")["split"].nunique() == 1).all()
