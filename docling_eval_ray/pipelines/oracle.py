@@ -1904,6 +1904,26 @@ ORACLE_SQL["events_in_windows_distributed"] = \
     ORACLE_SQL["events_in_windows"]
 
 
+# grouped regression slope from explicitly-rounded sufficient sums
+# (NOT regr_slope — its internal accumulator orders floats differently)
+ORACLE_SQL["brand_price_size_slope"] = """
+    SELECT p_brand,
+           round_even(
+               CASE WHEN n * sxx - sx * sx <> 0
+                    THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+               END, 6) AS slope
+    FROM (
+        SELECT p_brand,
+               CAST(count(*) AS DOUBLE) AS n,
+               sum(CAST(p_size AS DOUBLE)) AS sx,
+               round_even(sum(p_retailprice), 6) AS sy,
+               round_even(sum(p_retailprice * p_size), 6) AS sxy,
+               sum(CAST(p_size AS DOUBLE) * p_size) AS sxx
+        FROM part GROUP BY p_brand
+    )
+"""
+
+
 # stream debounce: LAG gap over (user, type) in (ts, event_id) order
 ORACLE_SQL["events_debounce"] = """
     SELECT event_id, user_id, event_type,

@@ -3961,14 +3961,17 @@ def lang_unigram_kl(sf_dir: str):
 # table_profile — one-pass data-quality profile (the ingest sweep)
 # ---------------------------------------------------------------------------
 
-#: (column, kind) spec shared with the SQL oracle generator — numeric
-#: columns profile value min/max/mean, string columns length min/max/mean
+#: (column, kind) spec shared with the SQL oracle generator — "int"
+#: columns profile value min/max/mean (the Ray partial keeps exact
+#: int64 sums, so kind MUST be integer-typed; a float column needs a
+#: new "float" kind with rounded sums), "str" columns profile their
+#: character lengths
 PROFILE_SPEC: tuple[tuple[str, str], ...] = (
-    ("doc_id", "num"),
+    ("doc_id", "int"),
     ("text", "str"),
     ("lang", "str"),
     ("source", "str"),
-    ("n_chars", "num"),
+    ("n_chars", "int"),
 )
 
 
@@ -3993,6 +3996,12 @@ def table_profile(sf_dir: str):
             vals = arr.drop_null()
             if kind == "str":
                 vals = pc.utf8_length(vals)
+            elif not pa.types.is_integer(vals.type):
+                raise TypeError(
+                    f"PROFILE_SPEC kind 'int' on non-integer column "
+                    f"{col} ({vals.type}) — exact-sum profiling only "
+                    "holds for integer columns"
+                )
             v = vals.to_numpy(zero_copy_only=False).astype(np.int64)
             names.append(col)
             nulls.append(n_null)
@@ -4021,11 +4030,15 @@ def table_profile(sf_dir: str):
     names, metrics, values = [], [], []
     for col, _ in sorted(PROFILE_SPEC):
         row = g.loc[col]
+        empty = row["n"] == 0  # all-null column: SQL min/max/mean are
+        # NULL (NaN after .df()) — mirror that instead of the int64
+        # merge-identity sentinels
         for metric, val in (
             ("null_count", float(row["nulls"])),
-            ("min", float(row["mn"])),
-            ("max", float(row["mx"])),
-            ("mean", float(np.round(row["s"] / max(row["n"], 1), 6))),
+            ("min", np.nan if empty else float(row["mn"])),
+            ("max", np.nan if empty else float(row["mx"])),
+            ("mean", np.nan if empty
+             else float(np.round(row["s"] / row["n"], 6))),
         ):
             names.append(col)
             metrics.append(metric)
@@ -4124,6 +4137,18 @@ def large_quantity_orders(sf_dir: str):
     parts = full.map_batches(
         topk_partial, batch_format="pyarrow"
     ).to_pandas()  # 100 × batches rows — bounded driver merge
+    cols = ["c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty"]
+    if list(parts.columns) != cols:  # zero qualifying orders → the
+        # empty driver merge is column-less in this Ray version
+        parts = pd.DataFrame({
+            "c_name": pd.Series([], dtype=str),
+            "c_custkey": pd.Series([], dtype=np.int64),
+            "o_orderkey": pd.Series([], dtype=np.int64),
+            "o_orderdate": pd.Series([], dtype=str),
+            "o_totalprice": pd.Series([], dtype=np.float64),
+            "total_qty": pd.Series([], dtype=np.float64),
+        })
     parts = parts.sort_values(
         ["o_totalprice", "o_orderkey"], ascending=[False, True],
         kind="mergesort",
@@ -4270,3 +4295,57 @@ def events_debounce(sf_dir: str, *, gap_s: int = 300):
     tagged = ds.map_batches(tag, batch_format="pyarrow")
     return bucketed_group_apply(tagged, ["user_id", "event_type"],
                                 debounce)
+
+
+def brand_price_size_slope(sf_dir: str):
+    """(p_brand, slope) — per-group least-squares slope of retail price
+    over size, computed from MERGEABLE sufficient statistics (n, Σx,
+    Σy, Σxy, Σxx): per-batch partials → one domain-sized groupby →
+    row-local closed form. The grouped-regression shape: no group ever
+    gathers its rows anywhere. The float-bearing sums (Σy, Σxy) round
+    to 6 on BOTH sides before the division (the neardup_pagerank
+    discipline — the oracle builds the slope from the same explicit
+    sums, NOT DuckDB's internal regr_slope accumulator); the x-only
+    sums are integer-exact."""
+    ds = _read(sf_dir, "part",
+               columns=["p_brand", "p_size", "p_retailprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = b["p_size"].to_numpy(np.float64)
+        y = b["p_retailprice"].to_numpy(np.float64)
+        g = pd.DataFrame(
+            {
+                "p_brand": b["p_brand"].to_numpy(),
+                "n": np.ones(len(b), np.float64),
+                "sx": x,
+                "sy": y,
+                "sxy": x * y,
+                "sxx": x * x,
+            }
+        ).groupby("p_brand", as_index=False, sort=False).sum()
+        return g
+
+    totals = _final_groupby(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["p_brand"], ["n", "sx", "sy", "sxy", "sxx"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False)
+        sx = t["sx"].to_numpy(zero_copy_only=False)
+        sy = np.round(t["sy"].to_numpy(zero_copy_only=False), 6)
+        sxy = np.round(t["sxy"].to_numpy(zero_copy_only=False), 6)
+        sxx = t["sxx"].to_numpy(zero_copy_only=False)
+        denom = n * sxx - sx * sx
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = np.where(
+                denom != 0.0, (n * sxy - sx * sy) / denom, np.nan
+            )
+        return pa.table(
+            {
+                "p_brand": t["p_brand"],
+                "slope": pa.array(np.round(slope, 6), pa.float64()),
+            }
+        )
+
+    return totals.map_batches(finish, batch_format="pyarrow")

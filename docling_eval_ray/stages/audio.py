@@ -182,12 +182,14 @@ def audio_feature_stats(sf_dir: str, *, batch_size: int = 256,
 
 
 def audio_fingerprint64(pcm: np.ndarray, rate: int) -> int:
-    """64-bit robust audio fingerprint (Haitsma–Kalker construction,
-    public 2002 algorithm): frame the signal, take per-frame energies
-    in 32 log-spaced bands + a frame-to-frame energy delta, emit the
-    sign bits of the band-delta differences, fold frames together by
-    majority vote into 64 bits. Small perturbations flip few bits;
-    distinct clips land far apart (the pHash contract, for audio)."""
+    """64-bit robust audio fingerprint (Haitsma–Kalker style bit
+    derivation, public 2002 algorithm; 65 LINEARLY-spaced bands here —
+    the short 8 kHz clips put most energy below the log-spacing's
+    coarse top octaves): frame the signal, take per-frame band
+    energies, emit the sign bits of the 64 band-delta second
+    differences, fold frames together by majority vote into 64 bits.
+    Small perturbations flip few bits; distinct clips land far apart
+    (the pHash contract, for audio)."""
     frame = max(256, rate // 31)
     hop = frame // 2
     n_frames = max(1, (len(pcm) - frame) // hop + 1)
@@ -196,11 +198,12 @@ def audio_fingerprint64(pcm: np.ndarray, rate: int) -> int:
     votes = np.zeros(64, np.int64)
     prev_e = None
     total = 0
+    win = np.hanning(frame)  # hoisted: per-clip, not per-frame
     for i in range(n_frames):
         seg = pcm[i * hop : i * hop + frame]
         if len(seg) < frame:
             seg = np.pad(seg, (0, frame - len(seg)))
-        spec = np.abs(np.fft.rfft(seg * np.hanning(frame)))
+        spec = np.abs(np.fft.rfft(seg * win))
         e = np.array([
             spec[edges[j]:edges[j + 1]].sum()
             for j in range(len(edges) - 1)

@@ -1176,6 +1176,13 @@ def leakage_safe_split(sf_dir: str, *, n_splits: int = 10,
     clusters = near_dup_clusters(
         sf_dir, threshold=threshold, k=k
     ).to_pandas()  # output-sized: members of at least one pair
+    if list(clusters.columns) != ["doc_id", "cluster_id"]:
+        # empty dataset → column-less to_pandas in this Ray version;
+        # a pairless corpus must still split (every doc a singleton)
+        clusters = pd.DataFrame(
+            {"doc_id": pd.Series([], dtype=np.int64),
+             "cluster_id": pd.Series([], dtype=np.int64)}
+        )
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id"])

@@ -808,9 +808,30 @@ def label_pca_component(sf_dir: str):
             }
         )
 
-    parts = ds.map_batches(
-        partial, batch_format="pyarrow"
-    ).to_pandas()  # labels × batches fixed-size rows — bounded
+    import pandas as pd
+
+    from ..functions.groups import bucketed_group_apply
+
+    def merge_label(g: pd.DataFrame) -> pd.DataFrame:
+        # pre-merge ON THE RAY SIDE: one fixed-size row per label, so
+        # the driver state is labels-sized regardless of block count
+        # (labels × batches partials would scale with the corpus)
+        rows = []
+        for lab, grp in g.groupby("label", sort=False):
+            rows.append({
+                "label": int(lab),
+                "n": int(grp["n"].sum()),
+                "s": np.sum(np.stack(grp["s"].to_numpy()),
+                            axis=0).tolist(),
+                "o": np.sum(np.stack(grp["o"].to_numpy()),
+                            axis=0).tolist(),
+            })
+        return pd.DataFrame(rows)
+
+    parts = bucketed_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["label"], merge_label,
+    ).to_pandas()  # one row per label — output-sized
 
     labels_out, dims_out, comp_out, evr_out = [], [], [], []
     for lab, grp in parts.groupby("label", sort=True):
