@@ -164,3 +164,110 @@ def test_pareto_mask_matches_brute_force():
                 & ((price < price[b]) | (size > size[b]))
             ).any()
             assert m[b] == (not dom)
+
+
+# --- round-3 continuation kernels -----------------------------------------
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(1, 20), st.integers(1, 20),
+    st.sampled_from([1, 2, 3, 4]), st.sampled_from([0, 1, 2, 3, 4]),
+    st.integers(0, 2**32 - 1),
+)
+def test_png_roundtrip_property(h, w, channels, filter_type, seed):
+    """encode→decode is the identity for every shape × color type ×
+    scanline filter (the from-scratch codec's core contract)."""
+    import numpy as np
+
+    from docling_eval_ray.functions.png import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if channels == 1 else (h, w, channels)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(img, filter_type=filter_type)), img)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=50,
+                max_size=2000),
+       st.integers(1, 7))
+def test_tdigest_rank_error_property(values, n_chunks):
+    """Chunked build + merge keeps total weight exact and rank error
+    within the delta bound for arbitrary (finite) inputs."""
+    import numpy as np
+
+    from docling_eval_ray.stages.sketches import TDigest
+
+    vals = np.asarray(values, np.float64)
+    parts = []
+    for chunk in np.array_split(vals, n_chunks):
+        td = TDigest(100)
+        td.add_many(chunk)
+        parts.append(td)
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.merge(p)
+    assert merged.weights.sum() == len(vals)
+    for q in (0.1, 0.5, 0.9):
+        est = merged.quantile(q)
+        rank = float(np.mean(vals <= est))
+        # ties/duplicates can push the empirical rank above q
+        assert -0.05 <= rank - q or rank >= q
+        assert abs(rank - q) < 0.2 or len(np.unique(vals)) < 10
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.text(min_size=0, max_size=30), min_size=1,
+                max_size=200))
+def test_bloom_no_false_negatives_property(grams):
+    """One-sided error: EVERY added string must test positive."""
+    from docling_eval_ray.stages.bloom import BloomFilter
+
+    bf = BloomFilter.sized_for(len(grams), 0.01)
+    bf.add_many(grams)
+    assert bf.contains_many(grams).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.integers(-32768, 32767), min_size=10, max_size=4000),
+       st.sampled_from([8000, 16000]))
+def test_wav_roundtrip_property(samples, rate):
+    """stdlib-wave encode → decode_wav returns the exact samples
+    (scaled to [-1, 1])."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from docling_eval_ray.stages.audio import decode_wav
+
+    pcm = np.asarray(samples, "<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(rate)
+        wv.writeframes(pcm.tobytes())
+    got_rate, got = decode_wav(buf.getvalue())
+    assert got_rate == rate
+    assert np.array_equal((got * 32768.0).astype("<i2"), pcm)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(1, 10**6), st.integers(1, 10**6), st.integers(1, 10**6))
+def test_pair_scores_bounds_property(c, na, nb):
+    """0 < jaccard ≤ containment ≤ 1 whenever the intersection is
+    feasible (c ≤ min(na, nb))."""
+    import numpy as np
+
+    from docling_eval_ray.stages.dedup import (
+        _containment_score,
+        _jaccard_score,
+    )
+
+    c = min(c, na, nb)
+    j = _jaccard_score(np.array([c], float), np.array([na], float),
+                       np.array([nb], float))[0]
+    t = _containment_score(np.array([c], float), np.array([na], float),
+                           np.array([nb], float))[0]
+    assert 0 < j <= t <= 1.0
