@@ -71,14 +71,27 @@ def final_groupby_sum(ds, keys: list[str], cols: list[str]):
 def count_partial(key: str, out_col: str):
     """Per-batch single-key count partial (pyarrow → pyarrow): one
     (key, n) row per distinct key per batch — the partial half shared
-    by every census-style op; pair with ``final_groupby_sum``."""
+    by every census-style op; pair with ``final_groupby_sum``. NULL
+    keys are dropped (callers census non-null domains; SQL GROUP BY
+    null groups need explicit handling); empty/schema-less blocks emit
+    a typed empty block (pa.array([]) would infer the ``null`` type
+    and split the downstream schema)."""
 
     def fn(t: pa.Table) -> pa.Table:
+        col = t[key] if key in t.column_names else None
+        if col is None or t.num_rows == 0:
+            ktype = col.type if col is not None else pa.string()
+            return pa.table({
+                key: pa.array([], ktype),
+                out_col: pa.array([], pa.int64()),
+            })
+        col = (col.combine_chunks()
+               if isinstance(col, pa.ChunkedArray) else col).drop_null()
         k, n = np.unique(
-            t[key].to_numpy(zero_copy_only=False), return_counts=True
+            col.to_numpy(zero_copy_only=False), return_counts=True
         )
         return pa.table({
-            key: pa.array(k),
+            key: pa.array(k, col.type),
             out_col: pa.array(n.astype(np.int64), pa.int64()),
         })
 

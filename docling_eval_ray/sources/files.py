@@ -42,17 +42,60 @@ def read_document_files(root: str, *, extensions: tuple[str, ...] = (),
     elif begin_index:
         paths = paths[begin_index:]
     if not paths:
-        return rd.from_items([])
+        # typed empty dataset: from_items([]) is schema-less and crashes
+        # downstream schema consumers (the documented empty-Dataset trap)
+        return rd.from_arrow(pa.table(
+            {
+                "doc_id": pa.array([], pa.string()),
+                "path": pa.array([], pa.string()),
+                "mime_type": pa.array([], pa.string()),
+                "doc_hash": pa.array([], pa.string()),
+                "n_bytes": pa.array([], pa.int64()),
+                "original": pa.array([], pa.binary()),
+            }
+        ))
+
+    # doc_id = path relative to the root, extension stripped: a bare
+    # stem collides for same-named files in different subdirectories
+    # (rglob is recursive) and would silently conflate two documents in
+    # every doc_id-keyed join downstream. Same-dir same-stem collisions
+    # (report.pdf + report.md) keep the suffix to stay distinct.
+    root_resolved = Path(root).resolve()
+
+    def _doc_id(p: str, keep_suffix: bool) -> str:
+        rel = Path(p).resolve().relative_to(root_resolved)
+        rel = rel if keep_suffix else rel.with_suffix("")
+        return "/".join(rel.parts)
+
+    bare = [_doc_id(p, False) for p in paths]
+    dup = {d for d in bare if bare.count(d) > 1} if (
+        len(set(bare)) != len(bare)
+    ) else set()
+    # keyed by basename: read_binary_files may normalize the path form,
+    # but the filename survives any normalization; basenames are unique
+    # here iff the doc_ids are (both derive from the relative path)
+    id_map = {
+        Path(p).name + "\x00" + str(Path(p).resolve().parent): (
+            _doc_id(p, True) if b in dup else b
+        )
+        for p, b in zip(paths, bare)
+    }
 
     ds = rd.read_binary_files(paths, include_paths=True)
 
     def parse(t: pa.Table) -> pa.Table:
         out_paths = t["path"].to_pylist()
         data = t["bytes"].to_pylist()
+
+        def did(p: str) -> str:
+            key = Path(p).name + "\x00" + str(Path(p).resolve().parent)
+            got = id_map.get(key)
+            return got if got is not None else Path(p).stem
+
         return pa.table(
             {
                 "doc_id": pa.array(
-                    [Path(p).stem for p in out_paths], pa.string()
+                    [did(p) for p in out_paths], pa.string()
                 ),
                 "path": pa.array(out_paths, pa.string()),
                 "mime_type": pa.array(

@@ -80,8 +80,11 @@ class ObjectStoreSource:
         """Page through the listing and download each object unless a
         local copy already exists (the resume path). Returns counters
         so callers can assert/log resume behavior."""
-        dest = Path(download_dir)
+        import os
+
+        dest = Path(download_dir).resolve()
         n_pages = n_downloaded = n_skipped_existing = n_skipped_empty = 0
+        n_skipped_foreign = n_redownloaded_partial = 0
         token: str | None = None
         while True:
             page, token = self._store.list_page(
@@ -89,16 +92,36 @@ class ObjectStoreSource:
             )
             n_pages += 1
             for meta in page:
-                relative = meta["Key"][len(self._prefix) + 1:]
+                key = meta["Key"]
+                # S3 Prefix matching is NOT '/'-delimited: a listing for
+                # "a/b" also returns "a/b-extra/...". Only keys under
+                # the prefix AS A PATH belong to this snapshot.
+                if not key.startswith(self._prefix + "/"):
+                    n_skipped_foreign += 1
+                    continue
+                relative = key[len(self._prefix) + 1:]
                 if not relative or meta["Size"] == 0:
                     n_skipped_empty += 1
                     continue
-                local = dest / relative
-                if local.exists():
-                    n_skipped_existing += 1
+                local = (dest / relative).resolve()
+                # an untrusted bucket can list "../.." keys: never write
+                # outside the snapshot dir
+                if not local.is_relative_to(dest):
+                    n_skipped_foreign += 1
                     continue
+                if local.exists():
+                    if local.stat().st_size == meta["Size"]:
+                        n_skipped_existing += 1
+                        continue
+                    # size mismatch = torn download from a prior crash:
+                    # the resume path must re-fetch, not trust it forever
+                    n_redownloaded_partial += 1
                 local.parent.mkdir(parents=True, exist_ok=True)
-                local.write_bytes(self._store.get(meta["Key"]))
+                # atomic: a crash mid-write leaves only a temp file the
+                # next run overwrites, never a truncated "complete" one
+                tmp = local.with_name(local.name + ".part")
+                tmp.write_bytes(self._store.get(key))
+                os.replace(tmp, local)
                 n_downloaded += 1
             if token is None:
                 break
@@ -107,6 +130,8 @@ class ObjectStoreSource:
             "n_downloaded": n_downloaded,
             "n_skipped_existing": n_skipped_existing,
             "n_skipped_empty": n_skipped_empty,
+            "n_skipped_foreign": n_skipped_foreign,
+            "n_redownloaded_partial": n_redownloaded_partial,
         }
 
 

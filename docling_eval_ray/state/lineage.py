@@ -61,6 +61,9 @@ def _write_partition(ds, tmp_dir: str) -> int:
             it = ds.iter_batches(batch_format="pyarrow")
             first = next(it, None)
             if first is None:
+                # a legitimately empty partition must still commit:
+                # the caller renames tmp_dir unconditionally
+                os.makedirs(tmp_dir, exist_ok=True)
                 return 0
             lance.write_dataset(chain([first], it), tmp_dir,
                                 schema=first.schema)
@@ -133,7 +136,10 @@ def run_partitioned(partition_ids: list[int], make_ds, out_dir: str,
                     st = md.row_group(rg).column(ci).statistics
                     if st is None or not st.has_min_max:
                         continue
-                    lo, hi = str(st.min), str(st.max)
+                    # compare in the column's NATIVE type: stringifying
+                    # first would make numeric ranges lexicographic
+                    # (min("2","10") == "10")
+                    lo, hi = st.min, st.max
                     doc_min = lo if doc_min is None else min(doc_min, lo)
                     doc_max = hi if doc_max is None else max(doc_max, hi)
             except Exception:
@@ -146,8 +152,12 @@ def run_partitioned(partition_ids: list[int], make_ds, out_dir: str,
             {
                 "partition_id": pid,
                 "stage": stage,
-                "doc_id_min": doc_min,
-                "doc_id_max": doc_max,
+                "doc_id_min": doc_min
+                if isinstance(doc_min, (int, float, str, type(None)))
+                else str(doc_min),
+                "doc_id_max": doc_max
+                if isinstance(doc_max, (int, float, str, type(None)))
+                else str(doc_max),
                 "row_count": n_rows,
                 "wall_s": round(time.time() - t0, 3),
                 # per-stage latency/row/byte metrics from the executed
@@ -188,7 +198,11 @@ def flagship_checkpointed(sf_dir: str, out_dir: str, *,
             ),
         )
         inter = docs.map_batches(_synth_batch, batch_format="pyarrow")
-        return extract_main_content(inter, concurrency=concurrency or 2)
+        # pass concurrency through VERBATIM: None = task mode (the
+        # preferred light-state shape; `or 2` silently forced a 2-actor
+        # pool, which equals the whole cluster at num_cpus=2 — the
+        # documented reservation deadlock)
+        return extract_main_content(inter, concurrency=concurrency)
 
     return run_partitioned(
         list(range(num_partitions)), make_ds, out_dir, stage="extract"
@@ -196,10 +210,26 @@ def flagship_checkpointed(sf_dir: str, out_dir: str, *,
 
 
 def read_checkpointed(out_dir: str):
-    """Read back all committed partitions as one Dataset."""
+    """Read back all committed partitions as one Dataset (parquet or
+    Lance, matching whichever branch ``_write_partition`` took); raises
+    a clear FileNotFoundError when nothing has committed yet instead of
+    a confusing empty-path read error."""
     import ray.data as rd
 
     files = sorted(
         str(f) for f in Path(out_dir).glob("part=*/*.parquet")
     )
-    return rd.read_parquet(files)
+    if files:
+        return rd.read_parquet(files)
+    part_dirs = sorted(
+        str(d) for d in Path(out_dir).glob("part=*") if d.is_dir()
+    )
+    if part_dirs and _lance_available():  # pragma: no cover - no lance
+        ds = rd.read_lance(part_dirs[0])
+        for d in part_dirs[1:]:
+            ds = ds.union(rd.read_lance(d))
+        return ds
+    raise FileNotFoundError(
+        f"no committed partitions under {out_dir!r} "
+        "(expected part=*/ with parquet or Lance data)"
+    )

@@ -60,6 +60,15 @@ def parse_dataset_stats(stats_text: str) -> list[dict]:
             stats_text
         )
         block = stats_text[h.end():end]
+        # dataset-LEVEL sections ("Dataset throughput:", iterator
+        # breakdown) trail the operators; without this cut an operator
+        # with no throughput line of its own (the common all-to-all
+        # tail) would absorb the dataset-level "Ray Data throughput"
+        # and report whole-pipeline throughput as its own
+        tail = re.search(r"^Dataset (?:throughput|iterator|memory)",
+                         block, re.MULTILINE)
+        if tail:
+            block = block[: tail.start()]
         is_map = h.group("tasks") is not None
         # all-to-all blocks list suboperators; take the LAST reported
         # rows/bytes (the output side), first throughput line otherwise

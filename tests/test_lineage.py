@@ -144,3 +144,58 @@ def test_cli_run_flagship(ray_session, tmp_path, capsys):
     assert report["rows"] == 500
     assert report["rows_per_sec"] > 0
     assert report["stage_latency"], "job report missing per-stage latency"
+
+
+def test_stats_parser_does_not_steal_dataset_throughput():
+    """Regression: a trailing all-to-all operator with NO throughput
+    line of its own must not report the dataset-level 'Ray Data
+    throughput' as its stage throughput."""
+    from docling_eval_ray.state.metrics import parse_dataset_stats
+
+    text = """Operator 1 ReadParquet: 1 tasks executed, 8 blocks produced in 0.28s
+* Output num rows per block: 62 min, 63 max, 62 mean, 500 total
+* Operator throughput:
+\t* Ray Data throughput: 1799.42 rows/s
+
+Operator 2 Aggregate: executed in 2.51s
+
+\tSuboperator 0 AggregateMap: 1 tasks executed, 8 blocks produced
+\t* Output num rows per block: 10 min, 12 max, 11 mean, 90 total
+
+Dataset throughput:
+\t* Ray Data throughput: 506.36 rows/s
+"""
+    rows = parse_dataset_stats(text)
+    assert rows[1]["stage"] == "Aggregate"
+    assert rows[1]["rows_per_s"] is None  # NOT 506.36
+    assert rows[1]["rows_out"] == 90
+
+
+def test_lineage_numeric_doc_id_range(ray_session, tmp_path):
+    """Regression: doc_id ranges compare in the column's native type —
+    a stringified compare records min(2, 10) as 10."""
+    import json
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from docling_eval_ray.state.lineage import MANIFEST, run_partitioned
+
+    def make_ds(pid):
+        return rd.from_arrow(pa.table(
+            {"doc_id": pa.array([10, 2, 100], pa.int64()),
+             "v": pa.array([1, 2, 3], pa.int64())}
+        ))
+
+    run_partitioned([0], make_ds, str(tmp_path), stage="t")
+    rec = json.loads((tmp_path / MANIFEST).read_text().splitlines()[0])
+    assert rec["doc_id_min"] == 2 and rec["doc_id_max"] == 100
+
+
+def test_read_checkpointed_empty_raises_clearly(tmp_path):
+    import pytest
+
+    from docling_eval_ray.state.lineage import read_checkpointed
+
+    with pytest.raises(FileNotFoundError, match="no committed partitions"):
+        read_checkpointed(str(tmp_path))

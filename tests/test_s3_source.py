@@ -51,3 +51,50 @@ def test_snapshot_then_read(ray_session, tmp_path):
     assert len(df) == 6
     assert set(df.columns) >= {"doc_id", "doc_hash", "n_bytes", "original"}
     assert (df["n_bytes"] > 0).all()
+
+
+def test_download_rejects_foreign_and_traversal_keys(tmp_path):
+    """S3 Prefix matching is not '/'-delimited and buckets are
+    untrusted: sibling-prefix keys are skipped, '..' keys never write
+    outside the snapshot dir."""
+    from docling_eval_ray.sources.s3 import ObjectStoreSource
+
+    class EvilStore:
+        def list_page(self, prefix, token, page_size):
+            return ([
+                {"Key": f"{prefix}/good.txt", "Size": 4},
+                {"Key": f"{prefix}-extra/smuggled.txt", "Size": 4},
+                {"Key": f"{prefix}/../../escape.txt", "Size": 4},
+            ], None)
+
+        def get(self, key):
+            return b"DATA"
+
+    dest = tmp_path / "snap"
+    out = ObjectStoreSource(EvilStore(), "datasets/sample").download_objects(
+        str(dest)
+    )
+    assert out["n_downloaded"] == 1
+    assert out["n_skipped_foreign"] == 2
+    assert (dest / "good.txt").read_bytes() == b"DATA"
+    assert not (tmp_path / "escape.txt").exists()
+
+
+def test_partial_download_is_refetched(tmp_path):
+    """Resume must not trust a truncated file: size mismatch against
+    the listing re-downloads (writes are atomic via temp + replace)."""
+    from docling_eval_ray.sources.s3 import LocalFakeStore, ObjectStoreSource
+
+    src = tmp_path / "bucket"
+    src.mkdir()
+    (src / "doc.txt").write_bytes(b"full content")
+    store = LocalFakeStore(str(src))
+    dest = tmp_path / "snap"
+    dest.mkdir()
+    (dest / "doc.txt").write_bytes(b"torn")  # crashed mid-write
+    out = ObjectStoreSource(store, store.prefix).download_objects(str(dest))
+    assert out["n_redownloaded_partial"] == 1
+    assert (dest / "doc.txt").read_bytes() == b"full content"
+    # second run: intact file skips
+    out2 = ObjectStoreSource(store, store.prefix).download_objects(str(dest))
+    assert out2["n_skipped_existing"] == 1 and out2["n_downloaded"] == 0

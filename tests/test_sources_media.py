@@ -413,3 +413,30 @@ def test_media_png_payloads_use_real_codec():
     _, nw, nh, _ = _s.unpack(_FMT, p2[:HEADER_SIZE])
     img2 = decode_png(p2[HEADER_SIZE:])
     assert (img2.shape[1], img2.shape[0]) == (nw, nh) and max(nw, nh) <= 8
+
+
+def test_read_document_files_empty_and_collisions(ray_session, tmp_path):
+    """Regression pair: an empty selection returns a TYPED empty
+    dataset (6-column contract), and same-stem files in different
+    subdirectories get path-qualified doc_ids instead of colliding."""
+    from docling_eval_ray.sources.files import read_document_files
+
+    empty = read_document_files(str(tmp_path), extensions=("txt",))
+    assert empty.schema().names == [
+        "doc_id", "path", "mime_type", "doc_hash", "n_bytes", "original"
+    ]
+    assert empty.count() == 0
+
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    (tmp_path / "a" / "report.txt").write_text("alpha")
+    (tmp_path / "b" / "report.txt").write_text("beta")
+    (tmp_path / "solo.txt").write_text("gamma")
+    df = read_document_files(str(tmp_path), extensions=("txt",)).to_pandas()
+    assert sorted(df["doc_id"]) == ["a/report", "b/report", "solo"]
+    # same-dir same-stem different-extension keeps the suffix
+    (tmp_path / "dual.txt").write_text("x")
+    (tmp_path / "dual.md").write_text("y")
+    df2 = read_document_files(str(tmp_path)).to_pandas()
+    ids = set(df2["doc_id"])
+    assert {"dual.txt", "dual.md"} <= ids and "dual" not in ids
