@@ -106,6 +106,14 @@ def parse_doctags(doctags: str, doc_id: str = "") -> list[dict]:
             elif name in _WRAPPERS and stack and stack[-1] == name:
                 stack.pop()
             continue
+        if cur_tag == "otsl":
+            # OTSL cell/structure tokens (<fcel>, <ecel>, <nl>, <ched>,
+            # …) are PART of the table's token stream — the documented
+            # "otsl → table (token stream kept as text)" mapping — not
+            # new elements; treating them as elements exploded one
+            # table into empty-table + per-cell text spans
+            cur_text.append(f"<{tag}>")
+            continue
         if tag in _WRAPPERS:
             stack.append(tag)
             continue

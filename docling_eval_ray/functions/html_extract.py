@@ -57,9 +57,10 @@ class _Block:
 
 
 #: non-container blocks whose end tag is optional in HTML: a new block
-#: start implies their end (real pages routinely omit </p>/</li>)
-_IMPLIED_CLOSE = {"p", "li", "h1", "h2", "h3", "h4", "h5", "h6",
-                  "figcaption", "pre"}
+#: start implies their end (real pages routinely omit </p>); <li> and
+#: <figcaption> are handled separately — they may legally CONTAIN
+#: blocks and end only at a sibling item or their explicit close
+_IMPLIED_CLOSE = {"p", "h1", "h2", "h3", "h4", "h5", "h6", "pre"}
 
 
 class _Extractor(HTMLParser):
@@ -95,9 +96,20 @@ class _Extractor(HTMLParser):
             if self._table_depth:
                 return  # blocks inside cells are transparent: text
                 # aggregates into the enclosing table block
-            # implied end: <p>/<li>/<h*> cannot nest — a new block
-            # closes them (otherwise later body text is appended to a
-            # stale block forever)
+            # item containers (<li>/<figcaption>) legally CONTAIN
+            # blocks: a nested <p>/<div> is transparent — its text
+            # belongs to the item (else '<li><p>x</p></li>' loses the
+            # list_item kind); only a SIBLING item implies their end
+            if self._stack and self._stack[-1].tag in (
+                "li", "figcaption"
+            ):
+                if tag in ("li", "figcaption"):
+                    self._stack.pop()
+                else:
+                    return
+            # implied end: <p>/<h*>/<pre> cannot contain blocks — a new
+            # block closes them (otherwise later body text is appended
+            # to a stale block forever)
             while self._stack and self._stack[-1].tag in _IMPLIED_CLOSE:
                 self._stack.pop()
             blk = _Block(tag)

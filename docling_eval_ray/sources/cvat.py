@@ -59,20 +59,27 @@ def parse_cvat_xml(xml_str: str) -> list[dict]:
     images = []
     for img in root.iter("image"):
         boxes = []
+        malformed = False
         for b in img.findall("box"):
             text = ""
             for attr in b.findall("attribute"):
                 if attr.get("name") == "text":
                     text = attr.text or ""
-            boxes.append(
-                {
-                    "label": b.get("label", "text"),
+            try:
+                coords = {
                     "l": float(b.get("xtl")),
                     "t": float(b.get("ytl")),
                     "r": float(b.get("xbr")),
                     "b": float(b.get("ybr")),
-                    "text": text,
                 }
+            except (TypeError, ValueError):
+                # a box missing a coordinate poisons THIS IMAGE only
+                # (skip-and-count, the builder contract) — never the
+                # whole batch task
+                malformed = True
+                continue
+            boxes.append(
+                {"label": b.get("label", "text"), **coords, "text": text}
             )
         polylines = []
         for p in img.findall("polyline"):
@@ -84,7 +91,7 @@ def parse_cvat_xml(xml_str: str) -> list[dict]:
             polylines.append({"label": p.get("label", ""), "points": points})
         images.append(
             {"name": img.get("name", ""), "boxes": boxes,
-             "polylines": polylines}
+             "polylines": polylines, "malformed": malformed}
         )
     return images
 
@@ -106,6 +113,8 @@ def find_box(boxes: list[dict], point: tuple[float, float]) -> int:
 
 def cvat_to_spans(image: dict) -> tuple[list[dict], str]:
     """One CVAT image annotation → (spans, status)."""
+    if image.get("malformed"):
+        return [], "malformed_box"
     boxes = image["boxes"]
     reading_order = None
     to_captions, to_footnotes, merges = [], [], []
@@ -244,13 +253,47 @@ def spans_to_cvat_image_xml(doc_id: str, spans: list[dict],
         })
         attr = _ET.SubElement(box, "attribute", {"name": "text"})
         attr.text = s["text"]
-        centers.append(((b["l"] + b["r"]) / 2.0, (b["t"] + b["b"]) / 2.0))
+    # reading-order anchor points: the center is NOT injective under
+    # the reader's smallest-area find_box (a figure box whose center
+    # lies inside its nested caption box would resolve to the caption,
+    # silently dropping the figure span on round-trip). For each box,
+    # pick the first deterministic candidate point that find_box maps
+    # back to THAT box; exact duplicate boxes stay unresolvable (the
+    # reference reader's skip semantics apply).
+    ltrb = [
+        {"l": float(b["l"]), "t": float(b["t"]),
+         "r": float(b["r"]), "b": float(b["b"])}
+        for b in boxes[: len(spans)]
+    ]
+    for i in range(len(ltrb)):
+        centers.append(_anchor_point(ltrb, i))
     if centers:
         _ET.SubElement(img, "polyline", {
             "label": "reading_order", "source": "docling", "occluded": "0",
             "points": ";".join(f"{x},{y}" for x, y in centers),
         })
     return _ET.tostring(img, encoding="unicode")
+
+
+def _anchor_point(boxes: list[dict], i: int) -> tuple[float, float]:
+    """First candidate point inside box ``i`` that ``find_box`` resolves
+    back to ``i`` (center, then inset corners/edge midpoints); falls
+    back to the center when nothing disambiguates (exact duplicates)."""
+    b = boxes[i]
+    cx, cy = (b["l"] + b["r"]) / 2.0, (b["t"] + b["b"]) / 2.0
+    dx = max((b["r"] - b["l"]) * 0.02, 1e-6)
+    dy = max((b["b"] - b["t"]) * 0.02, 1e-6)
+    candidates = [
+        (cx, cy),
+        (b["l"] + dx, b["t"] + dy), (b["r"] - dx, b["t"] + dy),
+        (b["l"] + dx, b["b"] - dy), (b["r"] - dx, b["b"] - dy),
+        (cx, b["t"] + dy), (cx, b["b"] - dy),
+        (b["l"] + dx, cy), (b["r"] - dx, cy),
+    ]
+    for pt in candidates:
+        if find_box(boxes, pt) == i:
+            return pt
+    return (cx, cy)
 
 
 def write_cvat_preannotations(ds, out_dir: str, *, num_buckets: int = 2,

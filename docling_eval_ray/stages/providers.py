@@ -159,8 +159,14 @@ class ApiPredictionProvider:
             self._bucket.acquire()
             try:
                 return self._client.analyze_document(doc_id, spans), attempt + 1
-            except TransientApiError:
-                if attempt == self._max_retries:
+            except Exception as exc:
+                # stamp the TRUE request count on the exception: the
+                # n_attempts accounting column must reflect calls MADE
+                # (a permanent error on call 1 is one request, not
+                # max_retries+1)
+                exc.n_api_calls = attempt + 1
+                if (not isinstance(exc, TransientApiError)
+                        or attempt == self._max_retries):
                     raise
                 # deterministic-jitter exponential backoff
                 time.sleep(
@@ -197,7 +203,9 @@ class ApiPredictionProvider:
                     preds.append("")
                 pred_spans.append([])
                 statuses.append("failure")
-                attempts.append(self._max_retries + 1)
+                attempts.append(
+                    getattr(exc, "n_api_calls", self._max_retries + 1)
+                )
         return pa.table(
             {
                 "doc_id": pa.array(doc_ids, pa.string()),

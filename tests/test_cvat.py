@@ -123,3 +123,62 @@ def test_cvat_image_xml_escaping(ray_session):
     assert img["name"] == "doc&x"
     assert img["boxes"][0]["text"] == 'a < b & "c" > d'
     assert img["boxes"][0]["l"] == 1.0
+
+
+def test_roundtrip_survives_nested_boxes(ray_session, tmp_path):
+    """Regression: a box whose CENTER falls inside a smaller nested box
+    (figure containing its caption) must survive the round trip — the
+    writer picks an anchor point find_box resolves back to the right
+    box instead of blindly using the center."""
+    import ray.data as rd
+
+    from docling_eval_ray.sources.cvat import (
+        build_cvat_gt,
+        write_cvat_preannotations,
+    )
+
+    spans = [
+        {"kind": "picture", "text": "", "media_ref": "m/0", "offset": 0},
+        {"kind": "caption", "text": "the caption", "media_ref": "",
+         "offset": 1},
+        {"kind": "text", "text": "body text", "media_ref": "", "offset": 2},
+    ]
+    boxes = [
+        {"l": 0.0, "t": 0.0, "r": 100.0, "b": 100.0},   # figure
+        {"l": 40.0, "t": 40.0, "r": 60.0, "b": 60.0},   # nested: holds
+        # the figure's center (50, 50)
+        {"l": 0.0, "t": 120.0, "r": 100.0, "b": 140.0},
+    ]
+    ds = rd.from_items([{"doc_id": "docX", "spans": spans, "boxes": boxes}])
+    receipts = write_cvat_preannotations(ds, str(tmp_path)).to_pandas()
+    back = build_cvat_gt(sorted(receipts["path"])).to_pandas()
+    row = back.iloc[0]
+    assert row["status"] == "success"
+    got = [(s["kind"], s["text"]) for s in row["spans"]]
+    assert got == [("picture", ""), ("caption", "the caption"),
+                   ("text", "body text")]
+
+
+def test_malformed_box_is_status_row_not_crash(ray_session, tmp_path):
+    """A box missing a coordinate poisons only its image (status row),
+    never the batch task."""
+    from docling_eval_ray.sources.cvat import build_cvat_gt
+
+    xml = """<?xml version="1.0"?>
+<annotations>
+  <image id="0" name="bad_doc" width="100" height="100">
+    <box label="text" xtl="1" ytl="1" xbr="50"></box>
+  </image>
+  <image id="1" name="good_doc" width="100" height="100">
+    <box label="text" xtl="1" ytl="1" xbr="50" ybr="20">
+      <attribute name="text">hello</attribute>
+    </box>
+    <polyline label="reading_order" points="25,10"/>
+  </image>
+</annotations>"""
+    p = tmp_path / "task.xml"
+    p.write_text(xml)
+    df = build_cvat_gt(str(p)).to_pandas().set_index("doc_id")
+    assert df.loc["bad_doc", "status"] == "malformed_box"
+    assert df.loc["good_doc", "status"] == "success"
+    assert [s["text"] for s in df.loc["good_doc", "spans"]] == ["hello"]
