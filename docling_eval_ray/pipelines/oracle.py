@@ -716,6 +716,12 @@ ORACLE_SQL["decontaminate_ngrams"] = r"""
     FROM base b LEFT JOIN hits h USING (doc_id)
 """
 
+# the Bloom tier's exact-verify join (stages/bloom.py:decontaminate_bloom)
+# makes its output deterministic and identical to the exact op: misses
+# short-circuit (one-sided error), passes are re-verified against the
+# literal gram table — so the SAME SQL is the oracle for both tiers.
+ORACLE_SQL["decontaminate_bloom"] = ORACLE_SQL["decontaminate_ngrams"]
+
 from .corpus_ops import TFIDF_K as _TFIDF_K
 
 ORACLE_SQL["tfidf_topk"] = _TOKS_CTE + r""",

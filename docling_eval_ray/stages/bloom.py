@@ -162,53 +162,74 @@ def build_bloom_distributed(ds, grams_fn, *, m_bits: int, k: int,
     return BloomFilter.from_bytes(blob, k)
 
 
-class _BloomContaminationScorer:
-    """Actor-pool probe stage: resolves the broadcast filter once per
-    actor (the dedup.py tier-A precedent), then counts each document's
-    distinct grams that hit the filter."""
+def _emit_bloom_candidates(blob_ref, k: int, ngram: int):
+    """Task-mode probe: per document, emit one ``(doc_id, g)`` row per
+    DISTINCT gram that passes the Bloom filter. Misses short-circuit
+    here — a doc whose every gram fails the filter contributes zero
+    rows to the verify exchange (the one-sided guarantee: a failing
+    gram is DEFINITELY not in the benchmark). The filter deserializes
+    once per worker process via the module-level ref-keyed cache
+    (``functions/joins.py:_bloom_probe_filter``), never per batch."""
 
-    def __init__(self, bloom_ref, ngram: int):
-        import ray
-
-        self.bloom: BloomFilter = ray.get(bloom_ref)
-        self.ngram = ngram
-
-    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+    def fn(t: pa.Table) -> pa.Table:
+        from ..functions.joins import _bloom_probe_filter
         from ..functions.tokens import tokens_series
         from ..pipelines.corpus_ops import _doc_ngrams
 
-        toks = tokens_series(b["text"])  # exact-op tokenization
-        n_hits = np.zeros(len(b), np.int64)
-        for i, t in enumerate(toks):
-            grams = sorted(_doc_ngrams(t, self.ngram))
-            if grams:
-                n_hits[i] = int(self.bloom.contains_many(grams).sum())
-        # int64 flag (0/1) and the exact op's column names, so the two
-        # decontamination tiers are drop-in comparable
-        return pd.DataFrame(
+        bf = _bloom_probe_filter(blob_ref, k)
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out_ids: list[int] = []
+        out_grams: list[str] = []
+        for i, toks in enumerate(tokens_series(t["text"].to_pandas())):
+            grams = sorted(_doc_ngrams(toks, ngram))
+            if not grams:
+                continue
+            hit = bf.contains_many(grams)
+            for j in np.flatnonzero(hit):
+                out_ids.append(int(doc_ids[i]))
+                out_grams.append(grams[j])
+        return pa.table(
             {
-                "doc_id": b["doc_id"].to_numpy(np.int64),
-                "n_contaminated": n_hits,
-                "contaminated": (n_hits > 0).astype(np.int64),
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "g": pa.array(out_grams, pa.string()),
             }
         )
 
+    return fn
+
 
 def decontaminate_bloom(sf_dir: str, *, fpr: float = 0.01):
-    """Approximate twin of ``decontaminate_ngrams``: flag training docs
-    sharing any 8-token gram with the benchmark set, with the benchmark
-    side held as a Bloom filter instead of a literal set. One-sided:
-    every exactly-contaminated doc is flagged (asserted in tests);
-    extra flags are bounded by ``fpr``."""
+    """Exact-result twin of ``decontaminate_ngrams`` with the benchmark
+    side held as a Bloom filter plus a distributed verify join instead
+    of a broadcast literal set — the runtime-filter pattern of
+    ``functions/joins.py:bloom_semi_anti_join``:
+
+    1. the filter (sketch-sized, broadcast once) short-circuits the
+       overwhelmingly common miss case per gram — those grams are
+       DEFINITELY clean (one-sided error) and never enter the exchange;
+    2. grams that PASS are re-verified exactly against the distributed
+       benchmark gram table (bucketed semi join keyed on the gram), so
+       Bloom false positives are eliminated and the output hash-matches
+       the exact op / the DuckDB oracle row-for-row.
+
+    Only ``corpus_grams x fpr + true contamination`` rows cross the
+    verify shuffle; the corpus itself is scanned once.
+    """
     import ray
 
+    from ..functions.groups import count_partial, final_groupby_sum
+    from ..functions.joins import (
+        BROADCAST_ROW_LIMIT,
+        broadcast_join,
+        hash_join,
+        semi_anti_join,
+    )
     from ..pipelines.corpus_ops import (
         BENCH_MAX_DOC_ID,
         DECON_NGRAM,
         _doc_ngrams,
     )
     from ..pipelines.relational import _read
-    from ..stages.util import stage
 
     bench = _read(sf_dir, "documents", columns=["doc_id", "text"]).filter(
         expr=f"doc_id < {BENCH_MAX_DOC_ID}"
@@ -244,9 +265,73 @@ def decontaminate_bloom(sf_dir: str, *, fpr: float = 0.01):
     assert realized <= fpr * 1.05, (
         f"bloom sized for fpr={fpr} but theoretical fpr={realized:.4g}"
     )
-    bloom_ref = ray.put(bloom)
+    blob_ref = ray.put(bloom.to_bytes())
 
+    # candidate pairs: one (doc_id, g) per distinct bloom-passing gram
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return stage(ds, _BloomContaminationScorer,
-                 args=(bloom_ref, DECON_NGRAM),
-                 batch_format="pandas", concurrency=2)
+    candidates = ds.map_batches(
+        _emit_bloom_candidates(blob_ref, bloom.k, DECON_NGRAM),
+        batch_format="pyarrow",
+    )
+
+    # exact verify: bucketed semi join against the distributed benchmark
+    # gram table (key column only crosses the wire) — kills Bloom FPs
+    bench_grams = bench.map_batches(
+        lambda t: pa.table({"g": pa.array(grams_of(t), pa.string())}),
+        batch_format="pyarrow",
+    )
+    verified = semi_anti_join(candidates, bench_grams, on="g")
+
+    # per-doc verified-gram count: batch partial + one small groupby
+    # (the stream is candidate-pair-sized, not corpus-sized)
+    counts = final_groupby_sum(
+        verified.map_batches(
+            count_partial("doc_id", "n_contaminated"),
+            batch_format="pyarrow",
+        ),
+        ["doc_id"], ["n_contaminated"],
+    )
+
+    # left-join counts onto every document, size-routed like dim_join
+    # (contaminated-doc count is output-sized; broadcast while provably
+    # small, bucketed hash join beyond the limit)
+    all_docs = _read(sf_dir, "documents", columns=["doc_id"])
+    counts = counts.materialize()
+    n_counts = counts.count()
+    if n_counts == 0:
+        joined = all_docs.map_batches(
+            lambda t: t.append_column(
+                "n_contaminated",
+                pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
+            ),
+            batch_format="pyarrow",
+        )
+    elif n_counts <= BROADCAST_ROW_LIMIT:
+        joined = broadcast_join(
+            all_docs, counts.to_pandas(), on="doc_id", how="left"
+        )
+    else:
+        joined = hash_join(all_docs, counts, on="doc_id", how="left")
+
+    def finalize(t: pa.Table) -> pa.Table:
+        # join misses surface as Arrow nulls (hash_join path) OR as
+        # float64 NaN (pandas left-merge decay in the broadcast path) —
+        # normalize both to int64 zero
+        v = t["n_contaminated"].to_numpy(zero_copy_only=False)
+        n = np.nan_to_num(
+            np.asarray(v, dtype=np.float64), nan=0.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    t["doc_id"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64), pa.int64()
+                ),
+                "n_contaminated": pa.array(n, pa.int64()),
+                "contaminated": pa.array(
+                    (n > 0).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return joined.map_batches(finalize, batch_format="pyarrow")

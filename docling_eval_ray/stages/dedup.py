@@ -245,12 +245,70 @@ class MinHasher:
         prod = (self._a[:, None] * x[None, :] + self._b[:, None]) % _MERSENNE31
         return prod.min(axis=1)
 
+    #: per-tile budget of gathered shingle columns for the batched min
+    #: kernel: 128 perms × 8192 cols × 8 B ≈ 8 MB per temporary. This is
+    #: a measured cache cliff, not a guess — the same uint64 modmul runs
+    #: >100× slower once the broadcast temporaries outgrow L3 (27 MB
+    #: one-shot: 3.9 s; 8-16 MB tiles: 0.03 s, this host)
+    _SIG_TILE = 8192
+
+    def signatures_batch(self, texts: list[str]) -> np.ndarray:
+        """Vectorized batch twin of ``signature`` — bit-identical rows.
+
+        Corpus shingles repeat heavily across a batch, and the per-
+        shingle md5 is the hot cost, so the batch's shingles are
+        ``np.unique``'d ONCE and each DISTINCT shingle md5-hashed once;
+        per-doc signatures then gather the hashed values and take
+        segment-mins via ``np.minimum.reduceat`` (no Python loop over
+        docs in the modmul/min path). Tiled so the (num_perm × cols)
+        transient stays bounded regardless of batch fatness."""
+        n_docs = len(texts)
+        sigs = np.zeros((n_docs, len(self._a)), dtype=np.uint64)
+        per_doc = [list(_shingles(t, self._k)) for t in texts]
+        lens = np.array([len(sh) for sh in per_doc], dtype=np.int64)
+        if int(lens.sum()) == 0:
+            return sigs
+        flat = np.array(
+            [s for sh in per_doc for s in sh], dtype=object
+        )
+        uniq, inv = np.unique(flat, return_inverse=True)
+        ux = np.array(
+            [_md5_hash64(s) % _MERSENNE31 for s in uniq], dtype=np.uint64
+        )
+        xvals = ux[inv]
+        offsets = np.concatenate(([0], np.cumsum(lens)))
+        nonempty = np.flatnonzero(lens > 0)
+        lo = 0
+        while lo < len(nonempty):
+            # grow the doc tile until its column count hits the budget
+            # (single over-budget docs still go through whole)
+            hi = lo + 1
+            cols = lens[nonempty[lo]]
+            while (hi < len(nonempty)
+                   and cols + lens[nonempty[hi]] <= self._SIG_TILE):
+                cols += lens[nonempty[hi]]
+                hi += 1
+            docs = nonempty[lo:hi]
+            # docs are contiguous segments of xvals (zero-length docs
+            # contribute no columns), so the tile is one slice — no
+            # index gather needed
+            x = xvals[offsets[docs[0]]:offsets[docs[-1] + 1]]
+            prod = (
+                self._a[:, None] * x[None, :] + self._b[:, None]
+            ) % _MERSENNE31
+            starts = np.concatenate(
+                ([0], np.cumsum(lens[docs])[:-1])
+            )
+            sigs[docs] = np.minimum.reduceat(prod, starts, axis=1).T
+            lo = hi
+        return sigs
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        ids_in = batch["doc_id"].to_pylist()
+        sigs = self.signatures_batch(texts)
         doc_ids, band_ids, band_hashes = [], [], []
-        for did, text in zip(
-            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
-        ):
-            sig = self.signature(text)
+        for did, sig in zip(ids_in, sigs):
             for b in range(self._bands):
                 chunk = sig[b * self._rows : (b + 1) * self._rows]
                 bh = _hash64(chunk.tobytes().hex())

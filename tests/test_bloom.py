@@ -9,9 +9,12 @@ from docling_eval_ray.stages.bloom import BloomFilter, decontaminate_bloom
 SF_DIR = "/root/testdata/sf0.001"
 
 
-def test_bloom_no_false_negatives_vs_exact(ray_session):
-    """Every doc the exact gram-set op flags must be bloom-flagged —
-    the decontamination guarantee that matters is exact."""
+def test_bloom_exact_equality_vs_exact_op(ray_session):
+    """The Bloom tier's verify join makes its output IDENTICAL to the
+    exact gram-set op: misses short-circuit (one-sided error — no false
+    negatives by construction), and every Bloom pass is re-verified
+    against the literal gram table, killing false positives. This is
+    what lets the DuckDB oracle cover both tiers."""
     from docling_eval_ray.pipelines.corpus_ops import decontaminate_ngrams
 
     exact = decontaminate_ngrams(SF_DIR).to_pandas()
@@ -20,17 +23,14 @@ def test_bloom_no_false_negatives_vs_exact(ray_session):
     e = exact.sort_values("doc_id").reset_index(drop=True)
     a = approx.sort_values("doc_id").reset_index(drop=True)
     assert list(e["doc_id"]) == list(a["doc_id"])
-
-    exact_flag = e["contaminated"].to_numpy(bool)
-    bloom_flag = a["contaminated"].to_numpy(bool)
-    # one-sided: exact ⊆ bloom
-    assert not (exact_flag & ~bloom_flag).any()
-    # and per-doc hit counts never undercount
     assert (
-        a["n_contaminated"].to_numpy() >= e["n_contaminated"].to_numpy()
+        a["n_contaminated"].to_numpy() == e["n_contaminated"].to_numpy()
+    ).all()
+    assert (
+        a["contaminated"].to_numpy() == e["contaminated"].to_numpy()
     ).all()
     # sanity: the benchmark self-hits are flagged
-    assert bloom_flag.sum() >= exact_flag.sum() > 0
+    assert a["contaminated"].to_numpy(bool).sum() > 0
 
 
 def test_bloom_fpr_bounded():

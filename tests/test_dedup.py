@@ -34,6 +34,25 @@ def test_minhash_signature_estimates_jaccard():
     assert abs(est - true) < 0.15
 
 
+def test_minhash_signatures_batch_bit_identical():
+    """The vectorized batch kernel must reproduce the per-row
+    ``signature`` bit-for-bit (same md5 base hash, same modmul) —
+    including empty docs, sub-shingle-length docs, and repeated
+    shingles across the batch (the np.unique dedup path)."""
+    mh = MinHasher()
+    texts = [
+        BASE,
+        BASE.replace("lazy", "sleepy"),
+        "",                                # zero shingles
+        "too short",                       # below shingle width
+        BASE,                              # exact repeat (shared shingles)
+        " ".join(f"tok{i}" for i in range(2000)),  # forces tiling
+    ]
+    batch = mh.signatures_batch(texts)
+    for i, t in enumerate(texts):
+        assert (batch[i] == mh.signature(t)).all(), f"row {i} differs"
+
+
 def test_minhash_lsh_finds_planted_near_dups(ray_session):
     import ray.data as rd
 
