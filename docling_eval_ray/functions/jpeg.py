@@ -1,0 +1,582 @@
+"""Minimal from-scratch baseline JPEG codec — stdlib + numpy only.
+
+The reference round-trips raster images through PIL
+(utils/utils.py:271-312, from_pil_to_base64 / add_pages_to_true_doc);
+this container has no PIL, but baseline sequential JFIF needs nothing
+beyond Huffman coding and an 8×8 DCT, both implementable directly from
+the public ITU-T T.81 spec. This module closes the round-3 M8 gap
+("JPEG remains a deterministic stub"):
+
+* ``encode_jpeg`` — 8-bit grayscale or RGB, baseline sequential,
+  4:4:4 (no chroma subsampling — one MCU per 8×8 block), Annex K
+  quantization tables scaled by the libjpeg quality formula, Annex K
+  Huffman tables. DCT/quantization are vectorized over all blocks at
+  once (one ``einsum`` per plane); only the entropy WRITE walks blocks.
+* ``decode_jpeg`` — parses SOI/APP0/DQT/SOF0/DHT/DRI/SOS, Huffman-
+  decodes the entropy-coded segment (byte-unstuffing, restart markers,
+  DC prediction), then dequantizes + inverse-zigzags + IDCTs all blocks
+  in one vectorized pass; supports 1- and 3-component frames with
+  sampling factors 1 or 2 (so 4:4:4, 4:2:2 and 4:2:0 streams from other
+  encoders decode too), nearest-neighbor chroma upsampling, BT.601
+  YCbCr→RGB.
+
+The entropy coder is the one inherently bit-serial piece (each Huffman
+code's length depends on the previous decode) — it walks blocks in
+Python but does all per-block pixel math in numpy. Fixture-sized
+images decode in milliseconds; corpus-scale decode parallelism comes
+from the actor-pool ``map_batches`` stage around it (stages/media.py),
+never from threads inside the codec.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------- tables
+
+#: zigzag scan order: ZIGZAG[i] = raster index of the i-th scanned coeff
+ZIGZAG = np.array([
+    0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+_UNZIGZAG = np.argsort(ZIGZAG)
+
+#: ITU-T T.81 Annex K.1 — base luminance / chrominance quant tables
+QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# Annex K.3 Huffman specs: (BITS counts per code length 1..16, HUFFVAL)
+_DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUMA_VALS = list(range(12))
+_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROMA_VALS = list(range(12))
+_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+#: 8-point DCT-II orthonormal basis (C @ x = DCT coefficients)
+_N8 = np.arange(8)
+_DCT8 = np.cos((2 * _N8[None, :] + 1) * _N8[:, None] * np.pi / 16.0)
+_DCT8 *= np.where(_N8 == 0, np.sqrt(1 / 8.0), np.sqrt(2 / 8.0))[:, None]
+
+
+def _quality_scale(q: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg quality scaling: 50→base table, 100→all-ones."""
+    quality = min(max(int(quality), 1), 100)
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    out = (q * s + 50) // 100
+    return np.clip(out, 1, 255).astype(np.int64)
+
+
+# ------------------------------------------------------------- huffman
+
+
+def _build_encode_table(bits, vals):
+    """symbol → (code, length), canonical per T.81 Annex C."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _HuffDecoder:
+    """Canonical Huffman decode via per-length first-code/first-index
+    arrays (T.81 F.2.2.3) — O(code length) per symbol, no dict of all
+    prefixes."""
+
+    def __init__(self, bits, vals):
+        self.vals = list(vals)
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            n = bits[length - 1]
+            if n:
+                self.valptr[length] = k
+                self.mincode[length] = code
+                code += n
+                k += n
+                self.maxcode[length] = code - 1
+            else:
+                self.maxcode[length] = -1
+            code <<= 1
+
+    def decode(self, reader) -> int:
+        code = reader.read_bit()
+        length = 1
+        while code > self.maxcode[length]:
+            code = (code << 1) | reader.read_bit()
+            length += 1
+            if length > 16:
+                raise ValueError("corrupt JPEG: huffman code overrun")
+        return self.vals[self.valptr[length] + code - self.mincode[length]]
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self._acc = 0
+        self._nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._nbits += length
+        while self._nbits >= 8:
+            self._nbits -= 8
+            byte = (self._acc >> self._nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+        # keep the accumulator a machine int (only unwritten bits live)
+        self._acc &= (1 << self._nbits) - 1
+
+    def flush(self) -> bytes:
+        if self._nbits:
+            pad = 8 - self._nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill per spec
+        return bytes(self.out)
+
+
+class _BitReader:
+    """Bit reader over the UNSTUFFED entropy segment."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self._acc = 0
+        self._nbits = 0
+
+    def read_bit(self) -> int:
+        if self._nbits == 0:
+            if self.pos >= len(self.data):
+                return 0  # trailing-pad reads past the last byte
+            self._acc = self.data[self.pos]
+            self.pos += 1
+            self._nbits = 8
+        self._nbits -= 1
+        return (self._acc >> self._nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def reset(self) -> None:  # restart-interval boundary
+        self._nbits = 0
+
+
+def _extend(v: int, n: int) -> int:
+    """T.81 F.2.2.1 sign extension of an n-bit magnitude."""
+    if n == 0:
+        return 0
+    return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """value → (category n, n-bit code) — inverse of _extend."""
+    if v == 0:
+        return 0, 0
+    n = int(abs(v)).bit_length()
+    return n, (v if v >= 0 else v + (1 << n) - 1)
+
+
+# -------------------------------------------------------------- encode
+
+
+def _rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
+    r = img[..., 0].astype(np.float64)
+    g = img[..., 1].astype(np.float64)
+    b = img[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(y, cb, cr) -> np.ndarray:
+    cb = cb - 128.0
+    cr = cr - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=-1).round(), 0, 255).astype(
+        np.uint8
+    )
+
+
+def _plane_blocks(plane: np.ndarray) -> np.ndarray:
+    """(H, W) → (n_blocks, 8, 8) edge-replicated to block multiples,
+    blocks in raster MCU order."""
+    h, w = plane.shape
+    H = (h + 7) // 8 * 8
+    W = (w + 7) // 8 * 8
+    padded = np.empty((H, W), np.float64)
+    padded[:h, :w] = plane
+    padded[h:, :w] = plane[-1:, :]
+    padded[:h, w:] = padded[:h, w - 1: w]
+    padded[h:, w:] = padded[h - 1, w - 1]
+    return (
+        padded.reshape(H // 8, 8, W // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+    )
+
+
+def _encode_plane_coeffs(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """All blocks DCT'd + quantized + zigzagged in one vector pass →
+    (n_blocks, 64) int32."""
+    blocks = _plane_blocks(plane) - 128.0
+    coeffs = np.einsum("ij,njk,lk->nil", _DCT8, blocks, _DCT8)
+    q = np.round(coeffs.reshape(-1, 64) / qt[None, :].astype(np.float64))
+    return q.astype(np.int32)[:, ZIGZAG]
+
+
+def _write_block(w: _BitWriter, zz: np.ndarray, pred: int,
+                 dc_tab, ac_tab) -> int:
+    diff = int(zz[0]) - pred
+    n, code = _magnitude(diff)
+    hc, hl = dc_tab[n]
+    w.write(hc, hl)
+    if n:
+        w.write(code, n)
+    nz = np.flatnonzero(zz[1:])
+    run_start = 0
+    for idx in nz:
+        run = int(idx) - run_start
+        while run > 15:
+            hc, hl = ac_tab[0xF0]  # ZRL
+            w.write(hc, hl)
+            run -= 16
+        n, code = _magnitude(int(zz[1 + idx]))
+        hc, hl = ac_tab[(run << 4) | n]
+        w.write(hc, hl)
+        w.write(code, n)
+        run_start = int(idx) + 1
+    if run_start < 63:
+        hc, hl = ac_tab[0x00]  # EOB
+        w.write(hc, hl)
+    return int(zz[0])
+
+
+def _dht_segment(tclass: int, tid: int, bits, vals) -> bytes:
+    body = bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+
+def _dqt_segment(tid: int, qt_zz: np.ndarray) -> bytes:
+    body = bytes([tid]) + bytes(int(v) for v in qt_zz)
+    return b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_jpeg(img: np.ndarray, *, quality: int = 75) -> bytes:
+    """Baseline sequential JFIF from an (H, W) grayscale or (H, W, 3)
+    RGB uint8 array; 4:4:4 sampling, Annex K tables scaled to
+    ``quality``."""
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        raise ValueError("encode_jpeg expects uint8 pixels")
+    if img.ndim == 2:
+        planes = [img.astype(np.float64)]
+    elif img.ndim == 3 and img.shape[2] == 3:
+        ycc = _rgb_to_ycbcr(img)
+        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+    else:
+        raise ValueError("encode_jpeg expects (H,W) or (H,W,3)")
+    h, w = img.shape[:2]
+    if not (0 < h <= 65535 and 0 < w <= 65535):
+        raise ValueError("image dimensions out of JPEG range")
+
+    n_comp = len(planes)
+    qts = [_quality_scale(QT_LUMA, quality)]
+    if n_comp == 3:
+        qts.append(_quality_scale(QT_CHROMA, quality))
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+            + bytes([1, 1, 0]) + struct.pack(">HH", 72, 72) + bytes([0, 0]))
+    out += _dqt_segment(0, qts[0][ZIGZAG])
+    if n_comp == 3:
+        out += _dqt_segment(1, qts[1][ZIGZAG])
+    # SOF0
+    comps = b""
+    for ci in range(n_comp):
+        comps += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += (b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * n_comp, 8, h, w,
+                                      n_comp) + comps)
+    out += _dht_segment(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
+    out += _dht_segment(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS)
+    if n_comp == 3:
+        out += _dht_segment(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
+        out += _dht_segment(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    # SOS
+    scomps = b""
+    for ci in range(n_comp):
+        scomps += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    out += (b"\xff\xda" + struct.pack(">HB", 6 + 2 * n_comp, n_comp)
+            + scomps + bytes([0, 63, 0]))
+
+    dc_enc = [_build_encode_table(_DC_LUMA_BITS, _DC_LUMA_VALS),
+              _build_encode_table(_DC_CHROMA_BITS, _DC_CHROMA_VALS)]
+    ac_enc = [_build_encode_table(_AC_LUMA_BITS, _AC_LUMA_VALS),
+              _build_encode_table(_AC_CHROMA_BITS, _AC_CHROMA_VALS)]
+
+    coeffs = [
+        _encode_plane_coeffs(p, qts[min(ci, 1)])
+        for ci, p in enumerate(planes)
+    ]
+    writer = _BitWriter()
+    preds = [0] * n_comp
+    # 4:4:4 → every component has the same block grid; MCU i is block i
+    # of each component in turn
+    for bi in range(coeffs[0].shape[0]):
+        for ci in range(n_comp):
+            t = min(ci, 1)
+            preds[ci] = _write_block(
+                writer, coeffs[ci][bi], preds[ci], dc_enc[t], ac_enc[t]
+            )
+    out += writer.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# -------------------------------------------------------------- decode
+
+
+def _unstuff(data: bytes) -> bytes:
+    """Remove 0x00 stuffing after 0xFF and drop RSTn markers."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        b = data[i]
+        if b == 0xFF:
+            nxt = data[i + 1] if i + 1 < n else 0xD9
+            if nxt == 0x00:
+                out.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn — handled by caller via reset
+                i += 2
+                continue
+            break  # EOI or next marker
+        out.append(b)
+        i += 1
+    return bytes(out)
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline sequential JFIF → uint8 pixels ((H, W) for 1-component
+    streams, (H, W, 3) RGB for 3-component)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _HuffDecoder] = {}
+    frame = None
+    restart_interval = 0
+    i = 2
+    scan_comps = None
+    while i < len(data):
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        marker = data[i + 1]
+        i += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack_from(">H", data, i)
+        seg = data[i + 2: i + seglen]
+        i += seglen
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                prec_id = seg[p]
+                if prec_id >> 4:
+                    raise ValueError("16-bit quant tables not baseline")
+                vals = np.frombuffer(seg[p + 1: p + 65], np.uint8)
+                t = np.zeros(64, np.int64)
+                t[ZIGZAG] = vals.astype(np.int64)
+                qt[prec_id & 0xF] = t
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc_th = seg[p]
+                bits = list(seg[p + 1: p + 17])
+                nv = sum(bits)
+                vals = list(seg[p + 17: p + 17 + nv])
+                huff[(tc_th >> 4, tc_th & 0xF)] = _HuffDecoder(bits, vals)
+                p += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise ValueError("only 8-bit baseline supported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c: 9 + 3 * c]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
+                )
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan_comps = []
+            for c in range(ns):
+                cs, tdta = seg[1 + 2 * c: 3 + 2 * c]
+                scan_comps.append({"cs": cs, "td": tdta >> 4,
+                                   "ta": tdta & 0xF})
+            ecs_start = i
+            break
+    if frame is None or scan_comps is None:
+        raise ValueError("corrupt JPEG: missing SOF/SOS")
+
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    n_mcu = mcux * mcuy
+
+    by_id = {c["id"]: c for c in comps}
+    order = [by_id[s["cs"]] for s in scan_comps]
+    for c, s in zip(order, scan_comps):
+        c["td"], c["ta"] = s["td"], s["ta"]
+        c["blocks_per_mcu"] = c["h"] * c["v"]
+        c["coeffs"] = np.zeros(
+            (n_mcu * c["blocks_per_mcu"], 64), np.int64
+        )
+
+    reader = _BitReader(_unstuff(data[ecs_start:]))
+    preds = {c["id"]: 0 for c in comps}
+    for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            reader.reset()
+            for cid in preds:
+                preds[cid] = 0
+        for c in order:
+            dc_dec = huff[(0, c["td"])]
+            ac_dec = huff[(1, c["ta"])]
+            for b in range(c["blocks_per_mcu"]):
+                zz = c["coeffs"][m * c["blocks_per_mcu"] + b]
+                n = dc_dec.decode(reader)
+                preds[c["id"]] += _extend(reader.receive(n), n)
+                zz[0] = preds[c["id"]]
+                k = 1
+                while k < 64:
+                    rs = ac_dec.decode(reader)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("corrupt JPEG: AC index overrun")
+                    zz[k] = _extend(reader.receive(s), s)
+                    k += 1
+
+    # vectorized dequant + inverse zigzag + IDCT per component
+    planes = []
+    for c in order:
+        dq = (c["coeffs"] * qt[c["tq"]][ZIGZAG][None, :])[:, _UNZIGZAG]
+        blocks = dq.reshape(-1, 8, 8).astype(np.float64)
+        pix = np.einsum("ji,njk,kl->nil", _DCT8, blocks, _DCT8) + 128.0
+        # blocks are in MCU order: reassemble via index math
+        ch, cv = c["h"], c["v"]
+        W = mcux * ch * 8
+        H = mcuy * cv * 8
+        plane = np.empty((H, W), np.float64)
+        bpm = c["blocks_per_mcu"]
+        for m in range(n_mcu):
+            myx, mxx = divmod(m, mcux)
+            for b in range(bpm):
+                byy, bxx = divmod(b, ch)
+                y0 = (myx * cv + byy) * 8
+                x0 = (mxx * ch + bxx) * 8
+                plane[y0:y0 + 8, x0:x0 + 8] = pix[m * bpm + b]
+        # upsample to full resolution if subsampled
+        if ch < hmax or cv < vmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1
+            )
+        planes.append(plane[: frame["h"], : frame["w"]])
+
+    if len(planes) == 1:
+        return np.clip(planes[0].round(), 0, 255).astype(np.uint8)
+    return _ycbcr_to_rgb(planes[0], planes[1], planes[2])

@@ -7,15 +7,17 @@ side table). Decode/resize/feature-extract run as actor-pool
 ``map_batches`` stages with SMALL batch sizes (fat rows × batch ×
 concurrency must fit the worker heap).
 
-PNG is a REAL codec here (from-scratch stdlib implementation,
-``functions/png.py``): a third of the synthetic payloads carry actual
-encoded PNG bodies, which decode/resize/pHash process through genuine
-pixel paths. Formats needing an entropy coder (JPEG) stay stubbed:
-those payloads use a deterministic 16-byte header (``DERIMG`` magic +
-width + height + seed) that the "decoder" parses, with pixel statistics
-derived from the seed. The Ray-side plumbing — schema, actor signature,
-batch sizing, output layout — is identical for both; swapping in
-PIL/ffmpeg changes only the bodies marked STUB.
+PNG and baseline JPEG are REAL codecs here (from-scratch stdlib
+implementations, ``functions/png.py`` / ``functions/jpeg.py``): a third
+of the synthetic payloads carry actual encoded PNG bodies and another
+third baseline JFIF bodies, which decode/resize/pHash process through
+genuine pixel paths. The remaining third keeps a deterministic 16-byte
+header (``DERIMG`` magic + width + height + seed) with seed-derived
+pixel statistics — the no-codec formats a 100-TB corpus also contains
+(video stays stubbed: no stdlib entropy coder covers H.26x). The
+Ray-side plumbing — schema, actor signature, batch sizing, output
+layout — is identical for all three; swapping in PIL/ffmpeg changes
+only the bodies marked STUB.
 """
 
 from __future__ import annotations
@@ -34,17 +36,16 @@ HEADER_SIZE = struct.calcsize(_FMT)
 
 
 def synth_media_payload(media_ref: str) -> bytes:
-    """Deterministic image payload for a media_ref. Every third ref
-    (seed % 3 == 0) carries a REAL encoded PNG body (noise pixels
-    expanded from the ref hash, encoded by the from-scratch codec in
-    ``functions/png.py``) so the decode/resize/pHash stages exercise a
-    real format end-to-end; the rest keep the opaque stand-in bytes
+    """Deterministic image payload for a media_ref. Refs with
+    seed % 3 == 0 carry a REAL encoded PNG body and seed % 3 == 1 a
+    REAL baseline JPEG body (noise pixels expanded from the ref hash,
+    encoded by the from-scratch codecs in ``functions/png.py`` /
+    ``functions/jpeg.py``) so the decode/resize/pHash stages exercise
+    real formats end-to-end; the rest keep the opaque stand-in bytes
     (the no-codec formats a 100-TB corpus also contains)."""
     h = hashlib.blake2b(media_ref.encode(), digest_size=8).digest()
     seed = int.from_bytes(h[:4], "big")
-    if seed % 3 == 0:
-        from ..functions.png import encode_png
-
+    if seed % 3 in (0, 1):
         width = 16 + (seed % 48)
         height = 16 + ((seed >> 8) % 48)
         raw = b"".join(
@@ -55,7 +56,14 @@ def synth_media_payload(media_ref: str) -> bytes:
         img = np.frombuffer(
             raw[: width * height * 3], dtype=np.uint8
         ).reshape(height, width, 3)
-        body = encode_png(img)
+        if seed % 3 == 0:
+            from ..functions.png import encode_png
+
+            body = encode_png(img)
+        else:
+            from ..functions.jpeg import encode_jpeg
+
+            body = encode_jpeg(img, quality=85)
         return struct.pack(_FMT, _MAGIC, width, height, seed) + body
     width = 64 + (seed % 192)
     height = 64 + ((seed >> 8) % 192)
@@ -90,16 +98,18 @@ def media_table_for_documents(ds):
 class DecodeImage:
     """Actor-pool decode stage: payload → (width, height, ok).
 
-    PNG bodies go through the REAL from-scratch codec
-    (``functions/png.py`` — dims come from the actual pixel decode,
-    CRC-checked); other formats parse the deterministic header (no
-    stdlib JPEG decoder). Bad payloads become ok=False rows
+    PNG and baseline-JPEG bodies go through the REAL from-scratch
+    codecs (``functions/png.py`` / ``functions/jpeg.py`` — dims come
+    from the actual pixel decode); other formats parse the
+    deterministic header. Bad payloads become ok=False rows
     (skip-and-count), never raised."""
 
     def __init__(self):
+        from ..functions.jpeg import decode_jpeg
         from ..functions.png import decode_png
 
         self._decode_png = decode_png  # bound once per actor
+        self._decode_jpeg = decode_jpeg
 
     def __call__(self, t: pa.Table) -> pa.Table:
         widths, heights, ok = [], [], []
@@ -111,6 +121,9 @@ class DecodeImage:
                 body = payload[HEADER_SIZE:]
                 if body[:8] == b"\x89PNG\r\n\x1a\n":
                     img = self._decode_png(body)
+                    h, w = img.shape[0], img.shape[1]
+                elif body[:2] == b"\xff\xd8":
+                    img = self._decode_jpeg(body)
                     h, w = img.shape[0], img.shape[1]
                 widths.append(w)
                 heights.append(h)
@@ -181,20 +194,24 @@ class ResizeImage:
     """Actor-pool resize stage: payload → payload with the longest side
     capped at ``max_dim`` (aspect preserved, never upscaled).
 
-    PNG bodies are REALLY resampled (decode → nearest-neighbor →
-    re-encode via ``functions/png.py``, codec bound once per actor);
-    other formats rewrite the deterministic header (no stdlib JPEG).
-    The Ray-side contract is the same either way: binary in → binary
-    out, new dimensions as typed columns, small batches bound memory."""
+    PNG and baseline-JPEG bodies are REALLY resampled (decode →
+    nearest-neighbor → re-encode via ``functions/png.py`` /
+    ``functions/jpeg.py``, codecs bound once per actor); other formats
+    rewrite the deterministic header. The Ray-side contract is the same
+    either way: binary in → binary out, new dimensions as typed
+    columns, small batches bound memory."""
 
     def __init__(self, max_dim: int = 128):
         self._max = max_dim
+        from ..functions.jpeg import decode_jpeg, encode_jpeg
         from ..functions.png import decode_png, encode_png, resize_nearest
 
         self._codec = (decode_png, encode_png, resize_nearest)
+        self._jpeg = (decode_jpeg, encode_jpeg)
 
     def __call__(self, t: pa.Table) -> pa.Table:
         decode_png, encode_png, resize_nearest = self._codec
+        decode_jpeg, encode_jpeg = self._jpeg
         payloads, widths, heights = [], [], []
         for payload in t["payload"].to_pylist():
             magic, w, h, seed = struct.unpack(_FMT, payload[:HEADER_SIZE])
@@ -209,6 +226,14 @@ class ResizeImage:
                 except Exception:
                     pass  # corrupt PNG: keep the original body (the
                     # decode stage censuses it as ok=False)
+            elif body[:2] == b"\xff\xd8" and (nw, nh) != (w, h):
+                try:
+                    body = encode_jpeg(
+                        resize_nearest(decode_jpeg(body), nh, nw),
+                        quality=85,
+                    )
+                except Exception:
+                    pass  # corrupt JPEG: same skip-and-count contract
             payloads.append(
                 struct.pack(_FMT, magic, nw, nh, seed) + body
             )
@@ -315,23 +340,31 @@ def video_frame_samples(sf_dir: str, *, every: int = 8,
 
 
 def pixels_from_payload(payload: bytes) -> "np.ndarray":
-    """32×32 grayscale pixels from a payload. PNG bodies get a REAL
-    decode (the from-scratch stdlib-zlib codec in ``functions/png.py``)
-    → BT.601 luma → nearest-neighbor resize; any other format falls
-    back to the deterministic stub expansion (no JPEG entropy coder in
-    the container). The pHash kernel downstream is the real algorithm
-    either way."""
+    """32×32 grayscale pixels from a payload. PNG and baseline-JPEG
+    bodies get a REAL decode (the from-scratch codecs in
+    ``functions/png.py`` / ``functions/jpeg.py``) → BT.601 luma →
+    nearest-neighbor resize; any other format falls back to the
+    deterministic stub expansion. The pHash kernel downstream is the
+    real algorithm either way."""
     import numpy as np
 
     body = payload[HEADER_SIZE:]
-    if body[:8] == b"\x89PNG\r\n\x1a\n":
-        from ..functions.png import decode_png, resize_nearest, to_grayscale
+    if body[:8] == b"\x89PNG\r\n\x1a\n" or body[:2] == b"\xff\xd8":
+        from ..functions.png import resize_nearest, to_grayscale
 
         try:
-            gray = to_grayscale(decode_png(body))
+            if body[:2] == b"\xff\xd8":
+                from ..functions.jpeg import decode_jpeg
+
+                img = decode_jpeg(body)
+            else:
+                from ..functions.png import decode_png
+
+                img = decode_png(body)
+            gray = to_grayscale(img)
             return resize_nearest(gray, 32, 32).astype(np.float64)
         except Exception:
-            pass  # corrupt PNG → deterministic stub (skip-and-count
+            pass  # corrupt body → deterministic stub (skip-and-count
             # contract: a pixel source must never kill the census task)
     # counter-mode expansion: tiling the body verbatim repeats every
     # row, collapsing the DCT spectrum so EVERY image hashed identically

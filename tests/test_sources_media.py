@@ -86,7 +86,11 @@ def test_media_payload_roundtrip():
     p = synth_media_payload("pic/7/3")
     assert p == synth_media_payload("pic/7/3")  # deterministic
     magic, w, h, seed = struct.unpack(_FMT, p[:HEADER_SIZE])
-    assert magic == b"DERIMG" and 64 <= w < 256 and 64 <= h < 256
+    assert magic == b"DERIMG"
+    if seed % 3 in (0, 1):  # real PNG/JPEG bodies: small encoded dims
+        assert 16 <= w < 64 and 16 <= h < 64
+    else:  # opaque stand-in bodies keep the large header dims
+        assert 64 <= w < 256 and 64 <= h < 256
 
 
 def test_decode_and_features_stages():
