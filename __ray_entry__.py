@@ -408,6 +408,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from docling_eval_ray.sources.doclaynet_v2 import doclaynet_v2_gt_build
 
     q["doclaynet_v2_gt_build"] = doclaynet_v2_gt_build
+    # PDF text-layer GT builder (real from-scratch PDF parse: object
+    # scan, Flate streams, §9.4 text machine; size-rank label heuristic)
+    from docling_eval_ray.sources.pdf import pdf_gt_build
+
+    q["pdf_gt_build"] = pdf_gt_build
     # cloud-API provider harness (A5): rate-limited retrying actor pool
     # over a deterministic offline client
     from docling_eval_ray.stages.providers import api_predictions
@@ -508,7 +513,7 @@ _DRIVER_PRIORITY_R4 = [
     "doclaynet_gt_build",
     "docvqa_gt_build",
     "otsl_gt_build",
-    "omnidocbench_gt_build",
+    "pdf_gt_build",
 ]
 
 

@@ -1,0 +1,192 @@
+"""PDF ground-truth builder (M6): real text-layer parse of committed
+PDF fixtures through the from-scratch extractor in ``functions/pdf.py``.
+
+Reference semantics: the reference builds GT documents from PDFs by
+parsing them with docling's PDF backend (utils/utils.py:98-159
+``get_input_document``/``add_pages_to_true_doc``) and slices multi-page
+PDFs into per-page documents (cli/main.py:774-821). The learned layout
+model cannot ship in this container; what IS real here is the PDF text
+layer itself — object/xref-free scan, Flate stream decode, the §9.4
+text-positioning machine — plus a deterministic size-rank heuristic in
+place of the model's label head (documented divergence; the parse is
+the semantics under test):
+
+* show-ops are read in content-stream order per page (the order the
+  writer — and every sane PDF generator — emits reading order in);
+* label heuristic: the page's largest font size ≥1.25× its median size
+  → ``section_header`` (``title`` if also the document's first span);
+  bottom-margin ops (y < 6% of page height) → ``page_footer``;
+  top-margin ops (y > 94%) → ``page_header``; everything else
+  ``text``;
+* boxes convert PDF bottom-left origin to top-left, width approximated
+  at 0.5 em per character (Helvetica average advance — the writer
+  embeds no width tables);
+* ``slice_pdf`` re-emits each page as a standalone single-page PDF
+  (the cli/main.py:774-821 analogue): exact for text-layer PDFs since
+  extraction is lossless over the writer's operator subset.
+
+Output row: one per (pdf, page): ``doc_id`` (stem#page), canonical
+``spans`` + aligned ``boxes``, page size, counters, status — the same
+shape as the other raw-fixture builders (sources/dpbench.py).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pyarrow as pa
+
+from ..datamodel.schema import SPAN_STRUCT
+from ..functions.pdf import encode_pdf, extract_pdf_text
+
+BOX_STRUCT = pa.struct(
+    [
+        pa.field("l", pa.float64()),
+        pa.field("t", pa.float64()),
+        pa.field("r", pa.float64()),
+        pa.field("b", pa.float64()),
+    ]
+)
+
+PDF_GT_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("spans", pa.list_(SPAN_STRUCT)),
+        pa.field("boxes", pa.list_(BOX_STRUCT)),
+        pa.field("page_w", pa.float64()),
+        pa.field("page_h", pa.float64()),
+        pa.field("n_elements", pa.int32()),
+        pa.field("n_headers", pa.int32()),
+        pa.field("status", pa.string()),
+    ]
+)
+
+SAMPLE_DIR = str(
+    Path(__file__).resolve().parents[2] / "tests/data/pdf_sample"
+)
+
+#: margin fractions for the header/footer heuristic
+_FOOTER_FRAC = 0.06
+_HEADER_FRAC = 0.94
+#: a span is heading-sized when ≥ this multiple of the page median
+_HEADING_RATIO = 1.25
+#: average Helvetica advance per character, em fraction (no width
+#: tables in the writer — an approximation, stated in the module doc)
+_EM_ADVANCE = 0.5
+
+
+def _classify(recs: list[dict], first_page: bool) -> list[str]:
+    """Size-rank label heuristic over one page's show-ops."""
+    sizes = sorted(r["size"] for r in recs)
+    median = sizes[len(sizes) // 2] if sizes else 0.0
+    kinds: list[str] = []
+    for i, r in enumerate(recs):
+        h = r["page_h"]
+        if r["y"] < h * _FOOTER_FRAC:
+            kinds.append("page_footer")
+        elif r["y"] > h * _HEADER_FRAC:
+            kinds.append("page_header")
+        elif median and r["size"] >= median * _HEADING_RATIO:
+            kinds.append(
+                "title" if first_page and i == 0 else "section_header"
+            )
+        else:
+            kinds.append("text")
+    return kinds
+
+
+def build_pdf_records(doc_id: str, data: bytes) -> list[dict]:
+    """One output row per page of one PDF."""
+    try:
+        recs = extract_pdf_text(data)
+    except Exception as exc:
+        return [{
+            "doc_id": doc_id, "spans": [], "boxes": [],
+            "page_w": 0.0, "page_h": 0.0, "n_elements": 0,
+            "n_headers": 0, "status": f"failure:{type(exc).__name__}",
+        }]
+    rows: list[dict] = []
+    pages = sorted({r["page_no"] for r in recs})
+    for page_no in pages:
+        page = [r for r in recs if r["page_no"] == page_no]
+        kinds = _classify(page, first_page=page_no == pages[0])
+        spans, boxes = [], []
+        for off, (r, kind) in enumerate(zip(page, kinds)):
+            spans.append(
+                {"kind": kind, "text": r["text"], "media_ref": "",
+                 "offset": off}
+            )
+            h = r["page_h"]
+            boxes.append(
+                {
+                    "l": r["x"],
+                    "t": h - r["y"] - r["size"],
+                    "r": r["x"] + _EM_ADVANCE * r["size"] * len(r["text"]),
+                    "b": h - r["y"],
+                }
+            )
+        rows.append(
+            {
+                "doc_id": f"{doc_id}#{page_no}",
+                "spans": spans,
+                "boxes": boxes,
+                "page_w": page[0]["page_w"],
+                "page_h": page[0]["page_h"],
+                "n_elements": len(spans),
+                "n_headers": sum(
+                    k in ("title", "section_header") for k in kinds
+                ),
+                "status": "success",
+            }
+        )
+    return rows
+
+
+def slice_pdf(data: bytes) -> list[bytes]:
+    """Per-page standalone PDFs (cli/main.py:774-821 analogue): each
+    page's show-ops re-encoded as a single-page document."""
+    recs = extract_pdf_text(data)
+    out: list[bytes] = []
+    for page_no in sorted({r["page_no"] for r in recs}):
+        page = [r for r in recs if r["page_no"] == page_no]
+        out.append(encode_pdf([{
+            "width": page[0]["page_w"],
+            "height": page[0]["page_h"],
+            "texts": [
+                {"x": r["x"], "y": r["y"], "size": r["size"],
+                 "text": r["text"]}
+                for r in page
+            ],
+        }]))
+    return out
+
+
+def build_pdf_gt(root: str):
+    """``*.pdf`` under ``root`` → Dataset(PDF_GT_SCHEMA). The listing
+    is manifest-sized; the parses fan out as a map_batches over
+    (doc_id, payload) rows — the house raw-fixture-builder shape
+    (sources/dpbench.py:build_dpbench_gt)."""
+    import ray.data as rd
+
+    paths = sorted(Path(root).glob("*.pdf"))
+    items = rd.from_items(
+        [{"doc_id": p.stem, "payload": p.read_bytes()} for p in paths]
+    )
+
+    def build(t: pa.Table) -> pa.Table:
+        rows = [
+            row
+            for did, payload in zip(
+                t["doc_id"].to_pylist(), t["payload"].to_pylist()
+            )
+            for row in build_pdf_records(did, payload)
+        ]
+        return pa.Table.from_pylist(rows, schema=PDF_GT_SCHEMA)
+
+    return items.map_batches(build, batch_format="pyarrow")
+
+
+def pdf_gt_build(sf_dir: str = ""):
+    """Driver query: parse the committed PDF fixtures (``sf_dir``
+    unused — the input is the raw fixture sample)."""
+    return build_pdf_gt(SAMPLE_DIR)
