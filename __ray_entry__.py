@@ -15,6 +15,7 @@ functions use, or inside the callables.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 from typing import Any
 
@@ -418,6 +419,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from docling_eval_ray.stages.providers import api_predictions
 
     q["api_predictions"] = api_predictions
+    # Azure / Google response dialects (A5 normalizers,
+    # azure_prediction_provider.py:114-315 /
+    # google_prediction_provider.py:145-257): same harness, different
+    # client + payload→span normalizer
+    q["api_predictions_azure"] = functools.partial(
+        api_predictions, shape="azure")
+    q["api_predictions_google"] = functools.partial(
+        api_predictions, shape="google")
     # Bloom-filter decontamination (approximate tier of
     # decontaminate_ngrams; one-sided error asserted in tests/test_bloom.py)
     from docling_eval_ray.stages.bloom import decontaminate_bloom

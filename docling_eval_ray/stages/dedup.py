@@ -898,6 +898,155 @@ def connected_components(pairs_ds, *, max_iters: int = 50,
     )
 
 
+def connected_components_star(pairs_ds, *, max_rounds: int = 30,
+                              num_buckets: int = 16,
+                              return_rounds: bool = False):
+    """Connected components by alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    ACM SoCC 2014, Algorithm 3): each round rewires every node toward
+    its neighborhood minimum, halving component height, so convergence
+    is O(log² n) ROUNDS regardless of graph diameter — the
+    min-label-propagation variant above needs O(diameter) iterations,
+    which a chain-shaped component turns into a shuffle storm (its
+    ``max_iters`` guard exists precisely for that hazard).
+
+    Large-star (one bucketed exchange): for each node u with
+    neighborhood N(u), m = min(N(u) ∪ {u}); emit edge (v, m) for every
+    v ∈ N(u) with v > u. Small-star (one exchange): on edges oriented
+    (hi, lo) with lo < hi, for each hi m = min(N⁻(hi)); emit (v, m)
+    for v ∈ N⁻(hi) ∪ {hi}, v ≠ m. Both phases only ever emit edges
+    pointing at a strictly smaller id, so the canonical (hi, lo)
+    orientation is an invariant and the edge set converges to direct
+    star edges (v, component-min).
+
+    Convergence detection: a streamed multiset fingerprint of the edge
+    set — (count, Σhi, Σlo, Σmix31(hi,lo)) — stable across two
+    consecutive rounds ⟺ the multiset stopped changing (exact on the
+    first three components; the 31-bit mix guards permuted rewrites).
+    Nothing corpus-sized reaches the driver.
+
+    Output schema matches ``connected_components``: one row per
+    participating doc, ``(doc_id, cluster_id)``, cluster_id = the
+    component's minimum doc id. ``return_rounds=True`` additionally
+    returns the number of alternating rounds executed (for the
+    round-bound tests).
+    """
+    from ..functions.groups import bucketed_group_apply
+
+    def orient(t: pa.Table) -> pa.Table:
+        a = t["doc_id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["doc_id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a != b  # self-loops carry no connectivity
+        a, b = a[keep], b[keep]
+        return pa.table(
+            {"hi": pa.array(np.maximum(a, b), pa.int64()),
+             "lo": pa.array(np.minimum(a, b), pa.int64())}
+        )
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        hi = t["hi"].to_numpy(zero_copy_only=False)
+        lo = t["lo"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"src": pa.array(np.concatenate([hi, lo]), pa.int64()),
+             "dst": pa.array(np.concatenate([lo, hi]), pa.int64())}
+        )
+
+    def large_star(g: pd.DataFrame) -> pd.DataFrame:
+        # m(u) = min over N(u) ∪ {u}; emit (v, m) for v ∈ N(u), v > u
+        m = np.minimum(
+            g.groupby("src")["dst"].transform("min").to_numpy(),
+            g["src"].to_numpy(),
+        )
+        src = g["src"].to_numpy()
+        dst = g["dst"].to_numpy()
+        keep = dst > src
+        out = pd.DataFrame({"hi": dst[keep], "lo": m[keep]})
+        return out.drop_duplicates(ignore_index=True).astype(np.int64)
+
+    def small_star(g: pd.DataFrame) -> pd.DataFrame:
+        # edges all point hi→lo (lo < hi); m(hi) = min of its targets;
+        # emit (v, m) for v ∈ N⁻(hi) ∪ {hi}, v ≠ m
+        mins = g.groupby("hi", as_index=False)["lo"].min()
+        m = g["hi"].map(
+            mins.set_index("hi")["lo"]
+        ).to_numpy()
+        hi = g["hi"].to_numpy()
+        lo = g["lo"].to_numpy()
+        out = pd.DataFrame(
+            {
+                "hi": np.concatenate([lo, mins["hi"].to_numpy()]),
+                "lo": np.concatenate([m, mins["lo"].to_numpy()]),
+            }
+        )
+        out = out[out["hi"] != out["lo"]]
+        return out.drop_duplicates(ignore_index=True).astype(np.int64)
+
+    def fingerprint(ds):
+        def mix(t: pa.Table) -> pa.Table:
+            hi = t["hi"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            lo = t["lo"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            z = (hi * np.uint64(0x9E3779B97F4A7C15)) ^ (
+                lo + np.uint64(0xBF58476D1CE4E5B9))
+            z ^= z >> np.uint64(31)
+            return pa.table(
+                {"hi": t["hi"], "lo": t["lo"],
+                 "mix31": pa.array(
+                     (z & _MERSENNE31).astype(np.int64), pa.int64())}
+            )
+
+        with_mix = ds.map_batches(mix, batch_format="pyarrow").materialize()
+        sig = (with_mix.count(), with_mix.sum("hi"), with_mix.sum("lo"),
+               with_mix.sum("mix31"))
+        return with_mix.select_columns(["hi", "lo"]), sig
+
+    edges = pairs_ds.map_batches(orient, batch_format="pyarrow")
+    edges, sig = fingerprint(edges)
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        ls = bucketed_group_apply(
+            edges.map_batches(symmetrize, batch_format="pyarrow"),
+            ["src"], large_star, num_buckets=num_buckets,
+        )
+        ss = bucketed_group_apply(
+            ls, ["hi"], small_star, num_buckets=num_buckets,
+        )
+        edges, new_sig = fingerprint(ss)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        import warnings
+
+        warnings.warn(
+            f"connected_components_star did not stabilize within "
+            f"{max_rounds} rounds; cluster ids may be incorrect",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+
+    # converged edge set is stars (v → component min); labels = each
+    # edge target plus the root itself, deduped by per-node min
+    def to_labels(t: pa.Table) -> pa.Table:
+        hi = t["hi"].to_numpy(zero_copy_only=False)
+        lo = t["lo"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"doc_id": pa.array(np.concatenate([hi, lo]), pa.int64()),
+             "cluster_id": pa.array(np.concatenate([lo, lo]), pa.int64())}
+        )
+
+    def min_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("doc_id", as_index=False)["cluster_id"].min()
+        return out.astype({"doc_id": np.int64, "cluster_id": np.int64})
+
+    labels = bucketed_group_apply(
+        edges.map_batches(to_labels, batch_format="pyarrow"),
+        ["doc_id"], min_cluster, num_buckets=num_buckets,
+    )
+    if return_rounds:
+        return labels, rounds
+    return labels
+
+
 def near_dup_clusters(sf_dir: str, *, threshold: float = 0.1, k: int = 3):
     """Connected components over the EXACT n-gram-Jaccard near-dup
     graph: (doc_id, cluster_id=min doc id of the component) for every

@@ -130,6 +130,202 @@ def normalize_api_response(payload: str) -> list[dict]:
     return spans
 
 
+class FakeAzureApiClient:
+    """Deterministic offline client emitting an Azure Document
+    Intelligence-shaped ``analyze_result`` (the payload consumed by
+    convert_azure_output_to_docling, azure_prediction_provider.py:114-315)
+    derived from the document's own spans: paragraphs carry a ``role``
+    per kind, table spans become ``tables`` entries with row/col-indexed
+    cells, picture spans become ``figures`` entries."""
+
+    _ROLE = {
+        "title": "title",
+        "section_header": "sectionHeading",
+        "page_header": "pageHeader",
+        "page_footer": "pageFooter",
+        "footnote": "footnote",
+    }
+
+    def analyze_document(self, doc_id: str, spans: list[dict]) -> str:
+        paragraphs, tables, figures = [], [], []
+        poly = [0, 0, 10, 0, 10, 10, 0, 10]  # x1,y1,...,x4,y4 flat form
+        region = [{"pageNumber": 1, "polygon": poly}]
+        for s in spans:
+            if s["kind"] == "table":
+                cells = [
+                    {"content": w, "row_index": 0, "column_index": i,
+                     "row_span": 1, "column_span": 1,
+                     "bounding_regions": region}
+                    for i, w in enumerate(s["text"].split())
+                ] or [{"content": s["text"], "row_index": 0,
+                       "column_index": 0, "row_span": 1, "column_span": 1,
+                       "bounding_regions": region}]
+                tables.append(
+                    {"row_count": 1,
+                     "column_count": max(len(cells), 1),
+                     "bounding_regions": region, "cells": cells}
+                )
+            elif s["kind"] == "picture":
+                figures.append({"boundingRegions": region})
+            else:
+                para = {"content": s["text"],
+                        "boundingRegions": region}
+                role = self._ROLE.get(s["kind"])
+                if role:
+                    para["role"] = role
+                paragraphs.append(para)
+        return json.dumps(
+            {"pages": [{"page_number": 1, "width": 612, "height": 792,
+                        "words": []}],
+             "tables": tables, "paragraphs": paragraphs,
+             "figures": figures}
+        )
+
+
+class FakeGoogleApiClient:
+    """Deterministic offline client emitting a Google Document-AI-shaped
+    payload (consumed by convert_google_output_to_docling,
+    google_prediction_provider.py:145-257): one global ``text`` buffer
+    plus per-page paragraphs/tables whose content is addressed by
+    textAnchor (startIndex, endIndex) segments into that buffer."""
+
+    @staticmethod
+    def _vertices():
+        return [{"x": 0, "y": 0}, {"x": 10, "y": 0},
+                {"x": 10, "y": 10}, {"x": 0, "y": 10}]
+
+    def analyze_document(self, doc_id: str, spans: list[dict]) -> str:
+        buf: list[str] = []
+        pos = 0
+
+        def anchor(text: str) -> dict:
+            nonlocal pos
+            start = pos
+            buf.append(text)
+            pos += len(text)
+            return {"textAnchor": {"textSegments": [
+                {"startIndex": start, "endIndex": pos}]},
+                "boundingPoly": {"vertices": self._vertices()}}
+
+        paragraphs, tables = [], []
+        for s in spans:
+            if s["kind"] == "table":
+                words = s["text"].split() or [s["text"]]
+                tables.append(
+                    {"layout": {"boundingPoly":
+                                {"vertices": self._vertices()}},
+                     "headerRows": [],
+                     "bodyRows": [{"cells": [
+                         {"layout": anchor(w)} for w in words]}]}
+                )
+            elif s["kind"] == "picture":
+                continue  # DocAI text layout has no figure item
+            else:
+                paragraphs.append({"layout": anchor(s["text"])})
+        return json.dumps(
+            {"text": "".join(buf),
+             "pages": [{"pageNumber": 1,
+                        "dimension": {"width": 612, "height": 792},
+                        "paragraphs": paragraphs, "tables": tables}]}
+        )
+
+
+def _anchor_text(document: dict, layout: dict) -> str:
+    """Resolve a Google textAnchor into the document's global text
+    buffer (google_prediction_provider.py:173-185: concatenate
+    [startIndex, endIndex) slices, guarded on buffer length)."""
+    text = document.get("text") or ""
+    out = []
+    for seg in layout.get("textAnchor", {}).get("textSegments", []):
+        start = int(seg.get("startIndex", 0))
+        end = int(seg.get("endIndex", 0))
+        if start < len(text):
+            out.append(text[start:end])
+    return "".join(out)
+
+
+def normalize_azure_response(payload: str) -> list[dict]:
+    """Azure Document Intelligence JSON → canonical span sequence
+    (convert_azure_output_to_docling analogue,
+    azure_prediction_provider.py:114-315). Mirrors the reference's item
+    order — tables (:185), role-mapped paragraphs (:214), figures
+    (:196) — and its role map: sectionHeading→section_header,
+    title→title, pageHeader→page_header, pageFooter→page_footer,
+    footnote/pageNumber/absent→text. Table text is the row-major cell
+    join (cells sorted by (row_index, column_index))."""
+    data = json.loads(payload)
+    spans: list[dict] = []
+
+    def emit(kind: str, text: str) -> None:
+        media = (f"api/{kind}/{len(spans)}"
+                 if kind in ("table", "picture") else "")
+        spans.append({"kind": kind, "text": text, "media_ref": media,
+                      "offset": len(spans)})
+
+    for table in data.get("tables", []):
+        cells = sorted(
+            table.get("cells", []),
+            key=lambda c: (c.get("row_index", 0), c.get("column_index", 0)),
+        )
+        emit("table", " ".join(
+            c.get("content", "").strip() for c in cells
+        ).strip())
+    role_kind = {"sectionHeading": "section_header", "title": "title",
+                 "pageHeader": "page_header", "pageFooter": "page_footer",
+                 "footnote": "footnote"}
+    for para in data.get("paragraphs", []):
+        kind = role_kind.get(para.get("role"), "text")
+        emit(kind, para.get("content", "") or "")
+    for _fig in data.get("figures", []):
+        emit("picture", "")
+    return spans
+
+
+def normalize_google_response(payload: str) -> list[dict]:
+    """Google Document AI JSON → canonical span sequence
+    (convert_google_output_to_docling analogue,
+    google_prediction_provider.py:145-257). Mirrors the reference's
+    per-page order — paragraphs first (textAnchor slices into the
+    global text buffer, :171-204), then tables appended at page end
+    (:208-250, header rows before body rows, cells row-major). DocAI
+    exposes no layout labels, so every paragraph is ``text`` (the
+    reference's own TODO at :170)."""
+    data = json.loads(payload)
+    spans: list[dict] = []
+
+    def emit(kind: str, text: str) -> None:
+        media = (f"api/{kind}/{len(spans)}"
+                 if kind in ("table", "picture") else "")
+        spans.append({"kind": kind, "text": text, "media_ref": media,
+                      "offset": len(spans)})
+
+    for page in data.get("pages", []):
+        for para in page.get("paragraphs", []):
+            emit("text", _anchor_text(data, para.get("layout", {})))
+        for table in page.get("tables", []):
+            texts = []
+            for row in (list(table.get("headerRows", []))
+                        + list(table.get("bodyRows", []))):
+                for cell in row.get("cells", []):
+                    texts.append(
+                        _anchor_text(data, cell.get("layout", {})).strip()
+                    )
+            emit("table", " ".join(t for t in texts if t).strip())
+    return spans
+
+
+#: provider shape registry: shape name → (client factory, normalizer).
+#: The three reference providers (aws_prediction_provider.py:190-500,
+#: azure_prediction_provider.py:114-315,
+#: google_prediction_provider.py:145-257) differ only in these two
+#: pieces; the retry/rate-limit/skip-and-count harness is shared.
+PROVIDER_SHAPES = {
+    "textract": (FakeDocApiClient, normalize_api_response),
+    "azure": (FakeAzureApiClient, normalize_azure_response),
+    "google": (FakeGoogleApiClient, normalize_google_response),
+}
+
+
 class ApiPredictionProvider:
     """Actor-pool stage: rate-limited, retrying per-row API predict.
 
@@ -141,9 +337,13 @@ class ApiPredictionProvider:
     """
 
     def __init__(self, client_factory=FakeDocApiClient, *,
+                 normalizer=None,
                  rate_per_s: float | None = None, max_retries: int = 3,
                  backoff_base_s: float = 0.001, seed: int = 42):
         self._client = client_factory()
+        # None → the module-level Textract normalizer, resolved at CALL
+        # time (keeps the function monkeypatchable / late-bound)
+        self._normalize = normalizer
         self._bucket = TokenBucket(rate_per_s)
         self._max_retries = max_retries
         self._backoff = backoff_base_s
@@ -186,7 +386,7 @@ class ApiPredictionProvider:
                 # normalize BEFORE any list append: if it raises (a
                 # malformed payload), no column may be left one entry
                 # longer than the others
-                norm = normalize_api_response(payload)
+                norm = (self._normalize or normalize_api_response)(payload)
                 preds.append(payload)
                 pred_spans.append(norm)
                 statuses.append("success")
@@ -218,16 +418,21 @@ class ApiPredictionProvider:
 
 
 def api_predictions(sf_dir: str, *, concurrency: int = 2,
-                    rate_per_s: float | None = None):
+                    rate_per_s: float | None = None,
+                    shape: str = "textract"):
     """documents → rate-limited API prediction stage (actor pool: the
     client is per-actor state; aggregate request rate = rate_per_s ×
-    concurrency)."""
+    concurrency). ``shape`` selects the provider response dialect —
+    ``textract`` | ``azure`` | ``google`` (``PROVIDER_SHAPES``); the
+    harness and output schema are identical across all three."""
     from ..sources.interleaved import read_interleaved_documents
     from .util import stage
 
+    client_factory, normalizer = PROVIDER_SHAPES[shape]
     docs = read_interleaved_documents(sf_dir)
     return stage(
         docs, ApiPredictionProvider,
-        kwargs=dict(rate_per_s=rate_per_s),
+        kwargs=dict(client_factory=client_factory, normalizer=normalizer,
+                    rate_per_s=rate_per_s),
         concurrency=concurrency, batch_size=256,
     )

@@ -311,3 +311,60 @@ def test_leakage_safe_split_keeps_clusters_together(ray_session):
     )
     # all members of a cluster share one split
     assert (splits.groupby("cluster_id")["split"].nunique() == 1).all()
+
+
+def test_connected_components_star_known_graph(ray_session):
+    """Star CC (large-star/small-star alternation) produces the same
+    clusters as label propagation on the mixed fixture graph."""
+    import ray.data as rd
+
+    from docling_eval_ray.stages.dedup import connected_components_star
+
+    edges = [
+        (11, 10), (12, 11), (13, 12),          # chain, diameter 3
+        (20, 21), (20, 22), (21, 22),          # clique
+        (30, 31),                              # pair
+    ]
+    ds = rd.from_items(
+        [{"doc_id_a": a, "doc_id_b": b} for a, b in edges]
+    )
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in connected_components_star(ds).take_all()}
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10,
+                   20: 20, 21: 20, 22: 20, 30: 30, 31: 30}
+
+
+def test_connected_components_star_chain_logarithmic_rounds(ray_session):
+    """A 64-node chain has diameter 63 — min-label propagation needs 63
+    iterations (its max_iters=50 guard would fire and return WRONG
+    labels); the star alternation must solve it in O(log n) rounds."""
+    import ray.data as rd
+
+    from docling_eval_ray.stages.dedup import connected_components_star
+
+    n = 64
+    ds = rd.from_items(
+        [{"doc_id_a": i, "doc_id_b": i + 1} for i in range(n - 1)]
+    )
+    labels, rounds = connected_components_star(
+        ds, return_rounds=True, num_buckets=4
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in labels.take_all()}
+    assert got == {i: 0 for i in range(n)}
+    # Kiveris et al. bound: O(log^2 n) rounds; in practice a 64-chain
+    # collapses in ~5-7 alternations (+1 to observe the fixed point)
+    assert rounds <= 10, rounds
+
+
+def test_connected_components_star_empty_and_selfloop(ray_session):
+    import ray.data as rd
+
+    from docling_eval_ray.stages.dedup import connected_components_star
+
+    # self-loops carry no connectivity: only the real pair survives
+    ds = rd.from_items(
+        [{"doc_id_a": 5, "doc_id_b": 5}, {"doc_id_a": 7, "doc_id_b": 6}]
+    )
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in connected_components_star(ds).take_all()}
+    assert got == {6: 6, 7: 6}

@@ -136,3 +136,156 @@ def test_poisoned_normalize_stays_a_status_row(monkeypatch):
     assert out["status"].to_pylist() == ["failure", "failure"]
     assert all(p.startswith("<error:ValueError>")
                for p in out["prediction"].to_pylist())
+
+
+def test_normalize_azure_response_known_answer():
+    """Azure role map + item order (tables, paragraphs, figures —
+    mirroring convert_azure_output_to_docling's three loops)."""
+    import json
+
+    from docling_eval_ray.stages.providers import normalize_azure_response
+
+    payload = json.dumps(
+        {
+            "pages": [{"page_number": 1, "width": 612, "height": 792}],
+            "tables": [
+                {
+                    "row_count": 2,
+                    "column_count": 2,
+                    "cells": [
+                        # deliberately out of order: normalizer sorts
+                        # row-major by (row_index, column_index)
+                        {"content": "d", "row_index": 1, "column_index": 1},
+                        {"content": "a", "row_index": 0, "column_index": 0},
+                        {"content": "c", "row_index": 1, "column_index": 0},
+                        {"content": "b", "row_index": 0, "column_index": 1},
+                    ],
+                }
+            ],
+            "paragraphs": [
+                {"content": "Doc Title", "role": "title"},
+                {"content": "Intro", "role": "sectionHeading"},
+                {"content": "Body text."},
+                {"content": "p. 3", "role": "pageNumber"},
+                {"content": "Conf 2024", "role": "pageHeader"},
+                {"content": "fine print", "role": "pageFooter"},
+                {"content": "see [1]", "role": "footnote"},
+            ],
+            "figures": [{"boundingRegions": [{"pageNumber": 1}]}],
+        }
+    )
+    spans = normalize_azure_response(payload)
+    assert [(s["kind"], s["text"]) for s in spans] == [
+        ("table", "a b c d"),
+        ("title", "Doc Title"),
+        ("section_header", "Intro"),
+        ("text", "Body text."),
+        ("text", "p. 3"),
+        ("page_header", "Conf 2024"),
+        ("page_footer", "fine print"),
+        ("footnote", "see [1]"),
+        ("picture", ""),
+    ]
+    assert [s["offset"] for s in spans] == list(range(len(spans)))
+    assert spans[0]["media_ref"] and spans[-1]["media_ref"]
+    assert all(not s["media_ref"] for s in spans[1:-1])
+
+
+def test_normalize_google_response_known_answer():
+    """Google textAnchor slicing into the global text buffer; paragraphs
+    before tables per page; header rows before body rows row-major."""
+    import json
+
+    from docling_eval_ray.stages.providers import normalize_google_response
+
+    text = "Hello world.Col1Col2v1v2"
+    seg = lambda a, b: {"textAnchor": {"textSegments": [
+        {"startIndex": a, "endIndex": b}]}}
+    payload = json.dumps(
+        {
+            "text": text,
+            "pages": [
+                {
+                    "pageNumber": 1,
+                    "paragraphs": [{"layout": seg(0, 12)}],
+                    "tables": [
+                        {
+                            "headerRows": [{"cells": [
+                                {"layout": seg(12, 16)},
+                                {"layout": seg(16, 20)},
+                            ]}],
+                            "bodyRows": [{"cells": [
+                                {"layout": seg(20, 22)},
+                                {"layout": seg(22, 24)},
+                            ]}],
+                        }
+                    ],
+                }
+            ],
+        }
+    )
+    spans = normalize_google_response(payload)
+    assert [(s["kind"], s["text"]) for s in spans] == [
+        ("text", "Hello world."),
+        ("table", "Col1 Col2 v1 v2"),
+    ]
+    # out-of-range anchor start is dropped, not an exception
+    bad = json.dumps({"text": "ab", "pages": [{"paragraphs": [
+        {"layout": seg(5, 9)}]}]})
+    assert normalize_google_response(bad)[0]["text"] == ""
+
+
+@pytest.mark.parametrize("shape", ["textract", "azure", "google"])
+def test_provider_shapes_roundtrip(shape):
+    """Every provider dialect round-trips a span sequence through its
+    fake client + normalizer with text content preserved (Google folds
+    all prose kinds to 'text' and has no figure items — the reference's
+    own fidelity limits)."""
+    import pyarrow as pa
+
+    from docling_eval_ray.datamodel.schema import SPAN_STRUCT
+    from docling_eval_ray.stages.providers import (
+        PROVIDER_SHAPES,
+        ApiPredictionProvider,
+    )
+
+    spans = [
+        {"kind": "title", "text": "T", "media_ref": "", "offset": 0},
+        {"kind": "text", "text": "body one", "media_ref": "", "offset": 1},
+        {"kind": "table", "text": "h1 h2", "media_ref": "m/t/0",
+         "offset": 2},
+        {"kind": "picture", "text": "", "media_ref": "m/p/0", "offset": 3},
+        {"kind": "text", "text": "tail", "media_ref": "", "offset": 4},
+    ]
+    client_factory, normalizer = PROVIDER_SHAPES[shape]
+    provider = ApiPredictionProvider(
+        client_factory=client_factory, normalizer=normalizer,
+        backoff_base_s=0.0,
+    )
+    t = pa.table(
+        {
+            "doc_id": pa.array(["doc-000005"], pa.string()),
+            "spans": pa.array([spans], pa.list_(SPAN_STRUCT)),
+        }
+    )
+    out = provider(t).to_pylist()[0]
+    assert out["status"] == "success"
+    got = out["pred_spans"]
+    assert [s["offset"] for s in got] == list(range(len(got)))
+    texts = " ".join(s["text"] for s in got if s["text"])
+    for frag in ("T", "body one", "h1 h2", "tail"):
+        assert frag in texts
+    assert sum(s["kind"] == "table" for s in got) == 1
+    if shape != "google":
+        assert sum(s["kind"] == "picture" for s in got) == 1
+    if shape == "azure":  # only Azure's role field preserves headings
+        assert [s["kind"] for s in got if s["kind"] == "title"] == ["title"]
+
+
+def test_api_predictions_shape_param(ray_session):
+    from docling_eval_ray.stages.providers import api_predictions
+
+    df = api_predictions("/root/testdata/sf0.001", shape="azure").to_pandas()
+    assert len(df) == 500
+    assert (df["status"] == "success").all()  # fakes raise only on textract
+    assert df["pred_spans"].str.len().min() >= 0
