@@ -67,11 +67,16 @@ def main(argv: list[str] | None = None) -> int:
     vp.add_argument("--png", action="store_true",
                     help="also write per-doc comparison PNG pages "
                          "(S11; from-scratch stdlib codec)")
+    vp.add_argument("--overlay", action="store_true",
+                    help="also write per-doc image-underlay overlay "
+                         "pages (GT + prediction boxes over the page "
+                         "image; visualisations.py:79-226 analogue)")
     vp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
 
     args = p.parse_args(argv)
 
-    if args.cmd == "visualize" and (args.html or args.png):
+    if args.cmd == "visualize" and (args.html or args.png
+                                    or args.overlay):
         started = _ray_session()
         import ray
 
@@ -90,6 +95,12 @@ def main(argv: list[str] | None = None) -> int:
 
                 counts["png_files"] = write_comparison_png(
                     eval_records(args.sf_dir), f"{args.output}/png"
+                ).count()
+            if args.overlay:
+                from .functions.viz import write_overlay_html
+
+                counts["overlay_files"] = write_overlay_html(
+                    eval_records(args.sf_dir), f"{args.output}/overlay"
                 ).count()
             print(json.dumps(counts))
         finally:

@@ -212,17 +212,25 @@ def render_boxes_png(boxes, *, width: int = 256, height: int = 256,
                                   order_line=order_line))
 
 
-def boxes_image(boxes, *, width: int = 256, height: int = 256,
-                page_w: float = 1000.0, page_h: float = 1000.0,
-                order_line: bool = True) -> np.ndarray:
-    """The raw H×W×3 rasterization behind ``render_boxes_png`` (kept
-    separate so callers can compose pages before encoding)."""
-    img = np.full((height, width, 3), 255, np.uint8)
-    palette = np.array(
-        [[31, 119, 180], [255, 127, 14], [44, 160, 44], [214, 39, 40],
-         [148, 103, 189], [140, 86, 75], [227, 119, 194], [127, 127, 127]],
-        np.uint8,
-    )
+_BOX_PALETTE = np.array(
+    [[31, 119, 180], [255, 127, 14], [44, 160, 44], [214, 39, 40],
+     [148, 103, 189], [140, 86, 75], [227, 119, 194], [127, 127, 127]],
+    np.uint8,
+)
+
+
+def draw_boxes_over(img: np.ndarray, boxes, *, page_w: float = 1000.0,
+                    page_h: float = 1000.0, color=None,
+                    order_line: bool = True) -> np.ndarray:
+    """Stroke page boxes (dicts with l/t/r/b in page coords) onto a
+    COPY of an existing H×W×3 image — the image-underlay overlay
+    primitive behind the reference's draw-bboxes-over-page-images viz
+    (visualisation/visualisations.py:79-226 with PIL ImageDraw).
+    ``color=None`` cycles the categorical palette (per-item colors, as
+    ``boxes_image`` does); a fixed ``(r, g, b)`` tuple draws every box
+    in that color (GT vs prediction layers)."""
+    img = np.ascontiguousarray(img[:, :, :3], np.uint8).copy()
+    height, width = img.shape[:2]
 
     def px(v, page_dim, out_dim):
         return int(np.clip(v / page_dim * (out_dim - 1), 0, out_dim - 1))
@@ -233,14 +241,15 @@ def boxes_image(boxes, *, width: int = 256, height: int = 256,
         r = px(box["r"], page_w, width)
         t = px(box["t"], page_h, height)
         b = px(box["b"], page_h, height)
-        color = palette[i % len(palette)]
+        c = (_BOX_PALETTE[i % len(_BOX_PALETTE)] if color is None
+             else np.asarray(color, np.uint8))
         for edge in range(2):  # 2px outline
             tt, bb = min(t + edge, height - 1), min(b + edge, height - 1)
             ll, rr = min(l + edge, width - 1), min(r + edge, width - 1)
-            img[tt, l:r + 1] = color
-            img[bb, l:r + 1] = color
-            img[t:b + 1, ll] = color
-            img[t:b + 1, rr] = color
+            img[tt, l:r + 1] = c
+            img[bb, l:r + 1] = c
+            img[t:b + 1, ll] = c
+            img[t:b + 1, rr] = c
         centers.append(((t + b) // 2, (l + r) // 2))
     if order_line and len(centers) > 1:
         for (y0, x0), (y1, x1) in zip(centers, centers[1:]):
@@ -249,3 +258,14 @@ def boxes_image(boxes, *, width: int = 256, height: int = 256,
             xs = np.linspace(x0, x1, n + 1).round().astype(int)
             img[ys, xs] = (60, 60, 60)
     return img
+
+
+def boxes_image(boxes, *, width: int = 256, height: int = 256,
+                page_w: float = 1000.0, page_h: float = 1000.0,
+                order_line: bool = True) -> np.ndarray:
+    """The raw H×W×3 rasterization behind ``render_boxes_png`` (kept
+    separate so callers can compose pages before encoding): palette
+    strokes on a white page via ``draw_boxes_over``."""
+    canvas = np.full((height, width, 3), 255, np.uint8)
+    return draw_boxes_over(canvas, boxes, page_w=page_w, page_h=page_h,
+                           color=None, order_line=order_line)

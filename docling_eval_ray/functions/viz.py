@@ -201,6 +201,135 @@ def write_comparison_html(eval_ds, out_dir: str):
     return eval_ds.map_batches(sink, batch_format="pyarrow")
 
 
+def page_underlay_rgb(doc_id: str, *, width: int = 256,
+                      height: int = 256) -> "np.ndarray":
+    """Deterministic RGB page image for a document — the underlay the
+    reference gets from ``record.ground_truth_page_images``
+    (visualisation/visualisations.py:79-226 draws bbox overlays over
+    the rasterized page). No PDF rasterizer ships in this container, so
+    the page pixels come from the same deterministic media synthesis
+    the decode stages use: refs whose seed selects the PNG/JPEG branch
+    are REAL encoded images round-tripped through the from-scratch
+    codecs; the rest get a flat light-gray page with deterministic
+    faint texture (visibly an underlay, never all-white)."""
+    import numpy as np
+
+    from ..functions.png import resize_nearest
+    from ..stages.media import HEADER_SIZE, synth_media_payload
+
+    payload = synth_media_payload(f"page/{doc_id}")
+    body = payload[HEADER_SIZE:]
+    img = None
+    try:
+        if body[:8] == b"\x89PNG\r\n\x1a\n":
+            from ..functions.png import decode_png
+
+            img = decode_png(body)
+        elif body[:2] == b"\xff\xd8":
+            from ..functions.jpeg import decode_jpeg
+
+            img = decode_jpeg(body)
+    except Exception:
+        img = None  # corrupt body → textured stub, same as pixel census
+    if img is not None:
+        if img.ndim == 2:
+            img = np.repeat(img[:, :, None], 3, axis=2)
+        # lighten so colored box strokes stay legible over noise pixels
+        rgb = resize_nearest(img[:, :, :3], height, width)
+        return (192 + rgb.astype(np.uint16) // 4).astype(np.uint8)
+    import hashlib
+
+    raw = b"".join(
+        hashlib.blake2b(body + i.to_bytes(2, "big"), digest_size=64).digest()
+        for i in range(-(-height * width // 64))
+    )
+    tex = np.frombuffer(raw[: height * width], dtype=np.uint8)
+    page = (230 + (tex % 16)).astype(np.uint8).reshape(height, width)
+    return np.repeat(page[:, :, None], 3, axis=2)
+
+
+def overlay_comparison_html(doc_id: str, gt_spans: list[dict],
+                            pred_spans: list[dict], gt_boxes, pred_boxes,
+                            page_img) -> str:
+    """Image-underlay twin of ``comparison_html`` (the reference's
+    visualisations.py:79-226 page overlay): GT boxes (blue) and
+    prediction boxes (red) each stroked over the SAME page image,
+    encoded by the from-scratch PNG codec and embedded as base64 data
+    URIs, followed by the aligned span table."""
+    import base64
+    import html as _html
+
+    from ..functions.png import draw_boxes_over, encode_png
+
+    def as_dicts(arr):
+        import numpy as np
+
+        return [{"l": b[0], "t": b[1], "r": b[2], "b": b[3]}
+                for b in np.asarray(arr).reshape(-1, 4)]
+
+    imgs = []
+    for boxes, color in ((gt_boxes, (31, 80, 180)),
+                         (pred_boxes, (200, 40, 40))):
+        over = draw_boxes_over(page_img, as_dicts(boxes),
+                               page_w=100.0, page_h=100.0, color=color)
+        b64 = base64.b64encode(encode_png(over)).decode("ascii")
+        imgs.append(f'<img src="data:image/png;base64,{b64}" '
+                    f'style="border:1px solid #333"/>')
+    body = comparison_html(doc_id, gt_spans, pred_spans)
+    # splice the underlay pair in where the SVG block would sit
+    marker = f"<h2>{_html.escape(doc_id)}</h2>"
+    return body.replace(
+        marker, marker + "<div>" + "".join(imgs) + "</div>", 1
+    )
+
+
+def write_overlay_html(eval_ds, out_dir: str, *, width: int = 256,
+                       height: int = 256):
+    """Side-effect sink: one image-underlay overlay page per document
+    (GT layer + prediction layer over the same page image), same
+    embarrassingly-parallel shape as ``write_comparison_html`` — each
+    map_batches task writes its own batch's files, returns
+    (doc_id, path, n_bytes)."""
+    from pathlib import Path
+
+    import numpy as np
+    import pyarrow as pa
+
+    Path(out_dir).mkdir(parents=True, exist_ok=True)
+
+    def sink(t: pa.Table) -> pa.Table:
+        from ..pipelines.evaluate import _doc_boxes, _pred_shift
+
+        ids, paths, sizes = [], [], []
+        for r in t.to_pylist():
+            doc_num = int(r["doc_id"].split("-")[-1])
+            gt = r["gt_spans"]
+            pred = r["pred_spans"]
+            page = page_underlay_rgb(r["doc_id"], width=width,
+                                     height=height)
+            html = overlay_comparison_html(
+                r["doc_id"], gt, pred,
+                _doc_boxes(doc_num, len(gt)),
+                np.asarray(_doc_boxes(doc_num, len(pred)))
+                + _pred_shift(doc_num),
+                page,
+            )
+            p = Path(out_dir) / f"{r['doc_id']}.overlay.html"
+            p.write_text(html)
+            ids.append(r["doc_id"])
+            paths.append(str(p))
+            sizes.append(len(html))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.string()),
+                "path": pa.array(paths, pa.string()),
+                "n_bytes": pa.array(sizes, pa.int64()),
+            }
+        )
+
+    return eval_ds.map_batches(sink, batch_format="pyarrow")
+
+
 def write_comparison_png(eval_ds, out_dir: str, *, width: int = 256,
                          height: int = 256):
     """PNG twin of ``write_comparison_html`` (reference S11 renders PNG

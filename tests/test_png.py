@@ -131,3 +131,74 @@ def test_grayscale_gray_alpha_channels():
     img[:, :, 1] = 7    # alpha
     g = to_grayscale(decode_png(encode_png(img)))
     assert g.shape == (5, 4) and (g == 200.0).all()
+
+
+def test_draw_boxes_over_copy_and_fixed_color():
+    from docling_eval_ray.functions.png import draw_boxes_over
+
+    canvas = np.full((100, 100, 3), 200, np.uint8)
+    before = canvas.copy()
+    out = draw_boxes_over(
+        canvas, [{"l": 10, "t": 10, "r": 50, "b": 40}],
+        page_w=100.0, page_h=100.0, color=(200, 40, 40),
+        order_line=False,
+    )
+    assert np.array_equal(canvas, before)  # input untouched (copy)
+    # top edge stroked in the fixed color at the mapped pixel row
+    assert tuple(out[9, 20]) == (200, 40, 40)
+    # interior remains the underlay value
+    assert tuple(out[25, 30]) == (200, 200, 200)
+
+
+def test_page_underlay_rgb_deterministic_both_branches():
+    from docling_eval_ray.functions.viz import page_underlay_rgb
+    from docling_eval_ray.stages.media import synth_media_payload
+
+    # find one doc id whose page ref takes the real-codec branch and one
+    # that takes the textured-stub branch
+    import hashlib
+
+    def branch(doc_id):
+        h = hashlib.blake2b(f"page/{doc_id}".encode(),
+                            digest_size=8).digest()
+        return int.from_bytes(h[:4], "big") % 3
+
+    ids = [f"doc-{i:06d}" for i in range(30)]
+    real = next(i for i in ids if branch(i) in (0, 1))
+    stub = next(i for i in ids if branch(i) == 2)
+    for did in (real, stub):
+        a = page_underlay_rgb(did, width=64, height=48)
+        b = page_underlay_rgb(did, width=64, height=48)
+        assert a.shape == (48, 64, 3) and a.dtype == np.uint8
+        assert np.array_equal(a, b)
+    # the real-codec branch is lightened noise (>=192); stub is light
+    assert page_underlay_rgb(real, width=32, height=32).min() >= 192
+    assert page_underlay_rgb(stub, width=32, height=32).min() >= 230
+
+
+def test_overlay_html_sink(ray_session, tmp_path):
+    """Image-underlay overlay page (the reference's
+    visualisations.py:79-226 analogue): two embedded PNGs per doc, both
+    decodable, boxes stroked over the page image."""
+    import base64
+    import re
+
+    from docling_eval_ray.functions.viz import write_overlay_html
+    from docling_eval_ray.pipelines.evaluate import eval_records
+
+    ds = eval_records(SF_DIR).limit(8)
+    out = write_overlay_html(ds, str(tmp_path / "oviz")).to_pandas()
+    assert len(out) == 8
+    html = (tmp_path / "oviz"
+            / f"{out['doc_id'].iloc[0]}.overlay.html").read_text()
+    uris = re.findall(r'data:image/png;base64,([A-Za-z0-9+/=]+)', html)
+    assert len(uris) == 2  # GT layer + prediction layer
+    gt_img = decode_png(base64.b64decode(uris[0]))
+    pred_img = decode_png(base64.b64decode(uris[1]))
+    assert gt_img.shape == (256, 256, 3)
+    # the two layers differ (GT blue vs prediction red strokes)
+    assert (gt_img != pred_img).any()
+    # GT stroke color present
+    assert (gt_img == np.array([31, 80, 180])).all(axis=2).any()
+    assert (pred_img == np.array([200, 40, 40])).all(axis=2).any()
+    assert "<table>" in html
