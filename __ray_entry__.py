@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         leakage_safe_split,
         minhash_near_dups,
         near_dup_clusters,
+        near_dup_clusters_star,
         neardup_degree_histogram,
         neardup_kcore,
         neardup_pagerank,
@@ -174,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ngram_jaccard_pairs,
         simhash_fingerprints,
         simhash_near_dups,
+        substring_dup_stats,
     )
     from docling_eval_ray.stages.knn import (
         centroid_similarity,
@@ -192,6 +194,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "ngram_jaccard_pairs": ngram_jaccard_pairs,   # oracled, exact
             "ngram_containment_pairs": ngram_containment_pairs,  # oracled
             "near_dup_clusters": near_dup_clusters,       # oracled (CC)
+            "near_dup_clusters_star": near_dup_clusters_star,  # oracled (CC, O(log n) rounds)
+            "substring_dup_stats": substring_dup_stats,   # oracled (window census)
             "dedup_keep_canonical": dedup_keep_canonical, # oracled (keep)
             "leakage_safe_split": leakage_safe_split,     # oracled (CC+split)
             "minhash_near_dups": minhash_near_dups,       # oracled (LSH+verify)

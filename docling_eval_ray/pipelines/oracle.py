@@ -186,6 +186,42 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT s AS doc_id, min(l) AS cluster_id FROM walk GROUP BY s
     """,
+    # same reachability oracle as near_dup_clusters: the star algorithm
+    # must produce IDENTICAL components
+    "near_dup_clusters_star": f"""
+        WITH RECURSIVE {_NEARDUP_EDGES_CTE},
+        walk(s, l) AS (
+            SELECT s, s FROM (SELECT DISTINCT s FROM edges) nodes
+            UNION
+            SELECT e.s, w.l FROM edges e JOIN walk w ON e.t = w.s
+        )
+        SELECT s AS doc_id, min(l) AS cluster_id FROM walk GROUP BY s
+    """,
+    # exact 8-token-window duplication census (substring-dedup primitive,
+    # Lee et al. 2022): per doc, total windows and windows whose exact
+    # text recurs in >=2 distinct docs
+    "substring_dup_stats": """
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS w
+            FROM documents
+        ),
+        wins AS (
+            SELECT doc_id,
+                   array_to_string(list_slice(w, i, i + 7), ' ') AS wtext
+            FROM toks, UNNEST(generate_series(1, len(w) - 7)) AS g(i)
+        ),
+        df AS (
+            SELECT wtext, count(DISTINCT doc_id) AS nd
+            FROM wins GROUP BY wtext
+        )
+        SELECT w.doc_id,
+               CAST(count(*) AS BIGINT) AS n_windows,
+               CAST(coalesce(sum(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END),
+                             0) AS BIGINT) AS n_dup_windows
+        FROM wins w JOIN df d USING (wtext)
+        GROUP BY w.doc_id
+    """,
     "token_frequency_topk": """
         SELECT tok AS token, count(*) AS n
         FROM documents,

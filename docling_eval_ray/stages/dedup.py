@@ -1056,6 +1056,95 @@ def near_dup_clusters(sf_dir: str, *, threshold: float = 0.1, k: int = 3):
     return connected_components(pairs)
 
 
+def near_dup_clusters_star(sf_dir: str, *, threshold: float = 0.1,
+                           k: int = 3):
+    """``near_dup_clusters`` computed by the O(log² n)-round
+    large-star/small-star alternation instead of min-label propagation
+    — identical output contract ((doc_id, cluster_id=component min)),
+    same DuckDB reachability oracle, robust to chain-shaped components
+    whose diameter would exhaust label propagation's iteration budget."""
+    pairs = ngram_jaccard_pairs(sf_dir, k=k, threshold=threshold)
+    return connected_components_star(pairs)
+
+
+def substring_dup_stats(sf_dir: str, *, window: int = 8,
+                        num_buckets: int = 32):
+    """Exact substring-duplication census (the window primitive behind
+    suffix-array substring dedup, Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): for every document
+    with at least one ``window``-token window, count its windows and
+    how many of them (by position) recur verbatim in at least one OTHER
+    document. The reference has no substring dedup (SURVEY §2.7 —
+    dedup is beyond-reference); this is the scalable Ray shape:
+
+    explode (doc, window-text) with a per-batch (doc, window) combiner
+    → ONE bucketed exchange keyed on a 32-bit window hash (groups
+    compare the full window STRING inside the bucket, so hash collisions
+    cannot merge distinct windows) → per-doc partial (positions,
+    dup-positions) → ONE final groupby(doc_id) sum. Nothing corpus-sized
+    on the driver. At 100-TB scale the window strings dominate shuffle
+    bytes; the documented knob is hashing windows to 128-bit digests
+    before the exchange (trades the exact-string guarantee for a
+    2⁻¹²⁸ collision bound).
+
+    Output: (doc_id, n_windows, n_dup_windows), int64.
+    """
+    import ray.data as rd
+
+    from ..functions.groups import bucketed_group_apply, final_groupby_sum
+    from ..functions.tokens import sql_tokens
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        doc_ids, wins = [], []
+        for did, text in zip(t["doc_id"].to_pylist(),
+                             t["text"].to_pylist()):
+            toks = sql_tokens(text)
+            for i in range(len(toks) - window + 1):
+                doc_ids.append(did)
+                wins.append(" ".join(toks[i:i + window]))
+        if not doc_ids:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "wtext": pa.array([], pa.string()),
+                 "cnt": pa.array([], pa.int64())}
+            )
+        # combiner: within-batch (doc, window) counts — repeated windows
+        # inside a doc cross the exchange once, with a count
+        df = pd.DataFrame({"doc_id": doc_ids, "wtext": wins})
+        agg = df.groupby(["doc_id", "wtext"], as_index=False).size()
+        return pa.table(
+            {
+                "doc_id": pa.array(agg["doc_id"].to_numpy(), pa.int64()),
+                "wtext": pa.array(agg["wtext"].tolist(), pa.string()),
+                "cnt": pa.array(agg["size"].to_numpy(), pa.int64()),
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # exact string grouping inside the hash bucket
+        g = g.groupby(["wtext", "doc_id"], as_index=False)["cnt"].sum()
+        ndocs = g.groupby("wtext")["doc_id"].transform("nunique")
+        dup = np.where(ndocs.to_numpy() >= 2, g["cnt"].to_numpy(), 0)
+        out = pd.DataFrame(
+            {"doc_id": g["doc_id"], "n_windows": g["cnt"],
+             "n_dup_windows": dup}
+        )
+        out = out.groupby("doc_id", as_index=False).sum()
+        return out.astype(np.int64)
+
+    partials = bucketed_group_apply(
+        exploded, ["wtext"], per_bucket, num_buckets=num_buckets
+    )
+    return final_groupby_sum(
+        partials, ["doc_id"], ["n_windows", "n_dup_windows"]
+    )
+
+
 def dedup_keep_canonical(sf_dir: str, *, threshold: float = 0.1,
                          k: int = 3):
     """End-to-end corpus dedup: drop every document whose near-dup

@@ -368,3 +368,28 @@ def test_connected_components_star_empty_and_selfloop(ray_session):
     got = {r["doc_id"]: r["cluster_id"]
            for r in connected_components_star(ds).take_all()}
     assert got == {6: 6, 7: 6}
+
+
+def test_substring_dup_stats_planted_windows(ray_session, tmp_path):
+    """Two docs sharing a verbatim 8-token run are counted window-by-
+    window; the within-doc-only repeat does NOT count as duplicated."""
+    shared = " ".join(f"s{i}" for i in range(10))   # 10 tokens → 3 windows
+    texts = {
+        1: shared + " alpha beta",
+        2: "prefix one two " + shared,
+        # doc 3 repeats ITS OWN window twice but shares nothing
+        3: " ".join(f"u{i}" for i in range(8)) + " "
+           + " ".join(f"u{i}" for i in range(8)),
+    }
+    _write_docs(tmp_path, texts)
+    from docling_eval_ray.stages.dedup import substring_dup_stats
+
+    got = {r["doc_id"]: (r["n_windows"], r["n_dup_windows"])
+           for r in substring_dup_stats(str(tmp_path)).take_all()}
+    # doc1: 12 tokens → 5 windows; the 3 windows fully inside `shared`
+    # recur in doc2
+    assert got[1] == (5, 3)
+    # doc2: 13 tokens → 6 windows; same 3 shared windows
+    assert got[2] == (6, 3)
+    # doc3: 16 tokens → 9 windows; self-repeat only → zero duplicated
+    assert got[3] == (9, 0)
