@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # dedup family + similarity search (training-data ops)
     from docling_eval_ray.stages.dedup import (
         dedup_keep_canonical,
+        dedup_substrings_excise,
         leakage_safe_split,
         minhash_near_dups,
         near_dup_clusters,
@@ -196,6 +197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "near_dup_clusters": near_dup_clusters,       # oracled (CC)
             "near_dup_clusters_star": near_dup_clusters_star,  # oracled (CC, O(log n) rounds)
             "substring_dup_stats": substring_dup_stats,   # oracled (window census)
+            "dedup_substrings_excise": dedup_substrings_excise,  # oracled (ExactSubstr)
             "dedup_keep_canonical": dedup_keep_canonical, # oracled (keep)
             "leakage_safe_split": leakage_safe_split,     # oracled (CC+split)
             "minhash_near_dups": minhash_near_dups,       # oracled (LSH+verify)

@@ -222,6 +222,44 @@ ORACLE_SQL: dict[str, str] = {
         FROM wins w JOIN df d USING (wtext)
         GROUP BY w.doc_id
     """,
+    # ExactSubstr excision (Lee et al. 2022): duplicated windows survive
+    # only in the window's min doc_id; cleaned text = kept tokens joined
+    "dedup_substrings_excise": """
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS w
+            FROM documents
+        ),
+        wins AS (
+            SELECT doc_id, i,
+                   array_to_string(list_slice(w, i, i + 7), ' ') AS wtext
+            FROM toks, UNNEST(generate_series(1, len(w) - 7)) AS g(i)
+        ),
+        keepers AS (
+            SELECT wtext, min(doc_id) AS keeper
+            FROM wins GROUP BY wtext
+            HAVING count(DISTINCT doc_id) >= 2
+        ),
+        rem AS (
+            SELECT DISTINCT w.doc_id, u.p
+            FROM wins w
+            JOIN keepers k USING (wtext),
+                 UNNEST(generate_series(w.i, w.i + 7)) AS u(p)
+            WHERE w.doc_id != k.keeper
+        ),
+        tok_rows AS (
+            SELECT doc_id, unnest(w) AS tok,
+                   unnest(generate_series(1, len(w))) AS p
+            FROM toks
+        )
+        SELECT t.doc_id,
+               coalesce(string_agg(t.tok, ' ' ORDER BY t.p)
+                        FILTER (WHERE r.p IS NULL), '') AS clean_text,
+               CAST(count(r.p) AS BIGINT) AS n_removed
+        FROM tok_rows t
+        LEFT JOIN rem r ON r.doc_id = t.doc_id AND r.p = t.p
+        GROUP BY t.doc_id
+    """,
     "token_frequency_topk": """
         SELECT tok AS token, count(*) AS n
         FROM documents,

@@ -1145,6 +1145,123 @@ def substring_dup_stats(sf_dir: str, *, window: int = 8,
     )
 
 
+def dedup_substrings_excise(sf_dir: str, *, window: int = 8,
+                            num_buckets: int = 32):
+    """Substring-level corpus dedup (Lee et al. 2022 ExactSubstr):
+    every ``window``-token run that appears verbatim in ≥2 documents is
+    kept only in the window's minimum doc_id (the canonical copy) and
+    excised everywhere else; emits the cleaned corpus
+    (doc_id, clean_text, n_removed) for EVERY document (short and
+    untouched docs pass through with n_removed=0). Deterministic, so
+    DuckDB-oracled end-to-end.
+
+    Shape: window explode → ONE bucketed exchange keyed on the window
+    hash (exact string grouping inside the bucket) emitting removable
+    (doc_id, position) rows → docs ∪ removals bucketed by doc_id → ONE
+    exchange → per-doc interval-mask rebuild (difference-array cumsum,
+    no per-position Python). Two exchanges total; removal rows are
+    duplication-sized, never corpus-sized.
+    """
+    import ray.data as rd
+
+    from ..functions.groups import BUCKET_COL, add_hash_bucket
+    from ..functions.tokens import sql_tokens
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        doc_ids, pos, wins = [], [], []
+        for did, text in zip(t["doc_id"].to_pylist(),
+                             t["text"].to_pylist()):
+            toks = sql_tokens(text)
+            for i in range(len(toks) - window + 1):
+                doc_ids.append(did)
+                pos.append(i)
+                wins.append(" ".join(toks[i:i + window]))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+                "wtext": pa.array(wins, pa.string()),
+            }
+        )
+
+    from ..functions.groups import bucketed_group_apply
+
+    def removable(g: pd.DataFrame) -> pd.DataFrame:
+        # windows shared by >=2 distinct docs: the min doc keeps its
+        # copy, every other (doc, start-position) occurrence is excised
+        stats = g.groupby("wtext")["doc_id"].agg(["min", "nunique"])
+        g = g.join(stats, on="wtext")
+        out = g[(g["nunique"] >= 2) & (g["doc_id"] != g["min"])]
+        return pd.DataFrame(
+            {"doc_id": out["doc_id"].to_numpy(np.int64),
+             "pos": out["pos"].to_numpy(np.int64)}
+        )
+
+    rem = bucketed_group_apply(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        ["wtext"], removable, num_buckets=num_buckets,
+    )
+
+    # docs ∪ removals, one exchange keyed on doc_id. Sentinel pos=-1
+    # marks the doc row (NEVER null: one null decays the int column to
+    # float64 and hash-misroutes the bucket — see CLAUDE.md).
+    def doc_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text": t["text"],
+                "pos": pa.array(
+                    np.full(t.num_rows, -1, np.int64), pa.int64()),
+            }
+        )
+
+    def rem_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text": pa.array([""] * t.num_rows, pa.string()),
+                "pos": t["pos"],
+            }
+        )
+
+    both = ds.map_batches(doc_rows, batch_format="pyarrow").union(
+        rem.map_batches(rem_rows, batch_format="pyarrow")
+    )
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=[BUCKET_COL])
+        ids, cleaned, removed = [], [], []
+        for did, sub in g.groupby("doc_id"):
+            text = sub.loc[sub["pos"] < 0, "text"]
+            if text.empty:  # removal rows for a doc outside this read
+                continue
+            toks = sql_tokens(text.iloc[0])
+            starts = sub.loc[sub["pos"] >= 0, "pos"].to_numpy(np.int64)
+            delta = np.zeros(len(toks) + window + 1, np.int64)
+            np.add.at(delta, starts, 1)
+            np.add.at(delta, starts + window, -1)
+            mask = np.cumsum(delta[: len(toks)]) > 0
+            kept = [t for t, m in zip(toks, mask) if not m]
+            ids.append(did)
+            cleaned.append(" ".join(kept))
+            removed.append(int(mask.sum()))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.array(ids, dtype="int64"),
+                "clean_text": pd.array(cleaned, dtype="object"),
+                "n_removed": pd.array(removed, dtype="int64"),
+            }
+        )
+
+    bucketed = add_hash_bucket(both, ["doc_id"], num_buckets)
+    return bucketed.groupby(BUCKET_COL).map_groups(
+        rebuild, batch_format="pandas"
+    )
+
+
 def dedup_keep_canonical(sf_dir: str, *, threshold: float = 0.1,
                          k: int = 3):
     """End-to-end corpus dedup: drop every document whose near-dup

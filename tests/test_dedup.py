@@ -393,3 +393,27 @@ def test_substring_dup_stats_planted_windows(ray_session, tmp_path):
     assert got[2] == (6, 3)
     # doc3: 16 tokens → 9 windows; self-repeat only → zero duplicated
     assert got[3] == (9, 0)
+
+
+def test_dedup_substrings_excise_keeps_canonical_copy(ray_session,
+                                                      tmp_path):
+    """ExactSubstr semantics: the duplicated run survives only in the
+    minimum doc_id; other docs lose exactly the covered tokens; docs
+    shorter than the window pass through untouched."""
+    shared = " ".join(f"s{i}" for i in range(10))   # 10 shared tokens
+    texts = {
+        1: shared + " alpha beta",
+        2: "prefix one two " + shared,
+        3: "tiny doc",                               # < window: untouched
+    }
+    _write_docs(tmp_path, texts)
+    from docling_eval_ray.stages.dedup import dedup_substrings_excise
+
+    got = {r["doc_id"]: (r["clean_text"], r["n_removed"])
+           for r in dedup_substrings_excise(str(tmp_path)).take_all()}
+    # doc1 is the canonical copy: full text kept
+    assert got[1] == (texts[1], 0)
+    # doc2 loses the 10 shared tokens (windows at starts 3..5 cover
+    # positions 3..12), keeping its 3-token prefix
+    assert got[2] == ("prefix one two", 10)
+    assert got[3] == ("tiny doc", 0)
