@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         embedding_knn_ivf,
         embedding_label_medoid,
         embedding_near_dups,
+        embedding_near_dups_lsh,
         label_pca_component,
         embedding_norms,
         label_centroids,
@@ -208,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "neardup_kcore": neardup_kcore,               # oracled (peeling)
             "embedding_knn": embedding_knn,               # oracled
             "embedding_near_dups": embedding_near_dups,   # oracled
+            "embedding_near_dups_lsh": embedding_near_dups_lsh,  # oracled (LSH+verify)
             "embedding_knn_ivf": embedding_knn_ivf,       # rows-only (ANN)
             "embedding_norms": embedding_norms,           # oracled (L2)
             "label_centroids": label_centroids,           # oracled (k-means step)

@@ -292,6 +292,53 @@ ORACLE_SQL: dict[str, str] = {
                                      CAST(b.embedding AS DOUBLE[]))
               >= {NEAR_DUP_THRESHOLD}
     """,
+    # random-hyperplane LSH near-dups: the md5-parity hyperplane matrix
+    # is REBUILT in SQL (hp CTE) so candidate banding is bit-identical
+    # to stages/knn.py:lsh_hyperplanes; exact cosine verify on top
+    "embedding_near_dups_lsh": f"""
+        WITH dims AS (
+            SELECT vec_id,
+                   unnest(CAST(embedding AS DOUBLE[])) AS val,
+                   unnest(generate_series(0, len(embedding) - 1)) AS d
+            FROM embeddings
+        ),
+        hp AS (
+            SELECT b, d,
+                   CASE WHEN CAST(('0x' || substr(md5(CAST(b AS VARCHAR)
+                            || '-' || CAST(d AS VARCHAR)), 1, 8))
+                            AS UBIGINT) % 2 = 0
+                        THEN 1.0 ELSE -1.0 END AS h
+            FROM generate_series(0, 127) AS gb(b),
+                 generate_series(0, 63) AS gd(d)
+        ),
+        bits AS (
+            SELECT dims.vec_id, hp.b,
+                   CASE WHEN sum(dims.val * hp.h) > 0
+                        THEN 1 ELSE 0 END AS bit
+            FROM dims JOIN hp USING (d)
+            GROUP BY dims.vec_id, hp.b
+        ),
+        bands AS (
+            SELECT vec_id, b // 8 AS band,
+                   CAST(sum(bit * (1 << (b % 8))) AS BIGINT) AS bval
+            FROM bits GROUP BY vec_id, b // 8
+        ),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+            FROM bands a JOIN bands b USING (band, bval)
+            WHERE a.vec_id < b.vec_id
+        )
+        SELECT ia AS vec_id_a, ib AS vec_id_b,
+               round_even(list_cosine_similarity(
+                   CAST(ea.embedding AS DOUBLE[]),
+                   CAST(eb.embedding AS DOUBLE[])), 6) AS sim
+        FROM cand
+        JOIN embeddings ea ON ea.vec_id = cand.ia
+        JOIN embeddings eb ON eb.vec_id = cand.ib
+        WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                     CAST(eb.embedding AS DOUBLE[]))
+              >= {NEAR_DUP_THRESHOLD}
+    """,
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                round_even(sum(l_quantity), 2)                                   AS sum_qty,

@@ -187,6 +187,123 @@ def embedding_near_dups(sf_dir: str, *, threshold: float = NEAR_DUP_THRESHOLD,
     return stage(ds, _BlockPairwise, args=(ref, threshold))
 
 
+#: random-hyperplane LSH geometry (Charikar 2002 SimHash for cosine):
+#: 128 Rademacher hyperplanes → 16 bands × 8 bits. Entries are derived
+#: from md5 parity so the DuckDB oracle can rebuild the SAME matrix in
+#: SQL — no literal matrix shipped in the query text.
+LSH_N_BITS = 128
+LSH_BAND_BITS = 8
+
+_LSH_H: np.ndarray | None = None  # lazy: keeps module import cheap
+
+
+def lsh_hyperplanes(n_bits: int = LSH_N_BITS, dim: int = 64) -> np.ndarray:
+    """±1 hyperplane matrix, entry (b, d) = +1 iff the first 8 md5 hex
+    digits of ``"{b}-{d}"`` are even — replicated verbatim by the SQL
+    fragment in ``pipelines/oracle.py`` (md5 → UBIGINT % 2)."""
+    global _LSH_H
+    if (_LSH_H is None or _LSH_H.shape != (n_bits, dim)):
+        import hashlib
+
+        h = np.empty((n_bits, dim), np.float64)
+        for b in range(n_bits):
+            for d in range(dim):
+                v = int(hashlib.md5(f"{b}-{d}".encode())
+                        .hexdigest()[:8], 16)
+                h[b, d] = 1.0 if v % 2 == 0 else -1.0
+        _LSH_H = h
+    return _LSH_H
+
+
+def embedding_near_dups_lsh(sf_dir: str, *,
+                            threshold: float = NEAR_DUP_THRESHOLD,
+                            n_bits: int = LSH_N_BITS,
+                            band_bits: int = LSH_BAND_BITS,
+                            num_buckets: int = 32):
+    """Cosine near-dups via random-hyperplane LSH banding — the
+    broadcast-free scale tier beside the exact (≤100k) and IVF paths:
+    two vectors are candidates iff they agree on ALL ``band_bits`` sign
+    bits of at least one band; candidates are exact-verified (cosine ≥
+    threshold), so output pairs are always TRUE near-dups and the LSH
+    only controls recall (16 bands × 8 bits ⇒ a pair with bit-agreement
+    p survives with 1-(1-p⁸)¹⁶). Deterministic end-to-end (md5-derived
+    hyperplanes), hence DuckDB-oracled.
+
+    Shape: one banding map (block×H matmul + bit-pack, rows replicated
+    ×n_bands via arrow take) → ONE bucketed exchange on (band, bval)
+    emitting in-group verified pairs (tiled matmul) → ONE pair-keyed
+    exchange deduping band collisions. Nothing broadcast, nothing
+    corpus-sized on the driver."""
+    import ray.data as rd
+
+    from ..functions.groups import bucketed_group_apply
+
+    n_bands = n_bits // band_bits
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def bandify(t: pa.Table) -> pa.Table:
+        X = _emb_matrix(t)
+        H = lsh_hyperplanes(n_bits, X.shape[1])
+        bits = (X @ H.T) > 0  # (n, n_bits)
+        w = (1 << np.arange(band_bits)).astype(np.int64)
+        n = t.num_rows
+        rep = t.take(np.tile(np.arange(n), n_bands))
+        band_idx = np.repeat(np.arange(n_bands, dtype=np.int64), n)
+        bvals = np.concatenate([
+            bits[:, b * band_bits:(b + 1) * band_bits] @ w
+            for b in range(n_bands)
+        ])
+        return rep.append_column(
+            "band", pa.array(band_idx, pa.int64())
+        ).append_column("bval", pa.array(bvals, pa.int64()))
+
+    banded = ds.map_batches(bandify, batch_format="pyarrow")
+
+    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        A, B, S = [], [], []
+        for _, sub in g.groupby(["band", "bval"]):
+            if len(sub) < 2:
+                continue
+            ids = sub["vec_id"].to_numpy(np.int64)
+            mat = _normalize(
+                np.array(sub["embedding"].to_list(), np.float64))
+            a, b, s = _tiled_pairs(ids, mat, ids, mat, threshold,
+                                   within=True)
+            A.append(a)
+            B.append(b)
+            S.append(s)
+        if not A:
+            return pd.DataFrame(
+                {"vec_id_a": pd.array([], dtype="int64"),
+                 "vec_id_b": pd.array([], dtype="int64"),
+                 "sim": pd.array([], dtype="float64")}
+            )
+        return pd.DataFrame(
+            {"vec_id_a": np.concatenate(A), "vec_id_b": np.concatenate(B),
+             "sim": np.concatenate(S)}
+        )
+
+    pairs = bucketed_group_apply(
+        banded, ["band", "bval"], group_pairs, num_buckets=num_buckets
+    )
+
+    def dedup_round(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop_duplicates(["vec_id_a", "vec_id_b"])
+        return pd.DataFrame(
+            {
+                "vec_id_a": out["vec_id_a"].to_numpy(np.int64),
+                "vec_id_b": out["vec_id_b"].to_numpy(np.int64),
+                "sim": np.round(out["sim"].to_numpy(np.float64), 6),
+            }
+        )
+
+    return bucketed_group_apply(
+        pairs, ["vec_id_a", "vec_id_b"], dedup_round,
+        num_buckets=num_buckets,
+    )
+
+
 def _grouped_by_key(ds, key: str, fn, *, num_buckets: int = 64):
     """``groupby(key).map_groups(fn)`` for key cardinality that SCALES
     with the corpus (cells × shards): one shuffle on ``key %

@@ -194,3 +194,45 @@ def test_label_pca_component_matches_direct(ray_session):
         assert abs(sub["explained_var_ratio"].iloc[0] - want_evr) < 1e-4
         # unit length, sign canon
         assert abs(np.linalg.norm(sub["component"].to_numpy()) - 1) < 1e-3
+
+
+def test_lsh_near_dups_subset_of_exact_and_perfect_on_clones(
+        ray_session, tmp_path):
+    """LSH near-dups: (a) every emitted pair is a TRUE near-dup with the
+    exact tier's sim value (verification is exact); (b) identical /
+    near-identical vectors agree on every sign bit, so planted clones
+    are recalled with probability 1."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from docling_eval_ray.stages.knn import (
+        embedding_near_dups,
+        embedding_near_dups_lsh,
+    )
+
+    # (a) subset + sim parity on the driver-provided table
+    ex = embedding_near_dups(SF_DIR).to_pandas()
+    ls = embedding_near_dups_lsh(SF_DIR).to_pandas()
+    exact = {(a, b): s for a, b, s in
+             zip(ex.vec_id_a, ex.vec_id_b, ex.sim)}
+    assert len(ls) > 0
+    for a, b, s in zip(ls.vec_id_a, ls.vec_id_b, ls.sim):
+        assert (a, b) in exact and s == exact[(a, b)]
+
+    # (b) planted clones: 20 base vectors, each with an exact duplicate,
+    # plus 60 noise vectors
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(20, 64))
+    noise = rng.normal(size=(60, 64))
+    mat = np.concatenate([base, base, noise]).astype(np.float32)
+    ids = np.arange(len(mat), dtype=np.int64)
+    pa.parquet.write_table(
+        pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array(list(mat),
+                                        pa.list_(pa.float32()))}),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    got = embedding_near_dups_lsh(str(tmp_path)).to_pandas()
+    pairs = set(zip(got.vec_id_a, got.vec_id_b))
+    for i in range(20):  # every clone pair recalled, sim 1.0
+        assert (i, i + 20) in pairs
