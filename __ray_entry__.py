@@ -474,7 +474,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # queries() vs CORRECTNESS_r01-r03), plus decontaminate_bloom (oracled
 # this round — was the lone err=no_oracle row in r03) and six raw-fixture
 # GT builders (rows-only; never driver-exercised). After this round every
-# oracled query in the repo has a driver-green row at least once.
+# oracled query that existed at round-3 HEAD has a driver-green row at
+# least once; the operators ADDED during round 4 (near_dup_clusters_star,
+# substring_dup_stats, dedup_substrings_excise, embedding_near_dups_lsh,
+# api_predictions_azure/google) do not fit the 50-slot sample and are the
+# seed of the round-5 rotation.
 _DRIVER_PRIORITY_R4 = [
     # newly oracled this round (exact-verify tier added)
     "decontaminate_bloom",

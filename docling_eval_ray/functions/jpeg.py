@@ -448,6 +448,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if data[i] != 0xFF:
             i += 1
             continue
+        # skip fill bytes: any run of 0xFF may pad a marker (T.81
+        # B.1.1.2) — treating a pad 0xFF as the marker type would read
+        # the REAL marker bytes as a segment length and skip SOF/SOS
+        while i + 1 < len(data) and data[i + 1] == 0xFF:
+            i += 1
+        if i + 1 >= len(data):
+            break
         marker = data[i + 1]
         i += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:

@@ -144,10 +144,22 @@ def _scan_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
         if sm:
             head = body[: sm.start()]
             raw = body[sm.end():]
-            se = raw.rfind(b"endstream")
-            if se >= 0:
-                raw = raw[:se]
-            raw = raw.rstrip(b"\r\n")
+            # A direct /Length is authoritative (PDF §7.3.8.1) — a
+            # trailing-EOL heuristic cannot distinguish stream bytes
+            # that ARE 0x0A/0x0D (~1/128 Flate streams) from the
+            # optional EOL before `endstream`, and truncating those
+            # corrupts the deflate data.
+            length = _dict_value(head, b"Length")
+            if length is not None and length.isdigit():
+                raw = raw[: int(length)]
+            else:  # indirect /Length: fall back, strip at most ONE EOL
+                se = raw.rfind(b"endstream")
+                if se >= 0:
+                    raw = raw[:se]
+                if raw.endswith(b"\r\n"):
+                    raw = raw[:-2]
+                elif raw.endswith((b"\n", b"\r")):
+                    raw = raw[:-1]
             objs[int(m.group(1))] = (head, raw)
         else:
             objs[int(m.group(1))] = (body, None)
@@ -423,6 +435,22 @@ def media_box(head: bytes) -> tuple[float, float]:
         if len(nums) >= 4:
             return nums[2] - nums[0], nums[3] - nums[1]
     return 612.0, 792.0
+
+
+def pdf_page_sizes(data: bytes) -> list[dict]:
+    """One entry per page in page-tree order (1-based): ``{"page_no",
+    "page_w", "page_h"}`` — including pages with NO text show-ops.
+    Page enumeration must come from the page TREE, not from extracted
+    text records: a record-derived page set silently drops blank pages
+    (which are legal and round-trip through the writer)."""
+    if not data.startswith(b"%PDF"):
+        raise ValueError("not a PDF (missing %PDF header)")
+    objs = _scan_objects(data)
+    out: list[dict] = []
+    for page_no, num in enumerate(_page_order(objs), start=1):
+        w, h = media_box(objs[num][0])
+        out.append({"page_no": page_no, "page_w": w, "page_h": h})
+    return out
 
 
 def extract_pdf_text(data: bytes) -> list[dict]:

@@ -37,16 +37,11 @@ from pathlib import Path
 import pyarrow as pa
 
 from ..datamodel.schema import SPAN_STRUCT
-from ..functions.pdf import encode_pdf, extract_pdf_text
+from ..functions.pdf import encode_pdf, extract_pdf_text, pdf_page_sizes
 
-BOX_STRUCT = pa.struct(
-    [
-        pa.field("l", pa.float64()),
-        pa.field("t", pa.float64()),
-        pa.field("r", pa.float64()),
-        pa.field("b", pa.float64()),
-    ]
-)
+# the four-field l/t/r/b float64 box struct shared by the raw-fixture
+# builders (single definition — schemas must not drift)
+from .doclaynet import BOX_STRUCT
 
 PDF_GT_SCHEMA = pa.schema(
     [
@@ -106,10 +101,15 @@ def build_pdf_records(doc_id: str, data: bytes) -> list[dict]:
             "n_headers": 0, "status": f"failure:{type(exc).__name__}",
         }]
     rows: list[dict] = []
-    pages = sorted({r["page_no"] for r in recs})
-    for page_no in pages:
+    # enumerate pages from the page TREE (pdf_page_sizes), not from the
+    # extracted records: blank pages (zero show-ops) are legal and must
+    # emit an empty-span row, not vanish
+    geom = pdf_page_sizes(data)
+    first_page_no = geom[0]["page_no"] if geom else 1
+    for pg in geom:
+        page_no = pg["page_no"]
         page = [r for r in recs if r["page_no"] == page_no]
-        kinds = _classify(page, first_page=page_no == pages[0])
+        kinds = _classify(page, first_page=page_no == first_page_no)
         spans, boxes = [], []
         for off, (r, kind) in enumerate(zip(page, kinds)):
             spans.append(
@@ -130,8 +130,8 @@ def build_pdf_records(doc_id: str, data: bytes) -> list[dict]:
                 "doc_id": f"{doc_id}#{page_no}",
                 "spans": spans,
                 "boxes": boxes,
-                "page_w": page[0]["page_w"],
-                "page_h": page[0]["page_h"],
+                "page_w": pg["page_w"],
+                "page_h": pg["page_h"],
                 "n_elements": len(spans),
                 "n_headers": sum(
                     k in ("title", "section_header") for k in kinds
@@ -147,11 +147,11 @@ def slice_pdf(data: bytes) -> list[bytes]:
     page's show-ops re-encoded as a single-page document."""
     recs = extract_pdf_text(data)
     out: list[bytes] = []
-    for page_no in sorted({r["page_no"] for r in recs}):
-        page = [r for r in recs if r["page_no"] == page_no]
+    for pg in pdf_page_sizes(data):  # ALL pages — blank ones included
+        page = [r for r in recs if r["page_no"] == pg["page_no"]]
         out.append(encode_pdf([{
-            "width": page[0]["page_w"],
-            "height": page[0]["page_h"],
+            "width": pg["page_w"],
+            "height": pg["page_h"],
             "texts": [
                 {"x": r["x"], "y": r["y"], "size": r["size"],
                  "text": r["text"]}

@@ -995,8 +995,11 @@ def connected_components_star(pairs_ds, *, max_rounds: int = 30,
             )
 
         with_mix = ds.map_batches(mix, batch_format="pyarrow").materialize()
-        sig = (with_mix.count(), with_mix.sum("hi"), with_mix.sum("lo"),
-               with_mix.sum("mix31"))
+        # count() on a materialized dataset is metadata (no job); the
+        # three column sums run as ONE aggregate pass, not three jobs
+        sums = with_mix.sum(["hi", "lo", "mix31"])
+        sig = (with_mix.count(), sums["sum(hi)"], sums["sum(lo)"],
+               sums["sum(mix31)"])
         return with_mix.select_columns(["hi", "lo"]), sig
 
     edges = pairs_ds.map_batches(orient, batch_format="pyarrow")

@@ -270,12 +270,16 @@ def normalize_azure_response(payload: str) -> list[dict]:
         emit("table", " ".join(
             c.get("content", "").strip() for c in cells
         ).strip())
+    # role map mirrors the reference exactly: footnote and pageNumber
+    # fold to TEXT (azure_prediction_provider.py:236-249)
     role_kind = {"sectionHeading": "section_header", "title": "title",
-                 "pageHeader": "page_header", "pageFooter": "page_footer",
-                 "footnote": "footnote"}
+                 "pageHeader": "page_header", "pageFooter": "page_footer"}
     for para in data.get("paragraphs", []):
         kind = role_kind.get(para.get("role"), "text")
-        emit(kind, para.get("content", "") or "")
+        text = para.get("content", "") or ""
+        if not text:  # same contract as the Textract normalizer:
+            continue  # no text and no media → dropped
+        emit(kind, text)
     for _fig in data.get("figures", []):
         emit("picture", "")
     return spans
@@ -301,7 +305,10 @@ def normalize_google_response(payload: str) -> list[dict]:
 
     for page in data.get("pages", []):
         for para in page.get("paragraphs", []):
-            emit("text", _anchor_text(data, para.get("layout", {})))
+            text = _anchor_text(data, para.get("layout", {}))
+            if not text:  # Textract-normalizer contract: empty,
+                continue  # media-less items are dropped
+            emit("text", text)
         for table in page.get("tables", []):
             texts = []
             for row in (list(table.get("headerRows", []))

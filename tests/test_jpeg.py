@@ -143,3 +143,25 @@ def test_media_pixels_route_real_jpeg():
     px = pixels_from_payload(payload)
     assert px.shape == (32, 32)
     assert (px == 255.0).all()
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    """Regression: T.81 B.1.1.2 allows 0xFF pad bytes before any
+    marker; the decoder must not read the real marker as a segment
+    length."""
+    import numpy as np
+
+    from docling_eval_ray.functions.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.full((16, 16), 128, np.uint8)
+    data = encode_jpeg(img, quality=90)
+    # inject a pad byte before every marker segment after SOI
+    padded = bytearray(data[:2])
+    i = 2
+    while i < len(data):
+        if data[i] == 0xFF and i + 1 < len(data) and data[i + 1] not in (0x00, 0xD8, 0xD9):
+            padded.append(0xFF)  # pad run
+        padded.append(data[i])
+        i += 1
+    out = decode_jpeg(bytes(padded))
+    assert np.array_equal(out, decode_jpeg(data))

@@ -159,3 +159,42 @@ def test_pdf_gt_build_dataset(ray_session):
     assert memo["page_w"] == 595.0
     texts = [s["text"] for s in memo["spans"]]
     assert "Latin-1 bytes: café, naïve, Ångström." in texts
+
+
+def test_flate_stream_ending_in_eol_bytes_roundtrips():
+    """Regression: a compressed content stream whose LAST deflate byte
+    is 0x0A/0x0D must not be truncated by endstream-EOL stripping (the
+    direct /Length is authoritative). 'hello world 1000' reproduces a
+    trailing-EOL deflate stream."""
+    from docling_eval_ray.functions.pdf import encode_pdf, extract_pdf_text
+
+    for i in range(1500):
+        txt = f"hello world {i}"
+        data = encode_pdf([{"width": 612, "height": 792, "texts": [
+            {"x": 72, "y": 700, "size": 12, "text": txt}]}])
+        recs = extract_pdf_text(data)
+        assert recs and recs[0]["text"] == txt
+
+
+def test_blank_pages_survive_build_and_slice():
+    """Regression: a page with zero show-ops is legal and must emit an
+    empty-span GT row and its own slice — never silently vanish."""
+    from docling_eval_ray.functions.pdf import encode_pdf, pdf_page_sizes
+    from docling_eval_ray.sources.pdf import build_pdf_records, slice_pdf
+
+    data = encode_pdf([
+        {"width": 612, "height": 792, "texts": [
+            {"x": 72, "y": 700, "size": 12, "text": "page one"}]},
+        {"width": 612, "height": 792, "texts": []},          # blank
+        {"width": 400, "height": 500, "texts": [
+            {"x": 50, "y": 400, "size": 10, "text": "page three"}]},
+    ])
+    assert [p["page_no"] for p in pdf_page_sizes(data)] == [1, 2, 3]
+    rows = build_pdf_records("doc", data)
+    assert [r["doc_id"] for r in rows] == ["doc#1", "doc#2", "doc#3"]
+    assert rows[1]["spans"] == [] and rows[1]["status"] == "success"
+    assert rows[1]["page_w"] == 612.0
+    assert rows[2]["page_w"] == 400.0  # geometry from the page tree
+    slices = slice_pdf(data)
+    assert len(slices) == 3
+    assert build_pdf_records("s1", slices[1])[0]["spans"] == []

@@ -183,7 +183,7 @@ def test_normalize_azure_response_known_answer():
         ("text", "p. 3"),
         ("page_header", "Conf 2024"),
         ("page_footer", "fine print"),
-        ("footnote", "see [1]"),
+        ("text", "see [1]"),  # footnote folds to TEXT (reference :239)
         ("picture", ""),
     ]
     assert [s["offset"] for s in spans] == list(range(len(spans)))
@@ -229,10 +229,12 @@ def test_normalize_google_response_known_answer():
         ("text", "Hello world."),
         ("table", "Col1 Col2 v1 v2"),
     ]
-    # out-of-range anchor start is dropped, not an exception
+    # out-of-range anchor start resolves to empty text, and the empty
+    # media-less paragraph is dropped (Textract-normalizer contract) —
+    # never an exception
     bad = json.dumps({"text": "ab", "pages": [{"paragraphs": [
         {"layout": seg(5, 9)}]}]})
-    assert normalize_google_response(bad)[0]["text"] == ""
+    assert normalize_google_response(bad) == []
 
 
 @pytest.mark.parametrize("shape", ["textract", "azure", "google"])
