@@ -178,6 +178,14 @@ def run_benchmarks() -> dict:
     from docling_eval_ray.stages.bloom import (
         decontaminate_bloom as _decontaminate_bloom,
     )
+    from docling_eval_ray.stages.dedup import (
+        dedup_substrings_excise as _dedup_substrings_excise,
+        near_dup_clusters_star as _near_dup_clusters_star,
+        substring_dup_stats as _substring_dup_stats,
+    )
+    from docling_eval_ray.stages.knn import (
+        embedding_near_dups_lsh as _embedding_near_dups_lsh,
+    )
 
     bench_input = _prepare_bench_input()
 
@@ -282,6 +290,12 @@ def run_benchmarks() -> dict:
          lambda sf: corpus_layout_map(sf, class_shards=8)),
         # fused single-pass consolidation (no records materialize)
         ("evaluation_summary", evaluation_summary),
+        # round-4 additions: star CC (O(log n) rounds), substring-window
+        # census + ExactSubstr excision, hyperplane-LSH near-dups
+        ("near_dup_clusters_star", _near_dup_clusters_star),
+        ("substring_dup_stats", _substring_dup_stats),
+        ("dedup_substrings_excise", _dedup_substrings_excise),
+        ("embedding_near_dups_lsh", _embedding_near_dups_lsh),
     ]:
         t0 = time.time()
         out = fn(SF_DIR)

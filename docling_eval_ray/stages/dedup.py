@@ -1094,7 +1094,7 @@ def substring_dup_stats(sf_dir: str, *, window: int = 8,
     """
     import ray.data as rd
 
-    from ..functions.groups import bucketed_group_apply, final_groupby_sum
+    from ..functions.groups import bucketed_group_apply
     from ..functions.tokens import sql_tokens
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
@@ -1129,9 +1129,12 @@ def substring_dup_stats(sf_dir: str, *, window: int = 8,
     exploded = ds.map_batches(explode, batch_format="pyarrow")
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        # exact string grouping inside the hash bucket
+        # exact string grouping inside the hash bucket; after the
+        # (wtext, doc_id) pre-sum each key is unique per doc, so
+        # transform("size") IS the distinct-doc count (and is far
+        # cheaper than transform("nunique"))
         g = g.groupby(["wtext", "doc_id"], as_index=False)["cnt"].sum()
-        ndocs = g.groupby("wtext")["doc_id"].transform("nunique")
+        ndocs = g.groupby("wtext")["doc_id"].transform("size")
         dup = np.where(ndocs.to_numpy() >= 2, g["cnt"].to_numpy(), 0)
         out = pd.DataFrame(
             {"doc_id": g["doc_id"], "n_windows": g["cnt"],
@@ -1143,8 +1146,16 @@ def substring_dup_stats(sf_dir: str, *, window: int = 8,
     partials = bucketed_group_apply(
         exploded, ["wtext"], per_bucket, num_buckets=num_buckets
     )
-    return final_groupby_sum(
-        partials, ["doc_id"], ["n_windows", "n_dup_windows"]
+
+    # doc_id cardinality is corpus-sized — a native groupby would pay
+    # per-key overhead (CLAUDE.md pitfall); bucket it instead
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("doc_id", as_index=False)[
+            ["n_windows", "n_dup_windows"]].sum()
+        return out.astype(np.int64)
+
+    return bucketed_group_apply(
+        partials, ["doc_id"], per_doc, num_buckets=num_buckets
     )
 
 
