@@ -528,12 +528,16 @@ _DRIVER_PRIORITY_R4 = [
     "weighted_sample_topk",
     # sources (oracled roundtrip)
     "hf_snapshot_roundtrip",
-    # raw-fixture GT builders (rows-only; real parse paths)
+    # round-4 oracled additions (hash-verifiable; the other two new
+    # oracled ops — substring_dup_stats, embedding_near_dups_lsh — seed
+    # the round-5 rotation)
+    "near_dup_clusters_star",
+    "dedup_substrings_excise",
+    # raw-fixture GT builders (rows-only; real parse paths; doclaynet
+    # and otsl builders stay in pytest-fixture coverage)
     "funsd_gt_build",
     "dpbench_gt_build",
-    "doclaynet_gt_build",
     "docvqa_gt_build",
-    "otsl_gt_build",
     "pdf_gt_build",
 ]
 
