@@ -417,3 +417,57 @@ def test_dedup_substrings_excise_keeps_canonical_copy(ray_session,
     # positions 3..12), keeping its 3-token prefix
     assert got[2] == ("prefix one two", 10)
     assert got[3] == ("tiny doc", 0)
+
+
+def test_connected_components_star_random_graphs_match_union_find(
+        ray_session):
+    """Property: on seeded random graphs (mixed chains, cliques, stars,
+    sparse noise) the star alternation produces exactly the union-find
+    ground truth."""
+    import numpy as np
+    import ray.data as rd
+
+    from docling_eval_ray.stages.dedup import connected_components_star
+
+    def uf_clusters(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonical min per component
+        comp = {}
+        for n in nodes:
+            comp.setdefault(find(n), []).append(n)
+        return {n: min(m) for ms in comp.values() for n in ms
+                for m in [ms]}
+
+    rng = np.random.default_rng(42)
+    for trial in range(2):
+        n = 120
+        edges = set()
+        # sparse random edges
+        for _ in range(100):
+            a, b = rng.integers(0, n, 2)
+            if a != b:
+                edges.add((int(a), int(b)))
+        # a long chain (the diameter hazard)
+        base = n + 100 * trial
+        edges |= {(base + i, base + i + 1) for i in range(40)}
+        edges = sorted(edges)
+        nodes = sorted({x for e in edges for x in e})
+        expected = uf_clusters(edges, nodes)
+        ds = rd.from_items(
+            [{"doc_id_a": a, "doc_id_b": b} for a, b in edges]
+        )
+        got = {r["doc_id"]: r["cluster_id"]
+               for r in connected_components_star(
+                   ds, num_buckets=4).take_all()}
+        assert got == expected, trial
