@@ -117,3 +117,13 @@ def test_empty_input_entropy_and_gini(empty_dir, ray_session):
 def test_empty_input_decile_share_null(empty_dir, ray_session):
     g = _run("top_decile_revenue_share", empty_dir)
     assert len(g) == 1 and g["top_decile_share"].isna().all()
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["near_dup_clusters_star", "substring_dup_stats",
+     "dedup_substrings_excise", "embedding_near_dups_lsh"],
+)
+def test_empty_input_round4_ops_zero_rows(name, empty_dir, ray_session):
+    df = _run(name, empty_dir)
+    assert len(df) == 0
