@@ -245,6 +245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "dataset_split_assign": c.dataset_split_assign,
             "lang_mixture_weights": c.lang_mixture_weights,
             "mixture_resample_census": c.mixture_resample_census,
+            "quality_percentile_filter": c.quality_percentile_filter,  # oracled (quantile_disc prune)
         }
     )
     # content-cleaning ops (all oracled): PII redaction, CCNet-style

@@ -1267,3 +1267,74 @@ def weighted_sample_topk(sf_dir: str, *, k: int = WEIGHTED_SAMPLE_K):
             ),
         }
     )
+
+
+#: percentile-filter knobs: keep docs at or above this quantile of the
+#: integer quality score (FineWeb-style corpus pruning)
+QUALITY_FILTER_Q = 0.25
+_QSCORE_LO, _QSCORE_HI = 3, 12  # "good token" length band
+
+
+def _quality_scores(t: pa.Table) -> pa.Table:
+    """Per-doc INTEGER quality score: percentage of tokens whose length
+    falls in the [3, 12] band, floor-divided (integer score ⇒ the
+    percentile threshold and the ≥ comparison are exact in both numpy
+    and SQL — no float-tie hazard)."""
+    doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    scores = np.empty(len(doc_ids), np.int64)
+    for i, text in enumerate(t["text"].to_pylist()):
+        toks = sql_tokens(text)
+        good = sum(_QSCORE_LO <= len(tk) <= _QSCORE_HI for tk in toks)
+        scores[i] = (100 * good) // len(toks)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids, pa.int64()),
+         "score": pa.array(scores, pa.int64())}
+    )
+
+
+def quality_percentile_filter(sf_dir: str, *, q: float = QUALITY_FILTER_Q):
+    """Corpus pruning by score percentile (the FineWeb-style "drop the
+    worst quartile" step): keep every document whose quality score is ≥
+    the corpus ``quantile_disc(q)`` of that score.
+
+    The threshold is EXACT at any corpus size without a sort: the score
+    domain is the integers 0..100, so a (score, count) census (streamed
+    partials + a ≤101-row groupby) gives the order statistic by
+    cumulative count — the shuffle-free histogram-rank plan
+    (`lineitem_quantity_ranks` rationale). Scores are computed once and
+    materialized (two int64 columns in the object store), then filtered
+    with the scalar threshold closure — no second text scan, nothing
+    corpus-sized on the driver. quantile_disc convention: value at index
+    ceil(q·n)−1 of the sorted column (pinned by the existing quantile
+    oracles).
+    """
+    import math
+
+    import pyarrow.compute as _pc
+
+    from ..functions.groups import count_partial, final_groupby_sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    scores = ds.map_batches(
+        _quality_scores, batch_format="pyarrow"
+    ).materialize()
+    census = final_groupby_sum(
+        scores.map_batches(count_partial("score", "n"),
+                           batch_format="pyarrow"),
+        ["score"], ["n"],
+    ).to_pandas()  # ≤101 rows
+    if census.empty:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "score": pa.array([], pa.int64())}
+        )
+    census = census.sort_values("score")
+    n = int(census["n"].sum())
+    rank = max(0, math.ceil(q * n) - 1)
+    cum = census["n"].cumsum().to_numpy()
+    thr = int(census["score"].to_numpy()[np.searchsorted(cum, rank + 1)])
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(_pc.greater_equal(t["score"], thr))
+
+    return scores.map_batches(keep, batch_format="pyarrow")

@@ -260,6 +260,24 @@ ORACLE_SQL: dict[str, str] = {
         LEFT JOIN rem r ON r.doc_id = t.doc_id AND r.p = t.p
         GROUP BY t.doc_id
     """,
+    # FineWeb-style percentile pruning: integer score (share of tokens
+    # in the [3,12]-length band, floor %), threshold = quantile_disc
+    "quality_percentile_filter": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+            FROM documents
+        ),
+        scores AS (
+            SELECT doc_id,
+                   (100 * count(*) FILTER (WHERE len(tok) BETWEEN 3 AND 12))
+                       // count(*) AS score
+            FROM toks GROUP BY doc_id
+        ),
+        thr AS (SELECT quantile_disc(score, 0.25) AS t FROM scores)
+        SELECT s.doc_id, CAST(s.score AS BIGINT) AS score
+        FROM scores s, thr WHERE s.score >= thr.t
+    """,
     "token_frequency_topk": """
         SELECT tok AS token, count(*) AS n
         FROM documents,

@@ -138,3 +138,35 @@ def test_fixed_size_sample_exact_sizes(ray_session):
     got = df["lang"].value_counts()
     assert got.sort_index().equals(want.sort_index())
     assert not df["doc_id"].duplicated().any()
+
+
+def test_quality_percentile_filter_threshold_semantics(ray_session,
+                                                       tmp_path):
+    """quantile_disc(0.25) pruning: with scores {0,0,50,100} over four
+    docs, the threshold is the ceil(.25*4)-1 = 0th order statistic = 0,
+    so ALL docs survive; with q raised to 0.75 the threshold is 50 and
+    only the two high-quality docs survive."""
+    import pandas as pd
+
+    from docling_eval_ray.pipelines.corpus_ops import (
+        quality_percentile_filter,
+    )
+
+    texts = {
+        1: "a b c d",                      # 0% tokens in [3,12]
+        2: "xx yy zz qq",                  # 0%
+        3: "abc defg hi j",                # 2/4 = 50%
+        4: "alpha beta gamma delta",       # 100%
+    }
+    pd.DataFrame(
+        {"doc_id": pd.array(sorted(texts), dtype="int64"),
+         "text": [texts[i] for i in sorted(texts)]}
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    got = {r["doc_id"]: r["score"]
+           for r in quality_percentile_filter(str(tmp_path)).take_all()}
+    assert got == {1: 0, 2: 0, 3: 50, 4: 100}
+    got75 = {r["doc_id"]: r["score"]
+             for r in quality_percentile_filter(
+                 str(tmp_path), q=0.75).take_all()}
+    assert got75 == {3: 50, 4: 100}
