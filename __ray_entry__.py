@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_segment_share": r.customer_segment_share,
         "events_rolling_median": r.events_rolling_median,
         "part_cooccurrence": r.part_cooccurrence,
+        "part_cooccurrence_lift": r.part_cooccurrence_lift,
         "orderkey_set_compare": r.orderkey_set_compare,
         "daily_revenue_change": r.daily_revenue_change,
         "customer_spend_quartiles": r.customer_spend_quartiles,

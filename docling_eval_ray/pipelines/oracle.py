@@ -2679,6 +2679,32 @@ ORACLE_SQL["part_cooccurrence"] = """
 """
 
 
+ORACLE_SQL["part_cooccurrence_lift"] = """
+    WITH d AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pcnt AS (
+        SELECT l_partkey, count(*) AS n FROM d GROUP BY l_partkey
+    ),
+    tot AS (SELECT count(DISTINCT l_orderkey) AS n FROM lineitem),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM d a JOIN d b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    )
+    SELECT p.part_a, p.part_b, p.n_orders,
+           round_even(CAST(p.n_orders AS DOUBLE) * tot.n
+                      / (pa.n * pb.n), 6) AS lift
+    FROM pairs p
+    JOIN pcnt pa ON pa.l_partkey = p.part_a
+    JOIN pcnt pb ON pb.l_partkey = p.part_b
+    CROSS JOIN tot
+"""
+
+
 ORACLE_SQL["orderkey_set_compare"] = """
     WITH o AS (SELECT DISTINCT o_orderkey AS k FROM orders),
     l AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),

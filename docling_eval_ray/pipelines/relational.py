@@ -2961,6 +2961,73 @@ def part_cooccurrence(sf_dir: str):
     return flt
 
 
+def part_cooccurrence_lift(sf_dir: str):
+    """Association LIFT over the market-basket pairs:
+    ``lift(a,b) = n_ab·N / (n_a·n_b)`` with N = distinct orders and
+    n_x = distinct orders containing part x — the
+    "is this pair correlated or just popular" score on top of
+    ``part_cooccurrence``. Extra cost over the pair census: one
+    part-bucketed exchange for per-part order counts (part domain is
+    dimension-sized → collected to a broadcast lookup) and one
+    distinct-orderkey pass for N; lift is mapped onto the pair table
+    with the scalar/lookup closure — no pair-side join exchange."""
+    import ray
+
+    from ..functions.groups import (
+        bucketed_group_apply,
+        count_partial,
+        final_groupby_sum,
+    )
+
+    pairs = part_cooccurrence(sf_dir)
+    empty = pd.DataFrame(
+        {"part_a": pd.Series([], dtype=np.int64),
+         "part_b": pd.Series([], dtype=np.int64),
+         "n_orders": pd.Series([], dtype=np.int64),
+         "lift": pd.Series([], dtype=np.float64)}
+    )
+    if isinstance(pairs, pd.DataFrame):  # empty-input fast path
+        return empty
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    # n_x: all rows of one part meet in its bucket → exact per-part
+    # distinct-order count with one exchange
+    def part_counts(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates()
+        out = d.groupby("l_partkey", as_index=False).agg(
+            n=("l_orderkey", "size")
+        )
+        return out.astype(np.int64)
+
+    pc_df = bucketed_group_apply(
+        ds, ["l_partkey"], part_counts
+    ).to_pandas()  # part domain: dimension-sized
+    lookup_ref = ray.put(
+        dict(zip(pc_df["l_partkey"].tolist(), pc_df["n"].tolist()))
+    )
+
+    # N: count(DISTINCT l_orderkey) — distinct rows via the census
+    # partial+final, cardinality read from the result's row count
+    n_total = final_groupby_sum(
+        ds.map_batches(count_partial("l_orderkey", "n"),
+                       batch_format="pyarrow"),
+        ["l_orderkey"], ["n"],
+    ).count()
+
+    def with_lift(t: pa.Table) -> pa.Table:
+        lut = ray.get(lookup_ref)
+        a = t["part_a"].to_numpy(zero_copy_only=False)
+        b = t["part_b"].to_numpy(zero_copy_only=False)
+        n_ab = t["n_orders"].to_numpy(zero_copy_only=False)
+        na = np.array([lut[x] for x in a], np.float64)
+        nb = np.array([lut[x] for x in b], np.float64)
+        lift = np.round(n_ab * float(n_total) / (na * nb), 6)
+        return t.append_column("lift", pa.array(lift, pa.float64()))
+
+    return pairs.map_batches(with_lift, batch_format="pyarrow")
+
+
 def orderkey_set_compare(sf_dir: str):
     """Full-outer SET reconciliation: how many order keys exist only in
     orders, only in lineitem, or in both — the integrity census behind

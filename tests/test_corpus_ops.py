@@ -170,3 +170,32 @@ def test_quality_percentile_filter_threshold_semantics(ray_session,
              for r in quality_percentile_filter(
                  str(tmp_path), q=0.75).take_all()}
     assert got75 == {3: 50, 4: 100}
+
+
+def test_part_cooccurrence_lift_known_answer(ray_session, tmp_path):
+    """lift = n_ab*N/(n_a*n_b) over distinct orders: parts 1,2 always
+    co-occur (perfectly correlated, lift = N/(n1*n2)=4/(2*2)=1? no —
+    they appear together in both their orders: n_ab=2, N=4, n=2 each ->
+    lift 2.0); the popular-but-independent pair scores 1.0."""
+    import pandas as pd
+
+    rows = [
+        # orders 10, 11: parts 1+2 together (and 3 rides along in both)
+        (10, 1), (10, 2), (10, 3),
+        (11, 1), (11, 2), (11, 3),
+        # orders 12, 13: part 3 with part 4 / alone
+        (12, 3), (12, 4),
+        (13, 3), (13, 4),
+    ]
+    pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"]).astype(
+        "int64").to_parquet(tmp_path / "lineitem.parquet")
+    from docling_eval_ray.pipelines.relational import (
+        part_cooccurrence_lift,
+    )
+
+    got = {(r["part_a"], r["part_b"]): (r["n_orders"], r["lift"])
+           for r in part_cooccurrence_lift(str(tmp_path)).take_all()}
+    # N=4; n1=n2=2, n3=4, n4=2
+    assert got[(1, 2)] == (2, 2.0)       # perfectly correlated
+    assert got[(1, 3)] == (2, 1.0)       # 2*4/(2*4)
+    assert got[(3, 4)] == (2, 1.0)       # 2*4/(4*2)

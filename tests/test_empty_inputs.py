@@ -123,7 +123,7 @@ def test_empty_input_decile_share_null(empty_dir, ray_session):
     "name",
     ["near_dup_clusters_star", "substring_dup_stats",
      "dedup_substrings_excise", "embedding_near_dups_lsh",
-     "quality_percentile_filter"],
+     "quality_percentile_filter", "part_cooccurrence_lift"],
 )
 def test_empty_input_round4_ops_zero_rows(name, empty_dir, ray_session):
     df = _run(name, empty_dir)
