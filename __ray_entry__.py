@@ -481,73 +481,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # substring_dup_stats, dedup_substrings_excise, embedding_near_dups_lsh,
 # api_predictions_azure/google) do not fit the 50-slot sample and are the
 # seed of the round-5 rotation.
-_DRIVER_PRIORITY_R4 = [
-    # newly oracled this round (exact-verify tier added)
-    "decontaminate_bloom",
-    # relational / window family (oracled, never driver-sampled)
-    "events_in_windows_distributed",
-    "events_debounce",
-    "brand_price_size_slope",
-    "price_quantity_regression",
-    "cheapest_parts_per_brand",
-    "flag_price_median",
-    "daily_active_users",
-    "orders_weekday_census",
-    "customer_segment_share",
-    "events_rolling_median",
-    "part_cooccurrence",
-    "orderkey_set_compare",
-    "daily_revenue_change",
-    "customer_spend_quartiles",
-    "events_zscore_by_type",
-    "suppliers_above_region_avg",
-    "events_value_mad",
-    "cooccurrence_triangles",
-    "trailing2d_active_users",
-    "lang_token_entropy",
-    "doc_length_gini",
-    "longest_order_streak",
-    "lineitem_corr_matrix",
-    "daily_big_purchases_spine",
-    "top_decile_revenue_share",
-    "orders_without_lineitems_bloom",
-    "parts_pareto_front",
-    "top_tokens_per_lang",
-    "chunk_with_overlap",
-    "events_value_1h_range_sum",
-    "lang_unigram_kl",
-    "table_profile",
-    "large_quantity_orders",
-    # dedup / similarity family (oracled, never driver-sampled)
-    "ngram_containment_pairs",
-    "leakage_safe_split",
-    "simhash_near_dups",
-    "neardup_pagerank",
-    "neardup_degree_histogram",
-    "neardup_kcore",
-    "centroid_similarity",
-    "embedding_label_medoid",
-    "weighted_sample_topk",
-    # sources (oracled roundtrip)
-    "hf_snapshot_roundtrip",
-    # round-4 oracled additions (hash-verifiable; the other two new
-    # oracled ops — substring_dup_stats, embedding_near_dups_lsh — seed
-    # the round-5 rotation)
-    "near_dup_clusters_star",
-    "dedup_substrings_excise",
-    # raw-fixture GT builders (rows-only; real parse paths; doclaynet
-    # and otsl builders stay in pytest-fixture coverage)
+_DRIVER_PRIORITY_R5 = [
+    # The 27 queries with no CORRECTNESS_r01-r04 row (diffed against all
+    # four driver records this round). With this rotation every queries()
+    # entry has appeared in at least one driver sample — VERDICT r4 ask #2.
+    # Oracled, never driver-sampled:
+    "embedding_near_dups_lsh",
+    "substring_dup_stats",
+    "quality_percentile_filter",
+    "part_cooccurrence_lift",
+    "daily_active_users_hll",
+    "events_value_tdigest",
+    "events_type_p99_tdigest",
+    "label_pca_component",
+    "bpe_train_merges",
+    "bpe_token_counts",
+    "media_phash_census",
+    "audio_feature_stats",
+    "audio_fingerprint_census",
+    "region_detection",
+    # rows-only, never driver-sampled (GT builders + providers + media):
+    "api_predictions",
+    "api_predictions_azure",
+    "api_predictions_google",
+    "evaluate_bbox_text",
+    "video_frame_samples",
+    "cvat_gt_build",
+    "cvat_preannotation_roundtrip",
+    "doclaynet_gt_build",
+    "doclaynet_v2_gt_build",
+    "omnidocbench_gt_build",
+    "otsl_gt_build",
+    "pixparse_gt_build",
+    "xfund_gt_build",
+    # round-5 additions / upgrades (census oracles for the formerly
+    # rows-only builders, off-repo-hardened bloom family re-check):
     "funsd_gt_build",
     "dpbench_gt_build",
     "docvqa_gt_build",
     "pdf_gt_build",
+    "decontaminate_bloom",
+    "approx_token_vocabulary",
+    "media_decode_stats",
 ]
 
 
 def _rotate_for_driver(q: dict[str, Callable[[str], Any]]) -> dict[str, Any]:
     """Front-load never-driver-verified queries (driver samples first 50)."""
-    order = [n for n in _DRIVER_PRIORITY_R4 if n in q]
-    order += [n for n in q if n not in _DRIVER_PRIORITY_R4]
+    order = [n for n in _DRIVER_PRIORITY_R5 if n in q]
+    order += [n for n in q if n not in _DRIVER_PRIORITY_R5]
     return {n: q[n] for n in order}
 
 

@@ -17,6 +17,9 @@ from __future__ import annotations
 import re
 from html.parser import HTMLParser
 
+# module-scope: synth_html_for_doc runs inside worker map_batches fns
+from ..sources.interleaved import chunk_plan
+
 _WS = re.compile(r"\s+")
 
 #: td/th are NOT block tags here: cell text must aggregate into the
@@ -198,8 +201,6 @@ def synth_html_for_doc(doc_id: int, text: str) -> str:
     """Deterministic HTML rendition of a document (pure function), with
     realistic chrome: nav bar, header/footer, sidebar links, inline
     anchors — so the extractor has real boilerplate to strip."""
-    from ..sources.interleaved import chunk_plan
-
     words = text.split()
     parts = [
         "<html><head><style>.x{}</style>",

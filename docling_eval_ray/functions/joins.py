@@ -21,6 +21,12 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+# Module-scope, not lazy: _bloom_probe_filter runs INSIDE worker probe
+# tasks; a runtime relative import there raises ModuleNotFoundError on
+# workers that can't import the repo path. stages.bloom has no
+# module-scope import back into this module, so this is cycle-safe.
+from ..stages.bloom import BloomFilter
+
 _SIDE_COL = "__join_side"
 _BUCKET_COL = "__join_bucket"
 
@@ -390,7 +396,7 @@ def bloom_semi_anti_join(left_ds, right_ds, on: str, *, anti: bool = False,
     count, the filter build, and the exact join."""
     import ray
 
-    from ..stages.bloom import BloomFilter, build_bloom_distributed
+    from ..stages.bloom import build_bloom_distributed
 
     left_ds, left_schema = _ensure_arrow_pair(left_ds)
     keys_only = right_ds.select_columns([on]).materialize()
@@ -442,8 +448,6 @@ _BLOOM_PROBE_CACHE: dict = {}
 
 def _bloom_probe_filter(blob_ref, k: int):
     import ray
-
-    from ..stages.bloom import BloomFilter
 
     key = (blob_ref.hex() if hasattr(blob_ref, "hex") else id(blob_ref), k)
     f = _BLOOM_PROBE_CACHE.get(key)

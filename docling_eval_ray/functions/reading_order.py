@@ -11,6 +11,9 @@ from __future__ import annotations
 
 import numpy as np
 
+# module-scope: score_reconstruction runs inside worker eval batches
+from .textmetrics import ard_norm
+
 
 def _gaps(starts: np.ndarray, ends: np.ndarray) -> list[tuple[float, float]]:
     """Maximal empty intervals between sorted [start, end) extents."""
@@ -126,8 +129,6 @@ def column_major_boxes(n: int) -> np.ndarray:
 def score_reconstruction(boxes: np.ndarray, perm: np.ndarray) -> float:
     """Shuffle ``boxes`` (in true order) by ``perm``, reconstruct with
     XY-cut, and return ARD_norm of the recovered order vs truth."""
-    from .textmetrics import ard_norm
-
     pred = xy_cut_order(np.asarray(boxes)[perm])
     # pred[i] = position in shuffled order; map back to true element ids
     recovered = [int(perm[j]) for j in pred]

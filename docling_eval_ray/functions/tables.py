@@ -18,6 +18,8 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from html.parser import HTMLParser
 
+from .textmetrics import edit_distance
+
 
 # ---------------------------------------------------------------------------
 # HTML table → grid
@@ -293,8 +295,8 @@ def _postorder(root: _Node):
 
 
 def _levenshtein(a: str, b: str) -> int:
-    from .textmetrics import edit_distance
-
+    # edit_distance is imported at module scope: this runs per-row
+    # inside worker TEDS batches, where a runtime relative import dies
     return edit_distance(list(a), list(b))
 
 

@@ -8,6 +8,22 @@ histogram, and a per-doc span diff."""
 
 from __future__ import annotations
 
+import numpy as np
+
+# Module-scope, not lazy: page_underlay_rgb / overlay_comparison_html /
+# boxes_image run INSIDE worker sink batches; runtime relative imports
+# there die on workers that can't import the repo path. media/png/jpeg
+# are leaf-wards modules — cycle-safe.
+from ..functions.jpeg import decode_jpeg
+from ..functions.png import (
+    boxes_image,
+    decode_png,
+    draw_boxes_over,
+    encode_png,
+    resize_nearest,
+)
+from ..stages.media import HEADER_SIZE, synth_media_payload
+
 
 def stats_to_table(stats: dict, metric_name: str) -> tuple[list[list[str]], list[str]]:
     """The reference's DatasetStatistics.to_table: one row per bin with
@@ -170,8 +186,10 @@ def write_comparison_html(eval_ds, out_dir: str):
 
     Path(out_dir).mkdir(parents=True, exist_ok=True)
 
+    from ..pipelines.evaluate import _doc_boxes, _pred_shift
+    # closure-bound at driver time: sink runs on workers off-repo
+
     def sink(t: pa.Table) -> pa.Table:
-        from ..pipelines.evaluate import _doc_boxes, _pred_shift
 
         ids, paths, sizes = [], [], []
         for r in t.to_pylist():
@@ -212,22 +230,13 @@ def page_underlay_rgb(doc_id: str, *, width: int = 256,
     are REAL encoded images round-tripped through the from-scratch
     codecs; the rest get a flat light-gray page with deterministic
     faint texture (visibly an underlay, never all-white)."""
-    import numpy as np
-
-    from ..functions.png import resize_nearest
-    from ..stages.media import HEADER_SIZE, synth_media_payload
-
     payload = synth_media_payload(f"page/{doc_id}")
     body = payload[HEADER_SIZE:]
     img = None
     try:
         if body[:8] == b"\x89PNG\r\n\x1a\n":
-            from ..functions.png import decode_png
-
             img = decode_png(body)
         elif body[:2] == b"\xff\xd8":
-            from ..functions.jpeg import decode_jpeg
-
             img = decode_jpeg(body)
     except Exception:
         img = None  # corrupt body → textured stub, same as pixel census
@@ -258,8 +267,6 @@ def overlay_comparison_html(doc_id: str, gt_spans: list[dict],
     URIs, followed by the aligned span table."""
     import base64
     import html as _html
-
-    from ..functions.png import draw_boxes_over, encode_png
 
     def as_dicts(arr):
         import numpy as np
@@ -297,8 +304,10 @@ def write_overlay_html(eval_ds, out_dir: str, *, width: int = 256,
 
     Path(out_dir).mkdir(parents=True, exist_ok=True)
 
+    from ..pipelines.evaluate import _doc_boxes, _pred_shift
+    # closure-bound at driver time: sink runs on workers off-repo
+
     def sink(t: pa.Table) -> pa.Table:
-        from ..pipelines.evaluate import _doc_boxes, _pred_shift
 
         ids, paths, sizes = [], [], []
         for r in t.to_pylist():
@@ -346,9 +355,9 @@ def write_comparison_png(eval_ds, out_dir: str, *, width: int = 256,
 
     Path(out_dir).mkdir(parents=True, exist_ok=True)
 
+    from ..pipelines.evaluate import _doc_boxes, _pred_shift
+
     def sink(t: pa.Table) -> pa.Table:
-        from ..pipelines.evaluate import _doc_boxes, _pred_shift
-        from .png import boxes_image, encode_png
 
         def as_dicts(arr):
             return [{"l": b[0], "t": b[1], "r": b[2], "b": b[3]}

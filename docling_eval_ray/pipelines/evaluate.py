@@ -25,9 +25,23 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..datamodel.schema import SPAN_STRUCT
+from ..functions.geometry import pivot_iou_mapping
+from ..functions.layout import (
+    ap_from_pooled_masks,
+    detection_tp_masks,
+    image_map,
+)
 from ..functions.spans import spans_to_markdown
+from ..functions.tables import grid_shape, parse_html_table, teds
 from ..functions.textmetrics import ard_norm, cer, text_metrics
 from .flagship import flagship
+
+# NOTE the breadth of module-scope imports above: the *_metric fns in
+# this module are passed to map_batches DIRECTLY (they run on workers),
+# so any relative import inside them would die on workers that can't
+# import the repo path — module globals ship by value, runtime imports
+# don't (the cloudpickle-by-value invariant in __init__.py).
 
 # ---------------------------------------------------------------------------
 # fixture synthesis (F2): gt_spans + pred_spans + status
@@ -58,8 +72,6 @@ _EVAL_SCHEMA = None
 def _eval_schema() -> pa.Schema:
     global _EVAL_SCHEMA
     if _EVAL_SCHEMA is None:
-        from ..datamodel.schema import SPAN_STRUCT
-
         _EVAL_SCHEMA = pa.schema(
             [
                 pa.field("doc_id", pa.string()),
@@ -346,8 +358,6 @@ def _doc_boxes(doc_num: int, n_spans: int):
 
 
 def _layout_metric(t: pa.Table) -> pa.Table:
-    from ..functions.layout import image_map
-
     t = _status_filter(t)
     rows = []
     for r in t.to_pylist():
@@ -384,8 +394,6 @@ _BBOX_TEXT_SCHEMA = None
 
 
 def _bbox_text_metric(t: pa.Table) -> pa.Table:
-    from ..functions.geometry import pivot_iou_mapping
-
     global _BBOX_TEXT_SCHEMA
     if _BBOX_TEXT_SCHEMA is None:
         _BBOX_TEXT_SCHEMA = _metric_schema(
@@ -492,8 +500,6 @@ def _doc_table_html(doc_num: int) -> tuple[str, str, bool]:
 
 
 def _tables_metric(t: pa.Table) -> pa.Table:
-    from ..functions.tables import grid_shape, parse_html_table, teds
-
     rows = []
     for doc_num in t["doc_id"].to_pylist():
         gt, pred, complex_ = _doc_table_html(int(doc_num))
@@ -586,8 +592,6 @@ def corpus_layout_map(sf_dir: str, *, class_shards: int = 1):
     merges the pre-pooled runs — identical values (same multiset, same
     deterministic order), with the straggler's sort/match work spread
     across shards."""
-    from ..functions.layout import ap_from_pooled_masks, detection_tp_masks
-
     global _CORPUS_MAP_PARTIAL_SCHEMA
     if _CORPUS_MAP_PARTIAL_SCHEMA is None:
         _CORPUS_MAP_PARTIAL_SCHEMA = _metric_schema(

@@ -330,8 +330,11 @@ ORACLE_SQL: dict[str, str] = {
                  generate_series(0, 63) AS gd(d)
         ),
         bits AS (
+            -- round_even(..., 6) before the sign test, mirroring the
+            -- np.round in stages/knn.py:bandify: keeps near-zero
+            -- projections from flipping band bits on FP noise
             SELECT dims.vec_id, hp.b,
-                   CASE WHEN sum(dims.val * hp.h) > 0
+                   CASE WHEN round_even(sum(dims.val * hp.h), 6) > 0
                         THEN 1 ELSE 0 END AS bit
             FROM dims JOIN hp USING (d)
             GROUP BY dims.vec_id, hp.b

@@ -3792,12 +3792,13 @@ def top_tokens_per_lang(sf_dir: str, *, k: int = 5):
     one bucketed sum on the pair, then a per-lang bucketed rank+head —
     the global sort never sees more than |langs|×k rows and the
     exchanges move vocabulary-sized rows, never the token stream."""
+    from ..functions.tokens import sql_tokens  # closure-bound: partial
+    # runs on workers, where a runtime relative import would die off-repo
+
     ds = _read(sf_dir, "documents", columns=["lang", "text"])
 
     def partial(t: pa.Table) -> pa.Table:
         langs, toks, ns = [], [], []
-        from ..functions.tokens import sql_tokens
-
         for lang, text in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
             counts: dict[str, int] = {}
             for w in sql_tokens(text):  # SQL-replica tokenization

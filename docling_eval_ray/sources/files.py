@@ -22,6 +22,11 @@ from pathlib import Path
 
 import pyarrow as pa
 
+# Module-scope, not lazy: PredictionFileLookup.__call__ runs on workers;
+# runtime relative imports there die off-repo. Both leaf modules.
+from ..datamodel.schema import SPAN_STRUCT
+from ..functions.doctags import parse_prediction_payload
+
 
 def read_document_files(root: str, *, extensions: tuple[str, ...] = (),
                         begin_index: int = 0, end_index: int = -1):
@@ -132,9 +137,6 @@ class PredictionFileLookup:
         self._parse = parse
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        from ..datamodel.schema import SPAN_STRUCT
-        from ..functions.doctags import parse_prediction_payload
-
         preds, found, fmts, spans = [], [], [], []
         for did in t["doc_id"].to_pylist():
             p = self._map.get(did)

@@ -169,13 +169,17 @@ def _emit_bloom_candidates(blob_ref, k: int, ngram: int):
     rows to the verify exchange (the one-sided guarantee: a failing
     gram is DEFINITELY not in the benchmark). The filter deserializes
     once per worker process via the module-level ref-keyed cache
-    (``functions/joins.py:_bloom_probe_filter``), never per batch."""
+    (``functions/joins.py:_bloom_probe_filter``), never per batch.
+
+    The imports live HERE (driver-executed factory body), not inside
+    ``fn``: the closure ships the callables by value, while a runtime
+    relative import inside the worker-run ``fn`` would go through the
+    import system and die on workers that can't import the repo path."""
+    from ..functions.joins import _bloom_probe_filter
+    from ..functions.tokens import tokens_series
+    from ..pipelines.corpus_ops import _doc_ngrams
 
     def fn(t: pa.Table) -> pa.Table:
-        from ..functions.joins import _bloom_probe_filter
-        from ..functions.tokens import tokens_series
-        from ..pipelines.corpus_ops import _doc_ngrams
-
         bf = _bloom_probe_filter(blob_ref, k)
         doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
         out_ids: list[int] = []

@@ -1014,6 +1014,19 @@ def connected_components_star(pairs_ds, *, max_rounds: int = 30,
             ls, ["hi"], small_star, num_buckets=num_buckets,
         )
         edges, new_sig = fingerprint(ss)
+        # Termination is equality of a probabilistic multiset
+        # fingerprint, so a collision between two DISTINCT consecutive
+        # edge multisets would end the loop early with wrong labels and
+        # no warning. Bound: mix31 is a splitmix64-mixed sum reduced
+        # mod 2^31-1 — under a random-oracle model two distinct
+        # multisets agree on it with p ≈ 2^-31, and they must ALSO
+        # agree on count and the raw hi/lo sums (structured but
+        # independent-ish checks), so a silent early exit across the
+        # ≤max_rounds comparisons is ≪ 10^-8 per run. If that is ever
+        # not enough, require TWO consecutive stable fingerprints (the
+        # star transforms are idempotent at the fixed point, so the
+        # confirming round costs exactly one extra pair of exchanges
+        # and squares the collision probability).
         if new_sig == sig:
             break
         sig = new_sig

@@ -245,7 +245,12 @@ def embedding_near_dups_lsh(sf_dir: str, *,
     def bandify(t: pa.Table) -> pa.Table:
         X = _emb_matrix(t)
         H = lsh_hyperplanes(n_bits, X.shape[1])
-        bits = (X @ H.T) > 0  # (n, n_bits)
+        # round the projection before the sign test: BLAS vs SQL
+        # summation order can disagree in the last ulp, so a projection
+        # within FP noise of zero would otherwise flip a band bit and
+        # change the output pair set vs the DuckDB oracle (which applies
+        # the identical round_even(..., 6) before its > 0)
+        bits = np.round(X @ H.T, 6) > 0  # (n, n_bits)
         w = (1 << np.arange(band_bits)).astype(np.int64)
         n = t.num_rows
         rep = t.take(np.tile(np.arange(n), n_bands))

@@ -28,6 +28,18 @@ import struct
 import numpy as np
 import pyarrow as pa
 
+# Module-scope, not lazy: these run INSIDE worker-executed fns/actor
+# __init__s; runtime relative imports there raise ModuleNotFoundError on
+# workers that can't import the repo path (module globals ship by value
+# with cloudpickle, runtime imports go through the import system).
+from ..functions.jpeg import decode_jpeg, encode_jpeg
+from ..functions.png import (
+    decode_png,
+    encode_png,
+    resize_nearest,
+    to_grayscale,
+)
+
 _MAGIC = b"DERIMG"
 # format string, not a struct.Struct instance: the module ships by-value
 # with cloudpickle, and _struct.Struct objects don't pickle
@@ -57,12 +69,8 @@ def synth_media_payload(media_ref: str) -> bytes:
             raw[: width * height * 3], dtype=np.uint8
         ).reshape(height, width, 3)
         if seed % 3 == 0:
-            from ..functions.png import encode_png
-
             body = encode_png(img)
         else:
-            from ..functions.jpeg import encode_jpeg
-
             body = encode_jpeg(img, quality=85)
         return struct.pack(_FMT, _MAGIC, width, height, seed) + body
     width = 64 + (seed % 192)
@@ -105,9 +113,6 @@ class DecodeImage:
     (skip-and-count), never raised."""
 
     def __init__(self):
-        from ..functions.jpeg import decode_jpeg
-        from ..functions.png import decode_png
-
         self._decode_png = decode_png  # bound once per actor
         self._decode_jpeg = decode_jpeg
 
@@ -203,9 +208,6 @@ class ResizeImage:
 
     def __init__(self, max_dim: int = 128):
         self._max = max_dim
-        from ..functions.jpeg import decode_jpeg, encode_jpeg
-        from ..functions.png import decode_png, encode_png, resize_nearest
-
         self._codec = (decode_png, encode_png, resize_nearest)
         self._jpeg = (decode_jpeg, encode_jpeg)
 
@@ -346,20 +348,12 @@ def pixels_from_payload(payload: bytes) -> "np.ndarray":
     nearest-neighbor resize; any other format falls back to the
     deterministic stub expansion. The pHash kernel downstream is the
     real algorithm either way."""
-    import numpy as np
-
     body = payload[HEADER_SIZE:]
     if body[:8] == b"\x89PNG\r\n\x1a\n" or body[:2] == b"\xff\xd8":
-        from ..functions.png import resize_nearest, to_grayscale
-
         try:
             if body[:2] == b"\xff\xd8":
-                from ..functions.jpeg import decode_jpeg
-
                 img = decode_jpeg(body)
             else:
-                from ..functions.png import decode_png
-
                 img = decode_png(body)
             gray = to_grayscale(img)
             return resize_nearest(gray, 32, 32).astype(np.float64)

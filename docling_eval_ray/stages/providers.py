@@ -37,6 +37,11 @@ import time
 import numpy as np
 import pyarrow as pa
 
+# Module-scope, not lazy: __call__ runs on workers (actor pool); a
+# runtime relative import there dies on workers that can't import the
+# repo path. datamodel.schema is a leaf module — cycle-safe.
+from ..datamodel.schema import SPAN_STRUCT
+
 
 class TransientApiError(Exception):
     """Retriable (throttle / 5xx-shaped) API failure."""
@@ -326,8 +331,15 @@ def normalize_google_response(payload: str) -> list[dict]:
 #: azure_prediction_provider.py:114-315,
 #: google_prediction_provider.py:145-257) differ only in these two
 #: pieces; the retry/rate-limit/skip-and-count harness is shared.
+#: The textract entry maps to normalizer=None so the provider falls
+#: through to its documented LATE-BOUND default (None → the module
+#: global ``normalize_api_response`` resolved at call time — the
+#: contract test_poisoned_normalize monkeypatches). Early-binding here
+#: would capture the function at registry-definition time and silently
+#: break that contract for the default ``api_predictions`` path; only
+#: the non-default azure/google shapes bind eagerly.
 PROVIDER_SHAPES = {
-    "textract": (FakeDocApiClient, normalize_api_response),
+    "textract": (FakeDocApiClient, None),
     "azure": (FakeAzureApiClient, normalize_azure_response),
     "google": (FakeGoogleApiClient, normalize_google_response),
 }
@@ -382,8 +394,6 @@ class ApiPredictionProvider:
         raise RuntimeError("unreachable")
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        from ..datamodel.schema import SPAN_STRUCT
-
         doc_ids = t["doc_id"].to_pylist()
         spans_col = t["spans"].to_pylist()
         preds, statuses, attempts, pred_spans = [], [], [], []

@@ -21,6 +21,12 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+# Module-scope, not lazy: this method runs INSIDE worker batches, and a
+# runtime relative import there goes through the import system and dies
+# with ModuleNotFoundError on workers that can't import the repo path —
+# module globals ship by value with cloudpickle, runtime imports don't.
+from .dedup import _hash64
+
 
 class HyperLogLog:
     """Dense HLL with 2^p registers (p=12 → ~1.6% standard error)."""
@@ -32,8 +38,6 @@ class HyperLogLog:
 
     @staticmethod
     def _hash(values: list[str]) -> np.ndarray:
-        from .dedup import _hash64  # the project's canonical 64-bit hash
-
         return np.array([_hash64(v) for v in values], dtype=np.uint64)
 
     def add_many(self, values: list[str]) -> None:

@@ -22,6 +22,11 @@ def main() -> None:
     o = set(m.oracle_sql())
 
     def summary(fn) -> str:
+        # unwrap functools.partial chains so shape-bound registrations
+        # (api_predictions_azure/google) show the operator's docstring,
+        # not functools.partial's
+        while hasattr(fn, "func"):
+            fn = fn.func
         doc = inspect.getdoc(fn) or ""
         s = " ".join(doc.split())
         return s[:160]
