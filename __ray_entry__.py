@@ -380,13 +380,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     # real GT builder over committed raw benchmark-style annotations
     # (M3: read_binary_files → map_batches(build_gt))
-    from docling_eval_ray.sources.funsd import funsd_gt_build, xfund_gt_build
+    from docling_eval_ray.sources.funsd import (
+        funsd_gt_build,
+        funsd_gt_flat,
+        xfund_gt_build,
+    )
 
     q["funsd_gt_build"] = funsd_gt_build
+    q["funsd_gt_flat"] = funsd_gt_flat  # oracled (read_json_auto rebuild)
     q["xfund_gt_build"] = xfund_gt_build
-    from docling_eval_ray.sources.dpbench import dpbench_gt_build
+    from docling_eval_ray.sources.dpbench import (
+        dpbench_gt_build,
+        dpbench_gt_flat,
+    )
 
     q["dpbench_gt_build"] = dpbench_gt_build
+    q["dpbench_gt_flat"] = dpbench_gt_flat  # oracled (manifest rebuild)
     # CVAT annotation round-trip (XML → reading-ordered spans)
     from docling_eval_ray.sources.cvat import cvat_gt_build
 
@@ -396,9 +405,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["otsl_gt_build"] = otsl_gt_build
     # DocVQA-style grouped builder (G11: bucketed group per doc)
-    from docling_eval_ray.sources.docvqa import docvqa_gt_build
+    from docling_eval_ray.sources.docvqa import (
+        docvqa_gt_build,
+        docvqa_gt_flat,
+    )
 
     q["docvqa_gt_build"] = docvqa_gt_build
+    q["docvqa_gt_flat"] = docvqa_gt_flat  # oracled (qa.jsonl rebuild)
     # DocLayNet-style layout GT builder (category map, list grouping,
     # bbox origin flip, blacklist skip)
     from docling_eval_ray.sources.doclaynet import doclaynet_gt_build
@@ -421,9 +434,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doclaynet_v2_gt_build"] = doclaynet_v2_gt_build
     # PDF text-layer GT builder (real from-scratch PDF parse: object
     # scan, Flate streams, §9.4 text machine; size-rank label heuristic)
-    from docling_eval_ray.sources.pdf import pdf_gt_build
+    from docling_eval_ray.sources.pdf import pdf_gt_build, pdf_gt_flat
 
     q["pdf_gt_build"] = pdf_gt_build
+    q["pdf_gt_flat"] = pdf_gt_flat  # oracled (plan rebuild vs real parse)
     # cloud-API provider harness (A5): rate-limited retrying actor pool
     # over a deterministic offline client
     from docling_eval_ray.stages.providers import api_predictions
@@ -517,9 +531,13 @@ _DRIVER_PRIORITY_R5 = [
     # round-5 additions / upgrades (census oracles for the formerly
     # rows-only builders, off-repo-hardened bloom family re-check):
     "funsd_gt_build",
+    "funsd_gt_flat",
     "dpbench_gt_build",
+    "dpbench_gt_flat",
     "docvqa_gt_build",
+    "docvqa_gt_flat",
     "pdf_gt_build",
+    "pdf_gt_flat",
     "decontaminate_bloom",
     "approx_token_vocabulary",
     "media_decode_stats",

@@ -2954,3 +2954,305 @@ ORACLE_SQL["top_decile_revenue_share"] = """
         / sum(total_spend), 6) AS top_decile_share
     FROM t
 """
+
+
+# --------------------------------------------------------------------------
+# Raw-fixture GT-builder oracles (VERDICT r4 ask #3): the SQL re-derives
+# each builder's semantics from the COMMITTED raw fixture files
+# (read_json_auto / read_text over absolute paths), so the formerly
+# rows-only builder checks become hash-matched. The pdf oracle encodes
+# the fixture PLAN (tools/make_pdf_fixture.py literals) and re-implements
+# the size-rank/margin classifier — the Ray side parses the actual PDF
+# bytes, making the compare a true end-to-end check of the text layer.
+# --------------------------------------------------------------------------
+
+from ..sources.docvqa import SAMPLE_JSONL as _DOCVQA_JSONL
+from ..sources.dpbench import SAMPLE_DIR as _DPBENCH_DIR
+from ..sources.funsd import SAMPLE_DIR as _FUNSD_DIR
+
+ORACLE_SQL["funsd_gt_flat"] = f"""
+    WITH files AS (
+        SELECT regexp_extract(filename, '([^/\\\\]+)\\.json$', 1) AS doc_id,
+               form
+        FROM read_json_auto('{_FUNSD_DIR}/*.json',
+                            filename = true, union_by_name = true)
+    ),
+    items AS (
+        SELECT doc_id,
+               unnest(form) AS item,
+               generate_subscripts(form, 1) AS ord
+        FROM files
+    ),
+    flat AS (
+        SELECT doc_id, ord,
+               item.id AS id,
+               coalesce(item.label, 'other') AS label,
+               coalesce(item.text, '') AS text,
+               item.linking AS linking,
+               item.words AS words
+        FROM items
+    ),
+    kept AS (
+        SELECT *,
+               CAST(row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1
+                    AS BIGINT) AS off
+        FROM flat
+        WHERE (linking IS NOT NULL AND len(linking) > 0)
+           OR label NOT IN ('header', 'other')
+    ),
+    word_counts AS (
+        SELECT k.doc_id, count(*) AS n_words
+        FROM kept k, unnest(k.words) AS u(w)
+        WHERE w.text IS NOT NULL AND w.box IS NOT NULL
+        GROUP BY k.doc_id
+    ),
+    all_links AS (
+        SELECT DISTINCT f.doc_id,
+               CAST(pair[1] AS BIGINT) AS s, CAST(pair[2] AS BIGINT) AS t
+        FROM flat f, unnest(f.linking) AS u(pair)
+        WHERE len(pair) = 2
+    ),
+    links_kept AS (
+        SELECT l.* FROM all_links l
+        JOIN kept a ON a.doc_id = l.doc_id AND a.id = l.s
+        JOIN kept b ON b.doc_id = l.doc_id AND b.id = l.t
+    ),
+    deg AS (
+        SELECT k.doc_id, k.id, k.off, k.text,
+               (SELECT count(*) FROM links_kept l
+                WHERE l.doc_id = k.doc_id AND l.s = k.id) AS outdeg,
+               (SELECT count(*) FROM links_kept l
+                WHERE l.doc_id = k.doc_id AND l.t = k.id) AS indeg
+        FROM kept k
+    ),
+    labeled AS (
+        SELECT d.*,
+               CASE WHEN d.outdeg = 0 THEN 'value'
+                    WHEN d.indeg = 0 THEN 'key'
+                    WHEN NOT EXISTS (
+                        SELECT 1 FROM links_kept l
+                        JOIN deg d2 ON d2.doc_id = l.doc_id AND d2.id = l.t
+                        WHERE l.doc_id = d.doc_id AND l.s = d.id
+                          AND d2.outdeg > 0)
+                    THEN 'key'
+                    ELSE 'unspecified' END AS kind
+        FROM deg d
+    ),
+    counters AS (
+        SELECT k.doc_id,
+               CAST(count(*) AS BIGINT) AS n_cells,
+               CAST((SELECT count(*) FROM links_kept l
+                     WHERE l.doc_id = k.doc_id) AS BIGINT) AS n_links,
+               CAST(coalesce((SELECT n_words FROM word_counts w
+                              WHERE w.doc_id = k.doc_id), 0) AS BIGINT)
+                   AS n_words
+        FROM kept k GROUP BY k.doc_id
+    )
+    SELECT l.doc_id, l.off AS "offset", l.kind, l.text,
+           c.n_cells, c.n_links, c.n_words
+    FROM labeled l JOIN counters c ON c.doc_id = l.doc_id
+"""
+
+ORACLE_SQL["dpbench_gt_flat"] = f"""
+    WITH manifest AS (
+        SELECT content::JSON AS j
+        FROM read_text('{_DPBENCH_DIR}/dataset/reference.json')
+    ),
+    docs AS (
+        SELECT regexp_replace(fname, '\\.pdf$', '') AS doc_id,
+               json_extract(j, '$."' || fname || '"') AS annots
+        FROM manifest, unnest(json_keys(j)) AS u(fname)
+    ),
+    elems AS (
+        SELECT doc_id,
+               CAST(i AS BIGINT) AS idx,
+               json_extract(annots, '$.elements[' || i || ']') AS elem
+        FROM docs,
+             unnest(generate_series(0,
+                 CAST(json_array_length(annots, '$.elements') AS BIGINT) - 1))
+             AS s(i)
+    ),
+    parsed AS (
+        SELECT doc_id, idx,
+               json_extract_string(elem, '$.category') AS cat,
+               coalesce(json_extract_string(elem, '$.content.text'), '')
+                   AS raw,
+               coalesce(json_extract_string(elem, '$.content.html'), '')
+                   AS html,
+               list_transform(
+                   generate_series(0,
+                       CAST(json_array_length(elem, '$.coordinates')
+                            AS BIGINT) - 1),
+                   i -> CAST(json_extract(elem,
+                                 '$.coordinates[' || i || '].x')
+                             AS DOUBLE)) AS xs,
+               list_transform(
+                   generate_series(0,
+                       CAST(json_array_length(elem, '$.coordinates')
+                            AS BIGINT) - 1),
+                   i -> CAST(json_extract(elem,
+                                 '$.coordinates[' || i || '].y')
+                             AS DOUBLE)) AS ys
+        FROM elems
+    ),
+    kinds AS (
+        SELECT doc_id, idx,
+               list_min(xs) * 612.0 AS l, list_min(ys) * 792.0 AS t,
+               list_max(xs) * 612.0 AS r, list_max(ys) * 792.0 AS b,
+               CASE cat
+                   WHEN 'Header' THEN 'page_header'
+                   WHEN 'Footer' THEN 'page_footer'
+                   WHEN 'Paragraph' THEN 'text'
+                   WHEN 'List' THEN 'list_item'
+                   WHEN 'Caption' THEN 'caption'
+                   WHEN 'Equation' THEN 'formula'
+                   WHEN 'Footnote' THEN 'footnote'
+                   WHEN 'Heading1' THEN 'section_header'
+                   WHEN 'Figure' THEN 'picture'
+                   WHEN 'Chart' THEN 'picture'
+                   WHEN 'Table' THEN 'table'
+                   WHEN 'Index' THEN 'document_index'
+               END AS kind,
+               CASE
+                   WHEN cat IN ('Figure', 'Chart') THEN ''
+                   WHEN cat = 'Table' THEN array_to_string(
+                       regexp_extract_all(html,
+                           '<t[dh][^>]*>([^<]*)</t[dh]>', 1), ' ')
+                   WHEN cat = 'Index' THEN array_to_string(
+                       list_transform(
+                           str_split(raw, chr(10)),
+                           r -> array_to_string(
+                                   list_slice(str_split(r, ' '), 1,
+                                              len(str_split(r, ' ')) - 1),
+                                   ' ')
+                                || ' ' ||
+                                str_split(r, ' ')[len(str_split(r, ' '))]),
+                       ' ')
+                   ELSE replace(raw, chr(10), ' ')
+               END AS text,
+               CASE WHEN cat IN ('Figure', 'Chart')
+                    THEN 'img:' || doc_id || ':' || CAST(idx AS VARCHAR)
+                    ELSE '' END AS media_ref,
+               CAST(cat IN ('Table', 'Index') AS BIGINT) AS is_table,
+               CAST(cat IN ('Figure', 'Chart') AS BIGINT) AS is_picture
+        FROM parsed
+    ),
+    counters AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_elements,
+               CAST(sum(is_table) AS BIGINT) AS n_tables,
+               CAST(sum(is_picture) AS BIGINT) AS n_pictures
+        FROM kinds GROUP BY doc_id
+    )
+    SELECT k.doc_id, k.idx AS "offset", k.kind, k.text, k.media_ref,
+           round_even(k.l, 6) AS l, round_even(k.t, 6) AS t,
+           round_even(k.r, 6) AS r, round_even(k.b, 6) AS b,
+           c.n_elements, c.n_tables, c.n_pictures
+    FROM kinds k
+    JOIN counters c ON c.doc_id = k.doc_id
+"""
+
+ORACLE_SQL["docvqa_gt_flat"] = f"""
+    WITH qa AS (
+        SELECT doc_id, CAST(question_id AS BIGINT) AS question_id,
+               question, answers
+        FROM read_json_auto('{_DOCVQA_JSONL}',
+                            format = 'newline_delimited')
+    ),
+    based AS (
+        SELECT *,
+               CAST(coalesce(sum(1 + len(answers)) OVER (
+                   PARTITION BY doc_id ORDER BY question_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS base
+        FROM qa
+    ),
+    counters AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_questions,
+               CAST(sum(1 + len(answers)) AS BIGINT) AS n_cells
+        FROM qa GROUP BY doc_id
+    ),
+    spans AS (
+        SELECT doc_id, base AS "offset", 'key' AS kind, question AS text
+        FROM based
+        UNION ALL
+        SELECT b.doc_id,
+               b.base + CAST(s.i AS BIGINT) AS "offset",
+               'value' AS kind,
+               b.answers[CAST(s.i AS BIGINT)] AS text
+        FROM based b,
+             unnest(generate_series(1, len(b.answers))) AS s(i)
+    )
+    SELECT s.doc_id, s."offset", s.kind, s.text, c.n_questions, c.n_cells
+    FROM spans s JOIN counters c ON c.doc_id = s.doc_id
+"""
+
+# fixture PLAN literals = tools/make_pdf_fixture.py; the classifier CASE
+# mirrors sources/pdf.py:_classify (footer < 6% page height, header >
+# 94%, size >= 1.25x page median -> title on the very first first-page
+# op else section_header)
+ORACLE_SQL["pdf_gt_flat"] = r"""
+    WITH plan(doc, page_no, page_w, page_h, ord, x, y, size, text) AS (
+        VALUES
+        ('report', 1, 612.0, 792.0, 1, 72.0, 740.0, 20.0,
+         'Quarterly Extraction Report'),
+        ('report', 1, 612.0, 792.0, 2, 72.0, 708.0, 14.0, '1. Overview'),
+        ('report', 1, 612.0, 792.0, 3, 72.0, 688.0, 11.0,
+         'This document exercises the from-scratch PDF text layer.'),
+        ('report', 1, 612.0, 792.0, 4, 72.0, 672.0, 11.0,
+         'Escapes: (parens), back\slash, and a tab' || chr(9) || 'stop.'),
+        ('report', 1, 612.0, 792.0, 5, 72.0, 640.0, 14.0, '2. Findings'),
+        ('report', 1, 612.0, 792.0, 6, 72.0, 620.0, 11.0,
+         'Throughput grew 24 percent quarter over quarter.'),
+        ('report', 1, 612.0, 792.0, 7, 72.0, 40.0, 8.0, 'page 1 of 2'),
+        ('report', 2, 612.0, 792.0, 1, 72.0, 740.0, 14.0, '3. Appendix'),
+        ('report', 2, 612.0, 792.0, 2, 72.0, 720.0, 11.0,
+         'Second page body line one.'),
+        ('report', 2, 612.0, 792.0, 3, 72.0, 704.0, 11.0,
+         'Second page body line two.'),
+        ('report', 2, 612.0, 792.0, 4, 72.0, 40.0, 8.0, 'page 2 of 2'),
+        ('memo', 1, 595.0, 842.0, 1, 50.0, 800.0, 16.0, 'Memo: fixtures'),
+        ('memo', 1, 595.0, 842.0, 2, 50.0, 770.0, 10.0,
+         'Uncompressed content stream variant.'),
+        ('memo', 1, 595.0, 842.0, 3, 50.0, 754.0, 10.0,
+         'Latin-1 bytes: café, naïve, Ångström.')
+    ),
+    med AS (
+        SELECT doc, page_no,
+               list_sort(list(size))[CAST(count(*) // 2 AS BIGINT) + 1]
+                   AS median
+        FROM plan GROUP BY doc, page_no
+    ),
+    classified AS (
+        SELECT p.*,
+               CAST(row_number() OVER (PARTITION BY p.doc, p.page_no
+                                       ORDER BY p.ord) - 1 AS BIGINT)
+                   AS off,
+               CASE
+                   WHEN p.y < p.page_h * 0.06 THEN 'page_footer'
+                   WHEN p.y > p.page_h * 0.94 THEN 'page_header'
+                   WHEN m.median > 0 AND p.size >= m.median * 1.25 THEN
+                       CASE WHEN p.page_no = 1 AND p.ord = 1
+                            THEN 'title' ELSE 'section_header' END
+                   ELSE 'text'
+               END AS kind
+        FROM plan p JOIN med m ON m.doc = p.doc AND m.page_no = p.page_no
+    ),
+    counters AS (
+        SELECT doc, page_no,
+               CAST(count(*) AS BIGINT) AS n_elements,
+               CAST(sum(CAST(kind IN ('title', 'section_header')
+                             AS INTEGER)) AS BIGINT) AS n_headers
+        FROM classified GROUP BY doc, page_no
+    )
+    SELECT c.doc || '#' || CAST(c.page_no AS VARCHAR) AS doc_id,
+           c.off AS "offset", c.kind, c.text,
+           round_even(c.x, 6) AS l,
+           round_even(c.page_h - c.y - c.size, 6) AS t,
+           round_even(c.x + 0.5 * c.size * length(c.text), 6) AS r,
+           round_even(c.page_h - c.y, 6) AS b,
+           c.page_w, c.page_h, k.n_elements, k.n_headers
+    FROM classified c
+    JOIN counters k ON k.doc = c.doc AND k.page_no = c.page_no
+"""

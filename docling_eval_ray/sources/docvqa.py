@@ -127,3 +127,43 @@ def build_docvqa_gt(jsonl_path: str):
 def docvqa_gt_build(sf_dir: str = ""):
     """Driver query over the committed sample QA rows."""
     return build_docvqa_gt(SAMPLE_JSONL)
+
+
+DOCVQA_FLAT_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("offset", pa.int64()),
+        pa.field("kind", pa.string()),
+        pa.field("text", pa.string()),
+        pa.field("n_questions", pa.int64()),
+        pa.field("n_cells", pa.int64()),
+    ]
+)
+
+
+def docvqa_gt_flat(sf_dir: str = ""):
+    """Hash-oracled flat view of ``docvqa_gt_build``: one row per
+    QA-graph cell with the per-doc counters. The DuckDB oracle
+    re-derives the question/answer interleaving and sequential cell
+    ids from the committed ``qa.jsonl`` with a window-sum over
+    ``1 + len(answers)`` (VERDICT r4 ask #3)."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        rows = []
+        for r in t.to_pylist():
+            for sp in r["spans"]:
+                rows.append(
+                    {
+                        "doc_id": r["doc_id"],
+                        "offset": sp["offset"],
+                        "kind": sp["kind"],
+                        "text": sp["text"],
+                        "n_questions": r["n_questions"],
+                        "n_cells": r["n_cells"],
+                    }
+                )
+        return pa.Table.from_pylist(rows, schema=DOCVQA_FLAT_SCHEMA)
+
+    return build_docvqa_gt(SAMPLE_JSONL).map_batches(
+        explode, batch_format="pyarrow"
+    )

@@ -188,3 +188,57 @@ def dpbench_gt_build(sf_dir: str = ""):
     """Driver query: build GT from the committed raw fixture manifest
     (``sf_dir`` unused — the input is the raw benchmark sample)."""
     return build_dpbench_gt(SAMPLE_DIR)
+
+
+DPBENCH_FLAT_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("offset", pa.int64()),
+        pa.field("kind", pa.string()),
+        pa.field("text", pa.string()),
+        pa.field("media_ref", pa.string()),
+        pa.field("l", pa.float64()),
+        pa.field("t", pa.float64()),
+        pa.field("r", pa.float64()),
+        pa.field("b", pa.float64()),
+        pa.field("n_elements", pa.int64()),
+        pa.field("n_tables", pa.int64()),
+        pa.field("n_pictures", pa.int64()),
+    ]
+)
+
+
+def dpbench_gt_flat(sf_dir: str = ""):
+    """Hash-oracled flat view of ``dpbench_gt_build``: one row per
+    element with its scaled polygon bbox (rounded 6) and the per-doc
+    counters. The DuckDB oracle re-derives category dispatch, the
+    Index two-column grid text, the regex HTML-cell extraction and the
+    polygon min/max scan from the committed ``reference.json``
+    (VERDICT r4 ask #3)."""
+    import numpy as np
+
+    def explode(t: pa.Table) -> pa.Table:
+        rows = []
+        for r in t.to_pylist():
+            for sp, bx in zip(r["spans"], r["boxes"]):
+                rows.append(
+                    {
+                        "doc_id": r["doc_id"],
+                        "offset": sp["offset"],
+                        "kind": sp["kind"],
+                        "text": sp["text"],
+                        "media_ref": sp["media_ref"],
+                        "l": float(np.round(bx["l"], 6)),
+                        "t": float(np.round(bx["t"], 6)),
+                        "r": float(np.round(bx["r"], 6)),
+                        "b": float(np.round(bx["b"], 6)),
+                        "n_elements": r["n_elements"],
+                        "n_tables": r["n_tables"],
+                        "n_pictures": r["n_pictures"],
+                    }
+                )
+        return pa.Table.from_pylist(rows, schema=DPBENCH_FLAT_SCHEMA)
+
+    return build_dpbench_gt(SAMPLE_DIR).map_batches(
+        explode, batch_format="pyarrow"
+    )

@@ -142,6 +142,49 @@ def funsd_gt_build(sf_dir: str = ""):
     return build_funsd_gt(SAMPLE_DIR)
 
 
+FUNSD_FLAT_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("offset", pa.int64()),
+        pa.field("kind", pa.string()),
+        pa.field("text", pa.string()),
+        pa.field("n_cells", pa.int64()),
+        pa.field("n_links", pa.int64()),
+        pa.field("n_words", pa.int64()),
+    ]
+)
+
+
+def funsd_gt_flat(sf_dir: str = ""):
+    """Hash-oracled flat view of ``funsd_gt_build``: one row per span
+    plus the per-doc counters. The DuckDB oracle re-derives the whole
+    builder (kept-item filter, distinct-link filter, degree-rule
+    labels, word census) from the committed raw annotation JSONs via
+    ``read_json_auto`` — upgrading the builder check from rows-only to
+    hash-matched (VERDICT r4 ask #3)."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        rows = []
+        for r in t.to_pylist():
+            for sp in r["spans"]:
+                rows.append(
+                    {
+                        "doc_id": r["doc_id"],
+                        "offset": sp["offset"],
+                        "kind": sp["kind"],
+                        "text": sp["text"],
+                        "n_cells": r["n_cells"],
+                        "n_links": r["n_links"],
+                        "n_words": r["n_words"],
+                    }
+                )
+        return pa.Table.from_pylist(rows, schema=FUNSD_FLAT_SCHEMA)
+
+    return build_funsd_gt(SAMPLE_DIR).map_batches(
+        explode, batch_format="pyarrow"
+    )
+
+
 # ---------------------------------------------------------------------------
 # XFUND: same item semantics under a multi-document wrapper
 # ---------------------------------------------------------------------------
