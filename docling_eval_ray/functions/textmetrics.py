@@ -13,6 +13,10 @@ import math
 import re
 from collections import Counter
 
+# module-scope (meteor runs inside worker metric batches; runtime
+# relative imports there die on off-repo workers)
+from .stemmer import porter_stem
+
 _TOKEN_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)
 
 
@@ -85,18 +89,27 @@ def bleu(reference: list[str], hypothesis: list[str],
     return bp * math.exp(log_sum)
 
 
-def meteor(reference: list[str], hypothesis: list[str]) -> float:
-    """Exact-match METEOR (Banerjee & Lavie 2005, the public formula
-    the reference's nltk meteor_score implements,
+def meteor(reference: list[str], hypothesis: list[str], *,
+           stem: bool = True) -> float:
+    """METEOR (Banerjee & Lavie 2005, the public formula the
+    reference's nltk meteor_score implements,
     markdown_text_evaluator.py:203-239): unigram alignment → harmonic
     Fmean weighted 9:1 toward recall × a fragmentation penalty
-    0.5·(chunks/m)³. This variant uses the exact-match stage only (no
-    WordNet stem/synonym stages — those corpora aren't in this
-    container); alignment is the in-order greedy map, each reference
-    token consumed at most once."""
+    0.5·(chunks/m)³. Two matcher stages, mirroring nltk's enumeration
+    order: exact match first, then Porter-stem match over the leftovers
+    (``functions/stemmer.py`` — closing the r4 divergence to
+    synonyms-only; the WordNet synonym stage stays out: no corpora in
+    this container). Alignment per stage is the in-order greedy map,
+    each reference token consumed at most once.
+
+    Oracle note: the DuckDB metric CTEs model the exact stage. On the
+    driver corpora the stem stage is provably inert — Porter is a
+    bijection on the synthetic vocabulary (asserted by
+    tests/test_stemmer.py over all three scale factors), so no
+    leftover pair can newly match — and the hash-match gate holds."""
     if not reference or not hypothesis:
         return 0.0
-    # greedy in-order alignment: hyp position -> ref position
+    # stage 1 — exact: greedy in-order alignment hyp pos -> ref pos
     avail: dict[str, list[int]] = {}
     for j in range(len(reference) - 1, -1, -1):
         avail.setdefault(reference[j], []).append(j)  # ascending pops
@@ -105,6 +118,23 @@ def meteor(reference: list[str], hypothesis: list[str]) -> float:
         slots = avail.get(w)
         if slots:
             mapping.append((i, slots.pop()))
+    if stem:
+        # stage 2 — Porter stems over the UNMATCHED tokens only
+        used_h = {i for i, _ in mapping}
+        used_r = {j for _, j in mapping}
+        savail: dict[str, list[int]] = {}
+        for j in range(len(reference) - 1, -1, -1):
+            if j not in used_r:
+                savail.setdefault(porter_stem(reference[j]), []).append(j)
+        extra: list[tuple[int, int]] = []
+        for i, w in enumerate(hypothesis):
+            if i in used_h:
+                continue
+            slots = savail.get(porter_stem(w))
+            if slots:
+                extra.append((i, slots.pop()))
+        if extra:
+            mapping = sorted(mapping + extra)
     m = len(mapping)
     if m == 0:
         return 0.0
