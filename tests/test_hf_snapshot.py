@@ -112,3 +112,39 @@ def test_write_hf_snapshot_dataset_distributed(ray_session, tmp_path):
     assert names == [f"train-{i:05d}-of-00003.parquet" for i in range(3)]
     back = read_hf_snapshot(str(tmp_path), verify_num_examples=True)
     assert sorted(back.to_pandas()["doc_id"]) == list(range(30))
+
+
+def test_read_hf_snapshot_file_uri_root(tmp_path, ray_session):
+    """file:// URI root goes through FileSystem.from_uri — the same
+    native route an s3:// root takes on a real cluster — and must
+    return the identical dataset as the plain-path read."""
+    import pyarrow as pa
+
+    from docling_eval_ray.sources.hf_snapshot import (
+        read_hf_snapshot,
+        write_hf_snapshot,
+    )
+
+    t = pa.table({"doc_id": list(range(10)),
+                  "lang": ["en", "fr"] * 5})
+    write_hf_snapshot(t, str(tmp_path), split="train", shards=3)
+    plain = read_hf_snapshot(str(tmp_path), verify_num_examples=True)
+    uri = read_hf_snapshot(f"file://{tmp_path}", verify_num_examples=True)
+    assert plain.count() == uri.count() == 10
+    assert sorted(r["doc_id"] for r in uri.take_all()) == list(range(10))
+
+
+def test_split_shards_fs_partial_snapshot_uri(tmp_path):
+    import pytest
+
+    from docling_eval_ray.sources.hf_snapshot import (
+        _resolve_root,
+        _split_shards_fs,
+    )
+
+    data = tmp_path / "data"
+    data.mkdir()
+    (data / "train-00000-of-00002.parquet").write_bytes(b"x")
+    fs, base = _resolve_root(f"file://{tmp_path}")
+    with pytest.raises(ValueError, match="missing shards"):
+        _split_shards_fs(fs, base, "train")

@@ -98,3 +98,45 @@ def test_partial_download_is_refetched(tmp_path):
     # second run: intact file skips
     out2 = ObjectStoreSource(store, store.prefix).download_objects(str(dest))
     assert out2["n_skipped_existing"] == 1 and out2["n_downloaded"] == 0
+
+
+def test_read_uri_objects_file_scheme_matches_snapshot(tmp_path,
+                                                       ray_session):
+    """The native URI read (file:// here, s3:// on a cluster) must see
+    exactly the bytes the snapshot-download path mirrors."""
+    from docling_eval_ray.sources.s3 import (
+        LocalFakeStore,
+        ObjectStoreSource,
+        read_uri_objects,
+    )
+
+    src = tmp_path / "bucket"
+    for rel, body in [("a/x.txt", b"alpha"), ("a/y.bin", b"\x00beta"),
+                      ("z.md", b"# gamma")]:
+        p = src / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_bytes(body)
+
+    # snapshot path (reference-parity download flow)
+    snap = tmp_path / "snapshot"
+    store = LocalFakeStore(str(src), prefix="datasets/sample")
+    ObjectStoreSource(store, "datasets/sample").download_objects(str(snap))
+
+    # native URI path over the same objects
+    ds = read_uri_objects(f"file://{src}")
+    rows = ds.take_all()
+    by_name = {r["path"].split("/")[-1]: r["bytes"] for r in rows}
+    assert len(rows) == 3
+    for rel, body in [("x.txt", b"alpha"), ("y.bin", b"\x00beta"),
+                      ("z.md", b"# gamma")]:
+        assert by_name[rel] == body
+        snap_match = [p for p in snap.rglob("*") if p.name == rel]
+        assert len(snap_match) == 1 and snap_match[0].read_bytes() == body
+
+
+def test_read_uri_objects_plain_path(tmp_path, ray_session):
+    from docling_eval_ray.sources.s3 import read_uri_objects
+
+    (tmp_path / "only.bin").write_bytes(b"payload")
+    ds = read_uri_objects(str(tmp_path))
+    assert ds.count() == 1
