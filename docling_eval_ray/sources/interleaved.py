@@ -120,6 +120,28 @@ def _synth_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def synth_read_blocks(sf_dir: str, *, docs_per_block: int = 320,
+                      cap: int = 64) -> int:
+    """override_num_blocks for PAYLOAD-SYNTHESIS consumers (media/audio
+    pipelines): the fixture documents file is one parquet row group, so
+    Ray's default read yields ~1 block and the per-doc payload
+    synthesis (real PNG/JPEG/PCM encoding) runs serially in one task.
+    Splitting the read to ~``docs_per_block`` docs per block spreads
+    that CPU across the pool. Metadata-only (no data read). Production
+    corpora are many fragments and never need this.
+
+    Sizing (measured, r5): per-task dispatch on this host runs ~40 ms
+    serial, so block count trades dispatch wall against parallelism —
+    8/16/24/40 blocks gave 1.40/1.46/2.12/2.85 s walls for the sf0.1
+    media chain. ~320 docs per block (16 tasks at sf0.1, task CPU
+    ≈0.4 s) sits at the measured knee; the cap bounds dispatch wall
+    at larger scale factors."""
+    import pyarrow.parquet as pq
+
+    rows = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return max(1, min(cap, -(-rows // docs_per_block)))
+
+
 def read_interleaved_documents(sf_dir: str, **read_kwargs):
     """Read the flat documents table and lift it to the canonical
     interleaved schema ``(doc_id: string, spans: list<struct<...>>)``.

@@ -172,10 +172,15 @@ def audio_feature_stats(sf_dir: str, *, batch_size: int = 256,
     """Rows-only query: per-clip real-DSP features for every media span
     (decode + features over the audio side table; the audio twin of
     ``media_decode_stats``)."""
-    from ..sources.interleaved import read_interleaved_documents
+    from ..sources.interleaved import (
+        read_interleaved_documents,
+        synth_read_blocks,
+    )
     from .util import stage
 
-    docs = read_interleaved_documents(sf_dir)
+    docs = read_interleaved_documents(
+        sf_dir, override_num_blocks=synth_read_blocks(sf_dir)
+    )
     audio = audio_table_for_documents(docs)
     return stage(audio, AudioFeatures, batch_size=batch_size,
                  concurrency=concurrency)
@@ -256,10 +261,15 @@ def audio_fingerprint_census(sf_dir: str, *, batch_size: int = 256,
     import pyarrow.compute as pc
 
     from ..functions.groups import count_partial, final_groupby_sum
-    from ..sources.interleaved import read_interleaved_documents
+    from ..sources.interleaved import (
+        read_interleaved_documents,
+        synth_read_blocks,
+    )
     from .util import stage
 
-    docs = read_interleaved_documents(sf_dir)
+    docs = read_interleaved_documents(
+        sf_dir, override_num_blocks=synth_read_blocks(sf_dir)
+    )
     audio = audio_table_for_documents(docs)
     fps = stage(audio, AudioFingerprint, batch_size=batch_size,
                 concurrency=concurrency)

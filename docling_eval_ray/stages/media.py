@@ -60,14 +60,29 @@ def synth_media_payload(media_ref: str) -> bytes:
     if seed % 3 in (0, 1):
         width = 16 + (seed % 48)
         height = 16 + ((seed >> 8) % 48)
-        raw = b"".join(
-            hashlib.blake2b(h + i.to_bytes(4, "big"),
-                            digest_size=64).digest()
-            for i in range(-(-width * height * 3 // 64))
-        )
-        img = np.frombuffer(
-            raw[: width * height * 3], dtype=np.uint8
-        ).reshape(height, width, 3)
+        # LOW-FREQUENCY pixels (a random 4×4 coarse grid bilinearly
+        # upsampled), not white noise: real corpus images are
+        # low-frequency, and noise is the degenerate worst case for
+        # JPEG entropy coding — it made every synthetic payload ~10×
+        # the codec work of a natural image and dominated the media
+        # stage wall (r5 fix). Still a pure deterministic function of
+        # the ref: the grid bytes come from the ref hash.
+        coarse = np.frombuffer(
+            hashlib.blake2b(h + b"grid", digest_size=48).digest(),
+            dtype=np.uint8,
+        ).reshape(4, 4, 3).astype(np.float64)
+        ys = np.linspace(0.0, 3.0, height)
+        xs = np.linspace(0.0, 3.0, width)
+        y0 = np.minimum(ys.astype(np.int64), 2)
+        x0 = np.minimum(xs.astype(np.int64), 2)
+        fy = (ys - y0)[:, None, None]
+        fx = (xs - x0)[None, :, None]
+        img = (
+            coarse[y0][:, x0] * (1 - fy) * (1 - fx)
+            + coarse[y0 + 1][:, x0] * fy * (1 - fx)
+            + coarse[y0][:, x0 + 1] * (1 - fy) * fx
+            + coarse[y0 + 1][:, x0 + 1] * fy * fx
+        ).round().astype(np.uint8)
         if seed % 3 == 0:
             body = encode_png(img)
         else:
@@ -100,7 +115,12 @@ def media_table_for_documents(ds):
             }
         )
 
-    return ds.map_batches(explode, batch_format="pyarrow")
+    # batch per BLOCK (batch_size=None), not Ray's 1024-row default:
+    # the default coalesces the synth-split blocks into a handful of
+    # fat tasks and serializes the payload-synthesis CPU (r5 stats
+    # reading); per-block tasks keep the pool busy
+    return ds.map_batches(explode, batch_format="pyarrow",
+                          batch_size=None)
 
 
 class DecodeImage:
@@ -174,10 +194,18 @@ def media_pipeline(sf_dir: str, *, batch_size: int = 256, concurrency=None):
 
     ``batch_size`` is deliberately small: payload rows are wide, and
     batch × concurrency bounds stage memory."""
-    from ..sources.interleaved import read_interleaved_documents
+    from ..sources.interleaved import (
+        read_interleaved_documents,
+        synth_read_blocks,
+    )
     from .util import stage
 
-    docs = read_interleaved_documents(sf_dir)
+    # split the read so per-doc payload synthesis (real codec encodes)
+    # parallelizes — the single-row-group fixture file otherwise yields
+    # ONE block and the explode runs serially (r5 media wall fix)
+    docs = read_interleaved_documents(
+        sf_dir, override_num_blocks=synth_read_blocks(sf_dir)
+    )
     # materialize the (small) media side table once: the two branches
     # would otherwise each re-run synthesis + span explosion + payload
     # generation (Ray Data does not share sub-plans across Datasets)
@@ -190,9 +218,28 @@ def media_pipeline(sf_dir: str, *, batch_size: int = 256, concurrency=None):
 
 
 def media_decode_stats(sf_dir: str):
-    """Rows-only query: decode metadata for every media span."""
-    decoded, _ = media_pipeline(sf_dir)
-    return decoded
+    """Rows-only query: decode metadata for every media span.
+
+    Single fused streaming job — unlike ``media_pipeline`` this
+    consumes only the decode branch, so the share-point
+    ``materialize()`` (a pipeline break costing a full extra job of
+    fixed scheduling latency) is skipped: read → synth → explode →
+    decode runs as ONE streaming pass."""
+    from ..sources.interleaved import (
+        read_interleaved_documents,
+        synth_read_blocks,
+    )
+    from .util import stage
+
+    docs = read_interleaved_documents(
+        sf_dir, override_num_blocks=synth_read_blocks(sf_dir)
+    )
+    media = media_table_for_documents(docs)
+    # batch per block (None), not a row-count batch: a row-count batch
+    # re-coalesces the synth-split blocks into a handful of fat fused
+    # tasks and serializes the codec CPU (ds.stats() reading, r5); the
+    # block granularity set by synth_read_blocks IS the memory bound.
+    return stage(media, DecodeImage, batch_size=None)
 
 
 class ResizeImage:
@@ -316,9 +363,14 @@ def video_frame_samples(sf_dir: str, *, every: int = 8,
 
     from .util import stage
 
-    from ..sources.interleaved import read_interleaved_documents
+    from ..sources.interleaved import (
+        read_interleaved_documents,
+        synth_read_blocks,
+    )
 
-    docs = read_interleaved_documents(sf_dir)
+    docs = read_interleaved_documents(
+        sf_dir, override_num_blocks=synth_read_blocks(sf_dir)
+    )
 
     def to_videos(t: pa.Table) -> pa.Table:
         spans = t.column("spans").combine_chunks()
@@ -428,10 +480,17 @@ def media_phash_census(sf_dir: str):
     import pandas as pd
 
     from ..functions.groups import bucketed_group_apply
-    from ..sources.interleaved import read_interleaved_documents
+    from ..sources.interleaved import (
+        read_interleaved_documents,
+        synth_read_blocks,
+    )
     from .util import stage
 
-    media = media_table_for_documents(read_interleaved_documents(sf_dir))
+    media = media_table_for_documents(
+        read_interleaved_documents(
+            sf_dir, override_num_blocks=synth_read_blocks(sf_dir)
+        )
+    )
     hashed = stage(media, PHashImage, batch_size=256, concurrency=None)
 
     def pair_partial(b: pd.DataFrame) -> pd.DataFrame:
