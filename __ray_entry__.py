@@ -434,10 +434,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doclaynet_v2_gt_build"] = doclaynet_v2_gt_build
     # PDF text-layer GT builder (real from-scratch PDF parse: object
     # scan, Flate streams, §9.4 text machine; size-rank label heuristic)
-    from docling_eval_ray.sources.pdf import pdf_gt_build, pdf_gt_flat
+    from docling_eval_ray.sources.pdf import (
+        pdf_gt_build,
+        pdf_gt_flat,
+        pdf_page_rasters,
+    )
 
     q["pdf_gt_build"] = pdf_gt_build
     q["pdf_gt_flat"] = pdf_gt_flat  # oracled (plan rebuild vs real parse)
+    # REAL page bitmaps: from-scratch rasterizer (5x7 font) + own PNG
+    # codec over the from-scratch PDF parse (M6's rasterization half)
+    q["pdf_page_rasters"] = pdf_page_rasters
     # cloud-API provider harness (A5): rate-limited retrying actor pool
     # over a deterministic offline client
     from docling_eval_ray.stages.providers import api_predictions
@@ -538,6 +545,7 @@ _DRIVER_PRIORITY_R5 = [
     "docvqa_gt_flat",
     "pdf_gt_build",
     "pdf_gt_flat",
+    "pdf_page_rasters",
     "decontaminate_bloom",
     "approx_token_vocabulary",
     "media_decode_stats",

@@ -38,6 +38,8 @@ import pyarrow as pa
 
 from ..datamodel.schema import SPAN_STRUCT
 from ..functions.pdf import encode_pdf, extract_pdf_text, pdf_page_sizes
+from ..functions.png import encode_png
+from ..functions.rasterize import rasterize_text_page
 
 # the four-field l/t/r/b float64 box struct shared by the raw-fixture
 # builders (single definition — schemas must not drift)
@@ -246,3 +248,78 @@ def pdf_gt_flat(sf_dir: str = ""):
     return build_pdf_gt(SAMPLE_DIR).map_batches(
         explode, batch_format="pyarrow"
     )
+
+
+RASTER_SCALE = 2.0  # points → pixels (≈144 dpi), the viz-page default
+
+
+def rasterize_pdf_pages(data: bytes, *, scale: float = RASTER_SCALE
+                        ) -> list[dict]:
+    """REAL page bitmaps for one PDF: parse the text layer, render each
+    page through the from-scratch rasterizer (``functions/rasterize.py``
+    — 5×7 bitmap font, nearest-neighbor glyph scaling, the GT builder's
+    exact box geometry) and encode with the repo's own PNG codec. The
+    reference's add_pages_to_true_doc page-image path
+    (utils/utils.py:98-159) without docling-parse/PIL."""
+    recs = extract_pdf_text(data)
+    out: list[dict] = []
+    for pg in pdf_page_sizes(data):
+        page_ops = [r for r in recs if r["page_no"] == pg["page_no"]]
+        img = rasterize_text_page(pg["page_w"], pg["page_h"], page_ops,
+                                  scale=scale)
+        png = encode_png(img)
+        out.append(
+            {
+                "page_no": pg["page_no"],
+                "width": img.shape[1],
+                "height": img.shape[0],
+                "png": png,
+                "n_bytes": len(png),
+                "n_ink": int((img == 0).sum()),
+            }
+        )
+    return out
+
+
+PDF_RASTER_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("width", pa.int64()),
+        pa.field("height", pa.int64()),
+        pa.field("png", pa.binary()),
+        pa.field("n_bytes", pa.int64()),
+        pa.field("n_ink", pa.int64()),
+    ]
+)
+
+
+def pdf_page_rasters(sf_dir: str = "", *, scale: float = RASTER_SCALE):
+    """Rows-only query: every committed fixture PDF page as a REAL PNG
+    bitmap (one row per page; ``doc_id`` = ``stem#page``). Same
+    manifest-sized fan-out shape as ``build_pdf_gt``."""
+    import ray.data as rd
+
+    paths = sorted(Path(SAMPLE_DIR).glob("*.pdf"))
+    items = rd.from_items(
+        [{"doc_id": p.stem, "payload": p.read_bytes()} for p in paths]
+    )
+
+    def build(t: pa.Table) -> pa.Table:
+        rows = []
+        for did, payload in zip(
+            t["doc_id"].to_pylist(), t["payload"].to_pylist()
+        ):
+            for r in rasterize_pdf_pages(payload, scale=scale):
+                rows.append(
+                    {
+                        "doc_id": f"{did}#{r['page_no']}",
+                        "width": r["width"],
+                        "height": r["height"],
+                        "png": r["png"],
+                        "n_bytes": r["n_bytes"],
+                        "n_ink": r["n_ink"],
+                    }
+                )
+        return pa.Table.from_pylist(rows, schema=PDF_RASTER_SCHEMA)
+
+    return items.map_batches(build, batch_format="pyarrow")
