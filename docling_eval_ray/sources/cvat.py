@@ -16,9 +16,23 @@ Semantics reimplemented from the reference:
   (text joined with a space, merged boxes never re-emitted);
 * ``to_caption`` / ``to_footnote`` polylines attach caption/footnote
   boxes directly after their parent item
-  (cvat_dataset_builder.py:664-783);
+  (cvat_dataset_builder.py:664-783); a caption/footnote box that IS a
+  target of such a line is never emitted standalone when the reading
+  order reaches it directly (``is_linked`` skip,
+  cvat_dataset_builder.py:1070-1095);
+* ``group``/``next_figure`` polylines group pictures: the head picture
+  absorbs every member (one picture item spanning the group, members
+  consumed — get_grouped_images, cvat_dataset_builder.py:585-663) —
+  and group a head LIST_ITEM with its members as consecutive list-item
+  spans (add_listitems_to_group via first_in_group,
+  cvat_dataset_builder.py:1106-1130);
 * boxes already emitted are skipped when reading order revisits them
   (cvat_dataset_builder.py:985-990).
+
+Divergences (documented): section-header ``level`` attributes have no
+slot in the span struct (kind carries the label only), and
+``to_value`` lines are parsed-and-ignored exactly like the reference's
+emission loop (it builds empty GraphData for form/KV regions).
 
 Divergence (container constraint, same class as the M6/M8 media stubs):
 the reference reads each box's text from the parsed PDF's cells
@@ -117,7 +131,7 @@ def cvat_to_spans(image: dict) -> tuple[list[dict], str]:
         return [], "malformed_box"
     boxes = image["boxes"]
     reading_order = None
-    to_captions, to_footnotes, merges = [], [], []
+    to_captions, to_footnotes, merges, groups = [], [], [], []
     for line in image["polylines"]:
         boxids = [find_box(boxes, p) for p in line["points"]]
         entry = {**line, "boxids": boxids}
@@ -130,13 +144,34 @@ def cvat_to_spans(image: dict) -> tuple[list[dict], str]:
             to_footnotes.append(entry)
         elif label in ("next_text", "merge"):
             merges.append(entry)
-        # next_figure/group: grouped pictures — handled by already_added
+        elif label in ("next_figure", "group"):
+            groups.append(entry)
+        # to_value: parsed then ignored, like the reference's emission
+        # loop (form/KV regions get empty graphs)
 
     if reading_order is None:
         return [], "no_reading_order"
 
+    # caption/footnote boxes that are TARGETS of an attach line are only
+    # ever emitted through their parent (reference is_linked skip)
+    linked: set[int] = set()
+    for lines in (to_captions, to_footnotes):
+        for cline in lines:
+            ids = [i for i in cline["boxids"] if i >= 0]
+            linked.update(ids[1:])
+
     spans: list[dict] = []
     already: set[int] = set()
+
+    def group_members(boxid: int) -> list[int]:
+        """Members a group-head box absorbs (first_in_group semantics:
+        group lines whose FIRST id is this box)."""
+        out: list[int] = []
+        for gline in groups:
+            ids = [i for i in gline["boxids"] if i >= 0]
+            if len(ids) > 1 and ids[0] == boxid:
+                out.extend(ids[1:])
+        return out
 
     def emit(boxid: int, kind: str | None = None) -> None:
         b = boxes[boxid]
@@ -158,6 +193,22 @@ def cvat_to_spans(image: dict) -> tuple[list[dict], str]:
              "media_ref": media, "offset": len(spans)}
         )
         already.add(boxid)
+        if k in MEDIA_KINDS:
+            # grouped pictures: ONE picture item represents the whole
+            # group; members are consumed, never re-emitted
+            for member in group_members(boxid):
+                already.add(member)
+        elif k == "list_item":
+            # list group: the head's members follow as consecutive
+            # list-item spans regardless of reading-order position
+            for member in group_members(boxid):
+                if member not in already:
+                    spans.append(
+                        {"kind": "list_item",
+                         "text": boxes[member]["text"],
+                         "media_ref": "", "offset": len(spans)}
+                    )
+                    already.add(member)
         # captions / footnotes attach right after their parent
         for lines, attach_kind in ((to_captions, "caption"),
                                    (to_footnotes, "footnote")):
@@ -176,6 +227,10 @@ def cvat_to_spans(image: dict) -> tuple[list[dict], str]:
     for boxid in reading_order["boxids"]:
         if boxid < 0 or boxid in already:
             continue
+        if boxid in linked and boxes[boxid]["label"] in (
+            "caption", "footnote"
+        ):
+            continue  # emitted via its parent (is_linked skip)
         emit(boxid)
     return spans, "success"
 

@@ -182,3 +182,97 @@ def test_malformed_box_is_status_row_not_crash(ray_session, tmp_path):
     assert df.loc["bad_doc", "status"] == "malformed_box"
     assert df.loc["good_doc", "status"] == "success"
     assert [s["text"] for s in df.loc["good_doc", "spans"]] == ["hello"]
+
+
+def _img(boxes, polylines, name="page.png"):
+    return {"name": name, "boxes": boxes, "polylines": polylines,
+            "malformed": False}
+
+
+def _box(i, label, text=""):
+    return {"label": label, "l": 10.0 * i, "t": 0.0, "r": 10.0 * i + 8,
+            "b": 8.0, "text": text}
+
+
+def _line(label, *boxids):
+    # points at the center of each referenced box
+    return {"label": label,
+            "points": [(10.0 * i + 4, 4.0) for i in boxids]}
+
+
+def test_grouped_pictures_absorb_members():
+    """A picture heading a group/next_figure line represents the whole
+    group: members are consumed and never re-emitted
+    (get_grouped_images, cvat_dataset_builder.py:585-663)."""
+    from docling_eval_ray.sources.cvat import cvat_to_spans
+
+    boxes = [_box(0, "picture"), _box(1, "picture"), _box(2, "text", "t")]
+    img = _img(boxes, [
+        _line("reading_order", 0, 1, 2),
+        _line("next_figure", 0, 1),
+    ])
+    spans, status = cvat_to_spans(img)
+    assert status == "success"
+    assert [s["kind"] for s in spans] == ["picture", "text"]
+    assert spans[0]["media_ref"].endswith("/0")
+
+
+def test_list_group_emits_members_consecutively():
+    """A list_item heading a group line pulls its members in as
+    consecutive list-item spans (add_listitems_to_group semantics),
+    even when the reading order visits them later."""
+    from docling_eval_ray.sources.cvat import cvat_to_spans
+
+    boxes = [_box(0, "list_item", "one"), _box(1, "text", "mid"),
+             _box(2, "list_item", "two"), _box(3, "list_item", "three")]
+    img = _img(boxes, [
+        _line("reading_order", 0, 1, 2, 3),
+        _line("group", 0, 2, 3),
+    ])
+    spans, status = cvat_to_spans(img)
+    assert status == "success"
+    assert [(s["kind"], s["text"]) for s in spans] == [
+        ("list_item", "one"), ("list_item", "two"),
+        ("list_item", "three"), ("text", "mid"),
+    ]
+    assert [s["offset"] for s in spans] == [0, 1, 2, 3]
+
+
+def test_linked_caption_never_emitted_standalone():
+    """A caption that is the target of a to_caption line is only
+    emitted via its parent — even if the reading order reaches it
+    FIRST (the reference's is_linked skip)."""
+    from docling_eval_ray.sources.cvat import cvat_to_spans
+
+    boxes = [_box(0, "caption", "fig caption"), _box(1, "picture"),
+             _box(2, "text", "body")]
+    img = _img(boxes, [
+        _line("reading_order", 0, 1, 2),
+        _line("to_caption", 1, 0),
+    ])
+    spans, status = cvat_to_spans(img)
+    assert status == "success"
+    assert [s["kind"] for s in spans] == ["picture", "caption", "text"]
+    assert spans[1]["text"] == "fig caption"
+
+
+def test_unlinked_caption_emits_standalone():
+    from docling_eval_ray.sources.cvat import cvat_to_spans
+
+    boxes = [_box(0, "caption", "orphan"), _box(1, "text", "body")]
+    img = _img(boxes, [_line("reading_order", 0, 1)])
+    spans, status = cvat_to_spans(img)
+    assert [s["kind"] for s in spans] == ["caption", "text"]
+
+
+def test_to_value_lines_parsed_and_ignored():
+    from docling_eval_ray.sources.cvat import cvat_to_spans
+
+    boxes = [_box(0, "text", "k"), _box(1, "text", "v")]
+    img = _img(boxes, [
+        _line("reading_order", 0, 1),
+        _line("to_value", 0, 1),
+    ])
+    spans, status = cvat_to_spans(img)
+    assert status == "success"
+    assert [s["text"] for s in spans] == ["k", "v"]
