@@ -384,11 +384,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         funsd_gt_build,
         funsd_gt_flat,
         xfund_gt_build,
+        xfund_gt_flat,
     )
 
     q["funsd_gt_build"] = funsd_gt_build
     q["funsd_gt_flat"] = funsd_gt_flat  # oracled (read_json_auto rebuild)
     q["xfund_gt_build"] = xfund_gt_build
+    q["xfund_gt_flat"] = xfund_gt_flat  # oracled (wrapper + degree rules)
     from docling_eval_ray.sources.dpbench import (
         dpbench_gt_build,
         dpbench_gt_flat,
@@ -401,9 +403,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["cvat_gt_build"] = cvat_gt_build
     # OTSL table GT builder (token stream + cell texts → grid/HTML)
-    from docling_eval_ray.sources.otsl_tables import otsl_gt_build
+    from docling_eval_ray.sources.otsl_tables import (
+        otsl_gt_build,
+        otsl_gt_flat,
+    )
 
     q["otsl_gt_build"] = otsl_gt_build
+    q["otsl_gt_flat"] = otsl_gt_flat  # oracled (token grid geometry)
     # DocVQA-style grouped builder (G11: bucketed group per doc)
     from docling_eval_ray.sources.docvqa import (
         docvqa_gt_build,
@@ -414,9 +420,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["docvqa_gt_flat"] = docvqa_gt_flat  # oracled (qa.jsonl rebuild)
     # DocLayNet-style layout GT builder (category map, list grouping,
     # bbox origin flip, blacklist skip)
-    from docling_eval_ray.sources.doclaynet import doclaynet_gt_build
+    from docling_eval_ray.sources.doclaynet import (
+        doclaynet_gt_build,
+        doclaynet_gt_flat,
+    )
 
     q["doclaynet_gt_build"] = doclaynet_gt_build
+    q["doclaynet_gt_flat"] = doclaynet_gt_flat  # oracled (category map CTE)
     # PixParse-style OCR word GT builder (missing-image skip, word
     # cells, XY-cut reading order)
     from docling_eval_ray.sources.pixparse import pixparse_gt_build
@@ -424,9 +434,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["pixparse_gt_build"] = pixparse_gt_build
     # OmniDocBench-style page GT builder (poly bbox scaling, category
     # dispatch, missing-GT skip, placeholder text)
-    from docling_eval_ray.sources.omnidocbench import omnidocbench_gt_build
+    from docling_eval_ray.sources.omnidocbench import (
+        omnidocbench_gt_build,
+        omnidocbench_gt_flat,
+    )
 
     q["omnidocbench_gt_build"] = omnidocbench_gt_build
+    q["omnidocbench_gt_flat"] = omnidocbench_gt_flat  # oracled (glob join)
     # DocLayNet-v2 combined builder (layout dispatch + embedded-OTSL
     # table parsing in one builder; label fallback, group elements)
     from docling_eval_ray.sources.doclaynet_v2 import doclaynet_v2_gt_build
@@ -539,6 +553,10 @@ _DRIVER_PRIORITY_R5 = [
     # rows-only builders, off-repo-hardened bloom family re-check):
     "funsd_gt_build",
     "funsd_gt_flat",
+    "xfund_gt_flat",
+    "doclaynet_gt_flat",
+    "omnidocbench_gt_flat",
+    "otsl_gt_flat",
     "dpbench_gt_build",
     "dpbench_gt_flat",
     "docvqa_gt_build",

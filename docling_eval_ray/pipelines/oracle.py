@@ -3256,3 +3256,346 @@ ORACLE_SQL["pdf_gt_flat"] = r"""
     FROM classified c
     JOIN counters k ON k.doc = c.doc AND k.page_no = c.page_no
 """
+
+
+# Round-5 second wave of GT-builder oracles: xfund (funsd semantics
+# under the multi-document wrapper), doclaynet (category map, blacklist
+# + bad-category skip, origin flip, list-group census), omnidocbench
+# (manifest↔image glob join, dispatch, poly scaling) and otsl (token
+# grid geometry + strict anchor↔text zip).
+
+from ..sources.doclaynet import SAMPLE_DIR as _DOCLAYNET_DIR
+from ..sources.funsd import XFUND_SAMPLE_DIR as _XFUND_DIR
+from ..sources.omnidocbench import SAMPLE_DIR as _OMNIDOC_DIR
+from ..sources.otsl_tables import SAMPLE_JSONL as _OTSL_JSONL
+
+ORACLE_SQL["xfund_gt_flat"] = f"""
+    WITH files AS (
+        SELECT documents
+        FROM read_json_auto('{_XFUND_DIR}/*.json', union_by_name = true)
+    ),
+    docs AS (
+        SELECT CAST(d.id AS VARCHAR) AS doc_id,
+               CASE WHEN strpos(CAST(d.id AS VARCHAR), '_') > 0
+                    THEN split_part(CAST(d.id AS VARCHAR), '_', 1)
+                    ELSE '' END AS lang,
+               d.document AS items
+        FROM files, unnest(documents) AS u(d)
+    ),
+    items AS (
+        SELECT doc_id, lang,
+               unnest(items) AS item,
+               generate_subscripts(items, 1) AS ord
+        FROM docs
+    ),
+    flat AS (
+        SELECT doc_id, lang, ord,
+               item.id AS id,
+               coalesce(item.label, 'other') AS label,
+               coalesce(item.text, '') AS text,
+               item.linking AS linking,
+               item.words AS words
+        FROM items
+    ),
+    kept AS (
+        SELECT *,
+               CAST(row_number() OVER (PARTITION BY doc_id ORDER BY ord)
+                    - 1 AS BIGINT) AS off
+        FROM flat
+        WHERE (linking IS NOT NULL AND len(linking) > 0)
+           OR label NOT IN ('header', 'other')
+    ),
+    word_counts AS (
+        SELECT k.doc_id, count(*) AS n_words
+        FROM kept k, unnest(k.words) AS u(w)
+        WHERE w.text IS NOT NULL AND w.box IS NOT NULL
+        GROUP BY k.doc_id
+    ),
+    all_links AS (
+        SELECT DISTINCT f.doc_id,
+               CAST(pair[1] AS BIGINT) AS s, CAST(pair[2] AS BIGINT) AS t
+        FROM flat f, unnest(f.linking) AS u(pair)
+        WHERE len(pair) = 2
+    ),
+    links_kept AS (
+        SELECT l.* FROM all_links l
+        JOIN kept a ON a.doc_id = l.doc_id AND a.id = l.s
+        JOIN kept b ON b.doc_id = l.doc_id AND b.id = l.t
+    ),
+    deg AS (
+        SELECT k.doc_id, k.lang, k.id, k.off, k.text,
+               (SELECT count(*) FROM links_kept l
+                WHERE l.doc_id = k.doc_id AND l.s = k.id) AS outdeg,
+               (SELECT count(*) FROM links_kept l
+                WHERE l.doc_id = k.doc_id AND l.t = k.id) AS indeg
+        FROM kept k
+    ),
+    labeled AS (
+        SELECT d.*,
+               CASE WHEN d.outdeg = 0 THEN 'value'
+                    WHEN d.indeg = 0 THEN 'key'
+                    WHEN NOT EXISTS (
+                        SELECT 1 FROM links_kept l
+                        JOIN deg d2 ON d2.doc_id = l.doc_id
+                                   AND d2.id = l.t
+                        WHERE l.doc_id = d.doc_id AND l.s = d.id
+                          AND d2.outdeg > 0)
+                    THEN 'key'
+                    ELSE 'unspecified' END AS kind
+        FROM deg d
+    ),
+    counters AS (
+        SELECT k.doc_id,
+               CAST(count(*) AS BIGINT) AS n_cells,
+               CAST((SELECT count(*) FROM links_kept l
+                     WHERE l.doc_id = k.doc_id) AS BIGINT) AS n_links,
+               CAST(coalesce((SELECT n_words FROM word_counts w
+                              WHERE w.doc_id = k.doc_id), 0) AS BIGINT)
+                   AS n_words
+        FROM kept k GROUP BY k.doc_id
+    )
+    SELECT l.doc_id, l.lang, l.off AS "offset", l.kind, l.text,
+           c.n_cells, c.n_links, c.n_words
+    FROM labeled l JOIN counters c ON c.doc_id = l.doc_id
+"""
+
+ORACLE_SQL["doclaynet_gt_flat"] = f"""
+    WITH files AS (
+        SELECT metadata, image, category_id, bboxes, pdf_cells
+        FROM read_json_auto('{_DOCLAYNET_DIR}/*.json',
+                            union_by_name = true)
+        WHERE metadata.page_hash NOT IN ('page-blacklisted-0001')
+          AND len(list_filter(category_id,
+                  c -> CAST(c AS BIGINT) < 1 OR CAST(c AS BIGINT) > 11))
+              = 0
+    ),
+    sub AS (
+        SELECT metadata.page_hash AS doc_id,
+               CAST(image.height AS DOUBLE) AS height,
+               category_id, bboxes, pdf_cells,
+               generate_subscripts(category_id, 1) AS i
+        FROM files
+    ),
+    elems AS (
+        SELECT doc_id, height,
+               CAST(category_id[i] AS BIGINT) AS cid,
+               bboxes[i] AS box,
+               pdf_cells[i] AS cells,
+               CAST(i AS BIGINT) - 1 AS idx
+        FROM sub
+    ),
+    labeled AS (
+        SELECT doc_id, idx, height,
+               CASE cid WHEN 1 THEN 'caption' WHEN 2 THEN 'footnote'
+                    WHEN 3 THEN 'formula' WHEN 4 THEN 'list_item'
+                    WHEN 5 THEN 'page_footer' WHEN 6 THEN 'page_header'
+                    WHEN 7 THEN 'picture' WHEN 8 THEN 'section_header'
+                    WHEN 9 THEN 'table' WHEN 10 THEN 'text'
+                    WHEN 11 THEN 'title' END AS kind,
+               CAST(box[1] AS DOUBLE) AS bl,
+               CAST(box[2] AS DOUBLE) AS bt,
+               CAST(box[3] AS DOUBLE) AS bw,
+               CAST(box[4] AS DOUBLE) AS bh,
+               coalesce(array_to_string(
+                   list_transform(cells, c -> c.text), ' '), '')
+                   AS content
+        FROM elems
+    ),
+    spans AS (
+        SELECT doc_id, idx, kind,
+               CASE WHEN kind = 'picture' THEN '' ELSE content END
+                   AS text,
+               CASE WHEN kind = 'picture'
+                    THEN 'img/' || doc_id || '/' || CAST(idx AS VARCHAR)
+                    ELSE '' END AS media_ref,
+               round_even(bl, 6) AS l,
+               round_even(height - bt, 6) AS t,
+               round_even(bl + bw, 6) AS r,
+               round_even(height - (bt + bh), 6) AS b,
+               CAST(kind = 'list_item' AS INTEGER) AS is_li
+        FROM labeled
+    ),
+    counters AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_elements,
+               CAST(sum(CASE WHEN is_li = 1 AND coalesce(lag_li, 0) = 0
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_list_groups
+        FROM (
+            SELECT doc_id, is_li,
+                   lag(is_li) OVER (PARTITION BY doc_id ORDER BY idx)
+                       AS lag_li
+            FROM spans
+        ) GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.idx AS "offset", s.kind, s.text, s.media_ref,
+           s.l, s.t, s.r, s.b, c.n_elements, c.n_list_groups
+    FROM spans s JOIN counters c ON c.doc_id = s.doc_id
+"""
+
+_POLY_XS = ("list_transform(generate_series(1, len(poly), 2), "
+            "j -> CAST(poly[j] AS DOUBLE))")
+_POLY_YS = ("list_transform(generate_series(2, len(poly), 2), "
+            "j -> CAST(poly[j] AS DOUBLE))")
+
+ORACLE_SQL["omnidocbench_gt_flat"] = f"""
+    WITH manifest AS (
+        SELECT page_info, layout_dets
+        FROM read_json_auto('{_OMNIDOC_DIR}/OmniDocBench.json',
+                            union_by_name = true)
+    ),
+    imgs AS (
+        SELECT regexp_extract(file, '([^/\\\\]+)$', 1) AS image
+        FROM glob('{_OMNIDOC_DIR}/images/*.jpg')
+    ),
+    pages AS (
+        SELECT m.page_info.image_path AS doc_id,
+               CAST(m.page_info.width AS DOUBLE) AS gt_w,
+               CAST(m.page_info.height AS DOUBLE) AS gt_h,
+               m.layout_dets AS dets
+        FROM manifest m JOIN imgs i ON i.image = m.page_info.image_path
+    ),
+    sub AS (
+        SELECT doc_id, gt_w, gt_h, dets,
+               generate_subscripts(dets, 1) AS i
+        FROM pages
+    ),
+    elems AS (
+        SELECT doc_id, gt_w, gt_h,
+               CAST(i AS BIGINT) - 1 AS elem_idx,
+               dets[i].category_type AS cat,
+               dets[i].text AS rawtext,
+               dets[i].html AS html,
+               dets[i].poly AS poly
+        FROM sub
+    ),
+    mapped AS (
+        SELECT *,
+               CASE cat
+                   WHEN 'title' THEN 'section_header'
+                   WHEN 'text_block' THEN 'text'
+                   WHEN 'text_mask' THEN 'text'
+                   WHEN 'table_mask' THEN 'text'
+                   WHEN 'code_txt' THEN 'text'
+                   WHEN 'abandon' THEN 'text'
+                   WHEN 'need_mask' THEN 'text'
+                   WHEN 'reference' THEN 'text'
+                   WHEN 'table_caption' THEN 'caption'
+                   WHEN 'figure_caption' THEN 'caption'
+                   WHEN 'equation_caption' THEN 'caption'
+                   WHEN 'table_footnote' THEN 'footnote'
+                   WHEN 'figure_footnote' THEN 'footnote'
+                   WHEN 'page_footnote' THEN 'footnote'
+                   WHEN 'equation_isolated' THEN 'formula'
+                   WHEN 'header' THEN 'page_header'
+                   WHEN 'footer' THEN 'page_footer'
+                   WHEN 'page_number' THEN 'page_footer'
+                   WHEN 'figure' THEN 'picture'
+                   WHEN 'table' THEN 'table'
+               END AS kind
+        FROM elems
+    ),
+    emitted AS (
+        SELECT *,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY elem_idx) - 1 AS BIGINT)
+                   AS off
+        FROM mapped WHERE kind IS NOT NULL
+    ),
+    spans AS (
+        SELECT doc_id, off, kind,
+               CASE WHEN kind = 'picture' THEN ''
+                    WHEN cat = 'table' THEN coalesce(array_to_string(
+                        regexp_extract_all(coalesce(html, ''),
+                            '<t[dh][^>]*>([^<]*)</t[dh]>', 1), ' '), '')
+                    ELSE coalesce(rawtext,
+                        '&lt;omitted text for ' || cat || '&gt;') END
+                   AS text,
+               CASE WHEN kind = 'picture'
+                    THEN 'img:' || doc_id || ':' || CAST(off AS VARCHAR)
+                    ELSE '' END AS media_ref,
+               round_even(list_min({_POLY_XS}) * 612.0 / gt_w, 6) AS l,
+               round_even(list_min({_POLY_YS}) * 792.0 / gt_h, 6) AS t,
+               round_even(list_max({_POLY_XS}) * 612.0 / gt_w, 6) AS r,
+               round_even(list_max({_POLY_YS}) * 792.0 / gt_h, 6) AS b
+        FROM emitted
+    ),
+    counters AS (
+        SELECT doc_id,
+               CAST(count(*) FILTER (kind IS NOT NULL) AS BIGINT)
+                   AS n_elements,
+               CAST(count(*) FILTER (cat = 'table') AS BIGINT)
+                   AS n_tables,
+               CAST(count(*) FILTER (cat = 'figure') AS BIGINT)
+                   AS n_figures,
+               CAST(count(*) FILTER (kind IS NULL) AS BIGINT)
+                   AS n_unknown
+        FROM mapped GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.off AS "offset", s.kind, s.text, s.media_ref,
+           s.l, s.t, s.r, s.b,
+           c.n_elements, c.n_tables, c.n_figures, c.n_unknown
+    FROM spans s JOIN counters c ON c.doc_id = s.doc_id
+"""
+
+ORACLE_SQL["otsl_gt_flat"] = f"""
+    WITH recs AS (
+        SELECT doc_id, otsl, cell_texts
+        FROM read_json_auto('{_OTSL_JSONL}',
+                            format = 'newline_delimited')
+    ),
+    toks AS (
+        SELECT doc_id, str_split(otsl, ' ') AS tokens FROM recs
+    ),
+    tok AS (
+        SELECT doc_id,
+               tokens[i] AS tok,
+               CAST(i AS BIGINT) AS pos
+        FROM (SELECT doc_id, tokens,
+                     generate_subscripts(tokens, 1) AS i FROM toks)
+    ),
+    rowed AS (
+        SELECT doc_id, tok, pos,
+               CAST(coalesce(sum(CASE WHEN tok = 'nl' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS BIGINT) AS rowno
+        FROM tok
+    ),
+    geom AS (
+        SELECT doc_id,
+               CAST(count(DISTINCT rowno) AS BIGINT) AS n_rows,
+               CAST(max(cnt) AS BIGINT) AS n_cols
+        FROM (
+            SELECT doc_id, rowno, count(*) AS cnt
+            FROM rowed WHERE tok <> 'nl'
+            GROUP BY doc_id, rowno
+        ) GROUP BY doc_id
+    ),
+    content AS (
+        SELECT doc_id, tok, pos,
+               CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                    - 1 AS BIGINT) AS cidx
+        FROM rowed WHERE tok IN ('fcel', 'ched', 'rhed')
+    ),
+    valid AS (
+        SELECT r.doc_id, r.cell_texts, g.n_rows, g.n_cols
+        FROM recs r
+        JOIN geom g ON g.doc_id = r.doc_id
+        WHERE len(r.cell_texts) = (
+            SELECT count(*) FROM content c WHERE c.doc_id = r.doc_id
+        )
+    )
+    SELECT v.doc_id, CAST(0 AS BIGINT) AS "offset",
+           'table' AS kind, '' AS text,
+           'otsl/' || v.doc_id AS media_ref,
+           v.n_rows, v.n_cols
+    FROM valid v
+    UNION ALL
+    SELECT v.doc_id, c.cidx + 1 AS "offset",
+           'text' AS kind,
+           v.cell_texts[c.cidx + 1] AS text,
+           '' AS media_ref,
+           v.n_rows, v.n_cols
+    FROM valid v JOIN content c ON c.doc_id = v.doc_id
+"""

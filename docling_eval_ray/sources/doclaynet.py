@@ -169,3 +169,55 @@ def doclaynet_gt_build(sf_dir: str = ""):
     """Driver query over the committed raw sample (``sf_dir`` unused —
     the input is the raw benchmark sample, as for the other builders)."""
     return build_doclaynet_gt(SAMPLE_DIR)
+
+
+DOCLAYNET_FLAT_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("offset", pa.int64()),
+        pa.field("kind", pa.string()),
+        pa.field("text", pa.string()),
+        pa.field("media_ref", pa.string()),
+        pa.field("l", pa.float64()),
+        pa.field("t", pa.float64()),
+        pa.field("r", pa.float64()),
+        pa.field("b", pa.float64()),
+        pa.field("n_elements", pa.int64()),
+        pa.field("n_list_groups", pa.int64()),
+    ]
+)
+
+
+def doclaynet_gt_flat(sf_dir: str = ""):
+    """Hash-oracled flat view of ``doclaynet_gt_build``: one row per
+    element with the flipped-origin bbox (rounded 6) and the per-doc
+    counters. The DuckDB oracle re-derives the category map, blacklist
+    + bad-category skips, ltwh→ltrb + origin flip, pdf_cells text join
+    and the consecutive-list-group count from the committed raw JSONs
+    (error-status docs contribute zero flat rows on both sides)."""
+    import numpy as np
+
+    def explode(t: pa.Table) -> pa.Table:
+        rows = []
+        for r in t.to_pylist():
+            for sp, bx in zip(r["spans"], r["boxes"]):
+                rows.append(
+                    {
+                        "doc_id": r["doc_id"],
+                        "offset": sp["offset"],
+                        "kind": sp["kind"],
+                        "text": sp["text"],
+                        "media_ref": sp["media_ref"],
+                        "l": float(np.round(bx["l"], 6)),
+                        "t": float(np.round(bx["t"], 6)),
+                        "r": float(np.round(bx["r"], 6)),
+                        "b": float(np.round(bx["b"], 6)),
+                        "n_elements": r["n_elements"],
+                        "n_list_groups": r["n_list_groups"],
+                    }
+                )
+        return pa.Table.from_pylist(rows, schema=DOCLAYNET_FLAT_SCHEMA)
+
+    return build_doclaynet_gt(SAMPLE_DIR).map_batches(
+        explode, batch_format="pyarrow"
+    )

@@ -227,3 +227,45 @@ def build_xfund_gt(root: str):
 def xfund_gt_build(sf_dir: str = ""):
     """Driver query over the committed XFUND-shaped sample."""
     return build_xfund_gt(XFUND_SAMPLE_DIR)
+
+
+XFUND_FLAT_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("lang", pa.string()),
+        pa.field("offset", pa.int64()),
+        pa.field("kind", pa.string()),
+        pa.field("text", pa.string()),
+        pa.field("n_cells", pa.int64()),
+        pa.field("n_links", pa.int64()),
+        pa.field("n_words", pa.int64()),
+    ]
+)
+
+
+def xfund_gt_flat(sf_dir: str = ""):
+    """Hash-oracled flat view of ``xfund_gt_build`` — the funsd flat
+    oracle under the multi-document wrapper (documents unnested from
+    the XFUND JSON, lang = id prefix), same degree-rule SQL."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        rows = []
+        for r in t.to_pylist():
+            for sp in r["spans"]:
+                rows.append(
+                    {
+                        "doc_id": r["doc_id"],
+                        "lang": r["lang"],
+                        "offset": sp["offset"],
+                        "kind": sp["kind"],
+                        "text": sp["text"],
+                        "n_cells": r["n_cells"],
+                        "n_links": r["n_links"],
+                        "n_words": r["n_words"],
+                    }
+                )
+        return pa.Table.from_pylist(rows, schema=XFUND_FLAT_SCHEMA)
+
+    return build_xfund_gt(XFUND_SAMPLE_DIR).map_batches(
+        explode, batch_format="pyarrow"
+    )

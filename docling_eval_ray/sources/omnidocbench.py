@@ -194,3 +194,60 @@ def omnidocbench_gt_build(sf_dir: str = ""):
     """Driver query: build GT from the committed raw fixture tree
     (``sf_dir`` unused — the input is the raw benchmark sample)."""
     return build_omnidocbench_gt(SAMPLE_DIR)
+
+
+OMNIDOCBENCH_FLAT_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("offset", pa.int64()),
+        pa.field("kind", pa.string()),
+        pa.field("text", pa.string()),
+        pa.field("media_ref", pa.string()),
+        pa.field("l", pa.float64()),
+        pa.field("t", pa.float64()),
+        pa.field("r", pa.float64()),
+        pa.field("b", pa.float64()),
+        pa.field("n_elements", pa.int64()),
+        pa.field("n_tables", pa.int64()),
+        pa.field("n_figures", pa.int64()),
+        pa.field("n_unknown", pa.int64()),
+    ]
+)
+
+
+def omnidocbench_gt_flat(sf_dir: str = ""):
+    """Hash-oracled flat view of ``omnidocbench_gt_build``: one row
+    per emitted element with the scaled poly bbox (rounded 6) and the
+    per-doc counters. The DuckDB oracle re-derives the manifest↔image
+    pairing (glob join), category dispatch, the omitted-text
+    placeholder, regex HTML-cell extraction, unknown-category skip
+    (offsets renumber over EMITTED elements only) and the poly min/max
+    scan with page/gt scaling from the committed fixture tree."""
+    import numpy as np
+
+    def explode(t: pa.Table) -> pa.Table:
+        rows = []
+        for r in t.to_pylist():
+            for sp, bx in zip(r["spans"], r["boxes"]):
+                rows.append(
+                    {
+                        "doc_id": r["doc_id"],
+                        "offset": sp["offset"],
+                        "kind": sp["kind"],
+                        "text": sp["text"],
+                        "media_ref": sp["media_ref"],
+                        "l": float(np.round(bx["l"], 6)),
+                        "t": float(np.round(bx["t"], 6)),
+                        "r": float(np.round(bx["r"], 6)),
+                        "b": float(np.round(bx["b"], 6)),
+                        "n_elements": r["n_elements"],
+                        "n_tables": r["n_tables"],
+                        "n_figures": r["n_figures"],
+                        "n_unknown": r["n_unknown"],
+                    }
+                )
+        return pa.Table.from_pylist(rows, schema=OMNIDOCBENCH_FLAT_SCHEMA)
+
+    return build_omnidocbench_gt(SAMPLE_DIR).map_batches(
+        explode, batch_format="pyarrow"
+    )

@@ -122,3 +122,51 @@ def otsl_gt_build(sf_dir: str = ""):
     """Driver query over the committed sample tables (``sf_dir``
     unused, as for the other raw-fixture queries)."""
     return build_otsl_gt(SAMPLE_JSONL)
+
+
+OTSL_FLAT_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("offset", pa.int64()),
+        pa.field("kind", pa.string()),
+        pa.field("text", pa.string()),
+        pa.field("media_ref", pa.string()),
+        pa.field("n_rows", pa.int64()),
+        pa.field("n_cols", pa.int64()),
+    ]
+)
+
+
+def otsl_gt_flat(sf_dir: str = ""):
+    """Hash-oracled flat view of ``otsl_gt_build``: the span rows of
+    every successfully-built table plus its grid shape. The DuckDB
+    oracle re-derives tokenization, the content-anchor↔text zip (and
+    its strict count check — mismatched rows contribute zero flat rows
+    on both sides) and the grid geometry from the committed JSONL:
+    n_rows = token-row count and n_cols = max row length, which equal
+    ``grid_shape``'s span-arithmetic for any well-formed OTSL stream
+    (every continuation token occupies a grid position, so the maxima
+    coincide)."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        rows = []
+        for r in t.to_pylist():
+            if r["status"] != "success":
+                continue
+            for sp in r["spans"]:
+                rows.append(
+                    {
+                        "doc_id": r["doc_id"],
+                        "offset": sp["offset"],
+                        "kind": sp["kind"],
+                        "text": sp["text"],
+                        "media_ref": sp["media_ref"],
+                        "n_rows": r["n_rows"],
+                        "n_cols": r["n_cols"],
+                    }
+                )
+        return pa.Table.from_pylist(rows, schema=OTSL_FLAT_SCHEMA)
+
+    return build_otsl_gt(SAMPLE_JSONL).map_batches(
+        explode, batch_format="pyarrow"
+    )

@@ -14,6 +14,10 @@ NAMES = [
     "dpbench_gt_flat",
     "docvqa_gt_flat",
     "pdf_gt_flat",
+    "xfund_gt_flat",
+    "doclaynet_gt_flat",
+    "omnidocbench_gt_flat",
+    "otsl_gt_flat",
 ]
 
 
