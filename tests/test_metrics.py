@@ -216,3 +216,38 @@ def test_compute_stats_approx_median(ray_session):
     assert approx["mean"] == pytest.approx(exact["mean"])
     assert approx["hist"] == exact["hist"]
     assert abs(approx["median"] - exact["median"]) <= 0.05
+
+
+def test_edit_distance_matches_reference_dp():
+    """Myers bit-parallel edit_distance must equal the unit-cost DP on
+    random strings/token lists of every small size (the exactness
+    contract its docstring claims)."""
+    import random
+
+    from docling_eval_ray.functions.textmetrics import edit_distance
+
+    def dp(a, b):
+        if not a:
+            return len(b)
+        if not b:
+            return len(a)
+        prev = list(range(len(b) + 1))
+        for i, xa in enumerate(a, 1):
+            cur = [i]
+            for j, xb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (xa != xb)))
+            prev = cur
+        return prev[-1]
+
+    rng = random.Random(7)
+    for _ in range(1500):
+        alpha = "abcd"[: rng.randint(1, 4)]
+        a = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 25)))
+        b = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 25)))
+        assert edit_distance(list(a), list(b)) == dp(a, b), (a, b)
+    # token lists and >64-length sequences (multi-word bigints)
+    for _ in range(300):
+        a = [rng.randint(0, 6) for _ in range(rng.randint(0, 150))]
+        b = [rng.randint(0, 6) for _ in range(rng.randint(0, 150))]
+        assert edit_distance(a, b) == dp(a, b)
