@@ -429,9 +429,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doclaynet_gt_flat"] = doclaynet_gt_flat  # oracled (category map CTE)
     # PixParse-style OCR word GT builder (missing-image skip, word
     # cells, XY-cut reading order)
-    from docling_eval_ray.sources.pixparse import pixparse_gt_build
+    from docling_eval_ray.sources.pixparse import (
+        pixparse_gt_build,
+        pixparse_gt_flat,
+    )
 
     q["pixparse_gt_build"] = pixparse_gt_build
+    q["pixparse_gt_flat"] = pixparse_gt_flat  # oracled (glob/read_blob join)
     # OmniDocBench-style page GT builder (poly bbox scaling, category
     # dispatch, missing-GT skip, placeholder text)
     from docling_eval_ray.sources.omnidocbench import (
@@ -557,6 +561,7 @@ _DRIVER_PRIORITY_R5 = [
     "doclaynet_gt_flat",
     "omnidocbench_gt_flat",
     "otsl_gt_flat",
+    "pixparse_gt_flat",
     "dpbench_gt_build",
     "dpbench_gt_flat",
     "docvqa_gt_build",

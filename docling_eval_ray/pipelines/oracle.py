@@ -3599,3 +3599,68 @@ ORACLE_SQL["otsl_gt_flat"] = f"""
            v.n_rows, v.n_cols
     FROM valid v JOIN content c ON c.doc_id = v.doc_id
 """
+
+
+from ..sources.pixparse import SAMPLE_DIR as _PIXPARSE_DIR
+
+ORACLE_SQL["pixparse_gt_flat"] = f"""
+    WITH gts AS (
+        SELECT regexp_extract(filename,
+                   '([^/\\\\]+)/ground_truth\\.json$', 1) AS doc_id,
+               pages
+        FROM read_json(
+            '{_PIXPARSE_DIR}/*/ground_truth.json',
+            filename = true, ignore_errors = true,
+            columns = {{pages: 'STRUCT(text VARCHAR[], bbox DOUBLE[][],
+                               score DOUBLE[])[]'}})
+        WHERE pages IS NOT NULL
+    ),
+    imgs AS (
+        SELECT regexp_extract(filename,
+                   '([^/\\\\]+)/original\\.tif$', 1) AS doc_id,
+               CAST(size AS BIGINT) AS image_bytes
+        FROM read_blob('{_PIXPARSE_DIR}/*/original.tif')
+    ),
+    docs AS (
+        SELECT g.doc_id, g.pages, i.image_bytes
+        FROM gts g JOIN imgs i ON i.doc_id = g.doc_id
+    ),
+    paged AS (
+        SELECT doc_id, image_bytes, pages,
+               generate_subscripts(pages, 1) AS p
+        FROM docs
+    ),
+    worded AS (
+        SELECT doc_id, image_bytes, p,
+               pages[p].text AS texts,
+               pages[p].bbox AS bboxes,
+               pages[p].score AS scores,
+               generate_subscripts(pages[p].text, 1) AS w
+        FROM paged
+    ),
+    words AS (
+        SELECT doc_id, image_bytes, p, w,
+               texts[w] AS text,
+               bboxes[w] AS bbox,
+               scores[w] AS score,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                    ORDER BY p, w) - 1 AS BIGINT) AS off
+        FROM worded
+    ),
+    counters AS (
+        SELECT doc_id,
+               CAST(count(DISTINCT p) AS BIGINT) AS n_pages,
+               CAST(count(*) AS BIGINT) AS n_words
+        FROM words GROUP BY doc_id
+    )
+    SELECT wd.doc_id, wd.off AS "offset", 'word' AS kind, wd.text,
+           round_even(CAST(wd.bbox[1] AS DOUBLE), 6) AS l,
+           round_even(CAST(wd.bbox[2] AS DOUBLE), 6) AS t,
+           round_even(CAST(wd.bbox[1] + wd.bbox[3] AS DOUBLE), 6) AS r,
+           round_even(CAST(wd.bbox[2] + wd.bbox[4] AS DOUBLE), 6) AS b,
+           round_even(CAST(wd.score AS DOUBLE), 6) AS score,
+           'img/' || wd.doc_id || '/page1' AS media_ref,
+           wd.image_bytes,
+           c.n_pages, c.n_words
+    FROM words wd JOIN counters c ON c.doc_id = wd.doc_id
+"""

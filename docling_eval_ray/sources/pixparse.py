@@ -151,3 +151,63 @@ def build_pixparse_gt(root: str):
 def pixparse_gt_build(sf_dir: str = ""):
     """Driver query over the committed raw sample."""
     return build_pixparse_gt(SAMPLE_DIR)
+
+
+PIXPARSE_FLAT_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("offset", pa.int64()),
+        pa.field("kind", pa.string()),
+        pa.field("text", pa.string()),
+        pa.field("l", pa.float64()),
+        pa.field("t", pa.float64()),
+        pa.field("r", pa.float64()),
+        pa.field("b", pa.float64()),
+        pa.field("score", pa.float64()),
+        pa.field("media_ref", pa.string()),
+        pa.field("image_bytes", pa.int64()),
+        pa.field("n_pages", pa.int64()),
+        pa.field("n_words", pa.int64()),
+    ]
+)
+
+
+def pixparse_gt_flat(sf_dir: str = ""):
+    """Hash-oracled flat view of ``pixparse_gt_build``: one row per OCR
+    word in SOURCE order (offset = file position — the span order the
+    builder emits; the beyond-reference XY-cut ``reading_order`` column
+    is pytest-covered separately). The DuckDB oracle re-derives the
+    folder pairing (ground_truth.json ⋈ original.tif via glob/read_blob
+    — the missing-image skip), the typed-schema parse with
+    ignore_errors (the malformed-JSON doc contributes zero flat rows on
+    both sides), ltwh→ltrb and the page/word census."""
+    import numpy as np
+
+    def explode(t: pa.Table) -> pa.Table:
+        rows = []
+        for r in t.to_pylist():
+            if r["status"] != "ok":
+                continue
+            for sp, wd in zip(r["spans"], r["words"]):
+                rows.append(
+                    {
+                        "doc_id": r["doc_id"],
+                        "offset": sp["offset"],
+                        "kind": sp["kind"],
+                        "text": sp["text"],
+                        "l": float(np.round(wd["l"], 6)),
+                        "t": float(np.round(wd["t"], 6)),
+                        "r": float(np.round(wd["r"], 6)),
+                        "b": float(np.round(wd["b"], 6)),
+                        "score": float(np.round(wd["score"], 6)),
+                        "media_ref": r["media_ref"],
+                        "image_bytes": r["image_bytes"],
+                        "n_pages": r["n_pages"],
+                        "n_words": r["n_words"],
+                    }
+                )
+        return pa.Table.from_pylist(rows, schema=PIXPARSE_FLAT_SCHEMA)
+
+    return build_pixparse_gt(SAMPLE_DIR).map_batches(
+        explode, batch_format="pyarrow"
+    )

@@ -18,6 +18,7 @@ NAMES = [
     "doclaynet_gt_flat",
     "omnidocbench_gt_flat",
     "otsl_gt_flat",
+    "pixparse_gt_flat",
 ]
 
 
