@@ -447,9 +447,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["omnidocbench_gt_flat"] = omnidocbench_gt_flat  # oracled (glob join)
     # DocLayNet-v2 combined builder (layout dispatch + embedded-OTSL
     # table parsing in one builder; label fallback, group elements)
-    from docling_eval_ray.sources.doclaynet_v2 import doclaynet_v2_gt_build
+    from docling_eval_ray.sources.doclaynet_v2 import (
+        doclaynet_v2_gt_build,
+        doclaynet_v2_gt_flat,
+    )
 
     q["doclaynet_v2_gt_build"] = doclaynet_v2_gt_build
+    q["doclaynet_v2_gt_flat"] = doclaynet_v2_gt_flat  # oracled (OTSL geom)
     # PDF text-layer GT builder (real from-scratch PDF parse: object
     # scan, Flate streams, §9.4 text machine; size-rank label heuristic)
     from docling_eval_ray.sources.pdf import (
@@ -562,6 +566,7 @@ _DRIVER_PRIORITY_R5 = [
     "omnidocbench_gt_flat",
     "otsl_gt_flat",
     "pixparse_gt_flat",
+    "doclaynet_v2_gt_flat",
     "dpbench_gt_build",
     "dpbench_gt_flat",
     "docvqa_gt_build",

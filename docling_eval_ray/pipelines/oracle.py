@@ -3664,3 +3664,118 @@ ORACLE_SQL["pixparse_gt_flat"] = f"""
            c.n_pages, c.n_words
     FROM words wd JOIN counters c ON c.doc_id = wd.doc_id
 """
+
+
+from ..sources.doclaynet_v2 import SAMPLE_DIR as _V2_DIR
+
+ORACLE_SQL["doclaynet_v2_gt_flat"] = f"""
+WITH files AS (
+    SELECT page_hash, image, labels, segments, boxes
+    FROM read_json_auto(
+        '{_V2_DIR}/*.json',
+        union_by_name = true)
+    WHERE labels IS NOT NULL AND segments IS NOT NULL
+      AND boxes IS NOT NULL AND image IS NOT NULL
+),
+sub AS (
+    SELECT page_hash AS doc_id,
+           CAST(image.height AS DOUBLE) AS height,
+           labels, segments, boxes,
+           generate_subscripts(labels, 1) AS i
+    FROM files
+),
+elems AS (
+    SELECT doc_id, height,
+           CAST(i AS BIGINT) - 1 AS idx,
+           lower(replace(replace(labels[i], '-', '_'), ' ', '_'))
+               AS norm,
+           coalesce(segments[i].text, '') AS segtext,
+           segments[i].data.otsl_seq AS otsl_seq,
+           boxes[i] AS box
+    FROM sub
+),
+kinds AS (
+    SELECT *,
+           CASE WHEN norm IN ('caption','footnote','formula','list_item',
+               'page_footer','page_header','picture','section_header',
+               'table','text','title','document_index','form',
+               'key_value_region','checkbox_selected',
+               'checkbox_unselected','code','paragraph')
+                THEN norm ELSE 'text' END AS kind,
+           CAST(norm NOT IN ('caption','footnote','formula','list_item',
+               'page_footer','page_header','picture','section_header',
+               'table','text','title','document_index','form',
+               'key_value_region','checkbox_selected',
+               'checkbox_unselected','code','paragraph') AS INTEGER)
+               AS is_fallback
+    FROM elems
+),
+tabbed AS (
+    SELECT *,
+           CASE WHEN kind IN ('table', 'document_index')
+                THEN CAST(count(*) FILTER (
+                        kind IN ('table', 'document_index'))
+                     OVER (PARTITION BY doc_id ORDER BY idx
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS BIGINT)
+                ELSE NULL END AS table_idx,
+           CASE WHEN kind IN ('table', 'document_index') THEN
+               CASE WHEN otsl_seq IS NOT NULL AND len(otsl_seq) > 0
+                    THEN CAST(len(list_filter(otsl_seq,
+                              t -> t = '<nl>')) AS BIGINT)
+                    ELSE CAST(1 AS BIGINT) END
+           END AS t_rows,
+           CASE WHEN kind IN ('table', 'document_index') THEN
+               CASE WHEN otsl_seq IS NOT NULL AND len(otsl_seq) > 0
+                    THEN CAST(list_max(list_transform(
+                             str_split(array_to_string(otsl_seq, ' '),
+                                       '<nl>'),
+                             r -> len(list_filter(str_split(trim(r),
+                                      ' '), x -> x <> '')))) AS BIGINT)
+                    ELSE CAST(1 AS BIGINT) END
+           END AS t_cols
+    FROM kinds
+),
+spans AS (
+    SELECT doc_id, idx, kind,
+           CASE WHEN kind = 'picture' THEN ''
+                WHEN kind IN ('form', 'key_value_region') THEN ''
+                ELSE segtext END AS text,
+           CASE WHEN kind = 'picture'
+                THEN 'img/' || doc_id || '/' || CAST(idx AS VARCHAR)
+                WHEN kind IN ('table', 'document_index')
+                THEN 'table/' || doc_id || '/'
+                     || CAST(table_idx AS VARCHAR)
+                ELSE '' END AS media_ref,
+           round_even(CAST(box[1] AS DOUBLE), 6) AS l,
+           round_even(height - CAST(box[2] AS DOUBLE), 6) AS t,
+           round_even(CAST(box[3] AS DOUBLE), 6) AS r,
+           round_even(height - CAST(box[4] AS DOUBLE), 6) AS b,
+           coalesce(t_rows, -1) AS t_rows,
+           coalesce(t_cols, -1) AS t_cols,
+           CAST(kind = 'list_item' AS INTEGER) AS is_li,
+           is_fallback,
+           CAST(kind IN ('form', 'key_value_region') AS INTEGER)
+               AS is_group
+    FROM tabbed
+),
+counters AS (
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_elements,
+           CAST(sum(CASE WHEN is_li = 1 AND coalesce(lag_li, 0) = 0
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_list_groups,
+           CAST(sum(is_group) AS BIGINT) AS n_groups,
+           CAST(sum(is_fallback) AS BIGINT) AS n_fallback_labels
+    FROM (
+        SELECT doc_id, is_li, is_group, is_fallback,
+               lag(is_li) OVER (PARTITION BY doc_id ORDER BY idx)
+                   AS lag_li
+        FROM spans
+    ) GROUP BY doc_id
+)
+SELECT s.doc_id, s.idx AS "offset", s.kind, s.text, s.media_ref,
+       s.l, s.t, s.r, s.b, s.t_rows, s.t_cols,
+       c.n_elements, c.n_list_groups, c.n_groups, c.n_fallback_labels
+FROM spans s JOIN counters c ON c.doc_id = s.doc_id
+"""

@@ -197,3 +197,78 @@ def doclaynet_v2_gt_build(sf_dir: str = ""):
     the input is the raw benchmark-shaped sample, as for the other
     builders)."""
     return build_doclaynet_v2_gt(SAMPLE_DIR)
+
+
+DOCLAYNET_V2_FLAT_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("offset", pa.int64()),
+        pa.field("kind", pa.string()),
+        pa.field("text", pa.string()),
+        pa.field("media_ref", pa.string()),
+        pa.field("l", pa.float64()),
+        pa.field("t", pa.float64()),
+        pa.field("r", pa.float64()),
+        pa.field("b", pa.float64()),
+        pa.field("t_rows", pa.int64()),
+        pa.field("t_cols", pa.int64()),
+        pa.field("n_elements", pa.int64()),
+        pa.field("n_list_groups", pa.int64()),
+        pa.field("n_groups", pa.int64()),
+        pa.field("n_fallback_labels", pa.int64()),
+    ]
+)
+
+
+def doclaynet_v2_gt_flat(sf_dir: str = ""):
+    """Hash-oracled flat view of ``doclaynet_v2_gt_build``: one row per
+    element with the flipped-origin bbox, the counters, and — for
+    table/document_index elements — the parsed grid geometry
+    (``t_rows``/``t_cols``; −1 sentinel elsewhere, no nullable ints in
+    the hash). The DuckDB oracle re-derives label normalization +
+    unknown-label fallback, the per-label dispatch (picture/form/KV
+    text blanking, table media_ref indexing), the origin flip, the
+    list/group/fallback censuses AND the embedded-OTSL grid geometry
+    straight from the token stream (row count from ``<nl>`` tokens,
+    column count from the max inter-``<nl>`` run — the same
+    token-geometry equivalence the otsl oracle documents); the
+    malformed fixture doc contributes zero flat rows on both sides."""
+    import numpy as np
+
+    def explode(t: pa.Table) -> pa.Table:
+        rows = []
+        for r in t.to_pylist():
+            if r["status"] != "success":
+                continue
+            ti = 0
+            for sp, bx in zip(r["spans"], r["boxes"]):
+                t_rows = t_cols = -1
+                if sp["kind"] in ("table", "document_index"):
+                    tab = r["tables"][ti]
+                    t_rows, t_cols = tab["n_rows"], tab["n_cols"]
+                    ti += 1
+                rows.append(
+                    {
+                        "doc_id": r["doc_id"],
+                        "offset": sp["offset"],
+                        "kind": sp["kind"],
+                        "text": sp["text"],
+                        "media_ref": sp["media_ref"],
+                        "l": float(np.round(bx["l"], 6)),
+                        "t": float(np.round(bx["t"], 6)),
+                        "r": float(np.round(bx["r"], 6)),
+                        "b": float(np.round(bx["b"], 6)),
+                        "t_rows": t_rows,
+                        "t_cols": t_cols,
+                        "n_elements": r["n_elements"],
+                        "n_list_groups": r["n_list_groups"],
+                        "n_groups": r["n_groups"],
+                        "n_fallback_labels": r["n_fallback_labels"],
+                    }
+                )
+        return pa.Table.from_pylist(rows,
+                                    schema=DOCLAYNET_V2_FLAT_SCHEMA)
+
+    return build_doclaynet_v2_gt(SAMPLE_DIR).map_batches(
+        explode, batch_format="pyarrow"
+    )

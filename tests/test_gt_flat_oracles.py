@@ -19,6 +19,7 @@ NAMES = [
     "omnidocbench_gt_flat",
     "otsl_gt_flat",
     "pixparse_gt_flat",
+    "doclaynet_v2_gt_flat",
 ]
 
 
