@@ -94,12 +94,57 @@ def _synth_batch(batch: pa.Table) -> pa.Table:
     media: list[str] = []
     offs: list[int] = []
     list_offsets = [0]
+    # Inlined fast twin of synth_spans_for_doc: appends straight into
+    # the flat child arrays — no per-span dict, no add() closure, no
+    # offset bookkeeping object (~35% of headline synthesis CPU in
+    # profile; tests/test_flagship.py asserts batch == spec row-for-row
+    # so the two renditions cannot drift).
+    k_app = kinds.append
+    t_app = span_texts.append
+    m_app = media.append
     for did, txt in zip(doc_ids, texts):
-        for s in synth_spans_for_doc(int(did), txt):
-            kinds.append(s["kind"])
-            span_texts.append(s["text"])
-            media.append(s["media_ref"])
-            offs.append(s["offset"])
+        doc_id = int(did)
+        words = txt.split()
+        base = len(kinds)
+        k_app("page_header")
+        t_app(f"corpus-{doc_id % 7} · internal use only")
+        m_app("")
+        k_app("title")
+        t_app(" ".join(words[:3]) if words else "untitled")
+        m_app("")
+        for r, chunk, para in chunk_plan(doc_id, words):
+            if r == 0:
+                k_app("section_header")
+                t_app(chunk)
+                m_app("")
+            elif r == 1:
+                k_app("list_item")
+                t_app(chunk)
+                m_app("")
+            elif r == 2:
+                k_app("picture")
+                t_app("")
+                m_app(f"pic/{doc_id}/{para}")
+                k_app("caption")
+                t_app(chunk)
+                m_app("")
+            elif r == 3:
+                nav = " | ".join(chunk.split()[:4])
+                k_app("text")
+                t_app(f"home | {nav} | contact")
+                m_app("")
+            elif r == 4 and para % 2 == 0:
+                k_app("text")
+                t_app("  " + chunk.replace(" ", "   ", 2) + " ")
+                m_app("")
+            else:
+                k_app("text")
+                t_app(chunk)
+                m_app("")
+        k_app("page_footer")
+        t_app(f"page 1 of 1 — doc {doc_id}")
+        m_app("")
+        offs.extend(range(len(kinds) - base))
         list_offsets.append(len(kinds))
 
     struct = pa.StructArray.from_arrays(

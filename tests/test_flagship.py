@@ -103,3 +103,34 @@ def test_synth_edge_cases(doc_id, text):
     spans = synth_spans_for_doc(doc_id, text)
     assert spans[0]["kind"] == "page_header"
     assert [s["offset"] for s in spans] == list(range(len(spans)))
+
+
+def test_synth_batch_matches_per_doc_spec():
+    """_synth_batch's inlined fast rendition must equal the per-doc
+    specification (synth_spans_for_doc) row-for-row — the guard that
+    lets the batch path skip per-span dicts without drifting."""
+    import pyarrow as pa
+
+    from docling_eval_ray.sources.interleaved import (
+        _synth_batch,
+        synth_spans_for_doc,
+    )
+
+    texts = [
+        "",  # empty → 'untitled' title, no chunks
+        "one two",  # fewer than 3 title words
+        ("alpha beta gamma " + "tok " * 57).strip(),  # every branch
+        "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+    ]
+    batch = pa.table(
+        {
+            "doc_id": pa.array(list(range(20, 20 + len(texts))),
+                               pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = _synth_batch(batch)
+    for i in range(len(texts)):
+        spec = synth_spans_for_doc(20 + i, texts[i])
+        assert out["spans"][i].as_py() == spec
+        assert out["doc_id"][i].as_py() == f"doc-{20 + i:06d}"
