@@ -64,7 +64,10 @@ REP = int(os.environ.get("GRAFT_BENCH_REP", "1000"))
 
 def _bench_input_dir() -> str:
     tag = SF_DIR.rstrip("/").replace("/", "_").lstrip("_")
-    return f"/tmp/graft_bench_input_{tag}_rep{REP}"
+    # 128 files: one read task per file, so the read FUSES with the
+    # synth+extract chain (64 files + override 128 forced a SplitBlocks
+    # hop through the object store)
+    return f"/tmp/graft_bench_input_{tag}_rep{REP}_128f"
 
 
 def _prepare_bench_input() -> str:
@@ -97,7 +100,7 @@ def _prepare_bench_input() -> str:
         override_num_blocks=64,
     )
     ds.map_batches(replicate, batch_format="pyarrow").repartition(
-        64
+        128
     ).write_parquet(out_dir)
     with open(marker, "w") as f:
         f.write("ok")
@@ -202,8 +205,14 @@ def run_benchmarks() -> dict:
     # --- headline: flagship extraction over the replicated corpus -------
     t0 = time.time()
     ds = rd.read_parquet(bench_input, override_num_blocks=128)
-    inter = ds.map_batches(_synth_batch, batch_format="pyarrow")
-    out = extract_main_content(inter, batch_size=1024)  # fused task mode
+    # batch_size=None → per-block batches. The default 1024-row batcher
+    # re-slices and re-concatenates every upstream block; on big blocks
+    # the slice+concat glue dominated the UDFs (measured 10x the wall at
+    # 156k-row blocks). Per-block batches make per-span cost flat.
+    inter = ds.map_batches(
+        _synth_batch, batch_format="pyarrow", batch_size=None
+    )
+    out = extract_main_content(inter, batch_size=None)  # fused task mode
     # materialize then aggregate: Dataset.sum() alone buries execution
     # stats in a child dataset, and driver-side iter_batches consumption
     # measured 1.7-2.6x slower (serialized block pull); materialize runs
@@ -426,8 +435,14 @@ def run_headline_only() -> dict:
 
     t0 = time.time()
     ds = rd.read_parquet(bench_input, override_num_blocks=128)
-    inter = ds.map_batches(_synth_batch, batch_format="pyarrow")
-    out = extract_main_content(inter, batch_size=1024)
+    # batch_size=None → per-block batches. The default 1024-row batcher
+    # re-slices and re-concatenates every upstream block; on big blocks
+    # the slice+concat glue dominated the UDFs (measured 10x the wall at
+    # 156k-row blocks). Per-block batches make per-span cost flat.
+    inter = ds.map_batches(
+        _synth_batch, batch_format="pyarrow", batch_size=None
+    )
+    out = extract_main_content(inter, batch_size=None)
     total_spans = out.sum("n_spans")
     headline = time.time() - t0
     ray.shutdown()

@@ -17,7 +17,7 @@ from ..stages.extract import extract_main_content
 
 
 def flagship(sf_dir: str, *, concurrency: int | tuple[int, int] | None = None,
-             batch_size: int = 1024):
+             batch_size: int | None = None):
     """documents.parquet → interleave → extract. Returns a lazy Dataset."""
     docs = read_interleaved_documents(sf_dir)
     return extract_main_content(
