@@ -239,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "events_hopping": c.events_hopping,
             "pack_sequences": c.pack_sequences,
             "kmeans_assign": c.kmeans_assign,
+            "semdedup_prune": c.semdedup_prune,  # oracled (SemDeDup)
             "fixed_size_sample": c.fixed_size_sample,
             "weighted_sample_topk": c.weighted_sample_topk,  # oracled (E-S race)
             "source_quota_cap": c.source_quota_cap,
@@ -577,6 +578,8 @@ _DRIVER_PRIORITY_R5 = [
     "decontaminate_bloom",
     "approx_token_vocabulary",
     "media_decode_stats",
+    # continuation additions (never driver-sampled):
+    "semdedup_prune",
 ]
 
 

@@ -717,11 +717,21 @@ def kmeans_assign(sf_dir: str, *, iters: int = KMEANS_ITERS):
     leaves the object store; the iterative-algorithm class the Dataset
     API lacks natively."""
     import ray.data as rd
-    from ray.data.aggregate import Sum
 
     ds = rd.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).materialize()  # consumed iters+1 times; vectors-only, column-pruned
+
+    cents = _kmeans_centroids(ds, iters)
+    return _assign_map(ds, cents)
+
+
+def _kmeans_centroids(ds, iters: int) -> np.ndarray:
+    """The Lloyd centroid loop shared by ``kmeans_assign`` and
+    ``semdedup_prune``: ``iters`` rounds of (streamed partial sums →
+    k-row groupby → driver-side k×d update) from ``cluster_centroids()``.
+    Returns the final centroid matrix (output-sized driver state)."""
+    from ray.data.aggregate import Sum
 
     cents = cluster_centroids()
     partial_schema = pa.schema(
@@ -769,7 +779,117 @@ def kmeans_assign(sf_dir: str, *, iters: int = KMEANS_ITERS):
             ) / float(r["n"])
         cents = new
 
-    return _assign_map(ds, cents)
+    return cents
+
+
+# ---------------------------------------------------------------------------
+# semdedup_prune — cluster-then-prune semantic deduplication
+# ---------------------------------------------------------------------------
+
+#: intra-cluster cosine threshold above which the later vector is pruned
+SEMDEDUP_TAU = 0.35
+
+
+def semdedup_prune(
+    sf_dir: str, *, tau: float = SEMDEDUP_TAU, iters: int = KMEANS_ITERS
+):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means clustering + intra-cluster cosine pruning —
+    pairwise similarity is only ever computed WITHIN a cluster, so the
+    all-pairs corpus matmul the naive approach needs never happens.
+
+    Deterministic keep rule (the paper keeps one exemplar per high-sim
+    group; exemplar choice is unspecified there): a vector is pruned iff
+    some LOWER ``vec_id`` vector in the SAME cluster has
+    ``round_even(cosine, 6) > tau`` — the star-graph variant of the
+    paper's greedy, re-derivable exactly in SQL (round-to-6 on both
+    sides is the house FP convention; see ``embedding_near_dups_lsh``).
+
+    Scale shape: one streamed k-means (shared ``_kmeans_centroids``
+    loop), then ONE shuffle co-locating each cluster and a tiled
+    lower-triangle matmul per cluster. Cluster size bounds the quadratic
+    term: at corpus scale ``k`` grows with ``n`` (the paper uses 50k
+    clusters for LAION; the IVF family's TARGET_CELL_ROWS sizing +
+    skewed-cell re-split in ``stages/knn.py`` is the house pattern to
+    reuse when a cluster outgrows one task).
+
+    Returns (vec_id, cluster, kept 0/1) for every vector.
+    """
+    import ray.data as rd
+
+    from ..functions.groups import bucketed_group_apply
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).materialize()  # consumed iters+1 times; vectors-only
+
+    cents = _kmeans_centroids(ds, iters)
+
+    def tag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64()),
+                    "embedding": pa.array([], pa.list_(pa.float32())),
+                }
+            )
+        emb = np.stack(t["embedding"].to_pandas().to_numpy()).astype(
+            np.float64
+        )
+        _, best = _assign(emb, cents)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "cluster": pa.array(best.astype(np.int64), pa.int64()),
+                "embedding": t["embedding"],
+            }
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, cdf in g.groupby("cluster", sort=False):
+            cdf = cdf.sort_values("vec_id")
+            x = np.stack(cdf["embedding"].to_numpy()).astype(np.float64)
+            xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+            n = len(cdf)
+            dropped = np.zeros(n, bool)
+            # tiled lower triangle: row-tile i vs ALL earlier rows;
+            # memory bounded by tile × cluster prefix, never n²
+            tile = 4096
+            for lo in range(0, n, tile):
+                hi = min(lo + tile, n)
+                sims = np.round(xn[lo:hi] @ xn[:hi].T, 6)
+                # strictly-lower mask within the tile block
+                cols = np.arange(hi)[None, :]
+                rows = np.arange(lo, hi)[:, None]
+                dropped[lo:hi] = ((sims > tau) & (cols < rows)).any(1)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "vec_id": cdf["vec_id"].to_numpy(),
+                        "cluster": cdf["cluster"].to_numpy(),
+                        "kept": (~dropped).astype(np.int64),
+                    }
+                )
+            )
+        return (
+            pd.concat(out)
+            if out
+            else pd.DataFrame(
+                {
+                    "vec_id": pd.Series([], dtype=np.int64),
+                    "cluster": pd.Series([], dtype=np.int64),
+                    "kept": pd.Series([], dtype=np.int64),
+                }
+            )
+        )
+
+    return bucketed_group_apply(
+        tagged, ["cluster"], prune, num_buckets=N_CENTROIDS
+    )
 
 
 # ---------------------------------------------------------------------------

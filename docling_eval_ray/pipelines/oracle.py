@@ -1241,11 +1241,13 @@ ORACLE_SQL["pack_sequences"] = r"""
 """
 
 
-def _kmeans_sql() -> str:
-    """2-iteration Lloyd replica: literal starting centroids, cosine
-    argmax assignment (first-max tie-break via cluster order), per-dim
-    AVG centroid update rebuilt with list(m ORDER BY d), empty clusters
-    keeping their previous centroid via COALESCE."""
+def _kmeans_cte() -> str:
+    """2-iteration Lloyd replica CTE chain (ends at the final assignment
+    ``a2``): literal starting centroids, cosine argmax assignment
+    (first-max tie-break via cluster order), per-dim AVG centroid update
+    rebuilt with list(m ORDER BY d), empty clusters keeping their
+    previous centroid via COALESCE. Shared by the ``kmeans_assign`` and
+    ``semdedup_prune`` oracles."""
     from .corpus_ops import KMEANS_ITERS, N_CENTROIDS, cluster_centroids
 
     cents = cluster_centroids()
@@ -1297,7 +1299,15 @@ def _kmeans_sql() -> str:
         + update("a0", "cent0", "cent1") + ","
         + assign("cent1", "a1") + ","
         + update("a1", "cent1", "cent2") + ","
-        + assign("cent2", "a2") + """
+        + assign("cent2", "a2")
+    )
+
+
+def _kmeans_sql() -> str:
+    """Final per-vector assignment over the shared Lloyd CTE chain."""
+    return (
+        _kmeans_cte()
+        + """
     SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
            round_even(s, 6) AS sim
     FROM a2
@@ -1305,7 +1315,34 @@ def _kmeans_sql() -> str:
     )
 
 
+def _semdedup_sql() -> str:
+    """SemDeDup replica: same Lloyd chain to the final assignment
+    ``a2``, then the star-graph keep rule — a vector is pruned iff some
+    LOWER vec_id in the SAME cluster has round_even(cosine, 6) > tau
+    (the correlated EXISTS scans every lower vector, pruned or not,
+    exactly like the Ray side's lower-triangle mask)."""
+    from .corpus_ops import SEMDEDUP_TAU
+
+    return (
+        _kmeans_cte()
+        + f"""
+    SELECT x.vec_id, CAST(x.cluster AS BIGINT) AS cluster,
+           CAST(CASE WHEN EXISTS (
+               SELECT 1
+               FROM a2 y JOIN embeddings ey ON ey.vec_id = y.vec_id
+               WHERE y.cluster = x.cluster AND y.vec_id < x.vec_id
+                 AND round_even(list_cosine_similarity(
+                         CAST(ex.embedding AS DOUBLE[]),
+                         CAST(ey.embedding AS DOUBLE[])), 6)
+                     > {SEMDEDUP_TAU!r}
+           ) THEN 0 ELSE 1 END AS BIGINT) AS kept
+    FROM a2 x JOIN embeddings ex ON ex.vec_id = x.vec_id
+"""
+    )
+
+
 ORACLE_SQL["kmeans_assign"] = _kmeans_sql()
+ORACLE_SQL["semdedup_prune"] = _semdedup_sql()
 
 
 # raw interleaved span synthesis (sources/interleaved.py:synth_spans_for_doc

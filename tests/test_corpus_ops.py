@@ -199,3 +199,35 @@ def test_part_cooccurrence_lift_known_answer(ray_session, tmp_path):
     assert got[(1, 2)] == (2, 2.0)       # perfectly correlated
     assert got[(1, 3)] == (2, 1.0)       # 2*4/(2*4)
     assert got[(3, 4)] == (2, 1.0)       # 2*4/(4*2)
+
+
+def test_semdedup_prune_matches_bruteforce(ray_session):
+    """The star-graph keep rule, brute-forced: within each cluster a
+    vector is pruned iff ANY lower-vec_id member (pruned or not) has
+    round(cosine, 6) > tau. Cluster assignment itself is oracled by
+    test_relational_oracle; this pins the prune kernel (tiling, masks,
+    rounding) against a dense whole-cluster matmul."""
+    out = (
+        co.semdedup_prune(SF)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    emb = (
+        pd.read_parquet(f"{SF}/embeddings.parquet")
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert (out["vec_id"].to_numpy() == emb["vec_id"].to_numpy()).all()
+    x = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    expect = np.ones(len(out), np.int64)
+    for _, g in out.groupby("cluster"):
+        idx = g.index.to_numpy()  # already vec_id-sorted
+        sims = np.round(xn[idx] @ xn[idx].T, 6)
+        lower = np.tril(sims > co.SEMDEDUP_TAU, k=-1)
+        expect[idx] = (~lower.any(axis=1)).astype(np.int64)
+    assert (out["kept"].to_numpy() == expect).all()
+    # the threshold does real work on this data: some pruned, most kept
+    kept = int(out["kept"].sum())
+    assert 0 < kept < len(out)
