@@ -240,6 +240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "pack_sequences": c.pack_sequences,
             "kmeans_assign": c.kmeans_assign,
             "semdedup_prune": c.semdedup_prune,  # oracled (SemDeDup)
+            "dsir_weights": c.dsir_weights,  # oracled (DSIR)
             "fixed_size_sample": c.fixed_size_sample,
             "weighted_sample_topk": c.weighted_sample_topk,  # oracled (E-S race)
             "source_quota_cap": c.source_quota_cap,
@@ -580,6 +581,7 @@ _DRIVER_PRIORITY_R5 = [
     "media_decode_stats",
     # continuation additions (never driver-sampled):
     "semdedup_prune",
+    "dsir_weights",
 ]
 
 

@@ -893,6 +893,134 @@ def semdedup_prune(
 
 
 # ---------------------------------------------------------------------------
+# dsir_weights — hashed-bigram importance weights for data selection
+# ---------------------------------------------------------------------------
+
+#: hashed-bigram feature buckets (the paper uses 10^4; small here so the
+#: SQL replica stays cheap — the shape is bucket-count-independent)
+DSIR_BUCKETS = 512
+#: the "target domain" distribution is this language stratum
+DSIR_TARGET_LANG = "en"
+
+
+def _bigram_buckets(t: pa.Table):
+    """Shared hashed-bigram featurizer: adjacent-token bigrams per doc
+    (the token_pmi_bigrams boundary-mask pattern), each hashed to
+    ``md5_prefix32(w1 + " " + w2) % DSIR_BUCKETS``. Returns
+    (bucket_ids, owning_row_index) flat arrays."""
+    toks = pc.split_pattern_regex(
+        pc.utf8_trim(t["text"], characters=" "), r"\s+"
+    )
+    flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    if len(flat) < 2:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    ends = np.cumsum(lens)
+    valid = np.ones(len(flat) - 1, dtype=bool)
+    valid[ends[ends < len(flat)] - 1] = False
+    grams = (
+        pd.Series(flat[:-1][valid]).str.cat(
+            pd.Series(flat[1:][valid]), sep=" "
+        )
+    ).to_numpy()
+    rowidx = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)[:-1][
+        valid
+    ]
+    uniq, inv = np.unique(grams, return_inverse=True)
+    # per-UNIQUE-gram md5 (vocab²-bounded, never the token stream)
+    ub = np.fromiter(
+        (md5_prefix32(s) % DSIR_BUCKETS for s in uniq),
+        dtype=np.int64,
+        count=len(uniq),
+    )
+    return ub[inv], rowidx
+
+
+def dsir_weights(
+    sf_dir: str,
+    *,
+    target_lang: str = DSIR_TARGET_LANG,
+    n_buckets: int = DSIR_BUCKETS,
+):
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
+    score every document by the log-likelihood ratio of a hashed-bigram
+    unigram model fit on the TARGET domain (here the ``target_lang``
+    stratum) vs one fit on the RAW corpus — the data-selection op that
+    upweights raw documents that look like the target distribution.
+    Compose with ``weighted_sample_topk`` for the paper's resample step.
+
+    Two streaming passes, both one scan: (fit) per-batch partial bucket
+    counts for target and raw → one tiny groupby over ≤``n_buckets``
+    keys → the add-1-smoothed per-bucket log-ratio vector computed
+    driver-side (output-sized) and re-broadcast by closure; (score)
+    per-doc integer dot product of bucket counts with the ratio vector.
+
+    FP discipline: the per-bucket ratio is quantized ONCE to an int64
+    micro-log (``round_even(1e6·Δ_b)`` — O(n_buckets) FIXED constants,
+    verified identical in numpy and DuckDB ``ln``), so the per-doc
+    score is an INTEGER sum — exact under any summation order on both
+    the Ray and SQL sides (no ADVICE-style last-ulp ordering risk).
+
+    Returns (doc_id, score_micro int64, n_bigrams int64) for EVERY doc
+    (docs with <2 tokens score 0 over 0 bigrams)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def fit_partial(t: pa.Table) -> pa.Table:
+        bk, rowidx = _bigram_buckets(t)
+        raw = np.bincount(bk, minlength=n_buckets)
+        is_t = (
+            pc.equal(t["lang"], target_lang)
+            .to_numpy(zero_copy_only=False)
+            .astype(bool)
+        )
+        tgt = np.bincount(bk[is_t[rowidx]], minlength=n_buckets)
+        nz = np.nonzero(raw)[0]
+        return pa.table(
+            {
+                "bucket": pa.array(nz, pa.int64()),
+                "n_t": pa.array(tgt[nz].astype(np.int64), pa.int64()),
+                "n_r": pa.array(raw[nz].astype(np.int64), pa.int64()),
+            }
+        )
+
+    counts = _final_groupby(
+        ds.map_batches(fit_partial, batch_format="pyarrow"),
+        ["bucket"],
+        ["n_t", "n_r"],
+    ).to_pandas()  # ≤ n_buckets rows — output-sized driver state
+    n_t = np.zeros(n_buckets, np.int64)
+    n_r = np.zeros(n_buckets, np.int64)
+    if len(counts):
+        n_t[counts["bucket"].to_numpy()] = counts["n_t"].to_numpy()
+        n_r[counts["bucket"].to_numpy()] = counts["n_r"].to_numpy()
+    tot_t, tot_r = float(n_t.sum()), float(n_r.sum())
+    s = np.round(
+        1e6
+        * (
+            np.log((n_t + 1.0) / (tot_t + n_buckets))
+            - np.log((n_r + 1.0) / (tot_r + n_buckets))
+        )
+    ).astype(np.int64)
+
+    def score(t: pa.Table) -> pa.Table:
+        bk, rowidx = _bigram_buckets(t)
+        # int64 values ≤ ~2e7 summed ≤ ~1e3/doc: exact in float64
+        sc = np.bincount(
+            rowidx, weights=s[bk].astype(np.float64), minlength=t.num_rows
+        ).astype(np.int64)
+        nb = np.bincount(rowidx, minlength=t.num_rows).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "score_micro": pa.array(sc, pa.int64()),
+                "n_bigrams": pa.array(nb, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # fixed_size_sample — exact-size per-stratum deterministic sample
 # ---------------------------------------------------------------------------
 

@@ -1345,6 +1345,56 @@ ORACLE_SQL["kmeans_assign"] = _kmeans_sql()
 ORACLE_SQL["semdedup_prune"] = _semdedup_sql()
 
 
+def _dsir_sql() -> str:
+    """DSIR replica: adjacent-token bigrams (the _TOKS_CTE token
+    definition + ord-join), md5-prefix bucket hash (the documented
+    ``md5_prefix32`` SQL twin), add-1-smoothed target/raw bucket
+    models, per-bucket micro-log ratio quantized to INT64 with
+    ``round_even`` (matching numpy's half-even ``np.round``), then an
+    exact integer per-doc sum — summation order cannot matter."""
+    from .corpus_ops import DSIR_BUCKETS, DSIR_TARGET_LANG
+
+    b, lang = DSIR_BUCKETS, DSIR_TARGET_LANG
+    return (
+        _TOKS_CTE
+        + f""",
+    big AS (
+        SELECT a.doc_id,
+               CAST(CAST(('0x' || substr(md5(a.tok || ' ' || b.tok), 1, 8))
+                         AS UBIGINT) % {b} AS BIGINT) AS bucket
+        FROM toks a JOIN toks b
+          ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+    ),
+    raw AS (SELECT bucket, count(*) AS c FROM big GROUP BY 1),
+    tgt AS (SELECT bucket, count(*) AS c
+            FROM big JOIN documents USING (doc_id)
+            WHERE lang = '{lang}' GROUP BY 1),
+    tot AS (SELECT (SELECT COALESCE(sum(c), 0) FROM tgt) AS t,
+                   (SELECT COALESCE(sum(c), 0) FROM raw) AS r),
+    sv AS (
+        SELECT g.bucket,
+               CAST(round_even(1000000.0 * (
+                   ln((COALESCE(t.c, 0) + 1.0) / (tot.t + {b}))
+                 - ln((COALESCE(r.c, 0) + 1.0) / (tot.r + {b}))), 0)
+                    AS BIGINT) AS s
+        FROM (SELECT unnest(range({b})) AS bucket) g
+        LEFT JOIN tgt t USING (bucket)
+        LEFT JOIN raw r USING (bucket)
+        CROSS JOIN tot
+    ),
+    sc AS (SELECT big.doc_id, sum(sv.s) AS score, count(*) AS nb
+           FROM big JOIN sv USING (bucket) GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(COALESCE(sc.score, 0) AS BIGINT) AS score_micro,
+           CAST(COALESCE(sc.nb, 0) AS BIGINT) AS n_bigrams
+    FROM documents d LEFT JOIN sc USING (doc_id)
+"""
+    )
+
+
+ORACLE_SQL["dsir_weights"] = _dsir_sql()
+
+
 # raw interleaved span synthesis (sources/interleaved.py:synth_spans_for_doc
 # BEFORE extraction): page_header/title … page_footer, r==3 nav
 # boilerplate, r==4-even whitespace-noisy paragraphs — over the shared

@@ -231,3 +231,71 @@ def test_semdedup_prune_matches_bruteforce(ray_session):
     # the threshold does real work on this data: some pruned, most kept
     kept = int(out["kept"].sum())
     assert 0 < kept < len(out)
+
+
+def test_dsir_weights_known_answer(ray_session, tmp_path):
+    """Hand-checkable corpus: target docs are pure 'a b' repetitions,
+    raw noise docs are pure 'x y'. The 'a b' bucket is target-heavy
+    (positive micro-log ratio), 'x y' appears only outside the target
+    (negative), so target-looking docs must outscore noise docs; the
+    score itself is re-derived exactly from the published formula."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_eval_ray.functions.tokens import md5_prefix32
+
+    docs = [
+        (1, "a b a b a b", "en"),   # 5 bigrams, target
+        (2, "a b a b", "en"),       # 3 bigrams, target
+        (3, "x y x y x y", "de"),   # 5 bigrams, raw-only
+        (4, "solo", "de"),          # 0 bigrams
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                "text": pa.array([d[1] for d in docs], pa.string()),
+                "lang": pa.array([d[2] for d in docs], pa.string()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    out = (
+        co.dsir_weights(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out["n_bigrams"].tolist() == [5, 3, 5, 0]
+
+    # exact replica of the published estimator over the tiny corpus
+    B = co.DSIR_BUCKETS
+    grams = {"a b": 0, "b a": 0, "x y": 0, "y x": 0}
+    buckets = {g: md5_prefix32(g) % B for g in grams}
+    n_t = {buckets["a b"]: 3 + 2, buckets["b a"]: 2 + 1}
+    n_r = {
+        buckets["a b"]: 5,
+        buckets["b a"]: 3,
+        buckets["x y"]: 3,
+        buckets["y x"]: 2,
+    }
+    tot_t, tot_r = 8, 13
+
+    def s(b):
+        return int(
+            np.round(
+                1e6
+                * (
+                    np.log((n_t.get(b, 0) + 1.0) / (tot_t + B))
+                    - np.log((n_r.get(b, 0) + 1.0) / (tot_r + B))
+                )
+            )
+        )
+
+    exp1 = 3 * s(buckets["a b"]) + 2 * s(buckets["b a"])
+    exp3 = 3 * s(buckets["x y"]) + 2 * s(buckets["y x"])
+    assert out.loc[1, "score_micro"] == exp1
+    assert out.loc[3, "score_micro"] == exp3
+    assert out.loc[4, "score_micro"] == 0
+    # target-looking docs outscore raw-only docs
+    assert out.loc[1, "score_micro"] > 0 > out.loc[3, "score_micro"]
