@@ -30,8 +30,13 @@ Tuning notes (measured, see BASELINE.md):
     levels so only parallelism varies): the replicated
     input compresses ~50×, so byte-based task sizing would otherwise
     coalesce the whole corpus into a handful of tasks;
-  * consumption is an aggregate (sum of span counts), not a driver
-    iterator (serial) or a /tmp write (disk-bound on one node).
+  * consumption is a FUSED per-block partial count (one tiny row per
+    block summed on the driver): ``Dataset.sum`` / ``materialize`` both
+    schedule a second 128-task stage after the map chain, and task
+    dispatch on this host is ~40 ms *serial* — the extra stage measured
+    +5 s of pure scheduling on a ~10 s job. The count map fuses into
+    ``ReadParquet->synth->extract->count`` (one task per block), so the
+    aggregate is free.
 """
 
 from __future__ import annotations
@@ -116,6 +121,39 @@ def _count_rows(parquet_dir: str) -> int:
     )
 
 
+def _headline_consume(out):
+    """Fused-count consumption of the flagship extraction.
+
+    Appends a per-block partial-count map (fuses with the upstream
+    read→synth→extract tasks — still ONE task per block) and sums the
+    128 tiny rows on the driver. Avoids the second full-dataset stage
+    that ``Dataset.sum``/``materialize`` schedule (~40 ms serial
+    dispatch × 128 tasks ≈ +5 s measured on this host).
+
+    Returns (counts_dataset, n_rows, total_spans); the counts dataset
+    handle carries the executed plan's stats.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _partial_count(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "rows": [b.num_rows],
+                "spans": [pc.sum(b["n_spans"]).as_py()],
+            }
+        )
+
+    counts = out.map_batches(
+        _partial_count, batch_format="pyarrow", batch_size=None
+    )
+    rows = spans = 0
+    for b in counts.iter_batches(batch_size=None, batch_format="pyarrow"):
+        rows += int(pc.sum(b["rows"]).as_py())
+        spans += int(pc.sum(b["spans"]).as_py())
+    return counts, rows, spans
+
+
 def _consume(ds) -> int:
     n = 0
     for b in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
@@ -123,9 +161,22 @@ def _consume(ds) -> int:
     return n
 
 
+def _quiesce(max_wait: float = 180.0, target: float = 2.0) -> None:
+    """Bounded wait for co-tenant load to drain before measuring.
+
+    The sandbox host is shared: load spikes from other tenants inflate
+    identical runs 2-3x (documented band in BASELINE.md). Waiting a
+    bounded couple of minutes for loadavg to drop costs nothing when the
+    host is quiet and rescues the measurement when it isn't."""
+    t0 = time.time()
+    while time.time() - t0 < max_wait and os.getloadavg()[0] > target:
+        time.sleep(5)
+
+
 def run_benchmarks() -> dict:
     import ray
 
+    _quiesce()
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
@@ -213,21 +264,16 @@ def run_benchmarks() -> dict:
         _synth_batch, batch_format="pyarrow", batch_size=None
     )
     out = extract_main_content(inter, batch_size=None)  # fused task mode
-    # materialize then aggregate: Dataset.sum() alone buries execution
-    # stats in a child dataset, and driver-side iter_batches consumption
-    # measured 1.7-2.6x slower (serialized block pull); materialize runs
-    # the pipeline at full parallelism, keeps stats, and the object
-    # store comfortably holds the sf0.1 output (~1.5 GB)
-    mat = out.materialize()
-    total_spans = mat.sum("n_spans")
+    counts, _rows, total_spans = _headline_consume(out)
     headline = time.time() - t0
     n_docs = _count_rows(bench_input)
     timings["flagship_extraction"] = round(headline, 3)
-    # per-stage latency of the headline run (north-star metrics clause)
+    # per-stage latency of the headline run (north-star metrics clause);
+    # the counts handle carries the executed fused plan's stats
     from docling_eval_ray.state.metrics import dataset_stage_metrics
 
-    stage_latency = dataset_stage_metrics(mat)
-    del mat  # release the materialized blocks before the operator suite
+    stage_latency = dataset_stage_metrics(counts)
+    del counts
 
     # --- representative operator pipelines (raw sf tables) ---------------
     for name, fn in [
@@ -305,6 +351,9 @@ def run_benchmarks() -> dict:
         ("substring_dup_stats", _substring_dup_stats),
         ("dedup_substrings_excise", _dedup_substrings_excise),
         ("embedding_near_dups_lsh", _embedding_near_dups_lsh),
+        # round-5 continuation: SemDeDup cluster-then-prune + DSIR
+        ("semdedup_prune", co.semdedup_prune),
+        ("dsir_weights", co.dsir_weights),
     ]:
         t0 = time.time()
         out = fn(SF_DIR)
@@ -404,6 +453,7 @@ def run_scaling() -> dict:
 def run_headline_only() -> dict:
     import ray
 
+    _quiesce()
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
@@ -443,7 +493,7 @@ def run_headline_only() -> dict:
         _synth_batch, batch_format="pyarrow", batch_size=None
     )
     out = extract_main_content(inter, batch_size=None)
-    total_spans = out.sum("n_spans")
+    _counts, _rows, total_spans = _headline_consume(out)
     headline = time.time() - t0
     ray.shutdown()
     n_docs = _count_rows(bench_input)
