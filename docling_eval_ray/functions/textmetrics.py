@@ -113,23 +113,31 @@ def bleu(reference: list[str], hypothesis: list[str],
 
 
 def meteor(reference: list[str], hypothesis: list[str], *,
-           stem: bool = True) -> float:
+           stem: bool = True,
+           synsets: "Callable[[str], frozenset] | None" = None) -> float:
     """METEOR (Banerjee & Lavie 2005, the public formula the
     reference's nltk meteor_score implements,
     markdown_text_evaluator.py:203-239): unigram alignment → harmonic
     Fmean weighted 9:1 toward recall × a fragmentation penalty
-    0.5·(chunks/m)³. Two matcher stages, mirroring nltk's enumeration
+    0.5·(chunks/m)³. Three matcher stages, mirroring nltk's enumeration
     order: exact match first, then Porter-stem match over the leftovers
-    (``functions/stemmer.py`` — closing the r4 divergence to
-    synonyms-only; the WordNet synonym stage stays out: no corpora in
-    this container). Alignment per stage is the in-order greedy map,
-    each reference token consumed at most once.
+    (``functions/stemmer.py``), then a synonym stage over what remains —
+    two tokens match when their synset-id sets intersect, exactly
+    nltk's wordnet-synset rule. The LEXICON is injected via ``synsets``
+    (word → frozenset of synset ids): WordNet itself is a licensed
+    corpus download this container doesn't ship, so the default is
+    ``None`` (stage inert), but the mechanism is implemented and tested
+    — plug ``lambda w: frozenset(wn.synsets(w))`` where nltk data
+    exists and the reference's full matcher chain is reproduced.
+    Alignment per stage is the in-order greedy map, each reference
+    token consumed at most once.
 
     Oracle note: the DuckDB metric CTEs model the exact stage. On the
     driver corpora the stem stage is provably inert — Porter is a
     bijection on the synthetic vocabulary (asserted by
     tests/test_stemmer.py over all three scale factors), so no
-    leftover pair can newly match — and the hash-match gate holds."""
+    leftover pair can newly match — and the synonym stage is off by
+    default, so the hash-match gate holds."""
     if not reference or not hypothesis:
         return 0.0
     # stage 1 — exact: greedy in-order alignment hyp pos -> ref pos
@@ -158,6 +166,28 @@ def meteor(reference: list[str], hypothesis: list[str], *,
                 extra.append((i, slots.pop()))
         if extra:
             mapping = sorted(mapping + extra)
+    if synsets is not None:
+        # stage 3 — synonym overlap over tokens BOTH prior stages left
+        # unmatched: hyp token i aligns to the first free ref position j
+        # whose synset-id set intersects (nltk's enumeration order —
+        # hypothesis outer, reference positions ascending)
+        used_h = {i for i, _ in mapping}
+        used_r = {j for _, j in mapping}
+        free_r = [j for j in range(len(reference)) if j not in used_r]
+        extra2: list[tuple[int, int]] = []
+        for i, w in enumerate(hypothesis):
+            if i in used_h:
+                continue
+            sw = synsets(w)
+            if not sw:
+                continue
+            for k, j in enumerate(free_r):
+                if sw & synsets(reference[j]):
+                    extra2.append((i, j))
+                    del free_r[k]
+                    break
+        if extra2:
+            mapping = sorted(mapping + extra2)
     m = len(mapping)
     if m == 0:
         return 0.0

@@ -251,3 +251,38 @@ def test_edit_distance_matches_reference_dp():
         a = [rng.randint(0, 6) for _ in range(rng.randint(0, 150))]
         b = [rng.randint(0, 6) for _ in range(rng.randint(0, 150))]
         assert edit_distance(a, b) == dp(a, b)
+
+
+def test_meteor_synonym_stage():
+    """Stage-3 synonym matching with an injected lexicon: 'car' and
+    'automobile' share a synset id, so the pair aligns after exact and
+    stem both fail; with the default synsets=None the same pair scores
+    0 (stage inert — the oracle-safety default)."""
+    import pytest
+
+    from docling_eval_ray.functions.textmetrics import meteor
+
+    lex = {
+        "car": frozenset({"auto.n.01"}),
+        "automobile": frozenset({"auto.n.01"}),
+        "quick": frozenset({"fast.a.01"}),
+        "fast": frozenset({"fast.a.01"}),
+    }
+
+    def synsets(w):
+        return lex.get(w, frozenset())
+
+    ref = "the car is quick".split()
+    hyp = "the automobile is fast".split()
+    # exact matches: the, is (m=2). synonym stage adds car~automobile,
+    # quick~fast -> m=4, perfect in-order alignment, one chunk.
+    base = meteor(ref, hyp)
+    full = meteor(ref, hyp, synsets=synsets)
+    assert full == pytest.approx(1 - 0.5 * (1 / 4) ** 3)
+    assert base < full
+    # a synonym pair at mismatched positions still aligns (greedy
+    # first-free-ref order) and ref tokens are consumed at most once
+    got = meteor(["automobile"], ["car", "car"], synsets=synsets)
+    m, p, r = 1, 1 / 2, 1 / 1
+    fmean = 10 * p * r / (r + 9 * p)
+    assert got == pytest.approx(fmean * (1 - 0.5 * (1 / m) ** 3))
