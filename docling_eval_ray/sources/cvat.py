@@ -130,14 +130,14 @@ def cvat_to_spans(image: dict) -> tuple[list[dict], str]:
     if image.get("malformed"):
         return [], "malformed_box"
     boxes = image["boxes"]
-    reading_order = None
+    reading_orders: list[dict] = []
     to_captions, to_footnotes, merges, groups = [], [], [], []
     for line in image["polylines"]:
         boxids = [find_box(boxes, p) for p in line["points"]]
         entry = {**line, "boxids": boxids}
         label = line["label"]
         if label == "reading_order":
-            reading_order = entry  # last one wins (reference warning)
+            reading_orders.append(entry)
         elif label == "to_caption":
             to_captions.append(entry)
         elif label == "to_footnote":
@@ -149,8 +149,14 @@ def cvat_to_spans(image: dict) -> tuple[list[dict], str]:
         # to_value: parsed then ignored, like the reference's emission
         # loop (form/KV regions get empty graphs)
 
-    if reading_order is None:
+    # the reference's contains_reading_order gate demands EXACTLY ONE
+    # reading_order polyline (cvat_dataset_builder.py:1299-1302, gated
+    # at :1331) — zero or several both skip the image entirely
+    if not reading_orders:
         return [], "no_reading_order"
+    if len(reading_orders) > 1:
+        return [], "multiple_reading_order"
+    reading_order = reading_orders[0]
 
     # caption/footnote boxes that are TARGETS of an attach line are only
     # ever emitted through their parent (reference is_linked skip)

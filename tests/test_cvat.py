@@ -276,3 +276,17 @@ def test_to_value_lines_parsed_and_ignored():
     spans, status = cvat_to_spans(img)
     assert status == "success"
     assert [s["text"] for s in spans] == ["k", "v"]
+
+
+def test_cvat_multiple_reading_orders_skip_image():
+    """The reference's contains_reading_order gate demands EXACTLY ONE
+    reading_order polyline (cvat_dataset_builder.py:1299-1302, gated at
+    :1331): an image with two is skipped entirely — no spans from
+    either polyline, distinct status for the census."""
+    images = parse_cvat_xml(open(SAMPLE_XML).read())
+    img = images[0]
+    ro = dict(img["polylines"][0])
+    img["polylines"].append(ro)  # second reading_order line
+    spans, status = cvat_to_spans(img)
+    assert status == "multiple_reading_order"
+    assert spans == []
