@@ -57,6 +57,22 @@ CVAT_GT_SCHEMA = pa.schema(
         pa.field("spans", pa.list_(SPAN_STRUCT)),
         pa.field("status", pa.string()),
         pa.field("n_boxes", pa.int32()),
+        # find_table_data donations, keyed by the receiving table
+        # span's offset (empty when no table_source was supplied —
+        # table spans are MEDIA_KINDS, their text/media_ref stay
+        # untouched by design, so donated structure rides beside the
+        # span sequence instead of inside it)
+        pa.field(
+            "table_data",
+            pa.list_(
+                pa.struct(
+                    [
+                        pa.field("offset", pa.int32()),
+                        pa.field("otsl", pa.string()),
+                    ]
+                )
+            ),
+        ),
     ]
 )
 
@@ -125,10 +141,44 @@ def find_box(boxes: list[dict], point: tuple[float, float]) -> int:
     return index
 
 
-def cvat_to_spans(image: dict) -> tuple[list[dict], str]:
-    """One CVAT image annotation → (spans, status)."""
+def find_table_data(box: dict, candidates: list[dict],
+                    *, iou_cutoff: float = 0.90) -> str:
+    """Reference ``find_table_data`` (cvat_dataset_builder.py:1451-1485):
+    scan the pre-converted document's tables in document order; the
+    FIRST whose bbox IoU with the GT table box exceeds the cutoff
+    (strict ``>``) donates its structure, no match → the empty marker
+    (the reference returns ``TableData(num_rows=-1, num_cols=-1, [])``).
+    Candidates carry l/t/r/b plus ``otsl`` — the house table-structure
+    string (``functions/tables.py``)."""
+    gl, gt_, gr, gb = box["l"], box["t"], box["r"], box["b"]
+    for cand in candidates:
+        il = max(gl, cand["l"])
+        it = max(gt_, cand["t"])
+        ir = min(gr, cand["r"])
+        ib = min(gb, cand["b"])
+        inter = max(ir - il, 0.0) * max(ib - it, 0.0)
+        union = (
+            (gr - gl) * (gb - gt_)
+            + (cand["r"] - cand["l"]) * (cand["b"] - cand["t"])
+            - inter
+        )
+        if union > 0 and inter / union > iou_cutoff:
+            return cand.get("otsl", "")
+    return ""
+
+
+def cvat_to_spans(
+    image: dict, *, table_source: list[dict] | None = None
+) -> tuple[list[dict], str, list[dict]]:
+    """One CVAT image annotation → (spans, status, table_data).
+    ``table_source`` (optional) is the pre-converted document's table
+    list for THIS image: when given, every GT ``table`` span receives
+    an IoU-matched donated structure (empty string when unmatched), the
+    reference's find_table_data injection — recorded in ``table_data``
+    as (offset, otsl) beside the span sequence, because table spans are
+    MEDIA_KINDS whose text/media_ref the span invariant owns."""
     if image.get("malformed"):
-        return [], "malformed_box"
+        return [], "malformed_box", []
     boxes = image["boxes"]
     reading_orders: list[dict] = []
     to_captions, to_footnotes, merges, groups = [], [], [], []
@@ -153,9 +203,9 @@ def cvat_to_spans(image: dict) -> tuple[list[dict], str]:
     # reading_order polyline (cvat_dataset_builder.py:1299-1302, gated
     # at :1331) — zero or several both skip the image entirely
     if not reading_orders:
-        return [], "no_reading_order"
+        return [], "no_reading_order", []
     if len(reading_orders) > 1:
-        return [], "multiple_reading_order"
+        return [], "multiple_reading_order", []
     reading_order = reading_orders[0]
 
     # caption/footnote boxes that are TARGETS of an attach line are only
@@ -179,10 +229,19 @@ def cvat_to_spans(image: dict) -> tuple[list[dict], str]:
                 out.extend(ids[1:])
         return out
 
+    table_data: list[dict] = []
+
     def emit(boxid: int, kind: str | None = None) -> None:
         b = boxes[boxid]
         k = kind or b["label"]
         text = b["text"]
+        if k == "table" and table_source is not None:
+            table_data.append(
+                {
+                    "offset": len(spans),
+                    "otsl": find_table_data(b, table_source),
+                }
+            )
         # merge chains: first box absorbs the rest
         for mline in merges:
             ids = [i for i in mline["boxids"] if i >= 0]
@@ -238,13 +297,20 @@ def cvat_to_spans(image: dict) -> tuple[list[dict], str]:
         ):
             continue  # emitted via its parent (is_linked skip)
         emit(boxid)
-    return spans, "success"
+    return spans, "success", table_data
 
 
-def build_cvat_gt(xml_path: str | list[str]):
+def build_cvat_gt(
+    xml_path: str | list[str],
+    *,
+    table_source: dict[str, list[dict]] | None = None,
+):
     """CVAT annotations file(s) → Dataset(CVAT_GT_SCHEMA); images
     without a reading order become status rows (skip-and-count), not
-    exceptions."""
+    exceptions. ``table_source`` (optional, image name → pre-converted
+    table candidates) enables the reference's find_table_data structure
+    injection; it is per-image-sized broadcast state, captured by value
+    into the worker closure."""
     import ray.data as rd
 
     paths = [xml_path] if isinstance(xml_path, str) else list(xml_path)
@@ -254,13 +320,19 @@ def build_cvat_gt(xml_path: str | list[str]):
         rows = []
         for raw in t["bytes"].to_pylist():
             for image in parse_cvat_xml(raw.decode()):
-                spans, status = cvat_to_spans(image)
+                spans, status, table_data = cvat_to_spans(
+                    image,
+                    table_source=None
+                    if table_source is None
+                    else table_source.get(image["name"], []),
+                )
                 rows.append(
                     {
                         "doc_id": image["name"],
                         "spans": spans,
                         "status": status,
                         "n_boxes": len(image["boxes"]),
+                        "table_data": table_data,
                     }
                 )
         return pa.Table.from_pylist(rows, schema=CVAT_GT_SCHEMA)

@@ -53,7 +53,7 @@ def test_cvat_reading_order_revisit_skipped():
     img["polylines"][0]["points"] = [
         (105, 20), (105, 60), (105, 20), (105, 295)
     ]
-    spans, status = cvat_to_spans(img)
+    spans, status, _ = cvat_to_spans(img)
     assert status == "success"
     assert [s["kind"] for s in spans] == [
         "title", "text", "text", "footnote"
@@ -211,7 +211,7 @@ def test_grouped_pictures_absorb_members():
         _line("reading_order", 0, 1, 2),
         _line("next_figure", 0, 1),
     ])
-    spans, status = cvat_to_spans(img)
+    spans, status, _ = cvat_to_spans(img)
     assert status == "success"
     assert [s["kind"] for s in spans] == ["picture", "text"]
     assert spans[0]["media_ref"].endswith("/0")
@@ -229,7 +229,7 @@ def test_list_group_emits_members_consecutively():
         _line("reading_order", 0, 1, 2, 3),
         _line("group", 0, 2, 3),
     ])
-    spans, status = cvat_to_spans(img)
+    spans, status, _ = cvat_to_spans(img)
     assert status == "success"
     assert [(s["kind"], s["text"]) for s in spans] == [
         ("list_item", "one"), ("list_item", "two"),
@@ -250,7 +250,7 @@ def test_linked_caption_never_emitted_standalone():
         _line("reading_order", 0, 1, 2),
         _line("to_caption", 1, 0),
     ])
-    spans, status = cvat_to_spans(img)
+    spans, status, _ = cvat_to_spans(img)
     assert status == "success"
     assert [s["kind"] for s in spans] == ["picture", "caption", "text"]
     assert spans[1]["text"] == "fig caption"
@@ -261,7 +261,7 @@ def test_unlinked_caption_emits_standalone():
 
     boxes = [_box(0, "caption", "orphan"), _box(1, "text", "body")]
     img = _img(boxes, [_line("reading_order", 0, 1)])
-    spans, status = cvat_to_spans(img)
+    spans, status, _ = cvat_to_spans(img)
     assert [s["kind"] for s in spans] == ["caption", "text"]
 
 
@@ -273,7 +273,7 @@ def test_to_value_lines_parsed_and_ignored():
         _line("reading_order", 0, 1),
         _line("to_value", 0, 1),
     ])
-    spans, status = cvat_to_spans(img)
+    spans, status, _ = cvat_to_spans(img)
     assert status == "success"
     assert [s["text"] for s in spans] == ["k", "v"]
 
@@ -287,6 +287,66 @@ def test_cvat_multiple_reading_orders_skip_image():
     img = images[0]
     ro = dict(img["polylines"][0])
     img["polylines"].append(ro)  # second reading_order line
-    spans, status = cvat_to_spans(img)
+    spans, status, _ = cvat_to_spans(img)
     assert status == "multiple_reading_order"
     assert spans == []
+
+
+def test_find_table_data_injection():
+    """Reference find_table_data semantics: first pre-converted table
+    with IoU strictly above 0.90 donates its structure; no match (or a
+    boundary IoU of exactly the cutoff) leaves the empty marker."""
+    from docling_eval_ray.sources.cvat import find_table_data
+
+    gt_box = {"l": 0.0, "t": 0.0, "r": 100.0, "b": 100.0}
+    exact = {"l": 0.0, "t": 0.0, "r": 100.0, "b": 100.0,
+             "otsl": "<fcel>a<nl>"}
+    near = {"l": 0.0, "t": 0.0, "r": 100.0, "b": 104.0,
+            "otsl": "<fcel>b<nl>"}   # IoU 100/104 ≈ 0.962
+    far = {"l": 500.0, "t": 500.0, "r": 600.0, "b": 600.0,
+           "otsl": "<fcel>z<nl>"}
+    # document order wins: 'near' precedes 'exact'
+    assert find_table_data(gt_box, [far, near, exact]) == "<fcel>b<nl>"
+    assert find_table_data(gt_box, [far]) == ""
+    assert find_table_data(gt_box, []) == ""
+    # strict >: a candidate at exactly the cutoff does NOT match
+    at_cutoff = {"l": 0.0, "t": 0.0, "r": 100.0, "b": 90.0, "otsl": "x"}
+    assert find_table_data(gt_box, [at_cutoff], iou_cutoff=0.90) == ""
+
+
+def test_cvat_table_source_wiring(ray_session, tmp_path):
+    """End-to-end: a table span gets an IoU-matched donated structure
+    in the table_data sidecar (keyed by span offset) when table_source
+    is passed to build_cvat_gt; the span sequence itself is untouched
+    (table is a media kind — its text stays empty by invariant)."""
+    xml = """<annotations>
+  <image name="tbl.png" width="400" height="400">
+    <box label="table" xtl="10" ytl="10" xbr="200" ybr="150">
+      <attribute name="text">raw cell text</attribute>
+    </box>
+    <polyline label="reading_order" points="100,80"/>
+  </image>
+</annotations>"""
+    p = tmp_path / "annotations.xml"
+    p.write_text(xml)
+    from docling_eval_ray.sources.cvat import build_cvat_gt
+
+    plain = build_cvat_gt(str(p)).take_all()[0]
+    assert [s["kind"] for s in plain["spans"]] == ["table"]
+    assert plain["table_data"] == []  # no source, no donations
+
+    source = {"tbl.png": [
+        {"l": 10.0, "t": 10.0, "r": 200.0, "b": 152.0,
+         "otsl": "<fcel>q1<fcel>q2<nl>"},
+    ]}
+    injected = build_cvat_gt(str(p), table_source=source).take_all()[0]
+    # span sequence identical to the plain build (media-kind invariant)
+    assert injected["spans"] == plain["spans"]
+    assert injected["table_data"] == [
+        {"offset": 0, "otsl": "<fcel>q1<fcel>q2<nl>"}
+    ]
+    # unmatched source -> empty donation marker recorded for the span
+    empty = build_cvat_gt(
+        str(p), table_source={"tbl.png": []}
+    ).take_all()[0]
+    assert empty["table_data"] == [{"offset": 0, "otsl": ""}]
