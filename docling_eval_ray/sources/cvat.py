@@ -44,7 +44,9 @@ tested surface.
 
 from __future__ import annotations
 
+import io
 import xml.etree.ElementTree as ET
+import zipfile
 from pathlib import Path
 
 import pyarrow as pa
@@ -319,22 +321,36 @@ def build_cvat_gt(
     def build(t: pa.Table) -> pa.Table:
         rows = []
         for raw in t["bytes"].to_pylist():
-            for image in parse_cvat_xml(raw.decode()):
-                spans, status, table_data = cvat_to_spans(
-                    image,
-                    table_source=None
-                    if table_source is None
-                    else table_source.get(image["name"], []),
-                )
-                rows.append(
-                    {
-                        "doc_id": image["name"],
-                        "spans": spans,
-                        "status": status,
-                        "n_boxes": len(image["boxes"]),
-                        "table_data": table_data,
-                    }
-                )
+            # CVAT exports arrive as task zips or bare XML; the
+            # reference unzips to disk first (get_annotation_files /
+            # unzip_annotation_files, cvat_dataset_builder.py:116-186)
+            # — here zip members stream in-memory, namelist order
+            if raw[:4] == b"PK\x03\x04":
+                with zipfile.ZipFile(io.BytesIO(raw)) as zf:
+                    xmls = [
+                        zf.read(n).decode()
+                        for n in zf.namelist()
+                        if n.lower().endswith(".xml")
+                    ]
+            else:
+                xmls = [raw.decode()]
+            for xml_str in xmls:
+                for image in parse_cvat_xml(xml_str):
+                    spans, status, table_data = cvat_to_spans(
+                        image,
+                        table_source=None
+                        if table_source is None
+                        else table_source.get(image["name"], []),
+                    )
+                    rows.append(
+                        {
+                            "doc_id": image["name"],
+                            "spans": spans,
+                            "status": status,
+                            "n_boxes": len(image["boxes"]),
+                            "table_data": table_data,
+                        }
+                    )
         return pa.Table.from_pylist(rows, schema=CVAT_GT_SCHEMA)
 
     return ds.map_batches(build, batch_format="pyarrow")

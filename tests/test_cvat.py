@@ -350,3 +350,32 @@ def test_cvat_table_source_wiring(ray_session, tmp_path):
         str(p), table_source={"tbl.png": []}
     ).take_all()[0]
     assert empty["table_data"] == [{"offset": 0, "otsl": ""}]
+
+
+def test_cvat_zip_source(ray_session, tmp_path):
+    """CVAT task-zip ingestion (reference unzip_annotation_files /
+    get_annotation_files): a zip of two annotation XMLs yields the rows
+    of both members, in namelist order, identical to reading the bare
+    XMLs; non-XML members are ignored."""
+    import io
+    import zipfile
+
+    xml_a = """<annotations><image name="a.png" width="10" height="10">
+      <box label="text" xtl="1" ytl="1" xbr="9" ybr="9">
+        <attribute name="text">alpha</attribute></box>
+      <polyline label="reading_order" points="5,5"/>
+    </image></annotations>"""
+    xml_b = xml_a.replace("a.png", "b.png").replace("alpha", "beta")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("task_1/annotations.xml", xml_a)
+        zf.writestr("task_2/annotations.xml", xml_b)
+        zf.writestr("README.txt", "not an annotation")
+    zp = tmp_path / "export.zip"
+    zp.write_bytes(buf.getvalue())
+
+    rows = {r["doc_id"]: r for r in build_cvat_gt(str(zp)).take_all()}
+    assert set(rows) == {"a.png", "b.png"}
+    assert rows["a.png"]["spans"][0]["text"] == "alpha"
+    assert rows["b.png"]["spans"][0]["text"] == "beta"
+    assert all(r["status"] == "success" for r in rows.values())
