@@ -186,9 +186,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         embedding_label_medoid,
         embedding_near_dups,
         embedding_near_dups_lsh,
+        knn_hard_negatives,
         label_pca_component,
         embedding_norms,
         label_centroids,
+        pq_knn,
+        sq8_knn,
     )
     from docling_eval_ray.stages.textstats import document_winnow, language_id
 
@@ -212,6 +215,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "embedding_near_dups": embedding_near_dups,   # oracled
             "embedding_near_dups_lsh": embedding_near_dups_lsh,  # oracled (LSH+verify)
             "embedding_knn_ivf": embedding_knn_ivf,       # rows-only (ANN)
+            "knn_hard_negatives": knn_hard_negatives,     # oracled (contrastive mining)
+            "sq8_knn": sq8_knn,                           # oracled (scalar-quantized ANN)
+            "pq_knn": pq_knn,                             # oracled (product quantization)
             "embedding_norms": embedding_norms,           # oracled (L2)
             "label_centroids": label_centroids,           # oracled (k-means step)
             "centroid_similarity": centroid_similarity,   # oracled (k×k cosine)
@@ -249,6 +255,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "lang_mixture_weights": c.lang_mixture_weights,
             "mixture_resample_census": c.mixture_resample_census,
             "quality_percentile_filter": c.quality_percentile_filter,  # oracled (quantile_disc prune)
+            "zipf_fit": c.zipf_fit,  # oracled (rank-frequency regression)
+            "ngram_novelty": c.ngram_novelty,  # oracled (shingle ownership)
         }
     )
     # content-cleaning ops (all oracled): PII redaction, CCNet-style
@@ -261,6 +269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "pii_extract_emails": cl.pii_extract_emails,
             "dedup_paragraphs": cl.dedup_paragraphs,
             "lm_perplexity": cl.lm_perplexity,
+            "perplexity_buckets": cl.perplexity_buckets,  # oracled (CCNet terciles)
             "sentences_exploded": cl.sentences_exploded,
             "gopher_quality_filter": cl.gopher_quality_filter,
         }
@@ -582,6 +591,12 @@ _DRIVER_PRIORITY_R5 = [
     # continuation additions (never driver-sampled):
     "semdedup_prune",
     "dsir_weights",
+    "knn_hard_negatives",
+    "sq8_knn",
+    "pq_knn",
+    "zipf_fit",
+    "ngram_novelty",
+    "perplexity_buckets",
 ]
 
 

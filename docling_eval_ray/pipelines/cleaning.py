@@ -484,3 +484,92 @@ def gopher_quality_filter(sf_dir: str):
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# perplexity_buckets — CCNet head/middle/tail terciles per language
+# ---------------------------------------------------------------------------
+
+PPL_BUCKETS = ("head", "middle", "tail")
+
+
+def perplexity_buckets(sf_dir: str):
+    """documents → (doc_id, lang, perplexity, ppl_bucket).
+
+    The CCNet bucketing step (Wenzek et al. 2020 §3.3): within each
+    language, documents are split into equal thirds by LM perplexity —
+    ``head`` (most fluent) / ``middle`` / ``tail`` — the standard
+    quality-tier signal for pretraining-data selection.
+
+    Exact at any scale WITHOUT a per-language sort-and-scan: the
+    per-lang rank comes from ONE composite-key ``global_row_number``
+    (range-partitioned rank, functions/ranks.py — two tiny exchanges
+    plus one shuffle): key = lang_index·2⁴⁰ + round(cross_entropy·10⁶),
+    so a single total order encodes (lang, ce, doc_id); per-lang offsets
+    are an output-sized (#langs) driver aggregate. Bucket =
+    ((rank_within_lang − 1)·3) // n_lang, the exact NTILE-free tercile.
+    Ordering uses the ROUNDED cross-entropy (6 dp, same grid as the
+    ``lm_perplexity`` oracle) with doc_id tiebreak, so the DuckDB
+    replica's ``ROW_NUMBER() OVER (PARTITION BY lang ORDER BY ce,
+    doc_id)`` agrees exactly."""
+    from ray.data.aggregate import Count
+
+    from ..functions.joins import hash_join
+    from ..functions.ranks import global_row_number
+
+    ppl = lm_perplexity(sf_dir)  # (doc_id, n_tokens, cross_entropy, perplexity)
+
+    def project(t: pa.Table) -> pa.Table:
+        return t.select(["doc_id", "cross_entropy", "perplexity"])
+
+    ppl = ppl.map_batches(project, batch_format="pyarrow")
+    langs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    joined = hash_join(ppl, langs, "doc_id")
+
+    # output-sized driver state: one (lang, count) row per language
+    lang_counts = (
+        joined.groupby("lang").aggregate(Count(alias_name="n")).to_pandas()
+    )
+    lang_counts = lang_counts.sort_values("lang").reset_index(drop=True)
+    lang_idx = {l: i for i, l in enumerate(lang_counts["lang"])}
+    lang_n = {l: int(n) for l, n in
+              zip(lang_counts["lang"], lang_counts["n"])}
+    offsets: dict[str, int] = {}
+    run = 0
+    for l in lang_counts["lang"]:
+        offsets[l] = run
+        run += lang_n[l]
+    # the three maps are #langs-sized (bytes) — shipped in the closures
+
+    def add_key(t: pa.Table) -> pa.Table:
+        ce_int = np.rint(
+            t["cross_entropy"].to_numpy(zero_copy_only=False) * 1e6
+        ).astype(np.int64)
+        lcodes = np.fromiter(
+            (lang_idx[l] for l in t["lang"].to_pylist()),
+            np.int64, t.num_rows,
+        )
+        key = lcodes * np.int64(1 << 40) + ce_int
+        return t.append_column("__key", pa.array(key, pa.int64()))
+
+    keyed = joined.map_batches(add_key, batch_format="pyarrow")
+    ranked = global_row_number(keyed, "__key", tiebreak=["doc_id"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        offs, ns = offsets, lang_n
+        langs_col = t["lang"].to_pylist()
+        rn = t["rn"].to_numpy(zero_copy_only=False).astype(np.int64)
+        off = np.fromiter((offs[l] for l in langs_col), np.int64, len(rn))
+        n = np.fromiter((ns[l] for l in langs_col), np.int64, len(rn))
+        tier = ((rn - 1 - off) * 3) // n  # 0 | 1 | 2 within the lang
+        names = np.asarray(PPL_BUCKETS, dtype=object)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "perplexity": t["perplexity"],
+                "ppl_bucket": pa.array(names[tier], pa.string()),
+            }
+        )
+
+    return ranked.map_batches(bucketize, batch_format="pyarrow")

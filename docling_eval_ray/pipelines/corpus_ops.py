@@ -1586,3 +1586,180 @@ def quality_percentile_filter(sf_dir: str, *, q: float = QUALITY_FILTER_Q):
         return t.filter(_pc.greater_equal(t["score"], thr))
 
     return scores.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# zipf_fit — Zipf's-law slope of the corpus token rank-frequency curve
+# ---------------------------------------------------------------------------
+
+#: regression points: top-K tokens by frequency (the head of the curve
+#: is where Zipf holds; the tail is census noise at any corpus size)
+ZIPF_TOPK = 256
+
+
+def zipf_fit(sf_dir: str):
+    """documents → one row (n_types, zipf_slope, zipf_intercept).
+
+    Least-squares fit of ln(count) against ln(rank) over the top
+    ``ZIPF_TOPK`` tokens — the corpus-statistics sanity check every
+    pretraining-data report carries (natural text ⇒ slope ≈ −1;
+    boilerplate-heavy or synthetic corpora bend it). One token census
+    (the lm_perplexity exchange), a k×blocks partial top-k, then an
+    output-sized (K points) closed-form regression on the driver with
+    the SAME formula the SQL oracle evaluates."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        ex = _token_table(t)
+        g = pa.TableGroupBy(ex.select(["tok"]), ["tok"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {"token": g["tok"], "c_part": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    counts = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("c_part", alias_name="c"))
+        .materialize()  # consumed twice: n_types count + top-k scan
+    )
+    n_types = int(counts.count())
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["c", "token"], ascending=[False, True], kind="mergesort"
+        )
+        return pa.Table.from_pandas(df.head(ZIPF_TOPK),
+                                    preserve_index=False)
+
+    top = (
+        counts.map_batches(local_topk, batch_format="pyarrow")
+        .sort(["c", "token"], descending=[True, False])
+        .limit(ZIPF_TOPK)
+        .to_pandas()  # K rows — output-sized
+    )
+    c = top["c"].to_numpy(np.float64)
+    x = np.log(np.arange(1, len(c) + 1, dtype=np.float64))
+    y = np.log(c)
+    n = float(len(c))
+    sx, sy = x.sum(), y.sum()
+    sxy, sxx = (x * y).sum(), (x * x).sum()
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return pa.table(
+        {
+            "n_types": pa.array([n_types], pa.int64()),
+            "zipf_slope": pa.array([round(slope, 6)], pa.float64()),
+            "zipf_intercept": pa.array([round(intercept, 6)],
+                                       pa.float64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# ngram_novelty — per-document share of corpus-first shingles
+# ---------------------------------------------------------------------------
+
+NOVELTY_N = 5
+
+
+def ngram_novelty(sf_dir: str, *, n: int = NOVELTY_N):
+    """documents → (doc_id, n_shingles, n_novel, novelty).
+
+    For every document: how many of its DISTINCT ``n``-token shingles
+    appear in no lower-doc_id document (`novelty` = that share) — the
+    content-freshness signal sitting between exact-substring dedup and
+    MinHash (a doc whose shingles are all owned elsewhere is pure
+    recombination). Shape: one exploded-shingle pass builds the
+    (shingle → min doc_id) owner table via per-batch partial mins + one
+    vocab-keyed groupby; a second pass re-explodes and joins owners back
+    (hash_join — one bucketed exchange each side) and aggregates per
+    doc. Nothing corpus-sized on the driver; shingle strings cross the
+    exchange once (the documented 128-bit-digest knob from
+    substring_dup_stats applies here too if shingle bytes ever dominate).
+    """
+    from ray.data.aggregate import Min, Sum
+
+    from ..functions.joins import hash_join
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def shingle_pairs(t: pa.Table) -> pa.Table:
+        """DISTINCT (doc_id, shingle) pairs for whole docs in this
+        batch (docs never straddle batches — one row per doc)."""
+        ex = _token_table(t)
+        d = ex["doc_id"].to_numpy(zero_copy_only=False)
+        toks = ex["tok"].to_pandas().to_numpy(dtype=object)
+        if len(d) < n:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.string())})
+        keep = d[: len(d) - n + 1] == d[n - 1:]  # window stays in-doc
+        sh = toks[: len(d) - n + 1].copy()
+        for i in range(1, n):
+            sh = sh + " "
+            sh = sh + toks[i: len(d) - n + 1 + i]
+        df = pd.DataFrame(
+            {"doc_id": d[: len(d) - n + 1][keep], "s": sh[keep]}
+        ).drop_duplicates()
+        return pa.table(
+            {"doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+             "s": pa.array(df["s"].to_numpy(dtype=object), pa.string())}
+        )
+
+    pairs = ds.map_batches(shingle_pairs, batch_format="pyarrow")
+
+    def min_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, ["s"]).aggregate([("doc_id", "min")])
+        return pa.table({"s": g["s"], "own_part": g["doc_id_min"]})
+
+    owners = (
+        pairs.map_batches(min_partial, batch_format="pyarrow")
+        .groupby("s")
+        .aggregate(Min("own_part", alias_name="owner"))
+    )
+
+    joined = hash_join(
+        ds.map_batches(shingle_pairs, batch_format="pyarrow"),
+        owners, "s",
+    )
+
+    def per_doc_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+                "novel": (
+                    t["owner"].to_numpy(zero_copy_only=False)
+                    == t["doc_id"].to_numpy(zero_copy_only=False)
+                ).astype(np.int64),
+            }
+        )
+        g = df.groupby("doc_id", as_index=False).agg(
+            n_part=("novel", "size"), novel_part=("novel", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        joined.map_batches(per_doc_partial, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("n_part", alias_name="n_shingles"),
+                   Sum("novel_part", alias_name="n_novel"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        ns = t["n_shingles"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nv = t["n_novel"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_shingles": pa.array(ns, pa.int64()),
+                "n_novel": pa.array(nv, pa.int64()),
+                "novelty": pa.array(
+                    np.round(nv.astype(np.float64) / ns, 6), pa.float64()
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

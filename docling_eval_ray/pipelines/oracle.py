@@ -14,7 +14,7 @@ kind mapping is made once and every oracle follows.
 
 from __future__ import annotations
 
-from ..stages.knn import KNN_K, KNN_QUERY, NEAR_DUP_THRESHOLD
+from ..stages.knn import HARD_NEG_K, KNN_K, KNN_QUERY, NEAR_DUP_THRESHOLD
 from .relational import BLACKLISTED_DOC_IDS, SESSION_GAP_S
 
 
@@ -309,6 +309,58 @@ ORACLE_SQL: dict[str, str] = {
         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                      CAST(b.embedding AS DOUBLE[]))
               >= {NEAR_DUP_THRESHOLD}
+    """,
+    # hard negatives order by the ROUNDED sim (both sides) so BLAS-vs-
+    # SQL last-ulp summation differences cannot reorder the top-k
+    "knn_hard_negatives": f"""
+        WITH sims AS (
+            SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                   round_even(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 6) AS sim
+            FROM embeddings a JOIN embeddings b ON a.label <> b.label
+        ),
+        r AS (
+            SELECT vec_id, neighbor_id, sim,
+                   row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY sim DESC, neighbor_id) AS nr
+            FROM sims
+        )
+        SELECT vec_id, neighbor_id, sim,
+               CAST(nr AS BIGINT) AS neighbor_rank
+        FROM r WHERE nr <= {HARD_NEG_K}
+    """,
+    # SQ8: the quantization grid (per-dim min/max), the floor/clip
+    # encode and the midpoint decode are replicated with the SAME
+    # operation order as stages/knn.py:sq8_knn, so encode/decode are
+    # bit-identical; only the final dot/norm summation order differs
+    # (rounded 6dp, the established tolerance)
+    "sq8_knn": f"""
+        WITH vals AS (
+            SELECT vec_id,
+                   unnest(CAST(embedding AS DOUBLE[])) AS v,
+                   generate_subscripts(embedding, 1) AS d
+            FROM embeddings
+        ),
+        dims AS (SELECT d, min(v) AS mn, max(v) AS mx FROM vals GROUP BY d),
+        deq AS (
+            SELECT vec_id,
+                   CASE WHEN mx = mn THEN mn
+                        ELSE mn + (least(255.0, greatest(0.0,
+                             floor((v - mn) / (mx - mn) * 255.0))) + 0.5)
+                             * (mx - mn) / 256.0 END AS xv
+            FROM vals JOIN dims USING (d)
+        ),
+        scored AS (
+            SELECT vec_id,
+                   round_even(0.125 * sum(xv) / sqrt(sum(xv * xv)), 6)
+                       AS sim_sq
+            FROM deq GROUP BY vec_id
+        )
+        SELECT vec_id, sim_sq FROM scored
+        ORDER BY sim_sq DESC, vec_id
+        LIMIT {KNN_K}
     """,
     # random-hyperplane LSH near-dups: the md5-parity hyperplane matrix
     # is REBUILT in SQL (hp CTE) so candidate banding is bit-identical
@@ -1595,6 +1647,41 @@ ORACLE_SQL["lm_perplexity"] = _TOKS_CTE + r""",
            round_even(avg(nll), 6) AS cross_entropy,
            round_even(pow(2.0, avg(nll)), 6) AS perplexity
     FROM per GROUP BY doc_id
+"""
+
+# CCNet terciles: rank within lang by the ROUNDED cross-entropy (the
+# same 6dp grid as lm_perplexity — both sides order identically), then
+# the exact NTILE-free tercile ((rn-1)*3) // n
+ORACLE_SQL["perplexity_buckets"] = _TOKS_CTE + r""",
+    cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS s FROM cnt),
+    per AS (
+        SELECT t.doc_id,
+               -log2(CAST(c.c AS DOUBLE) / (SELECT s FROM tot)) AS nll
+        FROM toks t JOIN cnt c ON t.tok = c.tok
+    ),
+    ppl AS (
+        SELECT doc_id,
+               round_even(avg(nll), 6) AS ce,
+               round_even(pow(2.0, avg(nll)), 6) AS perplexity
+        FROM per GROUP BY doc_id
+    ),
+    j AS (
+        SELECT d.doc_id, d.lang, p.perplexity, p.ce
+        FROM documents d JOIN ppl p ON d.doc_id = p.doc_id
+    ),
+    r AS (
+        SELECT doc_id, lang, perplexity,
+               row_number() OVER (
+                   PARTITION BY lang ORDER BY ce, doc_id) AS rn,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM j
+    )
+    SELECT doc_id, lang, perplexity,
+           CASE ((rn - 1) * 3) // n
+               WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail'
+           END AS ppl_bucket
+    FROM r
 """
 
 
@@ -3865,4 +3952,128 @@ SELECT s.doc_id, s.idx AS "offset", s.kind, s.text, s.media_ref,
        s.l, s.t, s.r, s.b, s.t_rows, s.t_cols,
        c.n_elements, c.n_list_groups, c.n_groups, c.n_fallback_labels
 FROM spans s JOIN counters c ON c.doc_id = s.doc_id
+"""
+
+
+def _pq_knn_sql() -> str:
+    """SQL replica of stages/knn.py:pq_knn (written for PQ_ITERS == 1):
+    the rational lattice init, BOTH assignment rounds (argmin of the
+    identically-rounded squared L2 per subspace, lowest-code ties), the
+    mean codebook update with empty codes keeping their init row
+    (COALESCE ≡ ``new = books.copy()``), the ADC lookup table and the
+    final rounded-distance top-k."""
+    from ..stages.knn import KNN_K, PQ_DSUB, PQ_ITERS, PQ_K, PQ_M
+
+    assert PQ_ITERS == 1, "SQL replica is written for 1 update round"
+
+    def dist_assign(cent, tag):
+        return f"""
+    d{tag} AS (
+        SELECT s.vec_id, s.m, c.c,
+               round_even(sum((s.v - c.cv) * (s.v - c.cv)), 6) AS d2
+        FROM sub s JOIN {cent} c ON c.m = s.m AND c.j = s.j
+        GROUP BY s.vec_id, s.m, c.c
+    ),
+    a{tag} AS (
+        SELECT vec_id, m, c AS code FROM d{tag}
+        QUALIFY row_number() OVER (
+            PARTITION BY vec_id, m ORDER BY d2, c) = 1
+    )"""
+
+    return f"""
+    WITH vals AS (
+        SELECT vec_id,
+               unnest(CAST(embedding AS DOUBLE[])) AS v,
+               generate_subscripts(embedding, 1) - 1 AS gd
+        FROM embeddings
+    ),
+    sub AS (
+        SELECT vec_id, gd // {PQ_DSUB} AS m, gd % {PQ_DSUB} AS j, v
+        FROM vals
+    ),
+    cent0 AS (
+        SELECT tm.m, tc.c, tj.j,
+               (((3 * tc.c + 5 * (tm.m * {PQ_DSUB} + tj.j)) % 13) - 6)
+                   / 6.0 AS cv
+        FROM range({PQ_M}) tm(m), range({PQ_K}) tc(c),
+             range({PQ_DSUB}) tj(j)
+    ),{dist_assign("cent0", 0)},
+    u1 AS (
+        SELECT a.m, a.code, s.j, avg(s.v) AS cv
+        FROM sub s JOIN a0 a ON a.vec_id = s.vec_id AND a.m = s.m
+        GROUP BY a.m, a.code, s.j
+    ),
+    cent1 AS (
+        SELECT c0.m, c0.c, c0.j, COALESCE(u.cv, c0.cv) AS cv
+        FROM cent0 c0 LEFT JOIN u1 u
+          ON u.m = c0.m AND u.code = c0.c AND u.j = c0.j
+    ),{dist_assign("cent1", 1)},
+    qd AS (
+        SELECT m, c, sum((0.125 - cv) * (0.125 - cv)) AS qd2
+        FROM cent1 GROUP BY m, c
+    ),
+    adc AS (
+        SELECT a.vec_id, round_even(sum(q.qd2), 6) AS adc_dist
+        FROM a1 a JOIN qd q ON q.m = a.m AND q.c = a.code
+        GROUP BY a.vec_id
+    )
+    SELECT vec_id, adc_dist FROM adc
+    ORDER BY adc_dist, vec_id LIMIT {KNN_K}
+"""
+
+
+ORACLE_SQL["pq_knn"] = _pq_knn_sql()
+
+
+# Zipf fit: identical closed-form regression on both sides (the lone
+# driver-side step is output-sized: ZIPF_TOPK points)
+from ..pipelines.corpus_ops import ZIPF_TOPK as _ZIPF_K
+
+ORACLE_SQL["zipf_fit"] = _TOKS_CTE + f""",
+    cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    top AS (
+        SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r
+        FROM cnt ORDER BY c DESC, tok LIMIT {_ZIPF_K}
+    ),
+    pts AS (
+        SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+        FROM top
+    ),
+    s AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx
+        FROM pts
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM cnt) AS n_types,
+           round_even((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+               AS zipf_slope,
+           round_even((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                       * sx) / n, 6) AS zipf_intercept
+    FROM s
+"""
+
+# shingle novelty: lead()-built n-grams, DISTINCT per doc, min-doc_id
+# ownership — same two exchanges the Ray plan makes
+from ..pipelines.corpus_ops import NOVELTY_N as _NOV_N
+
+_NOV_SHINGLE = " || ' ' || ".join(
+    ["tok"] + [f"lead(tok, {i}) OVER w" for i in range(1, _NOV_N)]
+)
+ORACLE_SQL["ngram_novelty"] = _TOKS_CTE + f""",
+    sh AS (
+        SELECT doc_id, {_NOV_SHINGLE} AS s
+        FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+    ),
+    shv AS (SELECT DISTINCT doc_id, s FROM sh WHERE s IS NOT NULL),
+    own AS (SELECT s, min(doc_id) AS owner FROM shv GROUP BY s),
+    agg AS (
+        SELECT v.doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN o.owner = v.doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel
+        FROM shv v JOIN own o USING (s) GROUP BY v.doc_id
+    )
+    SELECT doc_id, n_shingles, n_novel,
+           round_even(CAST(n_novel AS DOUBLE) / n_shingles, 6) AS novelty
+    FROM agg
 """

@@ -567,7 +567,9 @@ def _split_counts(est: np.ndarray, target: int = TARGET_CELL_ROWS,
 
 def embedding_knn_ivf(sf_dir: str, *, k: int = KNN_K, nprobe: int = 4,
                       n_cells: int | None = None,
-                      target_cell_rows: int = TARGET_CELL_ROWS):
+                      target_cell_rows: int = TARGET_CELL_ROWS,
+                      exclude_same_label: bool = False,
+                      with_rank: bool = False):
     """Approximate per-vector k-NN via IVF cells — the ANN scale path,
     fully distributed:
 
@@ -595,12 +597,18 @@ def embedding_knn_ivf(sf_dir: str, *, k: int = KNN_K, nprobe: int = 4,
 
     cents, est, _n = ivf_centroids(sf_dir, n_cells=n_cells)
     nsplit = _split_counts(est, target=target_cell_rows)
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
+    cols = ["vec_id", "embedding"]
+    if exclude_same_label:
+        cols.append("label")
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=cols)
 
     def assign(t: pa.Table) -> pa.Table:
         block = _normalize(_emb_matrix(t))
         ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        labs = (
+            t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+            if exclude_same_label else np.zeros(len(ids), np.int64)
+        )
         sims = block @ cents.T
         probe = np.argsort(-sims, axis=1)[:, :nprobe]  # col 0 == owner
         n, d = block.shape
@@ -622,6 +630,7 @@ def embedding_knn_ivf(sf_dir: str, *, k: int = KNN_K, nprobe: int = 4,
         q_rows = row_f[idx]
         key = np.concatenate([m_key, q_key])
         out_ids = np.concatenate([ids, ids[q_rows]])
+        out_labs = np.concatenate([labs, labs[q_rows]])
         role = np.concatenate(
             [np.zeros(n, np.int8), np.ones(len(q_rows), np.int8)]
         )
@@ -632,6 +641,7 @@ def embedding_knn_ivf(sf_dir: str, *, k: int = KNN_K, nprobe: int = 4,
             {
                 "cell": pa.array(key, pa.int64()),
                 "vec_id": pa.array(out_ids, pa.int64()),
+                "lab": pa.array(out_labs, pa.int64()),
                 "role": pa.array(role, pa.int8()),
                 "emb": emb_col,
             }
@@ -642,6 +652,7 @@ def embedding_knn_ivf(sf_dir: str, *, k: int = KNN_K, nprobe: int = 4,
     def cell_search(g: pa.Table) -> pa.Table:
         role = g["role"].to_numpy(zero_copy_only=False)
         ids = g["vec_id"].to_numpy(zero_copy_only=False)
+        labs = g["lab"].to_numpy(zero_copy_only=False)
         emb = g["emb"]
         if isinstance(emb, pa.ChunkedArray):
             emb = emb.combine_chunks()
@@ -649,8 +660,8 @@ def embedding_knn_ivf(sf_dir: str, *, k: int = KNN_K, nprobe: int = 4,
             len(g), -1
         )
         mem = role == 0
-        m_ids, m_mat = ids[mem], mat[mem]
-        q_ids, q_mat = ids[~mem], mat[~mem]
+        m_ids, m_mat, m_labs = ids[mem], mat[mem], labs[mem]
+        q_ids, q_mat, q_labs = ids[~mem], mat[~mem], labs[~mem]
         if not len(m_ids) or not len(q_ids):
             z = np.array([], dtype=np.int64)
             return pa.table(
@@ -664,7 +675,10 @@ def embedding_knn_ivf(sf_dir: str, *, k: int = KNN_K, nprobe: int = 4,
         for lo in range(0, len(q_ids), _SIM_TILE):
             hi = min(lo + _SIM_TILE, len(q_ids))
             sims = q_mat[lo:hi] @ m_mat.T
-            sims[m_ids[None, :] == q_ids[lo:hi, None]] = -np.inf  # self
+            if exclude_same_label:  # hard-negative mask (covers self)
+                sims[m_labs[None, :] == q_labs[lo:hi, None]] = -np.inf
+            else:
+                sims[m_ids[None, :] == q_ids[lo:hi, None]] = -np.inf
             part = np.argpartition(-sims, topn - 1, axis=1)[:, :topn]
             rows = np.repeat(np.arange(hi - lo), topn)
             cols = part.ravel()
@@ -690,7 +704,12 @@ def embedding_knn_ivf(sf_dir: str, *, k: int = KNN_K, nprobe: int = 4,
     def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["vec_id", "sim", "neighbor_id"],
                           ascending=[True, False, True], kind="mergesort")
-        return g.groupby("vec_id", sort=False).head(k)
+        g = g.groupby("vec_id", sort=False).head(k)
+        if with_rank:
+            g = g.assign(neighbor_rank=(
+                g.groupby("vec_id", sort=False).cumcount() + 1
+            ).astype(np.int64))
+        return g
 
     return bucketed_group_apply(local, ["vec_id"], merge_topk)
 
@@ -980,3 +999,316 @@ def label_pca_component(sf_dir: str):
             "explained_var_ratio": pa.array(evr_out, pa.float64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# knn_hard_negatives — per-vector top-k most-similar DIFFERENT-label
+# neighbors (hard negative mining for contrastive / retrieval training)
+# ---------------------------------------------------------------------------
+
+HARD_NEG_K = 3
+
+
+class _HardNegatives:
+    """Task stage: block × broadcast-corpus cosine; per row emit the
+    ``k`` most-similar vectors with a DIFFERENT label (self is excluded
+    for free — its label equals its own). Ordering is by the ROUNDED
+    similarity (6 dp) with neighbor_id ascending as tiebreak so the
+    DuckDB oracle's ``ORDER BY sim DESC, neighbor_id`` agrees exactly
+    (raw-float ordering would be BLAS-vs-SQL last-ulp fragile — same
+    argument as the LSH band-bit rounding above)."""
+
+    def __init__(self, corpus_ref, k: int):
+        import ray
+
+        ids, labels, mat = ray.get(corpus_ref)
+        self._ids = ids          # sorted ascending — index order == id order
+        self._labels = labels
+        self._mat = mat          # normalized, float64
+        self._k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        block = _normalize(_emb_matrix(t))
+        bids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = block @ self._mat.T
+        simint = np.rint(np.round(sims, 6) * 1e6).astype(np.int64)
+        mask = blab[:, None] == self._labels[None, :]
+        SENTINEL = -(1 << 21)  # below any real rounded sim (≥ -1e6)
+        simint[mask] = SENTINEL
+        # composite per-row sort key: rounded sim desc, corpus index asc
+        # (corpus is id-sorted, so index asc ≡ neighbor_id asc); one
+        # vectorized argsort along axis=1 instead of per-row lexsorts
+        key = (-simint) * np.int64(1 << 32) + np.arange(
+            simint.shape[1], dtype=np.int64
+        )
+        order = np.argsort(key, axis=1, kind="stable")[:, : self._k]
+        rows = np.repeat(np.arange(len(bids)), order.shape[1])
+        cols = order.ravel()
+        picked = simint[rows, cols]
+        keep = picked != SENTINEL  # rows with < k cross-label vectors
+        rank = np.tile(
+            np.arange(1, order.shape[1] + 1, dtype=np.int64), len(bids)
+        )
+        return pa.table(
+            {
+                "vec_id": pa.array(bids[rows][keep], pa.int64()),
+                "neighbor_id": pa.array(self._ids[cols][keep], pa.int64()),
+                "sim": pa.array(
+                    picked[keep].astype(np.float64) / 1e6, pa.float64()
+                ),
+                "neighbor_rank": pa.array(rank[keep], pa.int64()),
+            }
+        )
+
+
+def knn_hard_negatives(sf_dir: str, *, k: int = HARD_NEG_K,
+                       exact_max: int = EXACT_NEAR_DUP_MAX):
+    """Hard-negative mining: for every vector, its ``k`` nearest
+    neighbors among vectors of a DIFFERENT label
+    (vec_id, neighbor_id, sim, neighbor_rank).
+
+    The standard contrastive-training data op (pick negatives that are
+    maximally confusable — Robinson et al. 2021). Size-routed like
+    ``embedding_near_dups``: corpora ≤ ``exact_max`` broadcast the
+    normalized (id, label, matrix) triple once via ``ray.put`` and scan
+    in one streaming map (the DuckDB-oracled path); larger corpora
+    route through the IVF cells with the same-label mask applied
+    shard-locally (approximate, nothing broadcast)."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding", "label"])
+    if ds.count() > exact_max:  # metadata count: no scan
+        return _hard_negatives_ivf(sf_dir, k=k)
+    full = ds.to_pandas().sort_values("vec_id")
+    ids = full["vec_id"].to_numpy().astype(np.int64)
+    labels = full["label"].to_numpy().astype(np.int64)
+    mat = _normalize(np.array(full["embedding"].to_list(), np.float64))
+    ref = ray.put((ids, labels, mat))
+    from .util import stage
+
+    return stage(ds, _HardNegatives, args=(ref, k))
+
+
+def _hard_negatives_ivf(sf_dir: str, *, k: int = HARD_NEG_K):
+    """IVF scale tier for hard negatives: ``embedding_knn_ivf`` with the
+    same-label mask pushed into the shard-local search, then a rank
+    column appended inside the existing per-vec merge (approximate near
+    cell boundaries, like all IVF paths; recall asserted in tests)."""
+    return embedding_knn_ivf(sf_dir, k=k, exclude_same_label=True,
+                             with_rank=True)
+
+
+# ---------------------------------------------------------------------------
+# sq8_knn — scalar-quantized (8-bit per dimension) approximate kNN
+# ---------------------------------------------------------------------------
+
+
+def sq8_knn(sf_dir: str, *, query=None, k: int = KNN_K):
+    """Top-k cosine neighbors of the fixed query over SQ8-quantized
+    vectors → (vec_id, sim_sq).
+
+    Scalar quantization is the standard memory-scale path for vector
+    search (Faiss ``SQ8``): per-dimension [min, max] over the corpus,
+    each float mapped to ``floor((x-mn)/(mx-mn)·255)`` clipped to
+    [0, 255] — 8× fewer vector bytes through the exchange — and scored
+    against the dequantized midpoint ``mn + (code+½)(mx-mn)/256``.
+
+    Two streaming passes, both scale-safe: (1) per-dim min/max — one
+    fixed-size partial row per block, driver merge is blocks-sized;
+    (2) encode + asymmetric-distance scan emitting per-block LOCAL
+    top-k, so the global sort sees k × n_blocks rows. Deterministic
+    end-to-end (quantization grid is a pure function of the corpus),
+    hence DuckDB-oracled: the SQL replica rebuilds the same grid with
+    ``unnest``/``generate_subscripts`` and orders by the same rounded
+    similarity with vec_id tiebreak."""
+    import ray.data as rd
+
+    q = np.asarray(query if query is not None else KNN_QUERY, np.float64)
+    qn = q / np.linalg.norm(q)
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def minmax_partial(t: pa.Table) -> pa.Table:
+        m = _emb_matrix(t)
+        d = m.shape[1]
+        return pa.table(
+            {
+                "mn": pa.array([m.min(axis=0).tolist()],
+                               pa.list_(pa.float64(), d)),
+                "mx": pa.array([m.max(axis=0).tolist()],
+                               pa.list_(pa.float64(), d)),
+            }
+        )
+
+    parts = ds.map_batches(
+        minmax_partial, batch_format="pyarrow"
+    ).to_pandas()  # one row per block — blocks-sized, never corpus-sized
+    mn = np.min(np.stack(parts["mn"].to_numpy()), axis=0)
+    mx = np.max(np.stack(parts["mx"].to_numpy()), axis=0)
+    scale = mx - mn
+    degenerate = scale == 0.0
+    safe = np.where(degenerate, 1.0, scale)
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        x = _emb_matrix(t)
+        code = np.clip(np.floor((x - mn) / safe * 255.0), 0.0, 255.0)
+        deq = mn + (code + 0.5) * scale / 256.0
+        deq[:, degenerate] = mn[degenerate]  # constant dims decode to mn
+        sim = np.round(
+            (deq @ qn) / np.linalg.norm(deq, axis=1), 6
+        )
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, -sim))[:k]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[order], pa.int64()),
+                "sim_sq": pa.array(sim[order], pa.float64()),
+            }
+        )
+
+    partial = ds.map_batches(local_topk, batch_format="pyarrow")
+    return partial.sort(
+        ["sim_sq", "vec_id"], descending=[True, False]
+    ).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# pq_knn — product quantization (Jégou et al. 2011) with ADC scan
+# ---------------------------------------------------------------------------
+
+#: PQ geometry: 64 dims → PQ_M subspaces × (64/PQ_M) dims, PQ_K codes
+#: per subspace (small K keeps the SQL replica tractable; real deploys
+#: raise K to 256 — nothing below depends on the value)
+PQ_M = 8
+PQ_DSUB = 8
+PQ_K = 8
+#: Lloyd refinement rounds for the per-subspace codebooks (the SQL
+#: oracle is written for exactly this many update rounds)
+PQ_ITERS = 1
+
+
+def _pq_cent0(m: int) -> np.ndarray:
+    """Deterministic rational init codebook for subspace ``m`` — the
+    same ``((3c + 5j) % 13 - 6)/6`` lattice as corpus_ops.
+    cluster_centroids, indexed by the GLOBAL dim so every subspace
+    differs; rational entries reproduce exactly in SQL."""
+    c = np.arange(PQ_K)[:, None]
+    j = np.arange(PQ_DSUB)[None, :] + PQ_DSUB * m
+    return ((3 * c + 5 * j) % 13 - 6) / 6.0
+
+
+def _pq_codes(x: np.ndarray, books: list[np.ndarray]) -> np.ndarray:
+    """(n, PQ_M) int codes: per subspace, argmin of the ROUNDED (6 dp)
+    squared L2 distance with first-min (lowest code) tie-break — the
+    rounding keeps numpy-vs-SQL summation order from flipping a
+    near-tie assignment (LSH band-bit precedent)."""
+    n = x.shape[0]
+    codes = np.empty((n, PQ_M), np.int64)
+    for m in range(PQ_M):
+        sub = x[:, m * PQ_DSUB:(m + 1) * PQ_DSUB]
+        d2 = np.round(
+            ((sub[:, None, :] - books[m][None, :, :]) ** 2).sum(-1), 6
+        )
+        codes[:, m] = d2.argmin(axis=1)  # first min = lowest code
+    return codes
+
+
+def pq_knn(sf_dir: str, *, query=None, k: int = KNN_K,
+           iters: int = PQ_ITERS):
+    """Top-k nearest neighbors of the fixed query under product
+    quantization → (vec_id, adc_dist).
+
+    The memory-scale ANN beside IVF and SQ8: vectors compress to
+    ``PQ_M`` sub-codes (8 bytes here vs 512 raw), and the query scan is
+    an asymmetric-distance lookup — ``dist(x, q) ≈ Σ_m ‖q_m −
+    book_m[code_m(x)]‖²`` — one table lookup per subspace instead of a
+    dot product. Codebooks are per-subspace Lloyd k-means from the
+    deterministic rational lattice, ``iters`` update rounds, each ONE
+    streaming pass emitting (subspace, code) partial sums (M·K·dsub
+    floats per batch, merged by a tiny groupby; driver state is
+    codebook-sized). The final pass encodes + scans in one map with
+    per-batch local top-k, so the global sort sees k rows per block.
+
+    Deterministic end-to-end → DuckDB-oracled: the SQL replica rebuilds
+    the lattice, both assignment rounds (argmin of the same rounded
+    distance), the mean update and the ADC table."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    q = np.asarray(query if query is not None else KNN_QUERY, np.float64)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).materialize()  # consumed iters+1 times; vectors-only, pruned
+
+    books = [_pq_cent0(m) for m in range(PQ_M)]
+    partial_schema = pa.schema(
+        [("mc", pa.int64()), ("n", pa.int64())]
+        + [(f"s{j}", pa.float64()) for j in range(PQ_DSUB)]
+    )
+
+    for _ in range(iters):
+        cur = [b.copy() for b in books]
+
+        def partials(t: pa.Table) -> pa.Table:
+            rows = []
+            if t.num_rows:
+                x = _emb_matrix(t)
+                codes = _pq_codes(x, cur)
+                for m in range(PQ_M):
+                    sub = x[:, m * PQ_DSUB:(m + 1) * PQ_DSUB]
+                    for c in np.unique(codes[:, m]):
+                        mem = sub[codes[:, m] == c]
+                        rows.append({
+                            "mc": int(m * PQ_K + c),
+                            "n": int(mem.shape[0]),
+                            **{f"s{j}": float(v)
+                               for j, v in enumerate(mem.sum(0))},
+                        })
+            return pa.Table.from_pylist(rows, schema=partial_schema)
+
+        agg = (
+            ds.map_batches(partials, batch_format="pyarrow")
+            .groupby("mc")
+            .aggregate(
+                Sum("n", alias_name="n"),
+                *[Sum(f"s{j}", alias_name=f"s{j}")
+                  for j in range(PQ_DSUB)],
+            )
+        )
+        new = [b.copy() for b in books]  # empty codes keep their row
+        for r in agg.take_all():  # ≤ M·K rows — codebook-sized
+            m, c = divmod(int(r["mc"]), PQ_K)
+            new[m][c] = np.array(
+                [r[f"s{j}"] for j in range(PQ_DSUB)]
+            ) / float(r["n"])
+        books = new
+
+    # ADC lookup table: qd2[m, c] = ||q_m - book_m[c]||², M·K floats
+    qd2 = np.stack([
+        ((q[m * PQ_DSUB:(m + 1) * PQ_DSUB][None, :] - books[m]) ** 2
+         ).sum(-1)
+        for m in range(PQ_M)
+    ])
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        x = _emb_matrix(t)
+        codes = _pq_codes(x, books)
+        adc = np.round(
+            qd2[np.arange(PQ_M)[None, :], codes].sum(axis=1), 6
+        )
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, adc))[:k]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[order], pa.int64()),
+                "adc_dist": pa.array(adc[order], pa.float64()),
+            }
+        )
+
+    partial = ds.map_batches(local_topk, batch_format="pyarrow")
+    return partial.sort(["adc_dist", "vec_id"]).limit(k)

@@ -134,3 +134,21 @@ def test_running_total_last_row_is_user_total(ray_session):
         last.sort_index(), totals.sort_index(), check_names=False,
         rtol=0, atol=0.011,
     )
+
+
+def test_perplexity_buckets_are_lang_terciles(ray_session):
+    """Within each language the three buckets are equal thirds (±1 row)
+    and cross-entropy ordering is monotone head ≤ middle ≤ tail."""
+    import numpy as np
+
+    from docling_eval_ray.pipelines.cleaning import perplexity_buckets
+
+    df = perplexity_buckets("/root/testdata/sf0.001").to_pandas()
+    assert set(df["ppl_bucket"]) <= {"head", "middle", "tail"}
+    for lang, g in df.groupby("lang"):
+        sizes = g["ppl_bucket"].value_counts()
+        assert sizes.max() - sizes.min() <= 1, (lang, dict(sizes))
+        h = g.loc[g["ppl_bucket"] == "head", "perplexity"]
+        m = g.loc[g["ppl_bucket"] == "middle", "perplexity"]
+        t = g.loc[g["ppl_bucket"] == "tail", "perplexity"]
+        assert h.max() <= m.min() + 1e-9 and m.max() <= t.min() + 1e-9

@@ -299,3 +299,25 @@ def test_dsir_weights_known_answer(ray_session, tmp_path):
     assert out.loc[4, "score_micro"] == 0
     # target-looking docs outscore raw-only docs
     assert out.loc[1, "score_micro"] > 0 > out.loc[3, "score_micro"]
+
+
+def test_zipf_fit_shape_and_sign(ray_session):
+    """One-row output; the head of a natural-ish rank-frequency curve
+    fits with a negative slope."""
+    from docling_eval_ray.pipelines.corpus_ops import zipf_fit
+
+    df = zipf_fit("/root/testdata/sf0.001").to_pandas()
+    assert len(df) == 1 and df["n_types"][0] > 0
+    assert df["zipf_slope"][0] < 0
+
+
+def test_ngram_novelty_bounds_and_first_doc(ray_session):
+    """novelty ∈ [0, 1]; the lowest doc_id owns every one of its
+    shingles by construction (no lower doc exists)."""
+    from docling_eval_ray.pipelines.corpus_ops import ngram_novelty
+
+    df = ngram_novelty("/root/testdata/sf0.001").to_pandas()
+    assert ((df["novelty"] >= 0) & (df["novelty"] <= 1)).all()
+    assert (df["n_novel"] <= df["n_shingles"]).all()
+    first = df.loc[df["doc_id"].idxmin()]
+    assert first["novelty"] == 1.0

@@ -236,3 +236,89 @@ def test_lsh_near_dups_subset_of_exact_and_perfect_on_clones(
     pairs = set(zip(got.vec_id_a, got.vec_id_b))
     for i in range(20):  # every clone pair recalled, sim 1.0
         assert (i, i + 20) in pairs
+
+
+def test_hard_negatives_cross_label_topk(ray_session):
+    """Exact tier: every emitted neighbor has a DIFFERENT label, ranks
+    are 1..k per vec, and the selected neighbors really are the k most
+    similar cross-label vectors (checked against a direct recompute)."""
+    import pyarrow.parquet as pq
+
+    from docling_eval_ray.stages.knn import HARD_NEG_K, knn_hard_negatives
+
+    got = knn_hard_negatives(SF_DIR).to_pandas()
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    labels = dict(zip(ids, t["label"].to_numpy(zero_copy_only=False)))
+    # cross-label invariant + rank shape
+    assert (got["neighbor_rank"].groupby(got["vec_id"]).max()
+            == HARD_NEG_K).all()
+    for v, n in zip(got["vec_id"], got["neighbor_id"]):
+        assert labels[v] != labels[n]
+    # spot-check one vector against a direct recompute
+    m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    order = np.argsort(ids)
+    ids_s, m_s = ids[order], m[order]
+    lab_s = np.array([labels[i] for i in ids_s])
+    v0 = int(ids_s[0])
+    sims = np.round(m_s[0] @ m_s.T, 6)
+    sims[lab_s == lab_s[0]] = -np.inf
+    want = ids_s[np.lexsort((ids_s, -sims))[:HARD_NEG_K]]
+    have = got[got["vec_id"] == v0].sort_values("neighbor_rank")
+    assert have["neighbor_id"].tolist() == want.tolist()
+
+
+def test_hard_negatives_ivf_tier(ray_session):
+    """Forced IVF tier: never emits a same-label neighbor, carries the
+    rank column, and recalls most of the exact tier's pairs."""
+    from docling_eval_ray.stages.knn import knn_hard_negatives
+
+    exact = knn_hard_negatives(SF_DIR).to_pandas()
+    approx = knn_hard_negatives(SF_DIR, exact_max=0).to_pandas()
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    labels = dict(zip(
+        t["vec_id"].to_numpy(zero_copy_only=False),
+        t["label"].to_numpy(zero_copy_only=False),
+    ))
+    for v, n in zip(approx["vec_id"], approx["neighbor_id"]):
+        assert labels[v] != labels[n]
+    assert set(approx.columns) == {"vec_id", "neighbor_id", "sim",
+                                   "neighbor_rank"}
+    e = set(zip(exact["vec_id"], exact["neighbor_id"]))
+    a = set(zip(approx["vec_id"], approx["neighbor_id"]))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, recall
+
+
+def test_sq8_knn_close_to_exact(ray_session):
+    """SQ8 top-k overlaps the exact top-k heavily (8-bit grid ≈ 0.4%
+    quantization error per dim) and sims differ by < 0.02."""
+    from docling_eval_ray.stages.knn import sq8_knn
+
+    sq = sq8_knn(SF_DIR).to_pandas()
+    ids, sims = _brute_force_topk()
+    overlap = len(set(sq["vec_id"]) & set(ids.tolist()))
+    assert overlap >= 7, overlap
+    exact = dict(zip(ids.tolist(), sims))
+    for v, s in zip(sq["vec_id"], sq["sim_sq"]):
+        if v in exact:
+            assert abs(s - exact[v]) < 0.02
+
+
+def test_pq_knn_deterministic_and_sane(ray_session):
+    """PQ: ADC distances are ≥ 0, the result is deterministic across
+    runs, and the top-k contains mostly vectors the exact scan also
+    ranks highly (coarse 8×8 codebooks — order-of-magnitude recall,
+    not exactness, is the contract)."""
+    from docling_eval_ray.stages.knn import pq_knn
+
+    a = pq_knn(SF_DIR).to_pandas()
+    b = pq_knn(SF_DIR).to_pandas()
+    assert a.equals(b)
+    assert (a["adc_dist"] >= 0).all() and len(a) == 10
+    ids, _ = _brute_force_topk(k=100)
+    overlap = len(set(a["vec_id"]) & set(ids.tolist()))
+    assert overlap >= 3, overlap
