@@ -210,7 +210,10 @@ def run_benchmarks() -> dict:
         embedding_knn_ivf,
         embedding_label_medoid,
         embedding_near_dups,
+        knn_hard_negatives,
         label_centroids,
+        pq_knn,
+        sq8_knn,
     )
     from docling_eval_ray.stages.sketches import (
         events_type_p99_tdigest,
@@ -354,6 +357,14 @@ def run_benchmarks() -> dict:
         # round-5 continuation: SemDeDup cluster-then-prune + DSIR
         ("semdedup_prune", co.semdedup_prune),
         ("dsir_weights", co.dsir_weights),
+        # round-5 continuation 2: contrastive mining, quantized ANN,
+        # CCNet terciles, shingle novelty (zipf_fit is census-bound and
+        # sub-second — covered by the oracle gate, not benched)
+        ("knn_hard_negatives", knn_hard_negatives),
+        ("sq8_knn", sq8_knn),
+        ("pq_knn", pq_knn),
+        ("perplexity_buckets", cl.perplexity_buckets),
+        ("ngram_novelty", co.ngram_novelty),
     ]:
         t0 = time.time()
         out = fn(SF_DIR)

@@ -291,8 +291,10 @@ def _doc_nll_frame(doc_ids: np.ndarray, nll: np.ndarray) -> pd.DataFrame:
 
 
 def lm_perplexity(sf_dir: str, *,
-                  broadcast_max_vocab: int = LM_BROADCAST_MAX_VOCAB):
-    """documents → (doc_id, n_tokens, cross_entropy, perplexity).
+                  broadcast_max_vocab: int = LM_BROADCAST_MAX_VOCAB,
+                  extra_doc_cols: tuple = ()):
+    """documents → (doc_id, n_tokens, cross_entropy, perplexity
+    [, *extra_doc_cols]).
 
     Unigram LM trained on the corpus itself (no smoothing needed —
     every scored token is in the vocabulary by construction):
@@ -304,13 +306,19 @@ def lm_perplexity(sf_dir: str, *,
     Count table: one partial+final groupby (one row per distinct token
     per batch crosses the shuffle). Scoring tier is size-routed like
     ``tfidf_topk``: broadcast dict under ``broadcast_max_vocab``,
-    distributed token join + per-doc bucketed aggregate above it."""
+    distributed token join + per-doc bucketed aggregate above it.
+
+    ``extra_doc_cols`` appends per-document columns (e.g. lang) to the
+    output WITHOUT a separate corpus join — they ride the scoring pass
+    (consumers like ``perplexity_buckets`` save a corpus-keyed
+    exchange)."""
     import ray
     from ray.data.aggregate import Sum
 
     from .corpus_ops import _token_table
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    extra = list(extra_doc_cols)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", *extra])
 
     def count_partial(t: pa.Table) -> pa.Table:
         ex = _token_table(t)
@@ -349,7 +357,11 @@ def lm_perplexity(sf_dir: str, *,
                 toks = ex["tok"].to_pandas()
                 c = toks.map(self._lm).to_numpy().astype(np.float64)
                 nll = -np.log2(c / total)
-                return _doc_nll_frame(ex["doc_id"].to_numpy(), nll)
+                out = _doc_nll_frame(ex["doc_id"].to_numpy(), nll)
+                if extra:  # one row per doc in the batch — tiny merge
+                    side = t.select(["doc_id", *extra]).to_pandas()
+                    out = out.merge(side, on="doc_id", how="left")
+                return out
 
         from ..stages.util import stage
 
@@ -363,14 +375,29 @@ def lm_perplexity(sf_dir: str, *,
 
     def explode(t: pa.Table) -> pa.Table:
         ex = _token_table(t)
-        return pa.table({"doc_id": ex["doc_id"], "token": ex["tok"]})
+        cols = {"doc_id": ex["doc_id"], "token": ex["tok"]}
+        if extra:  # constant per doc; repeated via the same parent take
+            import pyarrow.compute as _pc
+
+            parent = _pc.list_parent_indices(_pc.split_pattern_regex(
+                _pc.utf8_trim(t["text"], characters=" "), r"\s+"))
+            for col in extra:
+                ecol = t[col]
+                if isinstance(ecol, pa.ChunkedArray):
+                    ecol = ecol.combine_chunks()
+                cols[col] = ecol.take(parent)
+        return pa.table(cols)
 
     tok_ds = ds.map_batches(explode, batch_format="pyarrow")
     joined = hash_join(tok_ds, counts, "token")
 
     def per_doc(g: pd.DataFrame) -> pd.DataFrame:
         nll = -np.log2(g["c"].to_numpy().astype(np.float64) / total)
-        return _doc_nll_frame(g["doc_id"].to_numpy(), nll)
+        out = _doc_nll_frame(g["doc_id"].to_numpy(), nll)
+        if extra:
+            side = g.drop_duplicates("doc_id")[["doc_id", *extra]]
+            out = out.merge(side, on="doc_id", how="left")
+        return out
 
     return bucketed_group_apply(joined, ["doc_id"], per_doc)
 
@@ -514,17 +541,18 @@ def perplexity_buckets(sf_dir: str):
     doc_id)`` agrees exactly."""
     from ray.data.aggregate import Count
 
-    from ..functions.joins import hash_join
     from ..functions.ranks import global_row_number
 
-    ppl = lm_perplexity(sf_dir)  # (doc_id, n_tokens, cross_entropy, perplexity)
+    # lang rides the scoring pass (extra_doc_cols) — no corpus join
+    ppl = lm_perplexity(sf_dir, extra_doc_cols=("lang",))
 
     def project(t: pa.Table) -> pa.Table:
-        return t.select(["doc_id", "cross_entropy", "perplexity"])
+        return t.select(["doc_id", "cross_entropy", "perplexity", "lang"])
 
-    ppl = ppl.map_batches(project, batch_format="pyarrow")
-    langs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
-    joined = hash_join(ppl, langs, "doc_id")
+    # materialize: consumed by BOTH the lang census and the rank chain —
+    # without this the whole perplexity plan re-executes per consumer
+    # (and global_row_number is a pipeline breaker anyway)
+    joined = ppl.map_batches(project, batch_format="pyarrow").materialize()
 
     # output-sized driver state: one (lang, count) row per language
     lang_counts = (

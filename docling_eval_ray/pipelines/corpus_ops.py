@@ -1673,43 +1673,49 @@ def ngram_novelty(sf_dir: str, *, n: int = NOVELTY_N):
     appear in no lower-doc_id document (`novelty` = that share) — the
     content-freshness signal sitting between exact-substring dedup and
     MinHash (a doc whose shingles are all owned elsewhere is pure
-    recombination). Shape: one exploded-shingle pass builds the
-    (shingle → min doc_id) owner table via per-batch partial mins + one
-    vocab-keyed groupby; a second pass re-explodes and joins owners back
-    (hash_join — one bucketed exchange each side) and aggregates per
-    doc. Nothing corpus-sized on the driver; shingle strings cross the
-    exchange once (the documented 128-bit-digest knob from
-    substring_dup_stats applies here too if shingle bytes ever dominate).
-    """
+    recombination). Shape: one exploded-shingle pass (Arrow-kernel
+    window build, materialized once) feeds the (shingle → min doc_id)
+    owner groupby — the only shingle-keyed exchange; because an owner
+    always CONTAINS its shingle, per-doc novel counts come from a
+    doc-keyed count over the owner table and total counts from a
+    doc-keyed count over the pairs, merged by one small left join — no
+    string-keyed join back to the corpus. Nothing corpus-sized on the
+    driver; shingle strings cross the exchange once (the documented
+    128-bit-digest knob from substring_dup_stats applies if shingle
+    bytes ever dominate)."""
     from ray.data.aggregate import Min, Sum
-
-    from ..functions.joins import hash_join
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def shingle_pairs(t: pa.Table) -> pa.Table:
         """DISTINCT (doc_id, shingle) pairs for whole docs in this
-        batch (docs never straddle batches — one row per doc)."""
+        batch (docs never straddle batches — one row per doc). All
+        string work stays in Arrow kernels: ``binary_join_element_wise``
+        builds every window in one C++ pass (a Python object-array
+        concat here was 10×+ the whole operator's budget at sf0.1)."""
         ex = _token_table(t)
         d = ex["doc_id"].to_numpy(zero_copy_only=False)
-        toks = ex["tok"].to_pandas().to_numpy(dtype=object)
         if len(d) < n:
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "s": pa.array([], pa.string())})
-        keep = d[: len(d) - n + 1] == d[n - 1:]  # window stays in-doc
-        sh = toks[: len(d) - n + 1].copy()
-        for i in range(1, n):
-            sh = sh + " "
-            sh = sh + toks[i: len(d) - n + 1 + i]
-        df = pd.DataFrame(
-            {"doc_id": d[: len(d) - n + 1][keep], "s": sh[keep]}
-        ).drop_duplicates()
-        return pa.table(
-            {"doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
-             "s": pa.array(df["s"].to_numpy(dtype=object), pa.string())}
+        toks = ex["tok"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        w = len(d) - n + 1
+        keep = d[:w] == d[n - 1:]  # window stays in-doc
+        sh = pc.binary_join_element_wise(
+            *[toks.slice(i, w) for i in range(n)], " "
         )
+        out = pa.table(
+            {"doc_id": pa.array(d[:w], pa.int64()), "s": sh}
+        ).filter(pa.array(keep))
+        # DISTINCT within doc via Arrow group_by (no pandas hashtables)
+        g = pa.TableGroupBy(out, ["doc_id", "s"]).aggregate([])
+        return g
 
-    pairs = ds.map_batches(shingle_pairs, batch_format="pyarrow")
+    pairs = ds.map_batches(
+        shingle_pairs, batch_format="pyarrow"
+    ).materialize()  # consumed twice: owner build + ownership join
 
     def min_partial(t: pa.Table) -> pa.Table:
         g = pa.TableGroupBy(t, ["s"]).aggregate([("doc_id", "min")])
@@ -1721,31 +1727,40 @@ def ngram_novelty(sf_dir: str, *, n: int = NOVELTY_N):
         .aggregate(Min("own_part", alias_name="owner"))
     )
 
-    joined = hash_join(
-        ds.map_batches(shingle_pairs, batch_format="pyarrow"),
-        owners, "s",
+    # No ownership JOIN back to the corpus-sized pairs table: a
+    # shingle's min-doc_id owner necessarily CONTAINS the shingle, so
+    # n_novel(d) = |{s : owner(s) = d}| — countable from the owner
+    # table alone. Both per-doc counts ride ONE doc-keyed groupby (the
+    # total partials and the novel partials are unioned with a 0 in the
+    # other column) — one exchange instead of two groupbys + a join
+    # (each extra Ray stage costs ~1.5-2 s fixed at sf0.1).
+    def total_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["doc_id"]), ["doc_id"]).aggregate(
+            [([], "count_all")]
+        )
+        c = pc.cast(g["count_all"], pa.int64())
+        return pa.table({
+            "doc_id": g["doc_id"], "tot": c,
+            "nov": pa.array(np.zeros(len(c), np.int64)),
+        })
+
+    def owned_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            t.select(["owner"]), ["owner"]
+        ).aggregate([([], "count_all")])
+        c = pc.cast(g["count_all"], pa.int64())
+        return pa.table({
+            "doc_id": g["owner"],
+            "tot": pa.array(np.zeros(len(c), np.int64)),
+            "nov": c,
+        })
+
+    both = pairs.map_batches(total_partial, batch_format="pyarrow").union(
+        owners.map_batches(owned_partial, batch_format="pyarrow")
     )
-
-    def per_doc_partial(t: pa.Table) -> pa.Table:
-        df = pd.DataFrame(
-            {
-                "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
-                "novel": (
-                    t["owner"].to_numpy(zero_copy_only=False)
-                    == t["doc_id"].to_numpy(zero_copy_only=False)
-                ).astype(np.int64),
-            }
-        )
-        g = df.groupby("doc_id", as_index=False).agg(
-            n_part=("novel", "size"), novel_part=("novel", "sum")
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    agg = (
-        joined.map_batches(per_doc_partial, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(Sum("n_part", alias_name="n_shingles"),
-                   Sum("novel_part", alias_name="n_novel"))
+    agg = both.groupby("doc_id").aggregate(
+        Sum("tot", alias_name="n_shingles"),
+        Sum("nov", alias_name="n_novel"),
     )
 
     def finish(t: pa.Table) -> pa.Table:
