@@ -257,6 +257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "quality_percentile_filter": c.quality_percentile_filter,  # oracled (quantile_disc prune)
             "zipf_fit": c.zipf_fit,  # oracled (rank-frequency regression)
             "ngram_novelty": c.ngram_novelty,  # oracled (shingle ownership)
+            "char_entropy_quality": c.char_entropy_quality,  # oracled (entropy bands)
         }
     )
     # content-cleaning ops (all oracled): PII redaction, CCNet-style
@@ -568,9 +569,10 @@ _DRIVER_PRIORITY_R5 = [
     "otsl_gt_build",
     "pixparse_gt_build",
     "xfund_gt_build",
-    # round-5 additions / upgrades (census oracles for the formerly
-    # rows-only builders, off-repo-hardened bloom family re-check):
-    "funsd_gt_build",
+    # round-5 additions / upgrades: the hash-oracled `_gt_flat` views
+    # (their `_gt_build` bases funsd/dpbench/docvqa/pdf plus the
+    # off-repo-hardened bloom/media trio all got green r4 rows already
+    # and are dropped to make room — 46 never-verified + 4 new = 50):
     "funsd_gt_flat",
     "xfund_gt_flat",
     "doclaynet_gt_flat",
@@ -578,16 +580,10 @@ _DRIVER_PRIORITY_R5 = [
     "otsl_gt_flat",
     "pixparse_gt_flat",
     "doclaynet_v2_gt_flat",
-    "dpbench_gt_build",
     "dpbench_gt_flat",
-    "docvqa_gt_build",
     "docvqa_gt_flat",
-    "pdf_gt_build",
     "pdf_gt_flat",
     "pdf_page_rasters",
-    "decontaminate_bloom",
-    "approx_token_vocabulary",
-    "media_decode_stats",
     # continuation additions (never driver-sampled):
     "semdedup_prune",
     "dsir_weights",
@@ -597,6 +593,11 @@ _DRIVER_PRIORITY_R5 = [
     "zipf_fit",
     "ngram_novelty",
     "perplexity_buckets",
+    # final-session additions:
+    "char_entropy_quality",
+    "sq8_recall_at_k",
+    "mmr_diverse_topk",
+    "minhash_jaccard_calibration",
 ]
 
 

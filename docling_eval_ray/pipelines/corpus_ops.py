@@ -1778,3 +1778,100 @@ def ngram_novelty(sf_dir: str, *, n: int = NOVELTY_N):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# char_entropy_quality — compression-proxy quality banding
+# ---------------------------------------------------------------------------
+
+#: Shannon-entropy band edges (bits/char, on per-doc entropy rounded to
+#: 6dp). Low-entropy text is repetitive/boilerplate, high-entropy text
+#: is dense natural prose — the cheap stand-in for the zlib
+#: compression-ratio quality signal every pretraining report carries
+#: (CCNet §4.2 uses the LM-perplexity sibling; entropy needs no model).
+ENTROPY_LOW = 4.05
+ENTROPY_HIGH = 4.13
+
+
+def char_entropy_quality(sf_dir: str):
+    """documents → (lang, band, n_docs, mean_entropy).
+
+    Per-document byte-level Shannon entropy (== character entropy on
+    this ASCII corpus; the divergence on multi-byte text is documented
+    here and in the oracle), banded low/mid/high at the fixed
+    ``ENTROPY_LOW``/``ENTROPY_HIGH`` edges, then a (lang, band) census
+    with the mean per-doc entropy. One streaming pass: the per-batch
+    kernel is a single ``bincount`` over ``row_id*256 + byte`` straight
+    off the Arrow utf8 buffers (zero Python per-row work), emitting one
+    partial row per (lang, band) per batch, so the only exchange moves
+    a ≤ 3·n_langs-row partial census. Banding compares the ROUNDED
+    entropy on both sides so a last-ulp log2 summation difference
+    cannot flip a band."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        langs_out, bands_out, n_out, s_out = [], [], [], []
+        lang_all = t["lang"].to_numpy(zero_copy_only=False)
+        row0 = 0
+        col = t["text"]
+        chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+        for chunk in chunks:
+            n = len(chunk)
+            if n == 0:
+                continue
+            off = np.frombuffer(chunk.buffers()[1], np.int32)[
+                chunk.offset : chunk.offset + n + 1
+            ].astype(np.int64)
+            data = np.frombuffer(chunk.buffers()[2], np.uint8)
+            flat = data[off[0] : off[-1]].astype(np.int64)
+            lens = np.diff(off)
+            row_id = np.repeat(np.arange(n, dtype=np.int64), lens)
+            counts = np.bincount(
+                row_id * 256 + flat, minlength=n * 256
+            ).reshape(n, 256)
+            p = counts / np.maximum(lens, 1)[:, None]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                term = np.where(p > 0.0, p * np.log2(p), 0.0)
+            ent = np.round(-term.sum(axis=1), 6)
+            band = np.where(
+                ent < ENTROPY_LOW, "low",
+                np.where(ent < ENTROPY_HIGH, "mid", "high"),
+            )
+            lang = lang_all[row0 : row0 + n]
+            row0 += n
+            key = pd.MultiIndex.from_arrays([lang, band])
+            g = pd.Series(ent, index=key).groupby(level=[0, 1])
+            s = g.sum()
+            c = g.size()
+            langs_out.extend(s.index.get_level_values(0))
+            bands_out.extend(s.index.get_level_values(1))
+            n_out.extend(c.to_numpy())
+            s_out.extend(s.to_numpy())
+        return pa.table(
+            {
+                "lang": pa.array(langs_out, pa.string()),
+                "band": pa.array(bands_out, pa.string()),
+                "n_docs": pa.array(np.asarray(n_out, np.int64)),
+                "ent_sum": pa.array(np.asarray(s_out, np.float64)),
+            }
+        )
+
+    agg = _final_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["lang", "band"],
+        ["n_docs", "ent_sum"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        nd = t["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        es = t["ent_sum"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "band": t["band"],
+                "n_docs": pa.array(nd, pa.int64()),
+                "mean_entropy": pa.array(np.round(es / nd, 4), pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

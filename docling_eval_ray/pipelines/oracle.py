@@ -4077,3 +4077,39 @@ ORACLE_SQL["ngram_novelty"] = _TOKS_CTE + f""",
            round_even(CAST(n_novel AS DOUBLE) / n_shingles, 6) AS novelty
     FROM agg
 """
+
+
+# char-entropy quality banding: per-doc byte==char entropy (ASCII
+# corpus; documented divergence on multi-byte text), banded on the
+# ROUNDED value exactly as corpus_ops.char_entropy_quality does
+from ..pipelines.corpus_ops import ENTROPY_HIGH as _ENT_HI
+from ..pipelines.corpus_ops import ENTROPY_LOW as _ENT_LO
+
+ORACLE_SQL["char_entropy_quality"] = f"""
+    WITH ch AS (
+        SELECT doc_id, lang,
+               substr(text, unnest(generate_series(1, length(text))), 1)
+                   AS ch
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, lang, ch, CAST(count(*) AS DOUBLE) AS n
+        FROM ch GROUP BY 1, 2, 3
+    ),
+    h AS (
+        SELECT doc_id, lang,
+               round_even(sum(-(n / t) * log2(n / t)), 6) AS ent
+        FROM (
+            SELECT doc_id, lang, n,
+                   CAST(sum(n) OVER (PARTITION BY doc_id) AS DOUBLE) AS t
+            FROM c
+        ) GROUP BY 1, 2
+    )
+    SELECT lang,
+           CASE WHEN ent < {_ENT_LO} THEN 'low'
+                WHEN ent < {_ENT_HI} THEN 'mid'
+                ELSE 'high' END AS band,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round_even(sum(ent) / count(*), 4) AS mean_entropy
+    FROM h GROUP BY 1, 2
+"""

@@ -321,3 +321,43 @@ def test_ngram_novelty_bounds_and_first_doc(ray_session):
     assert (df["n_novel"] <= df["n_shingles"]).all()
     first = df.loc[df["doc_id"].idxmin()]
     assert first["novelty"] == 1.0
+
+
+def test_char_entropy_quality_census(ray_session):
+    """(lang, band) census totals the corpus; per-doc entropy kernel
+    matches a pure-Python Counter recompute on the same docs."""
+    import collections
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from docling_eval_ray.pipelines.corpus_ops import (
+        ENTROPY_HIGH,
+        ENTROPY_LOW,
+        char_entropy_quality,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    df = char_entropy_quality(sf).to_pandas()
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["text", "lang"])
+    assert df["n_docs"].sum() == t.num_rows
+    assert set(df["band"]) <= {"low", "mid", "high"}
+
+    # recompute one (lang, band) cell exactly
+    def ent(s: str) -> float:
+        c = collections.Counter(s.encode())
+        n = len(s)
+        return round(-sum(v / n * np.log2(v / n) for v in c.values()), 6)
+
+    want: dict[tuple[str, str], list[float]] = {}
+    for s, lang in zip(t["text"].to_pylist(), t["lang"].to_pylist()):
+        e = ent(s)
+        band = "low" if e < ENTROPY_LOW else ("mid" if e < ENTROPY_HIGH
+                                              else "high")
+        want.setdefault((lang, band), []).append(e)
+    got = {(r.lang, r.band): (r.n_docs, r.mean_entropy)
+           for r in df.itertuples()}
+    assert set(got) == set(want)
+    for k, es in want.items():
+        assert got[k][0] == len(es)
+        assert got[k][1] == round(float(np.sum(es)) / len(es), 4)
