@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         label_centroids,
         pq_knn,
         sq8_knn,
+        sq8_recall_at_k,
     )
     from docling_eval_ray.stages.textstats import document_winnow, language_id
 
@@ -217,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "embedding_knn_ivf": embedding_knn_ivf,       # rows-only (ANN)
             "knn_hard_negatives": knn_hard_negatives,     # oracled (contrastive mining)
             "sq8_knn": sq8_knn,                           # oracled (scalar-quantized ANN)
+            "sq8_recall_at_k": sq8_recall_at_k,           # oracled (index acceptance gate)
             "pq_knn": pq_knn,                             # oracled (product quantization)
             "embedding_norms": embedding_norms,           # oracled (L2)
             "label_centroids": label_centroids,           # oracled (k-means step)

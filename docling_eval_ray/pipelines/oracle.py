@@ -4113,3 +4113,74 @@ ORACLE_SQL["char_entropy_quality"] = f"""
            round_even(sum(ent) / count(*), 4) AS mean_entropy
     FROM h GROUP BY 1, 2
 """
+
+
+# SQ8 recall@k: exact + dequantized scans over the same rational query
+# panel stages/knn.py:_recall_query_panel builds; both tiers rank by
+# the ROUNDED sim with vec_id tiebreak (the established convention)
+from ..stages.knn import SQ8_RECALL_Q as _SQ8_RQ
+
+ORACLE_SQL["sq8_recall_at_k"] = f"""
+    WITH qr AS (
+        SELECT i AS query_id, d,
+               (CAST((3 * i + 5 * d) % 13 AS DOUBLE) - 6) / 6 AS qv
+        FROM range({_SQ8_RQ}) t(i), range(64) t2(d)
+    ),
+    qn AS (
+        SELECT query_id, d,
+               qv / sqrt(sum(qv * qv) OVER (PARTITION BY query_id)) AS qv
+        FROM qr
+    ),
+    vals AS (
+        SELECT vec_id,
+               unnest(CAST(embedding AS DOUBLE[])) AS v,
+               generate_subscripts(embedding, 1) - 1 AS d
+        FROM embeddings
+    ),
+    dims AS (SELECT d, min(v) AS mn, max(v) AS mx FROM vals GROUP BY d),
+    nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nv FROM vals GROUP BY vec_id),
+    exd AS (
+        SELECT q.query_id, v.vec_id, sum(v.v * q.qv) AS dot
+        FROM vals v JOIN qn q USING (d) GROUP BY 1, 2
+    ),
+    ext AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY round_even(dot / nv, 6) DESC, vec_id) AS rn
+            FROM exd JOIN nrm USING (vec_id)
+        ) WHERE rn <= {KNN_K}
+    ),
+    deq AS (
+        SELECT vec_id, d,
+               CASE WHEN mx = mn THEN mn
+                    ELSE mn + (least(255.0, greatest(0.0,
+                         floor((v - mn) / (mx - mn) * 255.0))) + 0.5)
+                         * (mx - mn) / 256.0 END AS xv
+        FROM vals JOIN dims USING (d)
+    ),
+    sqn AS (SELECT vec_id, sqrt(sum(xv * xv)) AS nv FROM deq GROUP BY vec_id),
+    sqd AS (
+        SELECT q.query_id, x.vec_id, sum(x.xv * q.qv) AS dot
+        FROM deq x JOIN qn q USING (d) GROUP BY 1, 2
+    ),
+    sqt AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY round_even(dot / nv, 6) DESC, vec_id) AS rn
+            FROM sqd JOIN sqn USING (vec_id)
+        ) WHERE rn <= {KNN_K}
+    ),
+    ov AS (
+        SELECT query_id, CAST(count(*) AS BIGINT) AS n_overlap
+        FROM ext JOIN sqt USING (query_id, vec_id) GROUP BY 1
+    )
+    SELECT i AS query_id,
+           coalesce(n_overlap, 0) AS n_overlap,
+           round_even(CAST(coalesce(n_overlap, 0) AS DOUBLE) / {KNN_K}, 4)
+               AS recall
+    FROM range({_SQ8_RQ}) t(i) LEFT JOIN ov ON ov.query_id = i
+"""

@@ -1106,6 +1106,43 @@ def _hard_negatives_ivf(sf_dir: str, *, k: int = HARD_NEG_K):
 # ---------------------------------------------------------------------------
 
 
+def _sq8_grid(ds):
+    """Per-dimension [min, max] quantization grid over the corpus —
+    one streaming pass emitting ONE fixed-size partial row per block,
+    so the driver merge is blocks-sized, never corpus-sized."""
+
+    def minmax_partial(t: pa.Table) -> pa.Table:
+        m = _emb_matrix(t)
+        d = m.shape[1]
+        return pa.table(
+            {
+                "mn": pa.array([m.min(axis=0).tolist()],
+                               pa.list_(pa.float64(), d)),
+                "mx": pa.array([m.max(axis=0).tolist()],
+                               pa.list_(pa.float64(), d)),
+            }
+        )
+
+    parts = ds.map_batches(
+        minmax_partial, batch_format="pyarrow"
+    ).to_pandas()
+    mn = np.min(np.stack(parts["mn"].to_numpy()), axis=0)
+    mx = np.max(np.stack(parts["mx"].to_numpy()), axis=0)
+    scale = mx - mn
+    degenerate = scale == 0.0
+    safe = np.where(degenerate, 1.0, scale)
+    return mn, scale, degenerate, safe
+
+
+def _sq8_dequant(x: np.ndarray, mn, scale, degenerate, safe) -> np.ndarray:
+    """floor/clip encode + midpoint decode (the exact operation order
+    the DuckDB oracle replicates — keep them in lockstep)."""
+    code = np.clip(np.floor((x - mn) / safe * 255.0), 0.0, 255.0)
+    deq = mn + (code + 0.5) * scale / 256.0
+    deq[:, degenerate] = mn[degenerate]  # constant dims decode to mn
+    return deq
+
+
 def sq8_knn(sf_dir: str, *, query=None, k: int = KNN_K):
     """Top-k cosine neighbors of the fixed query over SQ8-quantized
     vectors → (vec_id, sim_sq).
@@ -1131,33 +1168,11 @@ def sq8_knn(sf_dir: str, *, query=None, k: int = KNN_K):
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
-
-    def minmax_partial(t: pa.Table) -> pa.Table:
-        m = _emb_matrix(t)
-        d = m.shape[1]
-        return pa.table(
-            {
-                "mn": pa.array([m.min(axis=0).tolist()],
-                               pa.list_(pa.float64(), d)),
-                "mx": pa.array([m.max(axis=0).tolist()],
-                               pa.list_(pa.float64(), d)),
-            }
-        )
-
-    parts = ds.map_batches(
-        minmax_partial, batch_format="pyarrow"
-    ).to_pandas()  # one row per block — blocks-sized, never corpus-sized
-    mn = np.min(np.stack(parts["mn"].to_numpy()), axis=0)
-    mx = np.max(np.stack(parts["mx"].to_numpy()), axis=0)
-    scale = mx - mn
-    degenerate = scale == 0.0
-    safe = np.where(degenerate, 1.0, scale)
+    mn, scale, degenerate, safe = _sq8_grid(ds)
 
     def local_topk(t: pa.Table) -> pa.Table:
         x = _emb_matrix(t)
-        code = np.clip(np.floor((x - mn) / safe * 255.0), 0.0, 255.0)
-        deq = mn + (code + 0.5) * scale / 256.0
-        deq[:, degenerate] = mn[degenerate]  # constant dims decode to mn
+        deq = _sq8_dequant(x, mn, scale, degenerate, safe)
         sim = np.round(
             (deq @ qn) / np.linalg.norm(deq, axis=1), 6
         )
@@ -1174,6 +1189,91 @@ def sq8_knn(sf_dir: str, *, query=None, k: int = KNN_K):
     return partial.sort(
         ["sim_sq", "vec_id"], descending=[True, False]
     ).limit(k)
+
+
+#: recall panel: SQ8_RECALL_Q deterministic rational lattice queries —
+#: the same ((3i + 5d) % 13 - 6)/6 family as the PQ/k-means init, so
+#: the SQL oracle rebuilds them exactly from range()
+SQ8_RECALL_Q = 8
+
+
+def _recall_query_panel(nq: int = SQ8_RECALL_Q, d: int = 64) -> np.ndarray:
+    i = np.arange(nq, dtype=np.float64)[:, None]
+    dd = np.arange(d, dtype=np.float64)[None, :]
+    return ((3.0 * i + 5.0 * dd) % 13.0 - 6.0) / 6.0
+
+
+def sq8_recall_at_k(sf_dir: str, *, k: int = KNN_K):
+    """Index-quality evaluation → (query_id, n_overlap, recall).
+
+    Recall@k of the SQ8-quantized scan against the exact float scan,
+    over a fixed ``SQ8_RECALL_Q``-query panel — the acceptance gate a
+    real deployment runs before switching its retrieval tier to a
+    compressed index (Faiss calls this the SQ sweep). Shape: the grid
+    pass of ``sq8_knn`` plus ONE corpus pass that scores every block
+    against the whole panel twice (two tiled matmuls) and emits per-
+    (tier, query) LOCAL top-k, so the driver merge sees
+    2 · nq · k · n_blocks rows — output-sized, never corpus-sized.
+    Both tiers rank by the ROUNDED similarity with vec_id tiebreak,
+    which is what makes the DuckDB replica (exact + dequantized CTEs,
+    row_number ≤ k, overlap count per query) hash-stable."""
+    import ray.data as rd
+
+    qn = _normalize(_recall_query_panel())
+    nq = qn.shape[0]
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    mn, scale, degenerate, safe = _sq8_grid(ds)
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        x = _emb_matrix(t)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        deq = _sq8_dequant(x, mn, scale, degenerate, safe)
+        sims = (
+            np.round((x @ qn.T) / np.linalg.norm(x, axis=1)[:, None], 6),
+            np.round((deq @ qn.T) / np.linalg.norm(deq, axis=1)[:, None], 6),
+        )
+        tier_o, q_o, id_o, s_o = [], [], [], []
+        for tier, sm in enumerate(sims):
+            for qi in range(nq):
+                order = np.lexsort((ids, -sm[:, qi]))[:k]
+                tier_o.append(np.full(len(order), tier, np.int64))
+                q_o.append(np.full(len(order), qi, np.int64))
+                id_o.append(ids[order])
+                s_o.append(sm[order, qi])
+        return pa.table(
+            {
+                "tier": pa.array(np.concatenate(tier_o)),
+                "query_id": pa.array(np.concatenate(q_o)),
+                "vec_id": pa.array(np.concatenate(id_o)),
+                "sim": pa.array(np.concatenate(s_o), pa.float64()),
+            }
+        )
+
+    part = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    # driver-side merge of the 2·nq·k·blocks partials (output-sized)
+    part = part.sort_values(
+        ["tier", "query_id", "sim", "vec_id"],
+        ascending=[True, True, False, True], kind="mergesort",
+    )
+    top = part.groupby(["tier", "query_id"], sort=False).head(k)
+    exact = top[top["tier"] == 0]
+    quant = top[top["tier"] == 1]
+    n_overlap = np.zeros(nq, np.int64)
+    for qi in range(nq):
+        a = set(exact.loc[exact["query_id"] == qi, "vec_id"])
+        b = set(quant.loc[quant["query_id"] == qi, "vec_id"])
+        n_overlap[qi] = len(a & b)
+    return pa.table(
+        {
+            "query_id": pa.array(np.arange(nq, dtype=np.int64)),
+            "n_overlap": pa.array(n_overlap),
+            "recall": pa.array(
+                np.round(n_overlap.astype(np.float64) / k, 4), pa.float64()
+            ),
+        }
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -322,3 +322,18 @@ def test_pq_knn_deterministic_and_sane(ray_session):
     ids, _ = _brute_force_topk(k=100)
     overlap = len(set(a["vec_id"]) & set(ids.tolist()))
     assert overlap >= 3, overlap
+
+
+def test_sq8_recall_at_k_panel(ray_session):
+    """One row per panel query; overlap bounded by k; recall consistent
+    with n_overlap; SQ8 at 8 bits/dim should retain most of the exact
+    top-k on this corpus."""
+    import numpy as np
+
+    from docling_eval_ray.stages.knn import KNN_K, SQ8_RECALL_Q, sq8_recall_at_k
+
+    df = sq8_recall_at_k("/root/testdata/sf0.001").to_pandas()
+    assert list(df["query_id"]) == list(range(SQ8_RECALL_Q))
+    assert ((df["n_overlap"] >= 0) & (df["n_overlap"] <= KNN_K)).all()
+    assert np.allclose(df["recall"], np.round(df["n_overlap"] / KNN_K, 4))
+    assert df["recall"].mean() >= 0.5
