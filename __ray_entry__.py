@@ -190,6 +190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         label_pca_component,
         embedding_norms,
         label_centroids,
+        mmr_diverse_topk,
         pq_knn,
         sq8_knn,
         sq8_recall_at_k,
@@ -219,6 +220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "knn_hard_negatives": knn_hard_negatives,     # oracled (contrastive mining)
             "sq8_knn": sq8_knn,                           # oracled (scalar-quantized ANN)
             "sq8_recall_at_k": sq8_recall_at_k,           # oracled (index acceptance gate)
+            "mmr_diverse_topk": mmr_diverse_topk,         # oracled (diversity selection)
             "pq_knn": pq_knn,                             # oracled (product quantization)
             "embedding_norms": embedding_norms,           # oracled (L2)
             "label_centroids": label_centroids,           # oracled (k-means step)

@@ -4184,3 +4184,65 @@ ORACLE_SQL["sq8_recall_at_k"] = f"""
                AS recall
     FROM range({_SQ8_RQ}) t(i) LEFT JOIN ov ON ov.query_id = i
 """
+
+
+# MMR diverse top-k: the greedy argmax is unrolled into MMR_K-1 chained
+# CTEs (s1..sK carry the picked list; sc{t} scores the remaining pool
+# against it) — same rounded arithmetic and vec_id tiebreaks as
+# stages/knn.py:mmr_diverse_topk, incl. the MMR_MU-as-literal rule
+from ..stages.knn import MMR_K as _MMR_K
+from ..stages.knn import MMR_LAMBDA as _MMR_L
+from ..stages.knn import MMR_MU as _MMR_M
+from ..stages.knn import MMR_POOL as _MMR_P
+
+
+def _mmr_sql() -> str:
+    steps = []
+    for t in range(2, _MMR_K + 1):
+        steps.append(f"""
+    sc{t} AS (
+        SELECT c.vec_id,
+               round_even({_MMR_L} * min(c.sim) - {_MMR_M} * max(p.s), 6)
+                   AS mmr
+        FROM cand c CROSS JOIN s{t - 1} prev
+        JOIN pair p ON p.i = c.vec_id
+                   AND list_contains(prev.picked, p.j)
+        WHERE NOT list_contains(prev.picked, c.vec_id)
+        GROUP BY c.vec_id
+    ),
+    s{t} AS (
+        SELECT list_append(prev.picked,
+                           (SELECT vec_id FROM sc{t}
+                            ORDER BY mmr DESC, vec_id LIMIT 1)) AS picked
+        FROM s{t - 1} prev
+    )""")
+    return f"""
+    WITH cand AS (
+        SELECT vec_id,
+               round_even(list_cosine_similarity(
+                   CAST(embedding AS DOUBLE[]), {KNN_QUERY!r}), 6) AS sim,
+               CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings
+        ORDER BY sim DESC, vec_id
+        LIMIT {_MMR_P}
+    ),
+    pair AS (
+        SELECT a.vec_id AS i, b.vec_id AS j,
+               round_even(list_cosine_similarity(a.emb, b.emb), 6) AS s
+        FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+    ),
+    s1 AS (
+        SELECT list_value(vec_id) AS picked FROM cand
+        ORDER BY sim DESC, vec_id LIMIT 1
+    ),{",".join(steps)},
+    sel AS (
+        SELECT CAST(generate_subscripts(picked, 1) AS BIGINT) AS mmr_rank,
+               unnest(picked) AS vec_id
+        FROM s{_MMR_K}
+    )
+    SELECT sel.mmr_rank, sel.vec_id, c.sim
+    FROM sel JOIN cand c USING (vec_id)
+"""
+
+
+ORACLE_SQL["mmr_diverse_topk"] = _mmr_sql()

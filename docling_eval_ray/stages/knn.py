@@ -1277,6 +1277,85 @@ def sq8_recall_at_k(sf_dir: str, *, k: int = KNN_K):
 
 
 # ---------------------------------------------------------------------------
+# mmr_diverse_topk — Maximal Marginal Relevance (Carbonell & Goldstein 1998)
+# ---------------------------------------------------------------------------
+
+#: MMR geometry: candidate pool size, selections, and the relevance/
+#: diversity weights. MMR_MU is spelled as its own literal (NOT 1-λ):
+#: Python's 1-0.7 is 0.30000000000000004 while the SQL oracle's 0.3
+#: literal is 0.29999999999999998890... — the two sides must multiply
+#: by the SAME double for the rounded scores to hash-match.
+MMR_POOL = 32
+MMR_K = 8
+MMR_LAMBDA = 0.7
+MMR_MU = 0.3
+
+
+def mmr_diverse_topk(sf_dir: str, *, k: int = MMR_K, pool: int = MMR_POOL):
+    """Diverse top-k selection → (mmr_rank, vec_id, sim).
+
+    Maximal Marginal Relevance greedy selection against the fixed
+    ``KNN_QUERY``: first pick = most relevant candidate, each next pick
+    maximizes ``λ·sim(q,x) − μ·max_{s∈S} sim(x,s)`` — the standard
+    redundancy-pruned retrieval step a curation pipeline runs when
+    sampling demonstration/eval sets (pure top-k returns near-clones).
+    Shape: the distributed part is exactly ``embedding_knn``'s partial
+    top-k (per-block local top-``pool`` → one sort over pool×blocks
+    rows); the greedy loop then runs on the POOL ONLY (pool×pool
+    similarity matrix, driver-side, output-sized — never the corpus).
+    Every comparison happens on 6dp-rounded scores with vec_id
+    tiebreaks, so the DuckDB replica (k−1 chained argmax CTEs over the
+    same pool) is hash-stable."""
+    import ray.data as rd
+
+    q = np.asarray(KNN_QUERY, np.float64)
+    qn = q / np.linalg.norm(q)
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def local_pool(t: pa.Table) -> pa.Table:
+        x = _emb_matrix(t)
+        sim = np.round((x @ qn) / np.linalg.norm(x, axis=1), 6)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, -sim))[:pool]
+        return t.take(order).append_column(
+            "sim", pa.array(sim[order], pa.float64())
+        )
+
+    df = (
+        ds.map_batches(local_pool, batch_format="pyarrow")
+        .sort(["sim", "vec_id"], descending=[True, False])
+        .limit(pool)
+        .to_pandas()  # pool rows — output-sized
+    )
+    n = len(df)
+    ids = df["vec_id"].to_numpy().astype(np.int64)
+    sims = df["sim"].to_numpy()
+    emb = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    pair = np.round(_normalize(emb) @ _normalize(emb).T, 6)
+
+    picked = [0]  # row 0 = best (sim desc, vec_id asc) by the sort above
+    mask = np.ones(n, bool)
+    mask[0] = False
+    for _ in range(1, min(k, n)):
+        mx = pair[:, picked].max(axis=1)
+        mmr = np.round(MMR_LAMBDA * sims - MMR_MU * mx, 6)
+        cand = np.where(mask)[0]
+        best = cand[np.lexsort((ids[cand], -mmr[cand]))[0]]
+        picked.append(int(best))
+        mask[best] = False
+    sel = np.asarray(picked)
+    return pa.table(
+        {
+            "mmr_rank": pa.array(np.arange(1, len(sel) + 1, dtype=np.int64)),
+            "vec_id": pa.array(ids[sel], pa.int64()),
+            "sim": pa.array(sims[sel], pa.float64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
 # pq_knn — product quantization (Jégou et al. 2011) with ADC scan
 # ---------------------------------------------------------------------------
 

@@ -337,3 +337,31 @@ def test_sq8_recall_at_k_panel(ray_session):
     assert ((df["n_overlap"] >= 0) & (df["n_overlap"] <= KNN_K)).all()
     assert np.allclose(df["recall"], np.round(df["n_overlap"] / KNN_K, 4))
     assert df["recall"].mean() >= 0.5
+
+
+def test_mmr_diverse_topk_properties(ray_session):
+    """Greedy MMR invariants: first pick is the global top-1, all picks
+    come from the relevance pool, no duplicates, and the selection is
+    less mutually similar than the plain top-k prefix (the point of MMR)."""
+    from docling_eval_ray.stages.knn import MMR_K, MMR_POOL, mmr_diverse_topk
+
+    got = mmr_diverse_topk(SF_DIR).to_pandas()
+    assert list(got["mmr_rank"]) == list(range(1, MMR_K + 1))
+    assert got["vec_id"].is_unique
+    ids, sims = _brute_force_topk(k=MMR_POOL)
+    assert got["vec_id"].iloc[0] == ids[0]
+    assert set(got["vec_id"]) <= set(ids.tolist())
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    all_ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    by_id = {int(v): i for i, v in enumerate(all_ids)}
+
+    def mean_pair_sim(sel):
+        x = m[[by_id[int(v)] for v in sel]]
+        s = x @ x.T
+        n = len(sel)
+        return (s.sum() - n) / (n * (n - 1))
+
+    assert mean_pair_sim(got["vec_id"]) <= mean_pair_sim(ids[:MMR_K]) + 1e-9
