@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dedup_keep_canonical,
         dedup_substrings_excise,
         leakage_safe_split,
+        minhash_jaccard_calibration,
         minhash_near_dups,
         near_dup_clusters,
         near_dup_clusters_star,
@@ -208,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "dedup_keep_canonical": dedup_keep_canonical, # oracled (keep)
             "leakage_safe_split": leakage_safe_split,     # oracled (CC+split)
             "minhash_near_dups": minhash_near_dups,       # oracled (LSH+verify)
+            "minhash_jaccard_calibration": minhash_jaccard_calibration,  # oracled (estimator census)
             "simhash_fingerprints": simhash_fingerprints, # oracled (bit-vote)
             "simhash_near_dups": simhash_near_dups,       # oracled (banded exact)
             "neardup_pagerank": neardup_pagerank,         # oracled (power iter)

@@ -4246,3 +4246,109 @@ def _mmr_sql() -> str:
 
 
 ORACLE_SQL["mmr_diverse_topk"] = _mmr_sql()
+
+
+def _minhash_calib_sql() -> str:
+    """SQL replica of ``minhash_jaccard_calibration``: same 128-perm
+    signature rebuild as the minhash_near_dups oracle (shared (a, b)
+    literals), candidates by band min-vector equality, the SAME
+    deterministic md5("{a}-{b}") ORDER BY ... LIMIT sample, then
+    integer per-pair quantities (matches, 1e6 fixed-point exact
+    Jaccard) so the bin means are accumulation-order-proof."""
+    from ..stages.dedup import MHC_PAIR_CAP, MinHasher
+
+    mh = MinHasher()  # num_perm=128, bands=32, k=3, seed=42
+    rows = ", ".join(
+        f"({i}, {int(a)}, {int(b)})"
+        for i, (a, b) in enumerate(zip(mh._a, mh._b))
+    )
+    r = mh._rows
+    return r"""
+    WITH base AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+        FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, g FROM (
+            SELECT doc_id, array_to_string(a, ' ') AS g
+            FROM base WHERE len(a) < 3
+            UNION ALL
+            SELECT doc_id, array_to_string(a[i : i + 2], ' ')
+            FROM (SELECT doc_id, a,
+                         unnest(generate_series(1, len(a) - 2)) AS i
+                  FROM base WHERE len(a) >= 3)
+        )
+    ),
+    x AS (
+        SELECT DISTINCT doc_id,
+               CAST(('0x' || substr(md5(g), 1, 16)) AS UBIGINT) AS x64
+        FROM grams
+    ),
+    perm AS (
+        SELECT i, CAST(pa AS UBIGINT) AS pa, CAST(pb AS UBIGINT) AS pb
+        FROM (VALUES """ + rows + r""") AS p(i, pa, pb)
+    ),
+    sig AS (
+        SELECT doc_id, p.i,
+               min((p.pa * (x.x64 % 2147483647) + p.pb) % 2147483647) AS m
+        FROM x CROSS JOIN perm p GROUP BY doc_id, p.i
+    ),
+    bands AS (
+        SELECT doc_id, i // """ + str(r) + r""" AS band,
+               string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bkey
+        FROM sig GROUP BY doc_id, i // """ + str(r) + r"""
+    ),
+    cand0 AS (
+        SELECT DISTINCT lo.doc_id AS da, hi.doc_id AS db
+        FROM bands lo JOIN bands hi
+          ON lo.band = hi.band AND lo.bkey = hi.bkey
+         AND lo.doc_id < hi.doc_id
+    ),
+    cand AS (
+        SELECT da, db FROM cand0
+        ORDER BY md5(CAST(da AS VARCHAR) || '-' || CAST(db AS VARCHAR))
+        LIMIT """ + str(MHC_PAIR_CAP) + r"""
+    ),
+    sizes AS (SELECT doc_id, count(*) AS nsz FROM x GROUP BY doc_id),
+    inter AS (
+        SELECT c.da, c.db, count(*) AS nc
+        FROM cand c
+        JOIN x ga ON ga.doc_id = c.da
+        JOIN x gb ON gb.doc_id = c.db AND gb.x64 = ga.x64
+        GROUP BY c.da, c.db
+    ),
+    est AS (
+        SELECT c.da, c.db,
+               sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS matches
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.da
+        JOIN sig sb ON sb.doc_id = c.db AND sb.i = sa.i
+        GROUP BY c.da, c.db
+    ),
+    pairs AS (
+        SELECT e.matches,
+               CAST(round_even(CAST(coalesce(i.nc, 0) AS DOUBLE)
+                    / (sa.nsz + sb.nsz - coalesce(i.nc, 0)) * 1000000.0,
+                    0) AS BIGINT) AS e6
+        FROM est e
+        LEFT JOIN inter i ON i.da = e.da AND i.db = e.db
+        JOIN sizes sa ON sa.doc_id = e.da
+        JOIN sizes sb ON sb.doc_id = e.db
+    ),
+    binned AS (
+        SELECT least(e6 // 100000, 9) AS bin, matches, e6,
+               abs(matches * 1000000 - e6 * 128) AS err
+        FROM pairs
+    )
+    SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n_pairs,
+           round_even(CAST(sum(matches) AS DOUBLE)
+                      / (128.0 * count(*)), 6) AS mean_est,
+           round_even(CAST(sum(e6) AS DOUBLE)
+                      / (count(*) * 1000000.0), 6) AS mean_exact,
+           round_even(CAST(sum(err) AS DOUBLE)
+                      / (count(*) * 128 * 1000000.0), 6) AS mean_abs_err
+    FROM binned GROUP BY bin ORDER BY bin
+"""
+
+
+ORACLE_SQL["minhash_jaccard_calibration"] = _minhash_calib_sql()

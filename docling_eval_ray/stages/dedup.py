@@ -630,6 +630,256 @@ def minhash_near_dups(sf_dir: str, *, threshold: float = 0.5, k: int = 3,
 
 
 # ---------------------------------------------------------------------------
+# minhash_jaccard_calibration — index acceptance gate (Broder 1997:
+# E[sig-agreement fraction] = Jaccard; the census checks the estimator
+# is unbiased on THIS corpus before anyone trusts the LSH tiers)
+# ---------------------------------------------------------------------------
+
+#: deterministic pair-sample cap for the calibration census: above it,
+#: pairs are sampled by md5("{a}-{b}") order (unbiased, replicated
+#: verbatim in the SQL oracle's ORDER BY ... LIMIT) so the broadcast
+#: candidate index stays bounded at any corpus size.
+MHC_PAIR_CAP = 100_000
+
+#: calibration bins: exact-Jaccard deciles (floor(j·10), top-clamped)
+MHC_BIN_E6 = 100_000
+
+
+def _shingle_md5_table(ds, *, k: int, doc_filter_ref):
+    """documents → (doc_id, x64) — one row per distinct shingle per
+    doc, hashed with the SAME md5-top-8-bytes map the MinHash signature
+    uses (``_md5_hash64``), so one broadcast index serves BOTH the
+    exact-Jaccard intersections and the signature rebuild. Pruned to
+    candidate docs via the broadcast id-set semi-join."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        import ray
+
+        keep = ray.get(doc_filter_ref)
+        doc_ids, hashes = [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            if did not in keep:
+                continue
+            for s in _shingles(text, k):
+                doc_ids.append(did)
+                hashes.append(_md5_hash64(s))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "x64": pa.array(
+                    np.array(hashes, dtype=np.uint64), pa.uint64()
+                ),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+class _CalibPartials:
+    """Per-batch partial calibration rows over a broadcast candidate
+    x64 index: (bin, n, sum_matches, sum_e6, sum_err). All per-pair
+    quantities are INTEGERS (matches ∈ 0..num_perm, exact Jaccard as a
+    round-even 1e6 fixed-point) so the bin sums — and therefore the
+    final means — are bit-identical between numpy and DuckDB regardless
+    of accumulation order."""
+
+    def __init__(self, index_ref, num_perm: int = 128):
+        import ray
+
+        self._idx = ray.get(index_ref)  # doc_id -> sorted unique uint64
+        mh = MinHasher(num_perm=num_perm)
+        self._a, self._b = mh._a, mh._b
+        self._np = num_perm
+        self._sig_cache: dict[int, np.ndarray] = {}
+
+    def _sig(self, did: int) -> np.ndarray:
+        s = self._sig_cache.get(did)
+        if s is None:
+            x = self._idx[did] % _MERSENNE31
+            s = (
+                (self._a[:, None] * x[None, :] + self._b[:, None])
+                % _MERSENNE31
+            ).min(axis=1)
+            self._sig_cache[did] = s
+        return s
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch["doc_id_a"].to_numpy()
+        b = batch["doc_id_b"].to_numpy()
+        n = len(a)
+        z = np.array([], np.int64)
+        if n == 0:
+            return pd.DataFrame(
+                {"bin": z, "n": z, "sm": z, "se6": z, "serr": z}
+            )
+        # exact |A∩B| for the whole batch via one lexsort (same kernel
+        # as _CandidateVerifier): tag every x64 with its pair id; a
+        # value adjacent-equal under one pair id is an intersection hit
+        a_sets = [self._idx[x] for x in a]
+        b_sets = [self._idx[x] for x in b]
+        la = np.fromiter((s.size for s in a_sets), np.int64, n)
+        lb = np.fromiter((s.size for s in b_sets), np.int64, n)
+        vals = np.concatenate(a_sets + b_sets)
+        pid = np.concatenate(
+            [np.repeat(np.arange(n), la), np.repeat(np.arange(n), lb)]
+        )
+        order = np.lexsort((vals, pid))
+        pv, vv = pid[order], vals[order]
+        dup = (pv[1:] == pv[:-1]) & (vv[1:] == vv[:-1])
+        inter = np.bincount(pv[1:][dup], minlength=n)
+        denom = (la + lb - inter).astype(np.float64)
+        e6 = np.round(inter.astype(np.float64) / denom * 1_000_000.0)
+        e6 = e6.astype(np.int64)
+        matches = np.fromiter(
+            (
+                int((self._sig(int(x)) == self._sig(int(y))).sum())
+                for x, y in zip(a, b)
+            ),
+            np.int64,
+            n,
+        )
+        err = np.abs(matches * 1_000_000 - e6 * self._np)
+        bins = np.minimum(e6 // MHC_BIN_E6, 9)
+        g = pd.DataFrame(
+            {"bin": bins, "m": matches, "e6": e6, "err": err}
+        ).groupby("bin", as_index=False)
+        out = g.agg(n=("m", "size"), sm=("m", "sum"), se6=("e6", "sum"),
+                    serr=("err", "sum"))
+        return out.astype(np.int64)
+
+
+def minhash_jaccard_calibration(sf_dir: str, *, k: int = 3,
+                                num_perm: int = 128,
+                                pair_cap: int = MHC_PAIR_CAP):
+    """MinHash estimator calibration census → one row per exact-Jaccard
+    decile bin: (bin, n_pairs, mean_est, mean_exact, mean_abs_err).
+
+    Over the LSH candidate pairs (the population the index actually
+    surfaces — calibrating on it is what validates the dedup tiers),
+    compares the signature estimate (agreeing-position fraction of the
+    128-perm signatures) with exact distinct-shingle Jaccard. Broder's
+    bound says the estimate is unbiased with σ = √(J(1−J)/128) ≈ 0.044
+    worst case — a mean_abs_err far above that in any populated bin
+    means the hash family or banding is broken for this corpus.
+
+    Shape: candidates from `minhash_candidates` (output-sized), then a
+    deterministic md5-ordered sample caps the census at ``pair_cap``
+    (the SQL oracle repeats the same ORDER BY md5 LIMIT), so the
+    broadcast candidate index (~1 KB/doc, sampled-candidate docs only)
+    is bounded at ANY corpus size; per-pair integer partials ride one
+    tiny 10-key groupby. Nothing corpus-sized touches the driver."""
+    import ray
+    import ray.data as rd
+
+    from ..functions.groups import bucketed_group_apply
+    from .util import stage
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    raw = minhash_candidates(ds, num_perm=num_perm, k=k,
+                             distinct=False).materialize()
+    n_raw = raw.count()
+    if n_raw <= CAND_FILTER_MAX:
+        parts = [
+            np.stack(
+                [c["doc_id_a"].to_numpy(), c["doc_id_b"].to_numpy()], axis=1
+            )
+            for c in raw.iter_batches(batch_format="pyarrow")
+            if c.num_rows
+        ]
+        pairs_arr = (
+            np.unique(np.concatenate(parts), axis=0)
+            if parts
+            else np.empty((0, 2), dtype=np.int64)
+        )
+    else:  # pragma: no cover - >1M raw pairs needs a huge corpus
+        # distributed distinct, then ONLY the capped sample (bounded)
+        # is collected — the md5 sort keeps the sample deterministic
+        dist = bucketed_group_apply(
+            raw, ["doc_id_a", "doc_id_b"],
+            lambda g: g.drop_duplicates(["doc_id_a", "doc_id_b"]),
+        )
+
+        def add_h(t: pa.Table) -> pa.Table:
+            h = [
+                hashlib.md5(f"{x}-{y}".encode()).hexdigest()
+                for x, y in zip(t["doc_id_a"].to_pylist(),
+                                t["doc_id_b"].to_pylist())
+            ]
+            return t.append_column("h", pa.array(h, pa.string()))
+
+        capped = (
+            dist.map_batches(add_h, batch_format="pyarrow")
+            .sort("h").limit(pair_cap).to_pandas()
+        )
+        pairs_arr = capped[["doc_id_a", "doc_id_b"]].to_numpy()
+
+    if len(pairs_arr) > pair_cap:
+        hs = np.array(
+            [
+                hashlib.md5(f"{x}-{y}".encode()).hexdigest()
+                for x, y in pairs_arr
+            ]
+        )
+        pairs_arr = pairs_arr[np.argsort(hs, kind="stable")][:pair_cap]
+
+    pdf = pd.DataFrame(
+        {"doc_id_a": pairs_arr[:, 0], "doc_id_b": pairs_arr[:, 1]}
+    )
+    if not len(pdf):  # no LSH collisions at all — stable empty schema
+        z = pa.array([], pa.int64())
+        zf = pa.array([], pa.float64())
+        return pa.table({"bin": z, "n_pairs": z, "mean_est": zf,
+                         "mean_exact": zf, "mean_abs_err": zf})
+    cands = rd.from_pandas(pdf)
+    doc_filter_ref = ray.put(
+        set(pdf["doc_id_a"]) | set(pdf["doc_id_b"])
+    )
+
+    from collections import defaultdict
+
+    acc: dict[int, list[int]] = defaultdict(list)
+    for c in _shingle_md5_table(
+        ds, k=k, doc_filter_ref=doc_filter_ref
+    ).iter_batches(batch_format="pyarrow"):
+        for did, x in zip(c["doc_id"].to_pylist(), c["x64"].to_pylist()):
+            acc[did].append(x)
+    index = {
+        d: np.unique(np.array(v, dtype=np.uint64)) for d, v in acc.items()
+    }
+    ref = ray.put(index)
+
+    partials = stage(cands, _CalibPartials, args=(ref, num_perm),
+                     batch_format="pandas", concurrency=2)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        o = g.groupby("bin", as_index=False).agg(
+            n_pairs=("n", "sum"), sm=("sm", "sum"), se6=("se6", "sum"),
+            serr=("serr", "sum"))
+        n = o["n_pairs"].to_numpy(np.float64)
+        return pd.DataFrame(
+            {
+                "bin": o["bin"].astype(np.int64),
+                "n_pairs": o["n_pairs"].astype(np.int64),
+                "mean_est": np.round(
+                    o["sm"].to_numpy(np.float64) / (num_perm * 1.0 * n), 6
+                ),
+                "mean_exact": np.round(
+                    o["se6"].to_numpy(np.float64) / (n * 1_000_000.0), 6
+                ),
+                "mean_abs_err": np.round(
+                    o["serr"].to_numpy(np.float64)
+                    / (n * num_perm * 1_000_000.0),
+                    6,
+                ),
+            }
+        )
+
+    return bucketed_group_apply(partials, ["bin"], final,
+                                num_buckets=4).sort("bin")
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

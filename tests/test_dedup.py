@@ -471,3 +471,34 @@ def test_connected_components_star_random_graphs_match_union_find(
                for r in connected_components_star(
                    ds, num_buckets=4).take_all()}
         assert got == expected, trial
+
+
+def test_minhash_jaccard_calibration_census(ray_session):
+    """Calibration invariants on the real corpus: bins are valid
+    deciles, every populated bin's mean_abs_err sits inside 3× Broder's
+    worst-case σ (√(J(1−J)/128) ≤ 0.0442), estimates live in [0, 1],
+    and the census is deterministic."""
+    from docling_eval_ray.stages.dedup import minhash_jaccard_calibration
+
+    df = minhash_jaccard_calibration("/root/testdata/sf0.001").to_pandas()
+    assert len(df) >= 1
+    assert df["bin"].between(0, 9).all()
+    assert (df["n_pairs"] > 0).all()
+    assert df["mean_est"].between(0, 1).all()
+    assert df["mean_exact"].between(0, 1).all()
+    assert (df["mean_abs_err"] <= 3 * 0.0442).all()
+    again = minhash_jaccard_calibration("/root/testdata/sf0.001").to_pandas()
+    assert df.equals(again)
+
+
+def test_minhash_jaccard_calibration_pair_cap(ray_session):
+    """The md5-ordered sample is deterministic and caps the census:
+    with a tiny cap, total pairs == cap and two runs agree exactly."""
+    from docling_eval_ray.stages.dedup import minhash_jaccard_calibration
+
+    a = minhash_jaccard_calibration(
+        "/root/testdata/sf0.001", pair_cap=5).to_pandas()
+    b = minhash_jaccard_calibration(
+        "/root/testdata/sf0.001", pair_cap=5).to_pandas()
+    assert a.equals(b)
+    assert a["n_pairs"].sum() == 5
