@@ -264,6 +264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "zipf_fit": c.zipf_fit,  # oracled (rank-frequency regression)
             "ngram_novelty": c.ngram_novelty,  # oracled (shingle ownership)
             "char_entropy_quality": c.char_entropy_quality,  # oracled (entropy bands)
+            "truncation_loss": c.truncation_loss,            # oracled (ctx-length sweep)
         }
     )
     # content-cleaning ops (all oracled): PII redaction, CCNet-style
@@ -279,6 +280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "perplexity_buckets": cl.perplexity_buckets,  # oracled (CCNet terciles)
             "sentences_exploded": cl.sentences_exploded,
             "gopher_quality_filter": cl.gopher_quality_filter,
+            "quality_classifier_score": cl.quality_classifier_score,  # oracled (fastText-shaped)
         }
     )
     # BPE tokenizer: corpus-trained merges (one scan + vocab-sized
@@ -604,6 +606,8 @@ _DRIVER_PRIORITY_R5 = [
     "sq8_recall_at_k",
     "mmr_diverse_topk",
     "minhash_jaccard_calibration",
+    "quality_classifier_score",
+    "truncation_loss",
 ]
 
 

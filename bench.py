@@ -237,8 +237,12 @@ def run_benchmarks() -> dict:
     )
     from docling_eval_ray.stages.dedup import (
         dedup_substrings_excise as _dedup_substrings_excise,
+        minhash_jaccard_calibration as _minhash_jaccard_calibration,
         near_dup_clusters_star as _near_dup_clusters_star,
         substring_dup_stats as _substring_dup_stats,
+    )
+    from docling_eval_ray.stages.knn import (
+        sq8_recall_at_k as _sq8_recall_at_k,
     )
     from docling_eval_ray.stages.knn import (
         embedding_near_dups_lsh as _embedding_near_dups_lsh,
@@ -365,6 +369,12 @@ def run_benchmarks() -> dict:
         ("pq_knn", pq_knn),
         ("perplexity_buckets", cl.perplexity_buckets),
         ("ngram_novelty", co.ngram_novelty),
+        # round-5 continuation 3: entropy banding census, SQ8 recall
+        # gate, MinHash estimator calibration (mmr_diverse_topk and
+        # zipf_fit are census-bound sub-second ops — oracle-gated only)
+        ("char_entropy_quality", co.char_entropy_quality),
+        ("sq8_recall_at_k", _sq8_recall_at_k),
+        ("minhash_jaccard_calibration", _minhash_jaccard_calibration),
     ]:
         t0 = time.time()
         out = fn(SF_DIR)

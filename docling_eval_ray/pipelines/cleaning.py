@@ -50,7 +50,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.tokens import tokens_series
+from ..functions.tokens import md5_prefix32, tokens_series
 from .relational import _read
 
 # ---------------------------------------------------------------------------
@@ -601,3 +601,81 @@ def perplexity_buckets(sf_dir: str):
         )
 
     return ranked.map_batches(bucketize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# quality_classifier_score — fastText-shaped hashed linear classifier
+# ---------------------------------------------------------------------------
+
+#: hashed feature space (fastText's hashing trick, Joulin et al. 2016
+#: §2.1: unigrams + bigrams → fixed bucket count) and the integer
+#: weight grid. Weights are a deterministic md5-derived stand-in for
+#: trained parameters (no training corpora in this environment — same
+#: convention as the LSH hyperplane matrix): w[b] =
+#: md5_prefix32("w-{b}") % 2001 − 1000 ∈ [−1000, 1000], i.e. a fixed
+#: 1e-3 lattice, so per-doc weight sums are INTEGERS and the DuckDB
+#: replica is accumulation-order-proof.
+QC_HASH_DIM = 1024
+QC_W_MOD = 2001
+
+_QC_W = np.array(
+    [
+        (md5_prefix32(f"w-{b}") % QC_W_MOD) - 1000
+        for b in range(QC_HASH_DIM)
+    ],
+    dtype=np.int64,
+)
+
+
+def quality_classifier_score(sf_dir: str):
+    """documents → (doc_id, n_feats, w_sum, logit, keep).
+
+    The model-backed quality-classifier scoring stage every production
+    pretraining pipeline runs (CCNet/GPT-3/LLaMA filter corpora with a
+    fastText linear classifier): features are whitespace unigrams plus
+    adjacent bigrams hashed into ``QC_HASH_DIM`` buckets, the score is
+    the mean bucket weight (a linear model over a bag of hashed
+    features), ``keep`` routes on logit ≥ 0 — equivalent to
+    sigmoid ≥ 0.5 with NO transcendental on either engine, so the
+    decision is bit-exact. One streaming map, no shuffle; per-batch
+    features are ``np.unique``'d so each distinct token/bigram pays its
+    md5 once (the corpus vocabulary is the working set, not the token
+    stream)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        if n == 0:
+            z = np.array([], np.int64)
+            return pd.DataFrame(
+                {"doc_id": z, "n_feats": z, "w_sum": z,
+                 "logit": np.array([], np.float64), "keep": z}
+            )
+        toks = tokens_series(df["text"])
+        per_doc = []
+        for lst in toks:
+            per_doc.append(lst + [f"{a} {b}" for a, b in zip(lst, lst[1:])])
+        lens = np.array([len(f) for f in per_doc], dtype=np.int64)
+        flat = np.array(
+            [x for f in per_doc for x in f], dtype=object
+        )
+        uniq, inv = np.unique(flat, return_inverse=True)
+        wu = np.array(
+            [_QC_W[md5_prefix32(u) % QC_HASH_DIM] for u in uniq],
+            dtype=np.int64,
+        )
+        vals = wu[inv]
+        offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        s = np.add.reduceat(vals, offsets)  # lens ≥ 1 always (tokens(['']))
+        logit = np.round(s / (1000.0 * lens), 6)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "n_feats": lens,
+                "w_sum": s,
+                "logit": logit,
+                "keep": (s >= 0).astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")

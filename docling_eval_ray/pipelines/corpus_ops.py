@@ -1875,3 +1875,70 @@ def char_entropy_quality(sf_dir: str):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# truncation_loss — context-length planning census
+# ---------------------------------------------------------------------------
+
+#: candidate context lengths (tokens) for the packing/truncation sweep
+TRUNC_CTX_LENS = (64, 128, 256, 512)
+
+
+def truncation_loss(sf_dir: str):
+    """documents → (lang, ctx_len, n_docs, n_truncated, tokens_lost,
+    tokens_total, loss_frac).
+
+    The context-length planning sweep run before choosing a packing
+    length: for each candidate ``ctx_len``, every document truncates at
+    that many whitespace tokens and the census reports how many
+    documents lose text and what fraction of the corpus' tokens fall
+    off, per language. All counters are integers (token counts), so the
+    only float — ``loss_frac = tokens_lost / tokens_total`` — divides
+    two exact int64s identically on both engines. One streaming pass;
+    the exchange moves |langs|·|ctx_lens| partial rows per batch."""
+    ds = _read(sf_dir, "documents", columns=["text", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim(t["text"], characters=" ")
+        n_tok = (
+            pc.add(pc.count_substring_regex(trimmed, r"\s+"), 1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        frames = []
+        for ctx in TRUNC_CTX_LENS:
+            lost = np.maximum(n_tok - ctx, 0)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "lang": lang,
+                        "ctx_len": np.int64(ctx),
+                        "n_docs": np.int64(1),
+                        "n_truncated": (n_tok > ctx).astype(np.int64),
+                        "tokens_lost": lost,
+                        "tokens_total": n_tok,
+                    }
+                )
+            )
+        g = pd.concat(frames).groupby(
+            ["lang", "ctx_len"], as_index=False, sort=False
+        ).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = _final_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["lang", "ctx_len"],
+        ["n_docs", "n_truncated", "tokens_lost", "tokens_total"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        lost = t["tokens_lost"].to_numpy(zero_copy_only=False)
+        tot = t["tokens_total"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "loss_frac",
+            pa.array(np.round(lost / tot, 6), pa.float64()),
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

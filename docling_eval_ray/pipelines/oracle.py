@@ -4352,3 +4352,65 @@ def _minhash_calib_sql() -> str:
 
 
 ORACLE_SQL["minhash_jaccard_calibration"] = _minhash_calib_sql()
+
+
+ORACLE_SQL["quality_classifier_score"] = r"""
+    WITH base AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+        FROM documents
+    ),
+    uni AS (SELECT doc_id, unnest(a) AS tok FROM base),
+    big AS (
+        SELECT doc_id, a[i] || ' ' || a[i + 1] AS tok
+        FROM (SELECT doc_id, a,
+                     unnest(generate_series(1, len(a) - 1)) AS i
+              FROM base WHERE len(a) >= 2)
+    ),
+    feats AS (
+        SELECT doc_id, tok FROM uni
+        UNION ALL
+        SELECT doc_id, tok FROM big
+    ),
+    -- bucket = md5_prefix32(tok) % 1024; w = md5_prefix32('w-'||bucket)
+    -- % 2001 - 1000 — the same deterministic stand-in lattice as
+    -- cleaning._QC_W (fastText hashing trick, integer weights)
+    scored AS (
+        SELECT doc_id,
+               CAST(CAST(('0x' || substr(md5('w-' || CAST(
+                        CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT)
+                        % 1024 AS VARCHAR)), 1, 8)) AS UBIGINT)
+                    % 2001 AS BIGINT) - 1000 AS w
+        FROM feats
+    ),
+    per_doc AS (
+        SELECT doc_id, count(*) AS n_feats,
+               CAST(sum(w) AS BIGINT) AS w_sum
+        FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_feats, w_sum,
+           round_even(CAST(w_sum AS DOUBLE) / (1000.0 * n_feats), 6)
+               AS logit,
+           CAST(CASE WHEN w_sum >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM per_doc
+"""
+
+
+ORACLE_SQL["truncation_loss"] = r"""
+    WITH t AS (
+        SELECT lang,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+        FROM documents
+    ),
+    c AS (SELECT unnest([64, 128, 256, 512]) AS ctx_len)
+    SELECT lang, CAST(ctx_len AS BIGINT) AS ctx_len,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN n_tok > ctx_len THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_truncated,
+           CAST(sum(greatest(n_tok - ctx_len, 0)) AS BIGINT)
+               AS tokens_lost,
+           CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+           round_even(CAST(sum(greatest(n_tok - ctx_len, 0)) AS DOUBLE)
+                      / CAST(sum(n_tok) AS BIGINT), 6) AS loss_frac
+    FROM t CROSS JOIN c
+    GROUP BY lang, ctx_len
+"""

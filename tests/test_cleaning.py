@@ -152,3 +152,38 @@ def test_perplexity_buckets_are_lang_terciles(ray_session):
         m = g.loc[g["ppl_bucket"] == "middle", "perplexity"]
         t = g.loc[g["ppl_bucket"] == "tail", "perplexity"]
         assert h.max() <= m.min() + 1e-9 and m.max() <= t.min() + 1e-9
+
+
+def test_quality_classifier_score_matches_direct(ray_session):
+    """Per-doc hashed-linear scores replicate a direct per-row numpy
+    rebuild (unigrams + bigrams, md5 buckets, md5 weight lattice), and
+    keep ⇔ w_sum ≥ 0 ⇔ logit ≥ 0."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from docling_eval_ray.functions.tokens import md5_prefix32, sql_tokens
+    from docling_eval_ray.pipelines.cleaning import (
+        _QC_W,
+        QC_HASH_DIM,
+        quality_classifier_score,
+    )
+
+    df = (
+        quality_classifier_score("/root/testdata/sf0.001")
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "text"])
+    for did, text in list(zip(t["doc_id"].to_pylist(),
+                              t["text"].to_pylist()))[:50]:
+        toks = sql_tokens(text)
+        feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        s = sum(int(_QC_W[md5_prefix32(f) % QC_HASH_DIM]) for f in feats)
+        row = df.loc[did]
+        assert row["n_feats"] == len(feats)
+        assert row["w_sum"] == s
+        assert row["logit"] == round(s / (1000.0 * len(feats)), 6)
+        assert row["keep"] == (1 if s >= 0 else 0)
+    assert ((df["keep"] == 1) == (df["w_sum"] >= 0)).all()

@@ -361,3 +361,28 @@ def test_char_entropy_quality_census(ray_session):
     for k, es in want.items():
         assert got[k][0] == len(es)
         assert got[k][1] == round(float(np.sum(es)) / len(es), 4)
+
+
+def test_truncation_loss_census(ray_session):
+    """Counters are internally consistent: per (lang, ctx) loss_frac =
+    lost/total, monotone non-increasing in ctx_len, tokens_total is
+    ctx-invariant per lang, and n_truncated ≤ n_docs."""
+    import numpy as np
+
+    from docling_eval_ray.pipelines.corpus_ops import (
+        TRUNC_CTX_LENS,
+        truncation_loss,
+    )
+
+    df = truncation_loss("/root/testdata/sf0.001").to_pandas()
+    assert set(df["ctx_len"]) == set(TRUNC_CTX_LENS)
+    assert (df["n_truncated"] <= df["n_docs"]).all()
+    assert np.allclose(
+        df["loss_frac"],
+        np.round(df["tokens_lost"] / df["tokens_total"], 6),
+    )
+    for lang, g in df.groupby("lang"):
+        assert g["tokens_total"].nunique() == 1
+        assert g["n_docs"].nunique() == 1
+        s = g.sort_values("ctx_len")
+        assert (np.diff(s["tokens_lost"]) <= 0).all()
