@@ -277,6 +277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "pii_extract_emails": cl.pii_extract_emails,
             "dedup_paragraphs": cl.dedup_paragraphs,
             "lm_perplexity": cl.lm_perplexity,
+            "lm_perplexity_bigram": cl.lm_perplexity_bigram,  # oracled (stupid backoff)
             "perplexity_buckets": cl.perplexity_buckets,  # oracled (CCNet terciles)
             "sentences_exploded": cl.sentences_exploded,
             "gopher_quality_filter": cl.gopher_quality_filter,
@@ -608,6 +609,7 @@ _DRIVER_PRIORITY_R5 = [
     "minhash_jaccard_calibration",
     "quality_classifier_score",
     "truncation_loss",
+    "lm_perplexity_bigram",
 ]
 
 

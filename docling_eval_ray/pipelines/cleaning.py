@@ -51,7 +51,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.tokens import md5_prefix32, tokens_series
-from .relational import _read
+from .relational import _final_groupby, _read
 
 # ---------------------------------------------------------------------------
 # pii_redact — vectorized regex PII scan + redaction
@@ -679,3 +679,216 @@ def quality_classifier_score(sf_dir: str):
         )
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# lm_perplexity_bigram — bigram LM with stupid backoff
+# ---------------------------------------------------------------------------
+
+#: BOS sentinel for "no previous token" (cannot collide with real
+#: tokens: the stream is whitespace-split, and \x01 never appears in
+#: the corpus vocabulary)
+LM_BOS = "\x01"
+#: stupid-backoff discount (Brants et al. 2007 §3: fixed 0.4, no
+#: normalization — scores, not probabilities, which is all a
+#: perplexity-style quality filter needs)
+LM_BACKOFF = 0.4
+
+
+def _seq_table(t: pa.Table) -> pa.Table:
+    """Exploded (doc_id, tok, prev, is_first) in document order — the
+    bigram-scoring stream. prev of a document's first token is
+    ``LM_BOS``; everything is Arrow/numpy (no Python token loop)."""
+    toks = pc.split_pattern_regex(
+        pc.utf8_trim(t["text"], characters=" "), r"\s+"
+    )
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    parent = pc.list_parent_indices(toks)
+    flat = toks.flatten()
+    lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+    n = int(lens.sum())
+    first = np.zeros(n, bool)
+    first[np.cumsum(lens) - lens] = True  # lens ≥ 1 always (split(''))
+    prev_idx = np.maximum(np.arange(n, dtype=np.int64) - 1, 0)
+    prev = pc.if_else(
+        pa.array(first), pa.scalar(LM_BOS), flat.take(pa.array(prev_idx))
+    )
+    doc_ids = t["doc_id"]
+    if isinstance(doc_ids, pa.ChunkedArray):
+        doc_ids = doc_ids.combine_chunks()
+    return pa.table(
+        {
+            "doc_id": doc_ids.take(parent),
+            "tok": flat,
+            "prev": prev,
+            "is_first": pa.array(first),
+        }
+    )
+
+
+def _even_docs(t: pa.Table) -> pa.Table:
+    """Training-half filter: doc_id % 2 == 0."""
+    return t.filter(
+        pc.equal(pc.bit_wise_and(t["doc_id"], pa.scalar(1, pa.int64())), 0)
+    )
+
+
+def _backoff_nll(first: np.ndarray, cu: np.ndarray, cp: np.ndarray,
+                 cb: np.ndarray, total: float) -> np.ndarray:
+    """Per-token -log2 score under stupid backoff. ``cu``/``cp``/``cb``
+    are float arrays with NaN for unseen (unigram of tok, unigram of
+    prev, bigram count); the arithmetic mirrors the SQL oracle's CASE
+    arms term for term."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pu = np.where(np.isnan(cu), 1.0 / total, cu / total)
+        nll_uni = -np.log2(pu)
+        nll_bi = -np.log2(cb / cp)
+        nll_back = -np.log2(LM_BACKOFF * pu)
+    return np.where(first, nll_uni, np.where(~np.isnan(cb), nll_bi,
+                                             nll_back))
+
+
+def lm_perplexity_bigram(sf_dir: str, *,
+                         broadcast_max_vocab: int = LM_BROADCAST_MAX_VOCAB):
+    """documents → (doc_id, n_tokens, cross_entropy, perplexity).
+
+    Bigram LM with stupid backoff (Brants et al. 2007): trained on the
+    EVEN-doc_id half of the corpus, scored over every document — the
+    realistic held-out perplexity-filter setup (CCNet trains KenLM on
+    target-domain text and scores the crawl), and the reason backoff
+    actually fires: odd documents contain bigrams (and tokens) the
+    training half never saw. Scoring: first token → unigram
+    p = c(w)/T (unseen → 1/T floor); elsewhere seen bigram →
+    c(prev,w)/c(prev), else 0.4·p_uni(w).
+
+    Same two-tier size routing as ``lm_perplexity``: count tables ride
+    partial+final groupbys; under ``broadcast_max_vocab`` combined
+    entries the two dicts broadcast once per actor, above it the token
+    stream left-joins the count tables (3 bucketed exchanges) and
+    per-doc aggregation is a bucketed group apply."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .corpus_ops import _token_table
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def uni_partial(t: pa.Table) -> pa.Table:
+        ex = _token_table(_even_docs(t))
+        g = pa.TableGroupBy(ex.select(["tok"]), ["tok"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {"token": g["tok"], "c_part": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    def big_partial(t: pa.Table) -> pa.Table:
+        seq = _seq_table(_even_docs(t))
+        seq = seq.filter(pc.invert(seq["is_first"]))
+        g = pa.TableGroupBy(
+            seq.select(["prev", "tok"]), ["prev", "tok"]
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "prev": g["prev"],
+                "token": g["tok"],
+                "c_part": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    uni = (
+        ds.map_batches(uni_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("c_part", alias_name="c"))
+        .materialize()
+    )
+    big = _final_groupby(
+        ds.map_batches(big_partial, batch_format="pyarrow"),
+        ["prev", "token"],
+        ["c_part"],
+    ).materialize()
+    n_uni, n_big = uni.count(), big.count()
+    total = float(sum(
+        b["c"].to_numpy().sum()
+        for b in uni.iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ))
+
+    if n_uni + n_big <= broadcast_max_vocab:
+        u = {}
+        for b in uni.iter_batches(batch_format="pyarrow"):
+            u.update(zip(b["token"].to_pylist(), b["c"].to_numpy()))
+        bg = {}
+        for b in big.iter_batches(batch_format="pyarrow"):
+            bg.update(
+                zip(
+                    (f"{p} {w}" for p, w in zip(b["prev"].to_pylist(),
+                                                b["token"].to_pylist())),
+                    b["c_part"].to_numpy(),
+                )
+            )
+        refs = ray.put((u, bg, total))
+
+        class _BigramScorer:
+            def __init__(self, r):
+                self._u, self._b, self._t = ray.get(r)
+
+            def __call__(self, t: pa.Table) -> pd.DataFrame:
+                seq = _seq_table(t)
+                toks = seq["tok"].to_pandas()
+                prevs = seq["prev"].to_pandas()
+                cu = toks.map(self._u).to_numpy(np.float64, na_value=np.nan)
+                cp = prevs.map(self._u).to_numpy(np.float64, na_value=np.nan)
+                cb = (
+                    prevs.str.cat(toks, sep=" ")
+                    .map(self._b)
+                    .to_numpy(np.float64, na_value=np.nan)
+                )
+                nll = _backoff_nll(
+                    seq["is_first"].to_numpy(zero_copy_only=False),
+                    cu, cp, cb, self._t,
+                )
+                return _doc_nll_frame(
+                    seq["doc_id"].to_numpy(zero_copy_only=False), nll
+                )
+
+        from ..stages.util import stage
+
+        return stage(ds, _BigramScorer, args=(refs,),
+                     batch_format="pyarrow", concurrency=2)
+
+    # distributed tier: seq ⟕ uni(tok) ⟕ uni(prev) ⟕ big(prev,tok)
+    from ..functions.groups import bucketed_group_apply
+    from ..functions.joins import hash_join
+
+    seq_ds = ds.map_batches(_seq_table, batch_format="pyarrow")
+    uni_tok = uni.map_batches(
+        lambda t: pa.table({"tok": t["token"], "cu": t["c"]}),
+        batch_format="pyarrow",
+    )
+    uni_prev = uni.map_batches(
+        lambda t: pa.table({"prev": t["token"], "cp": t["c"]}),
+        batch_format="pyarrow",
+    )
+    big_pw = big.map_batches(
+        lambda t: pa.table(
+            {"prev": t["prev"], "tok": t["token"], "cb": t["c_part"]}
+        ),
+        batch_format="pyarrow",
+    )
+    j = hash_join(seq_ds, uni_tok, "tok", how="left")
+    j = hash_join(j, uni_prev, "prev", how="left")
+    j = hash_join(j, big_pw, ["prev", "tok"], how="left")
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        nll = _backoff_nll(
+            g["is_first"].to_numpy(bool),
+            g["cu"].to_numpy(np.float64, na_value=np.nan),
+            g["cp"].to_numpy(np.float64, na_value=np.nan),
+            g["cb"].to_numpy(np.float64, na_value=np.nan),
+            total,
+        )
+        return _doc_nll_frame(g["doc_id"].to_numpy(), nll)
+
+    return bucketed_group_apply(j, ["doc_id"], per_doc)

@@ -4414,3 +4414,50 @@ ORACLE_SQL["truncation_loss"] = r"""
     FROM t CROSS JOIN c
     GROUP BY lang, ctx_len
 """
+
+
+# bigram stupid-backoff LM (Brants et al. 2007), trained on the
+# even-doc_id half and scored corpus-wide; CASE arms mirror
+# cleaning._backoff_nll term for term (1/T unseen floor, 0.4 discount)
+ORACLE_SQL["lm_perplexity_bigram"] = _TOKS_CTE + r""",
+    seq AS (
+        SELECT doc_id, ord, tok,
+               lag(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS prev
+        FROM toks
+    ),
+    uni AS (
+        SELECT tok, count(*) AS c FROM toks
+        WHERE doc_id % 2 = 0 GROUP BY tok
+    ),
+    big AS (
+        SELECT prev AS p, tok AS w, count(*) AS c
+        FROM seq WHERE doc_id % 2 = 0 AND prev IS NOT NULL
+        GROUP BY prev, tok
+    ),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS s FROM uni),
+    per AS (
+        SELECT s.doc_id,
+               CASE
+                 WHEN s.prev IS NULL THEN
+                   -log2(CASE WHEN uc.c IS NULL
+                              THEN 1.0 / (SELECT s FROM tot)
+                              ELSE CAST(uc.c AS DOUBLE)
+                                   / (SELECT s FROM tot) END)
+                 WHEN bc.c IS NOT NULL THEN
+                   -log2(CAST(bc.c AS DOUBLE) / pc2.c)
+                 ELSE
+                   -log2(0.4 * CASE WHEN uc.c IS NULL
+                                    THEN 1.0 / (SELECT s FROM tot)
+                                    ELSE CAST(uc.c AS DOUBLE)
+                                         / (SELECT s FROM tot) END)
+               END AS nll
+        FROM seq s
+        LEFT JOIN uni uc ON uc.tok = s.tok
+        LEFT JOIN big bc ON bc.p = s.prev AND bc.w = s.tok
+        LEFT JOIN uni pc2 ON pc2.tok = s.prev
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round_even(avg(nll), 6) AS cross_entropy,
+           round_even(pow(2.0, avg(nll)), 6) AS perplexity
+    FROM per GROUP BY doc_id
+"""

@@ -187,3 +187,64 @@ def test_quality_classifier_score_matches_direct(ray_session):
         assert row["logit"] == round(s / (1000.0 * len(feats)), 6)
         assert row["keep"] == (1 if s >= 0 else 0)
     assert ((df["keep"] == 1) == (df["w_sum"] >= 0)).all()
+
+
+def test_lm_perplexity_bigram_matches_direct(ray_session):
+    """Broadcast tier replicates a direct in-memory stupid-backoff
+    rebuild (train = even doc_ids), the distributed join tier agrees
+    bit-for-bit, and backoff genuinely fires on the held-out half."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from docling_eval_ray.functions.tokens import sql_tokens
+    from docling_eval_ray.pipelines.cleaning import (
+        LM_BACKOFF,
+        lm_perplexity_bigram,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        lm_perplexity_bigram(sf).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    dist = (
+        lm_perplexity_bigram(sf, broadcast_max_vocab=0).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got.equals(dist)
+
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    docs = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    uni: dict[str, int] = {}
+    big: dict[tuple[str, str], int] = {}
+    for did, text in docs.items():
+        if did % 2 != 0:
+            continue
+        toks = sql_tokens(text)
+        for w in toks:
+            uni[w] = uni.get(w, 0) + 1
+        for p, w in zip(toks, toks[1:]):
+            big[(p, w)] = big.get((p, w), 0) + 1
+    T = float(sum(uni.values()))
+
+    n_backoff = 0
+    by_id = got.set_index("doc_id")
+    for did in docs:  # all 500 — backoff fires only ~7×/corpus
+        toks = sql_tokens(docs[did])
+        nll = []
+        for i, w in enumerate(toks):
+            pu = uni.get(w, 0) / T if w in uni else 1.0 / T
+            if i == 0:
+                nll.append(-np.log2(pu))
+            elif (toks[i - 1], w) in big:
+                nll.append(-np.log2(big[(toks[i - 1], w)]
+                                    / uni[toks[i - 1]]))
+            else:
+                n_backoff += 1
+                nll.append(-np.log2(LM_BACKOFF * pu))
+        h = float(np.sum(nll)) / len(nll)
+        row = by_id.loc[did]
+        assert row["n_tokens"] == len(toks)
+        assert row["cross_entropy"] == round(h, 6)
+        assert row["perplexity"] == round(2.0 ** h, 6)
+    assert n_backoff > 0, "backoff never fired — held-out split broken?"
