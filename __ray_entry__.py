@@ -265,6 +265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "ngram_novelty": c.ngram_novelty,  # oracled (shingle ownership)
             "char_entropy_quality": c.char_entropy_quality,  # oracled (entropy bands)
             "truncation_loss": c.truncation_loss,            # oracled (ctx-length sweep)
+            "source_drift_ks": c.source_drift_ks,            # oracled (2-sample KS)
         }
     )
     # content-cleaning ops (all oracled): PII redaction, CCNet-style
@@ -610,6 +611,7 @@ _DRIVER_PRIORITY_R5 = [
     "quality_classifier_score",
     "truncation_loss",
     "lm_perplexity_bigram",
+    "source_drift_ks",
 ]
 
 

@@ -1942,3 +1942,78 @@ def truncation_loss(sf_dir: str):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# source_drift_ks — two-sample Kolmogorov–Smirnov drift monitor
+# ---------------------------------------------------------------------------
+
+
+def source_drift_ks(sf_dir: str):
+    """documents → (source, n_source, n_rest, ks_stat) — one row per
+    source.
+
+    The data-drift monitor a production ingest pipeline runs per feed:
+    the two-sample Kolmogorov–Smirnov statistic between each source's
+    ``n_chars`` distribution and the rest of the corpus,
+    ``KS = max_x |F_src(x) − F_rest(x)|``. EXACT, no float CDFs until
+    the final division: with integer cumulative counts the supremum is
+    ``max |cum_src·n_rest − cum_rest·n_src|`` over the observed
+    support, an int64 quantity both engines compute identically, and
+    ``ks_stat`` divides it by ``n_src·n_rest`` once at the end
+    (round 6).
+
+    Shape: ONE partial+final groupby builds the (source, n_chars)
+    census — the only exchange; the census is SUPPORT-sized (distinct
+    values × sources, bounded by the value domain, not the corpus), so
+    the driver-side ECDF sweep is output-sized state behind the same
+    gate convention as the char-entropy bands."""
+    ds = _read(sf_dir, "documents", columns=["source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            t.select(["source", "n_chars"]), ["source", "n_chars"]
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "source": g["source"],
+                "n_chars": g["n_chars"],
+                "c": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    census = _final_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source", "n_chars"],
+        ["c"],
+    ).to_pandas()  # support-sized (|values|×|sources|), never corpus-sized
+
+    piv = (
+        census.pivot_table(index="n_chars", columns="source", values="c",
+                           aggfunc="sum", fill_value=0)
+        .sort_index()
+    )
+    counts = piv.to_numpy(np.int64)          # |support| × |sources|
+    cums = counts.cumsum(axis=0)
+    n_src = counts.sum(axis=0)
+    n_all = int(n_src.sum())
+    cum_all = cums.sum(axis=1)
+    sources = list(piv.columns)
+    rows = []
+    for j, s in enumerate(sources):
+        ns = int(n_src[j])
+        nr = n_all - ns
+        cr = cum_all - cums[:, j]
+        num = np.abs(cums[:, j] * nr - cr * ns)
+        rows.append(
+            (s, ns, nr, float(np.round(int(num.max()) / (ns * nr), 6)))
+        )
+    rows.sort()
+    return pa.table(
+        {
+            "source": pa.array([r[0] for r in rows], pa.string()),
+            "n_source": pa.array([r[1] for r in rows], pa.int64()),
+            "n_rest": pa.array([r[2] for r in rows], pa.int64()),
+            "ks_stat": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )

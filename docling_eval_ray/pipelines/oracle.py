@@ -4461,3 +4461,48 @@ ORACLE_SQL["lm_perplexity_bigram"] = _TOKS_CTE + r""",
            round_even(pow(2.0, avg(nll)), 6) AS perplexity
     FROM per GROUP BY doc_id
 """
+
+
+# two-sample KS per source vs rest: integer ECDF numerators (cum·n_rest
+# − cum_rest·n_src), one double division at the end — exact both sides
+ORACLE_SQL["source_drift_ks"] = r"""
+    WITH c AS (
+        SELECT source, n_chars, count(*) AS c
+        FROM documents GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT s.source, v.n_chars
+        FROM (SELECT DISTINCT source FROM documents) s
+        CROSS JOIN (SELECT DISTINCT n_chars FROM documents) v
+    ),
+    f AS (
+        SELECT g.source, g.n_chars, coalesce(c.c, 0) AS c
+        FROM grid g LEFT JOIN c USING (source, n_chars)
+    ),
+    cum AS (
+        SELECT source, n_chars,
+               sum(c) OVER (PARTITION BY source ORDER BY n_chars) AS cs
+        FROM f
+    ),
+    tot AS (SELECT source, sum(c) AS ns FROM c GROUP BY source),
+    alln AS (SELECT sum(c) AS na FROM c),
+    cumall AS (
+        SELECT n_chars, sum(c) OVER (ORDER BY n_chars) AS ca
+        FROM (SELECT n_chars, sum(c) AS c FROM c GROUP BY n_chars)
+    ),
+    ks AS (
+        SELECT cum.source, t.ns,
+               max(abs(cum.cs * ((SELECT na FROM alln) - t.ns)
+                       - (ca.ca - cum.cs) * t.ns)) AS num
+        FROM cum
+        JOIN tot t USING (source)
+        JOIN cumall ca USING (n_chars)
+        GROUP BY cum.source, t.ns
+    )
+    SELECT source,
+           CAST(ns AS BIGINT) AS n_source,
+           CAST((SELECT na FROM alln) - ns AS BIGINT) AS n_rest,
+           round_even(CAST(num AS DOUBLE)
+                      / (ns * ((SELECT na FROM alln) - ns)), 6) AS ks_stat
+    FROM ks
+"""

@@ -386,3 +386,30 @@ def test_truncation_loss_census(ray_session):
         assert g["n_docs"].nunique() == 1
         s = g.sort_values("ctx_len")
         assert (np.diff(s["tokens_lost"]) <= 0).all()
+
+
+def test_source_drift_ks_matches_scipy_style_direct(ray_session):
+    """KS stats replicate a direct per-source two-sample ECDF sweep and
+    sit in [0, 1]; a planted shifted source would dominate — here the
+    uniform synthetic feeds all stay small."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from docling_eval_ray.pipelines.corpus_ops import source_drift_ks
+
+    df = source_drift_ks("/root/testdata/sf0.001").to_pandas()
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["source", "n_chars"])
+    src = np.array(t["source"].to_pylist())
+    nc = np.array(t["n_chars"].to_pylist(), np.int64)
+    support = np.unique(nc)
+    assert df["ks_stat"].between(0, 1).all()
+    for row in df.itertuples():
+        a = nc[src == row.source]
+        b = nc[src != row.source]
+        fa = np.searchsorted(np.sort(a), support, side="right") / len(a)
+        fb = np.searchsorted(np.sort(b), support, side="right") / len(b)
+        want = round(float(np.abs(fa - fb).max()), 6)
+        assert abs(row.ks_stat - want) < 2e-6, (row.source, row.ks_stat,
+                                                want)
+        assert row.n_source == len(a) and row.n_rest == len(b)
