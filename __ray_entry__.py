@@ -283,6 +283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "sentences_exploded": cl.sentences_exploded,
             "gopher_quality_filter": cl.gopher_quality_filter,
             "quality_classifier_score": cl.quality_classifier_score,  # oracled (fastText-shaped)
+            "filter_agreement_kappa": cl.filter_agreement_kappa,  # oracled (Cohen's kappa)
         }
     )
     # BPE tokenizer: corpus-trained merges (one scan + vocab-sized
@@ -612,6 +613,7 @@ _DRIVER_PRIORITY_R5 = [
     "truncation_loss",
     "lm_perplexity_bigram",
     "source_drift_ks",
+    "filter_agreement_kappa",
 ]
 
 

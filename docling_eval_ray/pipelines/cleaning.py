@@ -469,48 +469,50 @@ def gopher_quality_filter(sf_dir: str):
     both engines so float drift cannot flip a verdict. One streaming
     map, no shuffle."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(_gopher_table, batch_format="pyarrow")
 
-    def fn(t: pa.Table) -> pa.Table:
-        text = t["text"]
-        trimmed = pc.utf8_trim(text, characters=" ")
-        n_words = pc.cast(
-            pc.add(pc.count_substring_regex(trimmed, r"\s+"), 1),
-            pa.int64(),
-        )
-        n_chars_ns = pc.utf8_length(
-            pc.replace_substring_regex(text, r"\s", "")
-        )
-        mean_wl = np.round(
-            pc.cast(n_chars_ns, pa.float64()).to_numpy(zero_copy_only=False)
-            / pc.cast(n_words, pa.float64()).to_numpy(zero_copy_only=False),
-            4,
-        )
-        hits = np.zeros(len(t), np.int64)
-        for w in GOPHER_STOPWORDS:
-            hits += (
-                pc.match_substring_regex(text, rf"\b{w}\b")
-                .to_numpy(zero_copy_only=False)
-                .astype(np.int64)
-            )
-        nw = n_words.to_numpy(zero_copy_only=False)
-        keep = (
-            (nw >= GOPHER_MIN_WORDS)
-            & (nw <= GOPHER_MAX_WORDS)
-            & (mean_wl >= GOPHER_MIN_MWL)
-            & (mean_wl <= GOPHER_MAX_MWL)
-            & (hits >= GOPHER_MIN_STOPWORDS)
-        )
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "n_words": n_words,
-                "mean_wl": pa.array(mean_wl, pa.float64()),
-                "stop_hits": pa.array(hits, pa.int64()),
-                "keep": pa.array(keep.astype(np.int64), pa.int64()),
-            }
-        )
 
-    return ds.map_batches(fn, batch_format="pyarrow")
+def _gopher_table(t: pa.Table) -> pa.Table:
+    """Per-batch Gopher gate kernel — module-level so fused consumers
+    (``filter_agreement_kappa``) reuse it without a corpus join."""
+    text = t["text"]
+    trimmed = pc.utf8_trim(text, characters=" ")
+    n_words = pc.cast(
+        pc.add(pc.count_substring_regex(trimmed, r"\s+"), 1),
+        pa.int64(),
+    )
+    n_chars_ns = pc.utf8_length(
+        pc.replace_substring_regex(text, r"\s", "")
+    )
+    mean_wl = np.round(
+        pc.cast(n_chars_ns, pa.float64()).to_numpy(zero_copy_only=False)
+        / pc.cast(n_words, pa.float64()).to_numpy(zero_copy_only=False),
+        4,
+    )
+    hits = np.zeros(len(t), np.int64)
+    for w in GOPHER_STOPWORDS:
+        hits += (
+            pc.match_substring_regex(text, rf"\b{w}\b")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+    nw = n_words.to_numpy(zero_copy_only=False)
+    keep = (
+        (nw >= GOPHER_MIN_WORDS)
+        & (nw <= GOPHER_MAX_WORDS)
+        & (mean_wl >= GOPHER_MIN_MWL)
+        & (mean_wl <= GOPHER_MAX_MWL)
+        & (hits >= GOPHER_MIN_STOPWORDS)
+    )
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "n_words": n_words,
+            "mean_wl": pa.array(mean_wl, pa.float64()),
+            "stop_hits": pa.array(hits, pa.int64()),
+            "keep": pa.array(keep.astype(np.int64), pa.int64()),
+        }
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -642,8 +644,13 @@ def quality_classifier_score(sf_dir: str):
     md5 once (the corpus vocabulary is the working set, not the token
     stream)."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(_qc_frame, batch_format="pandas")
 
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
+
+def _qc_frame(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch hashed-linear-classifier kernel — module-level so
+    fused consumers (``filter_agreement_kappa``) reuse it."""
+    if True:
         n = len(df)
         if n == 0:
             z = np.array([], np.int64)
@@ -678,7 +685,85 @@ def quality_classifier_score(sf_dir: str):
             }
         )
 
-    return ds.map_batches(fn, batch_format="pandas")
+
+# ---------------------------------------------------------------------------
+# filter_agreement_kappa — Cohen's κ between two quality raters
+# ---------------------------------------------------------------------------
+
+
+def filter_agreement_kappa(sf_dir: str):
+    """One row: (n11, n10, n01, n00, po, pe, kappa) — inter-rater
+    agreement between the Gopher rule gate and the hashed linear
+    classifier (Cohen 1960). The question every pipeline owner asks
+    before stacking filters: do they agree beyond chance? κ near 0 ⇒
+    the second filter adds an independent signal; κ near 1 ⇒ it is
+    redundant.
+
+    EXACT: the 2×2 contingency is integer; ``po``, ``pe`` and κ are
+    single divisions of int64 expressions (κ = (N·(n11+n00) −
+    (r1·c1 + r0·c0)) / (N² − (r1·c1 + r0·c0)) — the algebraically
+    cleared form, no chained float ops), so both engines round the same
+    doubles. Shape: BOTH raters run fused in one streaming map over one
+    corpus read (no join — the kernels are module-level and shared with
+    their standalone queries); per-batch partial counts ride one
+    4-integer row per batch through a single-key groupby."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        kg = _gopher_table(t)["keep"].to_numpy(zero_copy_only=False)
+        kc = _qc_frame(t.to_pandas())["keep"].to_numpy()
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "n11": pa.array([int(((kg == 1) & (kc == 1)).sum())],
+                                pa.int64()),
+                "n10": pa.array([int(((kg == 1) & (kc == 0)).sum())],
+                                pa.int64()),
+                "n01": pa.array([int(((kg == 0) & (kc == 1)).sum())],
+                                pa.int64()),
+                "n00": pa.array([int(((kg == 0) & (kc == 0)).sum())],
+                                pa.int64()),
+            }
+        )
+
+    agg = _final_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["k"],
+        ["n11", "n10", "n01", "n00"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.drop_columns(["k"])
+        n11 = int(t["n11"][0].as_py())
+        n10 = int(t["n10"][0].as_py())
+        n01 = int(t["n01"][0].as_py())
+        n00 = int(t["n00"][0].as_py())
+        n = n11 + n10 + n01 + n00
+        r1, r0 = n11 + n10, n01 + n00
+        c1, c0 = n11 + n01, n10 + n00
+        chance = r1 * c1 + r0 * c0
+        po = np.round((n11 + n00) / n, 6)
+        pe = np.round(chance / (n * n), 6)
+        denom = n * n - chance
+        # pe = 1 (both raters constant) leaves κ undefined; 0 by the
+        # usual convention — mirrored in the oracle's CASE
+        kappa = 0.0 if denom == 0 else np.round(
+            (n * (n11 + n00) - chance) / denom, 6
+        )
+        return pa.table(
+            {
+                "n11": pa.array([n11], pa.int64()),
+                "n10": pa.array([n10], pa.int64()),
+                "n01": pa.array([n01], pa.int64()),
+                "n00": pa.array([n00], pa.int64()),
+                "po": pa.array([float(po)], pa.float64()),
+                "pe": pa.array([float(pe)], pa.float64()),
+                "kappa": pa.array([float(kappa)], pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -4506,3 +4506,86 @@ ORACLE_SQL["source_drift_ks"] = r"""
                       / (ns * ((SELECT na FROM alln) - ns)), 6) AS ks_stat
     FROM ks
 """
+
+
+# Cohen's κ between the Gopher gate and the hashed classifier: both
+# raters rebuilt from their own oracle fragments, integer contingency,
+# algebraically-cleared single divisions (see cleaning.filter_agreement_kappa)
+ORACLE_SQL["filter_agreement_kappa"] = r"""
+    WITH g AS (
+        SELECT doc_id,
+               CAST(n_words BETWEEN 20 AND 80
+                    AND round_even(CAST(n_chars_ns AS DOUBLE) / n_words, 4)
+                        BETWEEN 3.0 AND 10.0
+                    AND stop_hits >= 2 AS BIGINT) AS kg
+        FROM (
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text, ' '), '\s+'))
+                        AS BIGINT) AS n_words,
+                   length(regexp_replace(text, '\s', '', 'g'))
+                       AS n_chars_ns,
+                   CAST(regexp_matches(text, '\bthe\b') AS BIGINT)
+                   + CAST(regexp_matches(text, '\bscan\b') AS BIGINT)
+                   + CAST(regexp_matches(text, '\bjoin\b') AS BIGINT)
+                   + CAST(regexp_matches(text, '\bmerge\b') AS BIGINT)
+                   + CAST(regexp_matches(text, '\bwindow\b') AS BIGINT)
+                       AS stop_hits
+            FROM documents
+        )
+    ),
+    base AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, unnest(a) AS tok FROM base
+        UNION ALL
+        SELECT doc_id, a[i] || ' ' || a[i + 1] AS tok
+        FROM (SELECT doc_id, a,
+                     unnest(generate_series(1, len(a) - 1)) AS i
+              FROM base WHERE len(a) >= 2)
+    ),
+    q AS (
+        SELECT doc_id,
+               CAST(CASE WHEN sum(
+                   CAST(CAST(('0x' || substr(md5('w-' || CAST(
+                        CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT)
+                        % 1024 AS VARCHAR)), 1, 8)) AS UBIGINT)
+                        % 2001 AS BIGINT) - 1000) >= 0
+                    THEN 1 ELSE 0 END AS BIGINT) AS kc
+        FROM feats GROUP BY doc_id
+    ),
+    cont AS (
+        SELECT
+            CAST(sum(CASE WHEN kg = 1 AND kc = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n11,
+            CAST(sum(CASE WHEN kg = 1 AND kc = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n10,
+            CAST(sum(CASE WHEN kg = 0 AND kc = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n01,
+            CAST(sum(CASE WHEN kg = 0 AND kc = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n00
+        FROM g JOIN q USING (doc_id)
+    )
+    SELECT n11, n10, n01, n00,
+           round_even(CAST(n11 + n00 AS DOUBLE)
+                      / (n11 + n10 + n01 + n00), 6) AS po,
+           round_even(CAST((n11 + n10) * (n11 + n01)
+                           + (n01 + n00) * (n10 + n00) AS DOUBLE)
+                      / ((n11 + n10 + n01 + n00)
+                         * (n11 + n10 + n01 + n00)), 6) AS pe,
+           CASE WHEN (n11 + n10 + n01 + n00) * (n11 + n10 + n01 + n00)
+                     - ((n11 + n10) * (n11 + n01)
+                        + (n01 + n00) * (n10 + n00)) = 0
+                THEN 0.0
+                ELSE round_even(
+                    CAST((n11 + n10 + n01 + n00) * (n11 + n00)
+                         - ((n11 + n10) * (n11 + n01)
+                            + (n01 + n00) * (n10 + n00)) AS DOUBLE)
+                    / ((n11 + n10 + n01 + n00)
+                       * (n11 + n10 + n01 + n00)
+                       - ((n11 + n10) * (n11 + n01)
+                          + (n01 + n00) * (n10 + n00))), 6)
+           END AS kappa
+    FROM cont
+"""

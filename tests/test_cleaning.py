@@ -248,3 +248,31 @@ def test_lm_perplexity_bigram_matches_direct(ray_session):
         assert row["cross_entropy"] == round(h, 6)
         assert row["perplexity"] == round(2.0 ** h, 6)
     assert n_backoff > 0, "backoff never fired — held-out split broken?"
+
+
+def test_filter_agreement_kappa(ray_session):
+    """Contingency reconciles with the standalone raters; po/pe/kappa
+    satisfy their defining identities; both raters are non-constant on
+    this corpus (else kappa is degenerate)."""
+    import numpy as np
+
+    from docling_eval_ray.pipelines.cleaning import (
+        filter_agreement_kappa,
+        gopher_quality_filter,
+        quality_classifier_score,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    row = filter_agreement_kappa(sf).to_pandas().iloc[0]
+    g = gopher_quality_filter(sf).to_pandas().set_index("doc_id")["keep"]
+    c = (quality_classifier_score(sf).to_pandas()
+         .set_index("doc_id")["keep"])
+    g, c = g.sort_index(), c.sort_index()
+    assert row["n11"] == int(((g == 1) & (c == 1)).sum())
+    assert row["n10"] == int(((g == 1) & (c == 0)).sum())
+    assert row["n01"] == int(((g == 0) & (c == 1)).sum())
+    assert row["n00"] == int(((g == 0) & (c == 0)).sum())
+    n = row[["n11", "n10", "n01", "n00"]].sum()
+    assert row["po"] == round((row["n11"] + row["n00"]) / n, 6)
+    assert 0 < g.mean() < 1 and 0 < c.mean() < 1
+    assert -1.0 <= row["kappa"] <= 1.0
