@@ -266,6 +266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "char_entropy_quality": c.char_entropy_quality,  # oracled (entropy bands)
             "truncation_loss": c.truncation_loss,            # oracled (ctx-length sweep)
             "source_drift_ks": c.source_drift_ks,            # oracled (2-sample KS)
+            "subsample_ci_mean": c.subsample_ci_mean,        # oracled (CI band)
         }
     )
     # content-cleaning ops (all oracled): PII redaction, CCNet-style
@@ -614,6 +615,7 @@ _DRIVER_PRIORITY_R5 = [
     "lm_perplexity_bigram",
     "source_drift_ks",
     "filter_agreement_kappa",
+    "subsample_ci_mean",
 ]
 
 

@@ -2017,3 +2017,67 @@ def source_drift_ks(sf_dir: str):
             "ks_stat": pa.array([r[3] for r in rows], pa.float64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# subsample_ci_mean — deterministic subsampling confidence interval
+# ---------------------------------------------------------------------------
+
+#: replicate count for the subsampling CI (Politis–Romano m-out-of-n
+#: with m ≈ n/2 via a deterministic md5 coin — no RNG state to ship)
+CI_REPS = 64
+
+
+def subsample_ci_mean(sf_dir: str):
+    """One row: (n_docs, mean_full, n_reps, ci_lo, ci_hi) — an
+    uncertainty band for the corpus mean ``n_chars``.
+
+    Every data-quality dashboard wants an error bar, not a point:
+    ``CI_REPS`` half-subsample replicates (doc d belongs to replicate b
+    iff ``md5("{d}-{b}")`` is even — deterministic, so the SQL oracle
+    rebuilds the EXACT same membership, and reruns are reproducible at
+    any cluster size with no RNG state), each replicate's mean is one
+    int/int division, and the band is the 2nd-smallest / 2nd-largest
+    replicate mean (≈ 3%–97% at 64 reps). Shape: one streaming pass
+    emits ≤ ``CI_REPS+1`` integer partial rows per batch (sum, count
+    per replicate + the full-corpus row), one tiny groupby, and a
+    replicate-count-sized driver finish."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        dids = t["doc_id"].to_numpy(zero_copy_only=False)
+        nch = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        member = np.zeros((len(dids), CI_REPS), dtype=bool)
+        for i, d in enumerate(dids):
+            for b in range(CI_REPS):
+                member[i, b] = md5_prefix32(f"{d}-{b}") % 2 == 0
+        bs = list(range(CI_REPS)) + [-1]
+        s = list((member * nch[:, None]).sum(axis=0)) + [int(nch.sum())]
+        c = list(member.sum(axis=0)) + [len(dids)]
+        return pa.table(
+            {
+                "b": pa.array(bs, pa.int64()),
+                "s": pa.array(np.asarray(s, np.int64), pa.int64()),
+                "c": pa.array(np.asarray(c, np.int64), pa.int64()),
+            }
+        )
+
+    agg = _final_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"), ["b"], ["s", "c"]
+    ).to_pandas()  # ≤ CI_REPS+1 rows
+
+    full = agg[agg["b"] == -1].iloc[0]
+    reps = agg[(agg["b"] >= 0) & (agg["c"] > 0)]
+    mus = np.sort(reps["s"].to_numpy(np.float64)
+                  / reps["c"].to_numpy(np.float64))
+    return pa.table(
+        {
+            "n_docs": pa.array([int(full["c"])], pa.int64()),
+            "mean_full": pa.array(
+                [float(np.round(full["s"] / full["c"], 6))], pa.float64()
+            ),
+            "n_reps": pa.array([len(mus)], pa.int64()),
+            "ci_lo": pa.array([float(np.round(mus[1], 6))], pa.float64()),
+            "ci_hi": pa.array([float(np.round(mus[-2], 6))], pa.float64()),
+        }
+    )

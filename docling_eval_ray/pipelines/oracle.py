@@ -4589,3 +4589,30 @@ ORACLE_SQL["filter_agreement_kappa"] = r"""
            END AS kappa
     FROM cont
 """
+
+
+# subsampling CI: identical md5 membership coin, replicate means as
+# single int/int divisions, band = 2nd smallest / 2nd largest
+ORACLE_SQL["subsample_ci_mean"] = """
+    WITH r AS (SELECT unnest(generate_series(0, 63)) AS b),
+    m AS (
+        SELECT r.b, CAST(sum(d.n_chars) AS BIGINT) AS s, count(*) AS c
+        FROM documents d CROSS JOIN r
+        WHERE CAST(('0x' || substr(md5(
+                  CAST(d.doc_id AS VARCHAR) || '-'
+                  || CAST(r.b AS VARCHAR)), 1, 8)) AS UBIGINT) % 2 = 0
+        GROUP BY r.b
+    ),
+    means AS (SELECT b, CAST(s AS DOUBLE) / c AS mu FROM m),
+    ranked AS (
+        SELECT mu, row_number() OVER (ORDER BY mu, b) AS rk FROM means
+    )
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           round_even((SELECT CAST(sum(n_chars) AS DOUBLE) / count(*)
+                       FROM documents), 6) AS mean_full,
+           (SELECT count(*) FROM means) AS n_reps,
+           round_even((SELECT mu FROM ranked WHERE rk = 2), 6) AS ci_lo,
+           round_even((SELECT mu FROM ranked
+                       WHERE rk = (SELECT count(*) FROM means) - 1), 6)
+               AS ci_hi
+"""

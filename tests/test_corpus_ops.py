@@ -413,3 +413,31 @@ def test_source_drift_ks_matches_scipy_style_direct(ray_session):
         assert abs(row.ks_stat - want) < 2e-6, (row.source, row.ks_stat,
                                                 want)
         assert row.n_source == len(a) and row.n_rest == len(b)
+
+
+def test_subsample_ci_mean_brackets_truth(ray_session):
+    """The CI band brackets the full-corpus mean, replicate membership
+    is the md5 coin (spot-rebuilt), and all 64 replicates are
+    populated on this corpus."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from docling_eval_ray.functions.tokens import md5_prefix32
+    from docling_eval_ray.pipelines.corpus_ops import (
+        CI_REPS,
+        subsample_ci_mean,
+    )
+
+    row = subsample_ci_mean("/root/testdata/sf0.001").to_pandas().iloc[0]
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "n_chars"])
+    dids = t["doc_id"].to_numpy(zero_copy_only=False)
+    nch = t["n_chars"].to_numpy(zero_copy_only=False)
+    assert row["n_docs"] == len(dids)
+    assert row["mean_full"] == round(float(nch.sum()) / len(nch), 6)
+    assert row["n_reps"] == CI_REPS
+    assert row["ci_lo"] <= row["mean_full"] <= row["ci_hi"]
+    # spot-rebuild replicate 0's mean and check it lies inside [min,max]
+    m0 = np.array([md5_prefix32(f"{d}-0") % 2 == 0 for d in dids])
+    mu0 = float(nch[m0].sum()) / int(m0.sum())
+    assert row["ci_lo"] - 1e-9 <= mu0 or mu0 <= row["ci_hi"] + 1e-9
