@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from docling_eval_ray.stages.dedup import (
         dedup_keep_canonical,
         dedup_substrings_excise,
+        forget_propagation,
         leakage_safe_split,
         minhash_jaccard_calibration,
         minhash_near_dups,
@@ -208,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "dedup_substrings_excise": dedup_substrings_excise,  # oracled (ExactSubstr)
             "dedup_keep_canonical": dedup_keep_canonical, # oracled (keep)
             "leakage_safe_split": leakage_safe_split,     # oracled (CC+split)
+            "forget_propagation": forget_propagation,     # oracled (RTBF clone sweep)
             "minhash_near_dups": minhash_near_dups,       # oracled (LSH+verify)
             "minhash_jaccard_calibration": minhash_jaccard_calibration,  # oracled (estimator census)
             "simhash_fingerprints": simhash_fingerprints, # oracled (bit-vote)
@@ -616,6 +618,7 @@ _DRIVER_PRIORITY_R5 = [
     "source_drift_ks",
     "filter_agreement_kappa",
     "subsample_ci_mean",
+    "forget_propagation",
 ]
 
 

@@ -375,6 +375,11 @@ def run_benchmarks() -> dict:
         ("char_entropy_quality", co.char_entropy_quality),
         ("sq8_recall_at_k", _sq8_recall_at_k),
         ("minhash_jaccard_calibration", _minhash_jaccard_calibration),
+        # round-5 continuation 4: backoff LM + subsampling CI (the
+        # kappa/KS/truncation/classifier censuses over the 5k-doc table
+        # are sub-second — oracle-gated only)
+        ("lm_perplexity_bigram", cl.lm_perplexity_bigram),
+        ("subsample_ci_mean", co.subsample_ci_mean),
     ]:
         t0 = time.time()
         out = fn(SF_DIR)

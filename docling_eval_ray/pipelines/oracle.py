@@ -4616,3 +4616,19 @@ ORACLE_SQL["subsample_ci_mean"] = """
                        WHERE rk = (SELECT count(*) FROM means) - 1), 6)
                AS ci_hi
 """
+
+
+# delete propagation: requests (doc_id % 97 = 0) plus every cluster-mate
+# in the SAME component walk the near-dup family shares (_NDC_CTE)
+ORACLE_SQL["forget_propagation"] = _NDC_CTE + """,
+    clus AS (SELECT s AS doc_id, min(l) AS cid FROM walk GROUP BY s),
+    affected AS (
+        SELECT DISTINCT cid FROM clus WHERE doc_id % 97 = 0
+    )
+    SELECT doc_id, 'direct' AS reason FROM documents
+    WHERE doc_id % 97 = 0
+    UNION ALL
+    SELECT c.doc_id, 'clone' AS reason
+    FROM clus c JOIN affected a USING (cid)
+    WHERE c.doc_id % 97 <> 0
+"""

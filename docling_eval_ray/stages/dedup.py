@@ -30,6 +30,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.tokens import sql_tokens
 
@@ -1904,3 +1905,74 @@ def leakage_safe_split(sf_dir: str, *, n_splits: int = 10,
         ),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# forget_propagation — right-to-be-forgotten delete propagation
+# ---------------------------------------------------------------------------
+
+#: deterministic synthetic deletion-request set: doc_id % 97 == 0 (the
+#: same synthesize-from-doc_id house pattern as the PII injection)
+FORGET_MOD = 97
+
+
+def forget_propagation(sf_dir: str, *, threshold: float = 0.1, k: int = 3):
+    """(doc_id, reason ∈ {direct, clone}) — every document that must be
+    dropped to honor a deletion-request list.
+
+    The compliance semantics a production corpus needs: deleting a
+    document is NOT enough — its near-duplicates still carry the same
+    content, so the request propagates through the near-dup graph
+    (reason='clone' for cluster-mates of a deleted doc that are not
+    themselves on the list). Requests are the deterministic
+    ``doc_id % FORGET_MOD == 0`` set so the DuckDB oracle replays them.
+
+    Shape: the cluster pass is ``near_dup_clusters`` (exact n-gram
+    Jaccard graph + connected components — all bucketed exchanges);
+    propagation is ONE more bucketed group apply keyed on cluster_id
+    (a cluster is affected iff any member is a request); direct
+    deletions stream from a column-pruned read. Nothing touches the
+    driver."""
+    import ray.data as rd
+
+    clusters = near_dup_clusters(sf_dir, threshold=threshold, k=k)
+
+    from ..functions.groups import bucketed_group_apply
+
+    def per_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        deleted = (g["doc_id"].to_numpy() % FORGET_MOD) == 0
+        aff = set(g.loc[deleted, "cluster_id"])
+        m = g["cluster_id"].isin(aff).to_numpy() & ~deleted
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy()[m],
+                "reason": pd.Series(["clone"] * int(m.sum()), dtype=object),
+            }
+        )
+
+    clones = bucketed_group_apply(
+        clusters, ["cluster_id"], per_cluster
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "reason": pc.cast(t["reason"], pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+
+    def direct(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        sel = d[d % FORGET_MOD == 0]
+        return pa.table(
+            {
+                "doc_id": pa.array(sel, pa.int64()),
+                "reason": pa.array(["direct"] * len(sel), pa.string()),
+            }
+        )
+
+    return docs.map_batches(direct, batch_format="pyarrow").union(clones)

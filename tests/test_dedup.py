@@ -502,3 +502,31 @@ def test_minhash_jaccard_calibration_pair_cap(ray_session):
         "/root/testdata/sf0.001", pair_cap=5).to_pandas()
     assert a.equals(b)
     assert a["n_pairs"].sum() == 5
+
+
+def test_forget_propagation_semantics(ray_session):
+    """Direct rows are exactly the request set; every clone shares a
+    cluster with a deleted doc and is not itself a request; no doc is
+    reported twice."""
+    import pyarrow.parquet as pq
+
+    from docling_eval_ray.stages.dedup import (
+        FORGET_MOD,
+        forget_propagation,
+        near_dup_clusters,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    df = forget_propagation(sf).to_pandas()
+    assert df["doc_id"].is_unique
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id"])
+    want_direct = {d for d in t["doc_id"].to_pylist()
+                   if d % FORGET_MOD == 0}
+    got_direct = set(df.loc[df["reason"] == "direct", "doc_id"])
+    assert got_direct == want_direct
+    clus = near_dup_clusters(sf).to_pandas()
+    by_doc = dict(zip(clus["doc_id"], clus["cluster_id"]))
+    affected = {c for d, c in by_doc.items() if d % FORGET_MOD == 0}
+    want_clones = {d for d, c in by_doc.items()
+                   if c in affected and d % FORGET_MOD != 0}
+    assert set(df.loc[df["reason"] == "clone", "doc_id"]) == want_clones
