@@ -287,6 +287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "gopher_quality_filter": cl.gopher_quality_filter,
             "quality_classifier_score": cl.quality_classifier_score,  # oracled (fastText-shaped)
             "filter_agreement_kappa": cl.filter_agreement_kappa,  # oracled (Cohen's kappa)
+            "feature_information_gain": cl.feature_information_gain,  # oracled (IG census)
         }
     )
     # BPE tokenizer: corpus-trained merges (one scan + vocab-sized
@@ -619,6 +620,7 @@ _DRIVER_PRIORITY_R5 = [
     "filter_agreement_kappa",
     "subsample_ci_mean",
     "forget_propagation",
+    "feature_information_gain",
 ]
 
 

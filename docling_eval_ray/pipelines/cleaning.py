@@ -977,3 +977,77 @@ def lm_perplexity_bigram(sf_dir: str, *,
         return _doc_nll_frame(g["doc_id"].to_numpy(), nll)
 
     return bucketed_group_apply(j, ["doc_id"], per_doc)
+
+
+# ---------------------------------------------------------------------------
+# feature_information_gain — which metadata feature predicts quality?
+# ---------------------------------------------------------------------------
+
+
+def feature_information_gain(sf_dir: str):
+    """(feature, n_values, h_label, info_gain) — one row per metadata
+    feature (lang, source).
+
+    The feature-selection question a routing pipeline asks before
+    branching on metadata: how much does knowing ``lang`` (or
+    ``source``) reduce uncertainty about the Gopher keep label?
+    ``IG(F) = H(keep) − Σ_v (n_v/N)·H(keep|F=v)``, all probabilities
+    from integer counts; log2 summation drift is ~1e-15, absorbed by
+    the shared 6 dp rounding grid (the lm_perplexity tolerance
+    argument). Shape: the Gopher kernel runs fused in the counting map
+    (no join); one partial+final groupby moves ≤ |values|·2 integer
+    rows; the finish sweep is value-census-sized."""
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "text", "lang", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        kg = _gopher_table(t)["keep"].to_numpy(zero_copy_only=False)
+        frames = []
+        for feat in ("lang", "source"):
+            df = pd.DataFrame(
+                {
+                    "feature": pd.Series([feat] * len(t), dtype=object),
+                    "val": t[feat].to_numpy(zero_copy_only=False),
+                    "kg": kg,
+                }
+            )
+            frames.append(
+                df.groupby(["feature", "val", "kg"], as_index=False,
+                           sort=False).size().rename(columns={"size": "n"})
+            )
+        out = pd.concat(frames)
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = _final_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["feature", "val", "kg"],
+        ["n"],
+    ).to_pandas()  # ≤ |langs|+|sources| × 2 rows
+
+    rows = []
+    for feat, g in agg.groupby("feature"):
+        n_total = int(g["n"].sum())
+        marg = g.groupby("kg")["n"].sum().to_numpy(np.float64)
+        p = marg / n_total
+        hk = float(-(p * np.log2(p)).sum())
+        cond = 0.0
+        vals = g.groupby("val")
+        for _, gv in vals:
+            nv = int(gv["n"].sum())
+            pv = gv["n"].to_numpy(np.float64) / nv
+            hv = float(-(pv * np.log2(pv)).sum())
+            cond += (nv / n_total) * hv
+        rows.append(
+            (feat, len(vals), float(np.round(hk, 6)),
+             float(np.round(hk - cond, 6)))
+        )
+    rows.sort()
+    return pa.table(
+        {
+            "feature": pa.array([r[0] for r in rows], pa.string()),
+            "n_values": pa.array([r[1] for r in rows], pa.int64()),
+            "h_label": pa.array([r[2] for r in rows], pa.float64()),
+            "info_gain": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )

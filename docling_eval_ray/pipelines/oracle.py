@@ -4632,3 +4632,58 @@ ORACLE_SQL["forget_propagation"] = _NDC_CTE + """,
     FROM clus c JOIN affected a USING (cid)
     WHERE c.doc_id % 97 <> 0
 """
+
+
+# information gain of lang/source on the Gopher keep label: integer
+# counts, log2 drift absorbed by the 6dp grid (lm_perplexity argument)
+ORACLE_SQL["feature_information_gain"] = r"""
+    WITH lab AS (
+        SELECT lang, source,
+               CAST(n_words BETWEEN 20 AND 80
+                    AND round_even(CAST(n_chars_ns AS DOUBLE) / n_words, 4)
+                        BETWEEN 3.0 AND 10.0
+                    AND stop_hits >= 2 AS BIGINT) AS kg
+        FROM (
+            SELECT lang, source,
+                   CAST(len(regexp_split_to_array(trim(text, ' '), '\s+'))
+                        AS BIGINT) AS n_words,
+                   length(regexp_replace(text, '\s', '', 'g'))
+                       AS n_chars_ns,
+                   CAST(regexp_matches(text, '\bthe\b') AS BIGINT)
+                   + CAST(regexp_matches(text, '\bscan\b') AS BIGINT)
+                   + CAST(regexp_matches(text, '\bjoin\b') AS BIGINT)
+                   + CAST(regexp_matches(text, '\bmerge\b') AS BIGINT)
+                   + CAST(regexp_matches(text, '\bwindow\b') AS BIGINT)
+                       AS stop_hits
+            FROM documents
+        )
+    ),
+    c AS (
+        SELECT 'lang' AS feature, lang AS val, kg, count(*) AS n
+        FROM lab GROUP BY 1, 2, 3
+        UNION ALL
+        SELECT 'source', source, kg, count(*) FROM lab GROUP BY 1, 2, 3
+    ),
+    v AS (SELECT feature, val, sum(n) AS nv FROM c GROUP BY 1, 2),
+    hv AS (
+        SELECT c.feature, c.val, any_value(v.nv) AS nv,
+               -sum((CAST(c.n AS DOUBLE) / v.nv)
+                    * log2(CAST(c.n AS DOUBLE) / v.nv)) AS h
+        FROM c JOIN v USING (feature, val)
+        GROUP BY c.feature, c.val
+    ),
+    tot AS (SELECT count(*) AS n FROM lab),
+    marg AS (SELECT kg, count(*) AS n FROM lab GROUP BY kg),
+    hk AS (
+        SELECT -sum((CAST(n AS DOUBLE) / (SELECT n FROM tot))
+                    * log2(CAST(n AS DOUBLE) / (SELECT n FROM tot))) AS h
+        FROM marg
+    )
+    SELECT feature,
+           CAST(count(*) AS BIGINT) AS n_values,
+           round_even((SELECT h FROM hk), 6) AS h_label,
+           round_even((SELECT h FROM hk)
+                      - sum((CAST(nv AS DOUBLE) / (SELECT n FROM tot))
+                            * h), 6) AS info_gain
+    FROM hv GROUP BY feature
+"""

@@ -276,3 +276,25 @@ def test_filter_agreement_kappa(ray_session):
     assert row["po"] == round((row["n11"] + row["n00"]) / n, 6)
     assert 0 < g.mean() < 1 and 0 < c.mean() < 1
     assert -1.0 <= row["kappa"] <= 1.0
+
+
+def test_feature_information_gain_bounds(ray_session):
+    """IG obeys 0 ≤ IG(F) ≤ H(keep), H(keep) agrees with a direct
+    rebuild from the gopher keeps, and both features are present."""
+    import numpy as np
+
+    from docling_eval_ray.pipelines.cleaning import (
+        feature_information_gain,
+        gopher_quality_filter,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    df = feature_information_gain(sf).to_pandas().set_index("feature")
+    assert set(df.index) == {"lang", "source"}
+    k = gopher_quality_filter(sf).to_pandas()["keep"].to_numpy()
+    p = np.array([(k == 0).mean(), (k == 1).mean()])
+    p = p[p > 0]
+    hk = round(float(-(p * np.log2(p)).sum()), 6)
+    assert (df["h_label"] == hk).all()
+    assert ((df["info_gain"] >= -1e-9)
+            & (df["info_gain"] <= df["h_label"] + 1e-9)).all()
