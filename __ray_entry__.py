@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         label_centroids,
         mmr_diverse_topk,
         pq_knn,
+        rrf_fusion,
         sq8_knn,
         sq8_recall_at_k,
     )
@@ -225,6 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "sq8_knn": sq8_knn,                           # oracled (scalar-quantized ANN)
             "sq8_recall_at_k": sq8_recall_at_k,           # oracled (index acceptance gate)
             "mmr_diverse_topk": mmr_diverse_topk,         # oracled (diversity selection)
+            "rrf_fusion": rrf_fusion,                     # oracled (rank fusion)
             "pq_knn": pq_knn,                             # oracled (product quantization)
             "embedding_norms": embedding_norms,           # oracled (L2)
             "label_centroids": label_centroids,           # oracled (k-means step)
@@ -578,11 +580,10 @@ _DRIVER_PRIORITY_R5 = [
     "video_frame_samples",
     "cvat_gt_build",
     "cvat_preannotation_roundtrip",
-    # (doclaynet/doclaynet_v2/omnidocbench/pixparse _gt_build bases
-    # dropped: their *_gt_flat HASH oracles below cover the same
+    # (doclaynet/doclaynet_v2/omnidocbench/pixparse/otsl _gt_build
+    # bases dropped: their *_gt_flat HASH oracles below cover the same
     # builders with a stronger check; cvat has no flat oracle so its
     # rows-only entries stay.)
-    "otsl_gt_build",
     "xfund_gt_build",
     # round-5 additions / upgrades: the hash-oracled `_gt_flat` views
     # (their `_gt_build` bases funsd/dpbench/docvqa/pdf plus the
@@ -621,6 +622,7 @@ _DRIVER_PRIORITY_R5 = [
     "subsample_ci_mean",
     "forget_propagation",
     "feature_information_gain",
+    "rrf_fusion",
 ]
 
 

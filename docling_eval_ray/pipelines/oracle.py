@@ -4687,3 +4687,71 @@ ORACLE_SQL["feature_information_gain"] = r"""
                             * h), 6) AS info_gain
     FROM hv GROUP BY feature
 """
+
+
+def _rrf_sql() -> str:
+    """RRF over the exact-cosine and SQ8 top-k rankings: both rankings
+    re-derived on ROUNDED sims with vec_id tiebreaks (rank order is
+    FP-drift-proof), fixed two-term score sum (exact term first), 0
+    for a missing rank."""
+    from ..stages.knn import KNN_K, KNN_QUERY, RRF_K0
+
+    return f"""
+    WITH ex AS (
+        SELECT vec_id,
+               round_even(list_cosine_similarity(
+                   CAST(embedding AS DOUBLE[]), {KNN_QUERY!r}), 6) AS sim
+        FROM embeddings
+    ),
+    exr AS (
+        SELECT vec_id,
+               row_number() OVER (ORDER BY sim DESC, vec_id) AS r
+        FROM ex QUALIFY r <= {KNN_K}
+    ),
+    vals AS (
+        SELECT vec_id,
+               unnest(CAST(embedding AS DOUBLE[])) AS v,
+               generate_subscripts(embedding, 1) AS d
+        FROM embeddings
+    ),
+    dims AS (SELECT d, min(v) AS mn, max(v) AS mx FROM vals GROUP BY d),
+    deq AS (
+        SELECT vec_id,
+               CASE WHEN mx = mn THEN mn
+                    ELSE mn + (least(255.0, greatest(0.0,
+                         floor((v - mn) / (mx - mn) * 255.0))) + 0.5)
+                         * (mx - mn) / 256.0 END AS xv
+        FROM vals JOIN dims USING (d)
+    ),
+    sq AS (
+        SELECT vec_id,
+               round_even(0.125 * sum(xv) / sqrt(sum(xv * xv)), 6)
+                   AS sim_sq
+        FROM deq GROUP BY vec_id
+    ),
+    sqr AS (
+        SELECT vec_id,
+               row_number() OVER (ORDER BY sim_sq DESC, vec_id) AS r
+        FROM sq QUALIFY r <= {KNN_K}
+    ),
+    u AS (
+        SELECT vec_id, e.r AS ra, s.r AS rb
+        FROM exr e FULL JOIN sqr s USING (vec_id)
+    ),
+    sel AS (
+        SELECT vec_id,
+               CAST(coalesce(ra, 0) AS BIGINT) AS rank_exact,
+               CAST(coalesce(rb, 0) AS BIGINT) AS rank_sq,
+               round_even(coalesce(1.0 / ({RRF_K0} + ra), 0.0)
+                          + coalesce(1.0 / ({RRF_K0} + rb), 0.0), 6)
+                   AS rrf_score
+        FROM u
+    )
+    SELECT row_number() OVER (ORDER BY rrf_score DESC, vec_id)
+               AS fused_rank,
+           vec_id, rank_exact, rank_sq, rrf_score
+    FROM sel
+"""
+
+
+ORACLE_SQL["rrf_fusion"] = _rrf_sql()

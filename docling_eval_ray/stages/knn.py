@@ -1491,3 +1491,67 @@ def pq_knn(sf_dir: str, *, query=None, k: int = KNN_K,
 
     partial = ds.map_batches(local_topk, batch_format="pyarrow")
     return partial.sort(["adc_dist", "vec_id"]).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# rrf_fusion — reciprocal-rank fusion of two retrieval systems
+# ---------------------------------------------------------------------------
+
+#: RRF damping constant (Cormack, Clarke & Büttcher 2009 use k=60)
+RRF_K0 = 60
+
+
+def rrf_fusion(sf_dir: str, *, k: int = KNN_K):
+    """(fused_rank, vec_id, rank_exact, rank_sq, rrf_score) — the union
+    of the exact-cosine top-k and the SQ8-quantized top-k for the fixed
+    ``KNN_QUERY``, fused by Reciprocal Rank Fusion:
+    ``score(v) = Σ_sys 1/(60 + rank_sys(v))`` over the systems that
+    retrieved v. RRF is the standard way production retrieval blends a
+    cheap quantized index with an exact reranker — rank-only, so no
+    score calibration between systems is needed. A missing rank is
+    reported as 0 (never ranked by that system) and contributes no
+    score term — the fixed two-term sum keeps the float identical on
+    both engines.
+
+    Shape: both constituent rankings are the existing distributed
+    queries (per-block partial top-k → one k-sized sort each); the
+    fusion itself touches ≤ 2k rows — output-sized by definition. Ranks
+    are derived from the ROUNDED sims with vec_id tiebreaks on both
+    engines, so ranking is FP-drift-proof."""
+    a = embedding_knn(sf_dir, k=k).to_pandas()
+    b = sq8_knn(sf_dir, k=k).to_pandas()
+
+    def ranks(df: pd.DataFrame, col: str) -> dict[int, int]:
+        order = np.lexsort(
+            (df["vec_id"].to_numpy(), -df[col].to_numpy())
+        )
+        return {
+            int(df["vec_id"].iloc[i]): r + 1 for r, i in enumerate(order)
+        }
+
+    ra, rb = ranks(a, "sim"), ranks(b, "sim_sq")
+    ids = sorted(set(ra) | set(rb))
+    score = {
+        v: np.round(
+            (1.0 / (RRF_K0 + ra[v]) if v in ra else 0.0)
+            + (1.0 / (RRF_K0 + rb[v]) if v in rb else 0.0),
+            6,
+        )
+        for v in ids
+    }
+    fused = sorted(ids, key=lambda v: (-score[v], v))
+    return pa.table(
+        {
+            "fused_rank": pa.array(
+                np.arange(1, len(fused) + 1, dtype=np.int64)
+            ),
+            "vec_id": pa.array(fused, pa.int64()),
+            "rank_exact": pa.array(
+                [ra.get(v, 0) for v in fused], pa.int64()
+            ),
+            "rank_sq": pa.array([rb.get(v, 0) for v in fused], pa.int64()),
+            "rrf_score": pa.array(
+                [float(score[v]) for v in fused], pa.float64()
+            ),
+        }
+    )

@@ -365,3 +365,26 @@ def test_mmr_diverse_topk_properties(ray_session):
         return (s.sum() - n) / (n * (n - 1))
 
     assert mean_pair_sim(got["vec_id"]) <= mean_pair_sim(ids[:MMR_K]) + 1e-9
+
+
+def test_rrf_fusion_semantics(ray_session):
+    """RRF ordering follows 1/(60+r) sums of the two constituent
+    rankings, both top-1s outrank any single-system stragglers when
+    they agree, and a doc ranked by both systems always beats one
+    ranked the same by only one."""
+    from docling_eval_ray.stages.knn import KNN_K, RRF_K0, rrf_fusion
+
+    df = rrf_fusion(SF_DIR).to_pandas()
+    assert list(df["fused_rank"]) == list(range(1, len(df) + 1))
+    assert df["vec_id"].is_unique
+    assert KNN_K <= len(df) <= 2 * KNN_K
+    for row in df.itertuples():
+        want = 0.0
+        if row.rank_exact:
+            want += 1.0 / (RRF_K0 + row.rank_exact)
+        if row.rank_sq:
+            want += 1.0 / (RRF_K0 + row.rank_sq)
+        assert row.rrf_score == round(want, 6)
+    # scores are non-increasing in fused_rank
+    s = df["rrf_score"].to_numpy()
+    assert (s[:-1] >= s[1:]).all()
