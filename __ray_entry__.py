@@ -378,6 +378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         daily_active_users_hll,
         events_type_p99_tdigest,
         events_value_tdigest,
+        token_count_min,
     )
 
     # offline HF-snapshot source (S1): hub shard layout + integrity
@@ -388,6 +389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["daily_active_users_hll"] = daily_active_users_hll
     q["events_value_tdigest"] = events_value_tdigest
     q["events_type_p99_tdigest"] = events_type_p99_tdigest
+    q["token_count_min"] = token_count_min  # oracled (CM calibration)
     # F3-F7 fixture-schema evaluators (FIXTURES.md parity; known-answer
     # behavior tested)
     from docling_eval_ray.pipelines.fixture_eval import (

@@ -4755,3 +4755,46 @@ def _rrf_sql() -> str:
 
 
 ORACLE_SQL["rrf_fusion"] = _rrf_sql()
+
+
+def _token_count_min_sql() -> str:
+    """Full Count-Min replica: the lattice is rebuilt over ALL tokens
+    (linearity means collisions from any token matter), row hashes are
+    disjoint 8-hex md5 slices exactly as in ``stages/sketches.py``,
+    and the estimate is the min over rows — all integer arithmetic, so
+    the hash match is exact by construction."""
+    from ..stages.sketches import CMS_D, CMS_TOPK, CMS_W
+
+    rows = ", ".join(str(d) for d in range(CMS_D))
+    return f"""
+    WITH cnt AS (
+        SELECT tok, count(*) AS n
+        FROM documents,
+             UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS t(tok)
+        GROUP BY tok
+    ),
+    lattice AS (
+        SELECT d,
+               CAST(('0x' || substr(md5(tok), 1 + 8 * d, 8)) AS UBIGINT)
+                   % {CMS_W} AS b,
+               sum(n) AS c
+        FROM cnt, UNNEST([{rows}]) AS r(d)
+        GROUP BY d, b
+    ),
+    top AS (SELECT tok, n FROM cnt ORDER BY n DESC, tok LIMIT {CMS_TOPK}),
+    tb AS (
+        SELECT tok, n, d,
+               CAST(('0x' || substr(md5(tok), 1 + 8 * d, 8)) AS UBIGINT)
+                   % {CMS_W} AS b
+        FROM top, UNNEST([{rows}]) AS r(d)
+    )
+    SELECT tb.tok AS token,
+           CAST(any_value(tb.n) AS BIGINT) AS n_exact,
+           CAST(min(l.c) AS BIGINT) AS n_cms,
+           CAST(min(l.c) - any_value(tb.n) AS BIGINT) AS overcount
+    FROM tb JOIN lattice l ON l.d = tb.d AND l.b = tb.b
+    GROUP BY tb.tok
+"""
+
+
+ORACLE_SQL["token_count_min"] = _token_count_min_sql()

@@ -18,8 +18,13 @@ against the exact answers in tests.
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.groups import final_groupby_sum
 
 # Module-scope, not lazy: this method runs INSIDE worker batches, and a
 # runtime relative import there goes through the import system and dies
@@ -465,3 +470,108 @@ def events_type_p99_tdigest(sf_dir: str):
                          columns=["event_type", "value"])
     return grouped_approx_quantile(ds, "event_type", "value", 0.99,
                                    out_col="p99_approx")
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch — heavy-hitter estimates, hash-oracled
+# ---------------------------------------------------------------------------
+
+#: Count-Min geometry (Cormode & Muthukrishnan 2005): CMS_D independent
+#: rows × CMS_W counters. Each row's hash is a disjoint 8-hex-digit
+#: slice of ONE md5 per token — bit-reproducible in SQL as
+#: ``CAST(('0x'||substr(md5(tok), 1+8*d, 8)) AS UBIGINT) % CMS_W``, the
+#: same recipe that makes simhash/minhash oracle-able. Expected
+#: overcount per row ≈ N/CMS_W, min over rows tightens it.
+CMS_D = 4
+CMS_W = 1024
+CMS_TOPK = 25
+
+
+def _cms_buckets(tokens: list[str]) -> np.ndarray:
+    """(len(tokens), CMS_D) bucket ids from md5 hex slices."""
+    out = np.empty((len(tokens), CMS_D), dtype=np.int64)
+    for i, tok in enumerate(tokens):
+        h = hashlib.md5(tok.encode()).hexdigest()
+        for d in range(CMS_D):
+            out[i, d] = int(h[8 * d:8 * d + 8], 16) % CMS_W
+    return out
+
+
+def token_count_min(sf_dir: str):
+    """(token, n_exact, n_cms, overcount) for the exact top-25 tokens —
+    the Count-Min calibration census: how far the mergeable sketch
+    overestimates the heavy hitters it exists to find (CM never
+    underestimates, so ``overcount >= 0`` always).
+
+    Scale shape: ONE corpus scan produces per-batch unique token counts
+    (one row per distinct token per batch, as in
+    ``token_frequency_topk``); the lattice is LINEAR in those partials,
+    so each batch folds its counts into a local D×W array and the
+    shuffle moves ≤ D·W pre-aggregated cells per batch. The merged
+    lattice is 4096 int64 cells — sketch-sized driver state by
+    construction. The exact top-k reuses the partial counts (one
+    vocabulary-sized groupby, same cost as the census it calibrates)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(
+                pc.utf8_trim(t["text"], characters=" "), r"\s+"
+            )
+        )
+        vc = pc.value_counts(toks)
+        return pa.table(
+            {
+                "token": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    # consumed twice (lattice + exact top-k) — materialize or the whole
+    # corpus scan re-executes per consumer (CLAUDE.md r5 lesson)
+    parts = ds.map_batches(partial, batch_format="pyarrow").materialize()
+
+    def cm_partial(t: pa.Table) -> pa.Table:
+        lattice = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+        b = _cms_buckets(t["token"].to_pylist())
+        ns = t["n"].to_numpy()
+        for d in range(CMS_D):
+            np.add.at(lattice[d], b[:, d], ns)
+        d_idx, b_idx = np.nonzero(lattice)
+        return pa.table(
+            {
+                "d": pa.array(d_idx, pa.int64()),
+                "b": pa.array(b_idx, pa.int64()),
+                "c": pa.array(lattice[d_idx, b_idx], pa.int64()),
+            }
+        )
+
+    lat_rows = final_groupby_sum(
+        parts.map_batches(cm_partial, batch_format="pyarrow"),
+        ["d", "b"], ["c"],
+    ).take_all()  # ≤ CMS_D*CMS_W = 4096 rows: sketch-sized, gated
+    lattice = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    for r in lat_rows:
+        lattice[r["d"], r["b"]] = r["c"]
+
+    top = (
+        final_groupby_sum(parts, ["token"], ["n"])
+        .sort(["n", "token"], descending=[True, False])
+        .limit(CMS_TOPK)
+        .to_pandas()
+    )
+    toks = [str(s) for s in top["token"]]
+    n_exact = top["n"].to_numpy(dtype=np.int64)
+    est = lattice[
+        np.arange(CMS_D)[None, :], _cms_buckets(toks)
+    ].min(axis=1)
+    return pa.table(
+        {
+            "token": pa.array(toks, pa.string()),
+            "n_exact": pa.array(n_exact, pa.int64()),
+            "n_cms": pa.array(est, pa.int64()),
+            "overcount": pa.array(est - n_exact, pa.int64()),
+        }
+    )

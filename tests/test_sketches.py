@@ -169,3 +169,46 @@ def test_events_value_tdigest_vs_exact(ray_session):
         grp = t.loc[t["event_type"] == row["event_type"], "value"].to_numpy()
         rank = float(np.mean(grp <= row["p99_approx"]))
         assert abs(rank - 0.99) < 0.02, (row["event_type"], rank)
+
+
+def test_token_count_min_calibration(ray_session):
+    """CM never underestimates; the estimate equals the min over rows
+    of a hand-rebuilt lattice; the top-k tokens equal the exact census."""
+    import hashlib
+
+    import duckdb
+
+    from docling_eval_ray.stages.sketches import (
+        CMS_D,
+        CMS_TOPK,
+        CMS_W,
+        token_count_min,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = token_count_min(sf).to_pandas()
+    assert len(got) == CMS_TOPK
+    assert (got["overcount"] >= 0).all()
+    assert (got["n_cms"] == got["n_exact"] + got["overcount"]).all()
+
+    # exact counts + hand-built lattice, straight from the parquet
+    con = duckdb.connect()
+    cnt = con.sql(
+        f"""SELECT tok, count(*) AS n
+            FROM '{sf}/documents.parquet',
+                 UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS t(tok)
+            GROUP BY tok"""
+    ).df()
+    lattice = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    buckets = {}
+    for tok, n in zip(cnt["tok"], cnt["n"]):
+        h = hashlib.md5(str(tok).encode()).hexdigest()
+        bs = [int(h[8 * d:8 * d + 8], 16) % CMS_W for d in range(CMS_D)]
+        buckets[str(tok)] = bs
+        for d, b in enumerate(bs):
+            lattice[d, b] += int(n)
+    exact = dict(zip(cnt["tok"].astype(str), cnt["n"].astype(int)))
+    for row in got.itertuples():
+        assert row.n_exact == exact[row.token]
+        want = min(lattice[d, b] for d, b in enumerate(buckets[row.token]))
+        assert row.n_cms == want, row.token
