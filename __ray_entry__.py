@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_blacklist_filter": r.documents_blacklist_filter,
         "distinct_segments": r.distinct_segments,
         "dedup_exact": r.dedup_exact,
+        "dedup_inflation_by_source": r.dedup_inflation_by_source,
         # text functions (M9, M17, §2.8 + training-data ops)
         "document_fingerprints": r.document_fingerprints,
         "token_counts": r.token_counts,

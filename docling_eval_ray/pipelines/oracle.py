@@ -4798,3 +4798,24 @@ def _token_count_min_sql() -> str:
 
 
 ORACLE_SQL["token_count_min"] = _token_count_min_sql()
+
+
+ORACLE_SQL["dedup_inflation_by_source"] = r"""
+    WITH g AS (
+        SELECT doc_id, source, lang, n_chars,
+               min(doc_id) OVER (PARTITION BY md5(text)) AS winner
+        FROM documents
+    )
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE doc_id = winner) AS BIGINT)
+               AS n_kept,
+           CAST(count(*) FILTER (WHERE doc_id <> winner) AS BIGINT)
+               AS n_dropped,
+           CAST(sum(n_chars) AS BIGINT) AS chars_total,
+           CAST(coalesce(sum(n_chars) FILTER (WHERE doc_id <> winner), 0)
+                AS BIGINT) AS chars_dropped,
+           round_even(CAST(count(*) FILTER (WHERE doc_id <> winner)
+                           AS DOUBLE) / count(*), 6) AS dup_ratio
+    FROM g GROUP BY source, lang
+"""

@@ -647,6 +647,82 @@ def dedup_exact(sf_dir: str):
     return kept.select_columns(["doc_id"])
 
 
+def dedup_inflation_by_source(sf_dir: str):
+    """(source, lang, n_docs, n_kept, n_dropped, chars_total,
+    chars_dropped, dup_ratio) — the dedup-savings report every corpus
+    card carries: how much of each (source, lang) slice exact dedup
+    removes, in docs and in characters. A doc is dropped iff it is not
+    the min-doc_id canonical winner of its global content group
+    (md5(text)), matching ``dedup_exact``'s keep rule.
+
+    Scale shape: ONE exchange bucketed on the content hash
+    (``bucketed_group_apply`` — never per-key map_groups); each bucket
+    marks winners vectorized (per-fingerprint min via pandas
+    transform) and pre-aggregates to (source, lang) partials, so the
+    final groupby moves ≤ |sources|·|langs| rows per bucket. All
+    cross-doc aggregates are integers; the single ratio divides once
+    at the end (house float-parity recipe)."""
+    from ..functions.groups import bucketed_group_apply
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "text", "lang", "source", "n_chars"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        fps = [hashlib.md5(s.encode()).hexdigest()
+               for s in t["text"].to_pylist()]
+        return pa.table(
+            {
+                "fingerprint": pa.array(fps, pa.string()),
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "source": t["source"],
+                "n_chars": t["n_chars"],
+            }
+        )
+
+    with_fp = ds.map_batches(fp, batch_format="pyarrow")
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        winner = g.groupby("fingerprint")["doc_id"].transform("min")
+        dropped = g["doc_id"].to_numpy() != winner.to_numpy()
+        out = (
+            g.assign(dropped=dropped,
+                     chars_dropped=g["n_chars"].where(dropped, 0))
+            .groupby(["source", "lang"], as_index=False)
+            .agg(n_docs=("doc_id", "size"),
+                 n_dropped=("dropped", "sum"),
+                 chars_total=("n_chars", "sum"),
+                 chars_dropped=("chars_dropped", "sum"))
+        )
+        for c in ("n_docs", "n_dropped", "chars_total", "chars_dropped"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    parts = bucketed_group_apply(with_fp, ["fingerprint"], bucket)
+    final = _final_groupby(
+        parts, ["source", "lang"],
+        ["n_docs", "n_dropped", "chars_total", "chars_dropped"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_docs"].to_numpy()
+        nd = t["n_dropped"].to_numpy()
+        return pa.table(
+            {
+                "source": pc.cast(t["source"], pa.string()),
+                "lang": pc.cast(t["lang"], pa.string()),
+                "n_docs": pc.cast(t["n_docs"], pa.int64()),
+                "n_kept": pa.array((n - nd).astype(np.int64), pa.int64()),
+                "n_dropped": pc.cast(t["n_dropped"], pa.int64()),
+                "chars_total": pc.cast(t["chars_total"], pa.int64()),
+                "chars_dropped": pc.cast(t["chars_dropped"], pa.int64()),
+                "dup_ratio": pa.array(np.round(nd / n, 6), pa.float64()),
+            }
+        )
+
+    return final.map_batches(finish, batch_format="pyarrow")
+
+
 def token_counts(sf_dir: str):
     """Whitespace tokenization count (text-analysis op; vectorized
     regex count, no Python loop)."""

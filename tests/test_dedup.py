@@ -530,3 +530,45 @@ def test_forget_propagation_semantics(ray_session):
     want_clones = {d for d, c in by_doc.items()
                    if c in affected and d % FORGET_MOD != 0}
     assert set(df.loc[df["reason"] == "clone", "doc_id"]) == want_clones
+
+
+def test_dedup_inflation_by_source_planted_clones(ray_session, tmp_path):
+    """Clones drop everywhere except the min-doc_id winner's slice;
+    docs and chars are attributed to the slice the DROPPED copy lives
+    in (cross-source clones debit the non-canonical source)."""
+    from docling_eval_ray.pipelines.relational import (
+        dedup_inflation_by_source,
+    )
+
+    rows = [
+        # (doc_id, text, lang, source): doc 1 is canonical for "same";
+        # docs 2 (same slice) and 3 (other source) are its clones.
+        (1, "same text body", "en", "srcA"),
+        (2, "same text body", "en", "srcA"),
+        (3, "same text body", "en", "srcB"),
+        (4, "unique one", "en", "srcA"),
+        (5, "unique two", "de", "srcB"),
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": pd.array([r[0] for r in rows], dtype="int64"),
+            "text": [r[1] for r in rows],
+            "lang": [r[2] for r in rows],
+            "source": [r[3] for r in rows],
+            "n_chars": pd.array([len(r[1]) for r in rows], dtype="int64"),
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    got = {
+        (r["source"], r["lang"]): r
+        for r in dedup_inflation_by_source(str(tmp_path)).take_all()
+    }
+    a = got[("srcA", "en")]
+    assert (a["n_docs"], a["n_kept"], a["n_dropped"]) == (3, 2, 1)
+    assert a["chars_dropped"] == len("same text body")
+    assert a["dup_ratio"] == round(1 / 3, 6)
+    b = got[("srcB", "en")]
+    assert (b["n_docs"], b["n_kept"], b["n_dropped"]) == (1, 0, 1)
+    assert b["chars_dropped"] == len("same text body")
+    c = got[("srcB", "de")]
+    assert (c["n_docs"], c["n_dropped"], c["chars_dropped"]) == (1, 0, 0)
