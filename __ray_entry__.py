@@ -289,6 +289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "sentences_exploded": cl.sentences_exploded,
             "gopher_quality_filter": cl.gopher_quality_filter,
             "quality_classifier_score": cl.quality_classifier_score,  # oracled (fastText-shaped)
+            "classifier_reliability_bins": cl.classifier_reliability_bins,  # oracled (calibration)
             "filter_agreement_kappa": cl.filter_agreement_kappa,  # oracled (Cohen's kappa)
             "feature_information_gain": cl.feature_information_gain,  # oracled (IG census)
         }

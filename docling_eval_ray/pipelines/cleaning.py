@@ -1051,3 +1051,80 @@ def feature_information_gain(sf_dir: str):
             "info_gain": pa.array([r[3] for r in rows], pa.float64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# classifier_reliability_bins — calibration census of the QC score
+# ---------------------------------------------------------------------------
+
+#: fixed-width reliability bins over the bounded logit. Weights live in
+#: [-1000, 1000] (``_QC_W``), so logit = w_sum/(1000·n_feats) ∈ [-1, 1]
+#: and bin = floor((logit+1)/0.2) has the exact INTEGER form
+#: ``(5·w_sum + 5000·n_feats) // (1000·n_feats)`` (numerator ≥ 0 by the
+#: weight bound, so floor-vs-truncate division semantics can't differ).
+QC_RELIABILITY_BINS = 10
+
+
+def classifier_reliability_bins(sf_dir: str):
+    """(bin, n_docs, n_pred_keep, n_pos, w_sum_total, pos_rate) — the
+    reliability diagram every production quality classifier ships with:
+    docs bucketed by classifier confidence (fixed-width logit bins),
+    each bin reporting how many the classifier keeps vs how many pass
+    the independent Gopher gate (``n_pos``). A calibrated filter shows
+    ``pos_rate`` rising with ``bin``; a flat diagram means the score
+    carries no signal and the keep threshold is arbitrary.
+
+    Shape: the classifier and Gopher kernels run FUSED in one counting
+    map (the ``filter_agreement_kappa`` pattern — no corpus join); bin
+    assignment is exact integer arithmetic (no data-adaptive quantile
+    pass, no float edge cases); the partial+final groupby moves ≤ 10
+    integer rows per batch and the single ratio divides once at the
+    end (house float-parity recipe)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"bin": z, "n_docs": z, "n_pred_keep": z,
+                             "n_pos": z, "w_sum_total": z})
+        qc = _qc_frame(t.select(["doc_id", "text"]).to_pandas())
+        kg = _gopher_table(t)["keep"].to_numpy(zero_copy_only=False)
+        s = qc["w_sum"].to_numpy()
+        n = qc["n_feats"].to_numpy()
+        b = np.minimum((5 * s + 5000 * n) // (1000 * n),
+                       QC_RELIABILITY_BINS - 1)
+        df = (
+            pd.DataFrame(
+                {
+                    "bin": b.astype(np.int64),
+                    "n_docs": np.ones(len(b), np.int64),
+                    "n_pred_keep": qc["keep"].to_numpy(),
+                    "n_pos": kg.astype(np.int64),
+                    "w_sum_total": s.astype(np.int64),
+                }
+            )
+            .groupby("bin", as_index=False)
+            .sum()
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    agg = _final_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["bin"], ["n_docs", "n_pred_keep", "n_pos", "w_sum_total"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_docs"].to_numpy()
+        pos = t["n_pos"].to_numpy()
+        return pa.table(
+            {
+                "bin": pc.cast(t["bin"], pa.int64()),
+                "n_docs": pc.cast(t["n_docs"], pa.int64()),
+                "n_pred_keep": pc.cast(t["n_pred_keep"], pa.int64()),
+                "n_pos": pc.cast(t["n_pos"], pa.int64()),
+                "w_sum_total": pc.cast(t["w_sum_total"], pa.int64()),
+                "pos_rate": pa.array(np.round(pos / n, 6), pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -4819,3 +4819,74 @@ ORACLE_SQL["dedup_inflation_by_source"] = r"""
                            AS DOUBLE) / count(*), 6) AS dup_ratio
     FROM g GROUP BY source, lang
 """
+
+
+# reliability diagram of the hashed-linear classifier vs the Gopher
+# label: the per_doc CTE replicates cleaning._qc_frame, lab replicates
+# _gopher_table, bin assignment is pure integer arithmetic
+ORACLE_SQL["classifier_reliability_bins"] = r"""
+    WITH base AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+        FROM documents
+    ),
+    uni AS (SELECT doc_id, unnest(a) AS tok FROM base),
+    big AS (
+        SELECT doc_id, a[i] || ' ' || a[i + 1] AS tok
+        FROM (SELECT doc_id, a,
+                     unnest(generate_series(1, len(a) - 1)) AS i
+              FROM base WHERE len(a) >= 2)
+    ),
+    feats AS (
+        SELECT doc_id, tok FROM uni
+        UNION ALL
+        SELECT doc_id, tok FROM big
+    ),
+    scored AS (
+        SELECT doc_id,
+               CAST(CAST(('0x' || substr(md5('w-' || CAST(
+                        CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT)
+                        % 1024 AS VARCHAR)), 1, 8)) AS UBIGINT)
+                    % 2001 AS BIGINT) - 1000 AS w
+        FROM feats
+    ),
+    per_doc AS (
+        SELECT doc_id, count(*) AS n_feats,
+               CAST(sum(w) AS BIGINT) AS w_sum
+        FROM scored GROUP BY doc_id
+    ),
+    lab AS (
+        SELECT doc_id,
+               CAST(n_words BETWEEN 20 AND 80
+                    AND round_even(CAST(n_chars_ns AS DOUBLE) / n_words, 4)
+                        BETWEEN 3.0 AND 10.0
+                    AND stop_hits >= 2 AS BIGINT) AS kg
+        FROM (
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text, ' '), '\s+'))
+                        AS BIGINT) AS n_words,
+                   length(regexp_replace(text, '\s', '', 'g'))
+                       AS n_chars_ns,
+                   CAST(regexp_matches(text, '\bthe\b') AS BIGINT)
+                   + CAST(regexp_matches(text, '\bscan\b') AS BIGINT)
+                   + CAST(regexp_matches(text, '\bjoin\b') AS BIGINT)
+                   + CAST(regexp_matches(text, '\bmerge\b') AS BIGINT)
+                   + CAST(regexp_matches(text, '\bwindow\b') AS BIGINT)
+                       AS stop_hits
+            FROM documents
+        )
+    ),
+    j AS (
+        SELECT least(9, (5 * p.w_sum + 5000 * p.n_feats)
+                        // (1000 * p.n_feats)) AS bin,
+               CASE WHEN p.w_sum >= 0 THEN 1 ELSE 0 END AS pk,
+               l.kg, p.w_sum
+        FROM per_doc p JOIN lab l USING (doc_id)
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(pk) AS BIGINT) AS n_pred_keep,
+           CAST(sum(kg) AS BIGINT) AS n_pos,
+           CAST(sum(w_sum) AS BIGINT) AS w_sum_total,
+           round_even(CAST(sum(kg) AS DOUBLE) / count(*), 6) AS pos_rate
+    FROM j GROUP BY bin
+"""

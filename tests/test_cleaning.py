@@ -298,3 +298,30 @@ def test_feature_information_gain_bounds(ray_session):
     assert (df["h_label"] == hk).all()
     assert ((df["info_gain"] >= -1e-9)
             & (df["info_gain"] <= df["h_label"] + 1e-9)).all()
+
+
+def test_classifier_reliability_bins_semantics(ray_session):
+    """Bins partition the corpus; the keep decision is EXACTLY the
+    bin-5 boundary (w_sum >= 0 ⇔ logit >= 0 ⇔ bin >= 5); pos counts
+    agree with a direct fused recompute of both kernels."""
+    import pyarrow.parquet as pq
+
+    df = cl.classifier_reliability_bins(SF).to_pandas()
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"])
+    assert df["n_docs"].sum() == t.num_rows
+    assert df["bin"].between(0, 9).all()
+    low = df[df["bin"] < 5]
+    high = df[df["bin"] >= 5]
+    assert (low["n_pred_keep"] == 0).all()
+    assert (high["n_pred_keep"] == high["n_docs"]).all()
+
+    qc = cl._qc_frame(t.to_pandas())
+    kg = cl._gopher_table(t)["keep"].to_numpy(zero_copy_only=False)
+    s, n = qc["w_sum"].to_numpy(), qc["n_feats"].to_numpy()
+    bins = np.minimum((5 * s + 5000 * n) // (1000 * n), 9)
+    want_pos = pd.Series(kg).groupby(bins).sum()
+    got_pos = df.set_index("bin")["n_pos"]
+    assert got_pos.sort_index().to_dict() == {
+        int(k): int(v) for k, v in want_pos.sort_index().items()
+    }
