@@ -290,6 +290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "gopher_quality_filter": cl.gopher_quality_filter,
             "quality_classifier_score": cl.quality_classifier_score,  # oracled (fastText-shaped)
             "classifier_reliability_bins": cl.classifier_reliability_bins,  # oracled (calibration)
+            "k_anonymity_census": cl.k_anonymity_census,  # oracled (privacy audit)
             "filter_agreement_kappa": cl.filter_agreement_kappa,  # oracled (Cohen's kappa)
             "feature_information_gain": cl.feature_information_gain,  # oracled (IG census)
         }

@@ -1128,3 +1128,76 @@ def classifier_reliability_bins(sf_dir: str):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# k_anonymity_census — re-identification audit over a quasi-identifier
+# ---------------------------------------------------------------------------
+
+#: size-band width for the quasi-identifier (chars // band)
+K_ANON_BAND = 256
+
+
+def k_anonymity_census(sf_dir: str):
+    """(class_size, n_classes, n_docs) — the k-anonymity histogram a
+    privacy review asks for before releasing a corpus: docs are grouped
+    by the quasi-identifier tuple (lang, source, n_chars // 256 band)
+    and the census reports how many equivalence classes have each size.
+    Classes of size 1 are singletons — a doc uniquely re-identifiable
+    from its metadata alone; the corpus is k-anonymous at the smallest
+    ``class_size`` present.
+
+    Shape: per-batch (lang, source, band) count partials → one groupby
+    (one row per QI combo per batch crosses the wire) → a second
+    QI-census-sized groupby over class sizes. Nothing corpus-sized
+    leaves the first map; all counts are integers."""
+    ds = _read(sf_dir, "documents", columns=["lang", "source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = (
+            pd.DataFrame(
+                {
+                    "lang": t["lang"].to_numpy(zero_copy_only=False),
+                    "source": t["source"].to_numpy(zero_copy_only=False),
+                    "band": (t["n_chars"].to_numpy()
+                             // K_ANON_BAND).astype(np.int64),
+                }
+            )
+            .groupby(["lang", "source", "band"], as_index=False)
+            .size()
+            .rename(columns={"size": "k"})
+        )
+        df["k"] = df["k"].astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    census = _final_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["lang", "source", "band"], ["k"],
+    )
+
+    def to_size(t: pa.Table) -> pa.Table:
+        k, c = np.unique(t["k"].to_numpy(), return_counts=True)
+        return pa.table(
+            {
+                "class_size": pa.array(k.astype(np.int64), pa.int64()),
+                "n_classes": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    sizes = _final_groupby(
+        census.map_batches(to_size, batch_format="pyarrow"),
+        ["class_size"], ["n_classes"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        cs = t["class_size"].to_numpy()
+        nc = t["n_classes"].to_numpy()
+        return pa.table(
+            {
+                "class_size": pc.cast(t["class_size"], pa.int64()),
+                "n_classes": pc.cast(t["n_classes"], pa.int64()),
+                "n_docs": pa.array((cs * nc).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return sizes.map_batches(finish, batch_format="pyarrow")

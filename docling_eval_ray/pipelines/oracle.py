@@ -4890,3 +4890,15 @@ ORACLE_SQL["classifier_reliability_bins"] = r"""
            round_even(CAST(sum(kg) AS DOUBLE) / count(*), 6) AS pos_rate
     FROM j GROUP BY bin
 """
+
+
+ORACLE_SQL["k_anonymity_census"] = """
+    WITH qi AS (
+        SELECT lang, source, n_chars // 256 AS band, count(*) AS k
+        FROM documents GROUP BY lang, source, band
+    )
+    SELECT CAST(k AS BIGINT) AS class_size,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(k * count(*) AS BIGINT) AS n_docs
+    FROM qi GROUP BY k
+"""

@@ -325,3 +325,24 @@ def test_classifier_reliability_bins_semantics(ray_session):
     assert got_pos.sort_index().to_dict() == {
         int(k): int(v) for k, v in want_pos.sort_index().items()
     }
+
+
+def test_k_anonymity_census_partition(ray_session):
+    """Sizes × class counts partition the corpus; the histogram equals
+    a direct pandas recompute of the QI census."""
+    import pyarrow.parquet as pq
+
+    df = cl.k_anonymity_census(SF).to_pandas()
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["lang", "source", "n_chars"]).to_pandas()
+    assert df["n_docs"].sum() == len(t)
+    assert (df["n_docs"] == df["class_size"] * df["n_classes"]).all()
+    t["band"] = t["n_chars"] // cl.K_ANON_BAND
+    want = (
+        t.groupby(["lang", "source", "band"]).size()
+        .value_counts().sort_index()
+    )
+    got = df.set_index("class_size")["n_classes"].sort_index()
+    assert {int(k): int(v) for k, v in got.items()} == {
+        int(k): int(v) for k, v in want.items()
+    }
