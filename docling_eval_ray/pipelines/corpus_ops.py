@@ -2081,3 +2081,146 @@ def subsample_ci_mean(sf_dir: str):
             "ci_hi": pa.array([float(np.round(mus[-2], 6))], pa.float64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# split_contamination_audit — cross-split n-gram leakage census
+# ---------------------------------------------------------------------------
+
+
+def split_contamination_audit(sf_dir: str):
+    """(split, n_docs, n_contaminated, shingle_hits,
+    contamination_rate) — the leakage audit run AFTER a split is
+    assigned: for each held-out split (val/test under
+    ``dataset_split_assign``'s md5 rule), how many docs share at least
+    one verbatim ``DECON_NGRAM``-gram with ANY train doc, and how many
+    distinct-per-doc shingles hit. This is the measurement that
+    motivates ``leakage_safe_split``: a naive per-doc split leaves
+    near-identical text straddling the boundary and this census makes
+    that visible.
+
+    Shape: the train side is corpus-sized, so NO broadcast — the
+    shingle stream (one row per distinct (doc, gram)) takes ONE
+    exchange bucketed on the gram (``bucketed_group_apply``); each
+    bucket marks grams train-present vectorized and emits per-doc hit
+    partials, so nothing corpus-sized is ever collected. Per-doc hits
+    fold through a doc-keyed groupby into ≤ |splits| rows; all counts
+    are integers and the one ratio divides at the end."""
+    from ..functions.groups import bucketed_group_apply, final_groupby_sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def split_of(doc_id: int) -> str:
+        b = md5_prefix32(str(doc_id)) % 100
+        if b < SPLIT_EDGES[0]:
+            return "train"
+        return "val" if b < SPLIT_EDGES[1] else "test"
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        toks = tokens_series(b["text"])
+        ids, splits, grams = [], [], []
+        for i, lst in zip(b["doc_id"].to_numpy(), toks):
+            sp = split_of(int(i))
+            for g in _doc_ngrams(lst):
+                ids.append(int(i))
+                splits.append(sp)
+                grams.append(g)
+        return pd.DataFrame(
+            {
+                "g": pd.Series(grams, dtype=object),
+                "doc_id": pd.Series(ids, dtype=np.int64),
+                "split": pd.Series(splits, dtype=object),
+            }
+        )
+
+    ex = ds.map_batches(explode, batch_format="pandas")
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        is_train = (df["split"] == "train").to_numpy()
+        has_train = (
+            pd.Series(is_train.astype(np.int64))
+            .groupby(df["g"].to_numpy()).transform("max").to_numpy()
+        )
+        held = df[(~is_train) & (has_train == 1)]
+        out = (
+            held.groupby(["doc_id", "split"], as_index=False)
+            .size().rename(columns={"size": "n_hit"})
+        )
+        # typed Arrow out: an empty pandas object column trips Ray's
+        # block-size estimator (np.vectorize on size-0 input)
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    out["doc_id"].to_numpy(np.int64), pa.int64()
+                ),
+                "split": pa.array(out["split"].astype(object),
+                                  pa.string()),
+                "n_hit": pa.array(
+                    out["n_hit"].to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    per_doc = final_groupby_sum(
+        bucketed_group_apply(ex, ["g"], bucket),
+        ["doc_id", "split"], ["n_hit"],
+    )
+
+    def split_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "split" not in t.column_names:
+            return pa.table(
+                {"split": pa.array([], pa.string()),
+                 "n_contaminated": pa.array([], pa.int64()),
+                 "shingle_hits": pa.array([], pa.int64())}
+            )
+        df = (
+            t.to_pandas().groupby("split", as_index=False)
+            .agg(n_contaminated=("doc_id", "size"),
+                 shingle_hits=("n_hit", "sum"))
+        )
+        for c in ("n_contaminated", "shingle_hits"):
+            df[c] = df[c].astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cont = {
+        r["split"]: r
+        for r in final_groupby_sum(
+            per_doc.map_batches(split_partial, batch_format="pyarrow"),
+            ["split"], ["n_contaminated", "shingle_hits"],
+        ).take_all()  # ≤ 2 rows
+    }
+
+    def census_partial(t: pa.Table) -> pa.Table:
+        sp = [split_of(int(i)) for i in t["doc_id"].to_pylist()]
+        df = pd.DataFrame({"split": pd.Series(sp, dtype=object)})
+        df = df[df["split"] != "train"]
+        out = df.value_counts().rename("n_docs").reset_index()
+        out["n_docs"] = out["n_docs"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    census = final_groupby_sum(
+        _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+            census_partial, batch_format="pyarrow"
+        ),
+        ["split"], ["n_docs"],
+    ).take_all()  # ≤ 2 rows
+
+    splits, nd, nc, sh, rate = [], [], [], [], []
+    for row in sorted(census, key=lambda r: r["split"]):
+        c = cont.get(row["split"], {})
+        n = int(row["n_docs"])
+        k = int(c.get("n_contaminated", 0))
+        splits.append(row["split"])
+        nd.append(n)
+        nc.append(k)
+        sh.append(int(c.get("shingle_hits", 0)))
+        rate.append(float(np.round(k / n, 6)))
+    return pa.table(
+        {
+            "split": pa.array(splits, pa.string()),
+            "n_docs": pa.array(nd, pa.int64()),
+            "n_contaminated": pa.array(nc, pa.int64()),
+            "shingle_hits": pa.array(sh, pa.int64()),
+            "contamination_rate": pa.array(rate, pa.float64()),
+        }
+    )

@@ -4902,3 +4902,64 @@ ORACLE_SQL["k_anonymity_census"] = """
            CAST(k * count(*) AS BIGINT) AS n_docs
     FROM qi GROUP BY k
 """
+
+
+def _split_contamination_sql() -> str:
+    """Split rule = dataset_split_assign's md5 arithmetic; shingles =
+    distinct per-doc DECON_NGRAM-gram strings (same join semantics as
+    the Ray bucket pass)."""
+    from ..pipelines.corpus_ops import DECON_NGRAM, SPLIT_EDGES
+
+    terms = " || ' ' || ".join(f"a[i + {j}]" for j in range(DECON_NGRAM))
+    return f"""
+    WITH h AS (
+        SELECT doc_id, text,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS UBIGINT) % 100 AS b
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               CASE WHEN b < {SPLIT_EDGES[0]} THEN 'train'
+                    WHEN b < {SPLIT_EDGES[1]} THEN 'val'
+                    ELSE 'test' END AS split,
+               text
+        FROM h
+    ),
+    toks AS (
+        SELECT doc_id, split,
+               regexp_split_to_array(trim(text), '\\s+') AS a
+        FROM s
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, split, {terms} AS g
+        FROM (SELECT doc_id, split, a,
+                     unnest(generate_series(1, len(a) - {DECON_NGRAM} + 1))
+                         AS i
+              FROM toks WHERE len(a) >= {DECON_NGRAM})
+    ),
+    tr AS (SELECT DISTINCT g FROM sh WHERE split = 'train'),
+    hits AS (
+        SELECT sh.doc_id, sh.split, count(*) AS n_hit
+        FROM sh JOIN tr USING (g) WHERE sh.split <> 'train'
+        GROUP BY sh.doc_id, sh.split
+    ),
+    per_split AS (
+        SELECT split, count(*) AS n_contaminated,
+               sum(n_hit) AS shingle_hits
+        FROM hits GROUP BY split
+    ),
+    census AS (
+        SELECT split, count(*) AS n_docs FROM s
+        WHERE split <> 'train' GROUP BY split
+    )
+    SELECT c.split, CAST(c.n_docs AS BIGINT) AS n_docs,
+           CAST(coalesce(p.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+           CAST(coalesce(p.shingle_hits, 0) AS BIGINT) AS shingle_hits,
+           round_even(CAST(coalesce(p.n_contaminated, 0) AS DOUBLE)
+                      / c.n_docs, 6) AS contamination_rate
+    FROM census c LEFT JOIN per_split p USING (split)
+"""
+
+
+ORACLE_SQL["split_contamination_audit"] = _split_contamination_sql()

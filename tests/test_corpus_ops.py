@@ -441,3 +441,46 @@ def test_subsample_ci_mean_brackets_truth(ray_session):
     m0 = np.array([md5_prefix32(f"{d}-0") % 2 == 0 for d in dids])
     mu0 = float(nch[m0].sum()) / int(m0.sum())
     assert row["ci_lo"] - 1e-9 <= mu0 or mu0 <= row["ci_hi"] + 1e-9
+
+
+def test_split_contamination_audit_planted(ray_session, tmp_path):
+    """A val doc sharing a verbatim 8-gram with a train doc is flagged;
+    an overlap-free test doc is not; rates divide exactly."""
+    from docling_eval_ray.functions.tokens import md5_prefix32
+
+    def split_of(i: int) -> str:
+        b = md5_prefix32(str(i)) % 100
+        if b < co.SPLIT_EDGES[0]:
+            return "train"
+        return "val" if b < co.SPLIT_EDGES[1] else "test"
+
+    by_split = {}
+    for i in range(400):
+        by_split.setdefault(split_of(i), []).append(i)
+    tr, va, te = (by_split[s][0] for s in ("train", "val", "test"))
+    va2 = by_split["val"][1]
+
+    shared = " ".join(f"s{i}" for i in range(co.DECON_NGRAM))
+    pd.DataFrame(
+        {
+            "doc_id": pd.array([tr, va, va2, te], dtype="int64"),
+            "text": [
+                "lead in " + shared + " tail",
+                shared + " entirely different ending",
+                " ".join(f"u{i}" for i in range(12)),     # clean val doc
+                " ".join(f"w{i}" for i in range(12)),     # clean test doc
+            ],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    got = {
+        r["split"]: r
+        for r in co.split_contamination_audit(str(tmp_path)).to_pylist()
+    }
+    assert got["val"]["n_docs"] == 2
+    assert got["val"]["n_contaminated"] == 1
+    assert got["val"]["shingle_hits"] == 1
+    assert got["val"]["contamination_rate"] == 0.5
+    assert got["test"]["n_docs"] == 1
+    assert got["test"]["n_contaminated"] == 0
+    assert got["test"]["contamination_rate"] == 0.0
