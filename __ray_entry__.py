@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_size_stats": r.part_size_stats,
         "shipping_priority": r.shipping_priority,
         "events_error_rate": r.events_error_rate,
+        "event_type_user_overlap": r.event_type_user_overlap,
         # filters / set ops (M12/M13, §2.7)
         "documents_blacklist_filter": r.documents_blacklist_filter,
         "distinct_segments": r.distinct_segments,

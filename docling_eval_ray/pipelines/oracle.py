@@ -4963,3 +4963,43 @@ def _split_contamination_sql() -> str:
 
 
 ORACLE_SQL["split_contamination_audit"] = _split_contamination_sql()
+
+
+# pairwise audience overlap: per-user bitmask (sum of DISTINCT powers
+# == bitwise OR), pairwise counts read off the mask column — the same
+# census-not-self-join shape as the Ray side
+ORACLE_SQL["event_type_user_overlap"] = """
+    WITH t AS (
+        SELECT event_type,
+               dense_rank() OVER (ORDER BY event_type) - 1 AS idx
+        FROM (SELECT DISTINCT event_type FROM events)
+    ),
+    m AS (
+        SELECT e.user_id,
+               CAST(sum(DISTINCT (1 << t.idx)) AS BIGINT) AS mask
+        FROM events e JOIN t USING (event_type)
+        GROUP BY e.user_id
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, a.idx AS ia,
+               b.event_type AS type_b, b.idx AS ib
+        FROM t a JOIN t b ON a.event_type < b.event_type
+    ),
+    agg AS (
+        SELECT p.type_a, p.type_b,
+               CAST(count(*) FILTER (WHERE (m.mask >> p.ia) & 1 = 1)
+                    AS BIGINT) AS n_a,
+               CAST(count(*) FILTER (WHERE (m.mask >> p.ib) & 1 = 1)
+                    AS BIGINT) AS n_b,
+               CAST(count(*) FILTER (WHERE (m.mask >> p.ia) & 1 = 1
+                                       AND (m.mask >> p.ib) & 1 = 1)
+                    AS BIGINT) AS n_both
+        FROM pairs p CROSS JOIN m
+        GROUP BY p.type_a, p.type_b
+    )
+    SELECT type_a, type_b, n_a, n_b, n_both,
+           n_a + n_b - n_both AS n_union,
+           round_even(CAST(n_both AS DOUBLE) / (n_a + n_b - n_both), 6)
+               AS jaccard
+    FROM agg
+"""

@@ -4493,3 +4493,104 @@ def brand_price_size_slope(sf_dir: str):
         )
 
     return totals.map_batches(finish, batch_format="pyarrow")
+
+
+def event_type_user_overlap(sf_dir: str):
+    """(type_a, type_b, n_a, n_b, n_both, n_union, jaccard) — exact
+    audience-overlap matrix between event types: for every unordered
+    type pair, how many users did each, both, either, and the Jaccard
+    of the two user sets. The cohort-overlap question growth analytics
+    asks ("do purchasers also error?"), answered EXACTLY — no sketch.
+
+    Shape: the type domain is censused once (|types| rows, gated
+    driver state); ONE user-keyed exchange folds each user's types
+    into a machine-word BITMASK (vectorized bit matrix + per-user max,
+    no Python per-group lambda); the mask census is ≤ 2^|types|
+    integer rows and every pairwise overlap is read off that census
+    driver-side — no |types|² corpus passes, no pairwise self-joins.
+    All counts integer; the one Jaccard division happens per pair at
+    the end."""
+    from ..functions.groups import bucketed_group_apply, final_groupby_sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    types = sorted(
+        r["event_type"]
+        for r in ds.groupby("event_type").count().take_all()
+    )
+    idx = {t: i for i, t in enumerate(types)}
+    T = len(types)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": t["user_id"].to_numpy(),
+                "bit": np.array(
+                    [np.int64(1) << idx[e]
+                     for e in t["event_type"].to_pylist()],
+                    np.int64,
+                ),
+            }
+        ).drop_duplicates()
+        # sum of DISTINCT powers == bitwise OR within the batch
+        out = df.groupby("user_id", as_index=False)["bit"].sum()
+        return pa.table(
+            {
+                "user_id": pa.array(out["user_id"].to_numpy(np.int64),
+                                    pa.int64()),
+                "mask": pa.array(out["bit"].to_numpy(np.int64),
+                                 pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def bucket(df: pd.DataFrame) -> pa.Table:
+        masks = df["mask"].to_numpy(np.int64)
+        bits = (masks[:, None] >> np.arange(T)[None, :]) & 1
+        g = pd.DataFrame(bits, columns=list(range(T)))
+        g["user_id"] = df["user_id"].to_numpy(np.int64)
+        agg = g.groupby("user_id").max().to_numpy(np.int64)
+        mask = (agg * (np.int64(1) << np.arange(T))).sum(axis=1)
+        vals, cnts = np.unique(mask, return_counts=True)
+        return pa.table(
+            {
+                "mask": pa.array(vals.astype(np.int64), pa.int64()),
+                "n_users": pa.array(cnts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    census = final_groupby_sum(
+        bucketed_group_apply(parts, ["user_id"], bucket),
+        ["mask"], ["n_users"],
+    ).take_all()  # ≤ 2^|types| rows: census-sized, gated
+    counts = {int(r["mask"]): int(r["n_users"]) for r in census}
+
+    ta, tb, na, nb, nboth, nuni, jac = [], [], [], [], [], [], []
+    for a in range(T):
+        for b in range(a + 1, T):
+            n_a = sum(c for m, c in counts.items() if (m >> a) & 1)
+            n_b = sum(c for m, c in counts.items() if (m >> b) & 1)
+            n_both = sum(
+                c for m, c in counts.items()
+                if (m >> a) & 1 and (m >> b) & 1
+            )
+            n_union = n_a + n_b - n_both
+            ta.append(types[a])
+            tb.append(types[b])
+            na.append(n_a)
+            nb.append(n_b)
+            nboth.append(n_both)
+            nuni.append(n_union)
+            jac.append(float(np.round(n_both / n_union, 6)))
+    return pa.table(
+        {
+            "type_a": pa.array(ta, pa.string()),
+            "type_b": pa.array(tb, pa.string()),
+            "n_a": pa.array(na, pa.int64()),
+            "n_b": pa.array(nb, pa.int64()),
+            "n_both": pa.array(nboth, pa.int64()),
+            "n_union": pa.array(nuni, pa.int64()),
+            "jaccard": pa.array(jac, pa.float64()),
+        }
+    )

@@ -229,3 +229,44 @@ def test_blacklist_filter_tiers_agree(ray_session):
     a, b, c = (x[key].sort_values(key).reset_index(drop=True)
                for x in (a, b, c))
     assert a.equals(b) and b.equals(c) and len(a) == 47
+
+
+def test_event_type_user_overlap_planted(ray_session, tmp_path):
+    """Partial-overlap fixture: counts and Jaccard are the exact set
+    overlaps, pairs are alphabetical, a type nobody shares shows 0."""
+    import numpy as np
+
+    from docling_eval_ray.pipelines.relational import (
+        event_type_user_overlap,
+    )
+
+    # users 1,2 click; 2,3 view; 4 alone errors (also clicks)
+    rows = [
+        (1, "click"), (2, "click"), (2, "view"), (3, "view"),
+        (4, "error"), (4, "click"), (2, "click"),  # dup event: same user
+    ]
+    pd.DataFrame(
+        {
+            "event_id": pd.array(range(len(rows)), dtype="int64"),
+            "ts": pd.to_datetime("2026-01-01"),
+            "user_id": pd.array([r[0] for r in rows], dtype="int64"),
+            "event_type": [r[1] for r in rows],
+            "value": 0.0,
+            "props": "{}",
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+
+    got = {
+        (r["type_a"], r["type_b"]): r
+        for r in event_type_user_overlap(str(tmp_path)).to_pylist()
+    }
+    assert set(got) == {("click", "error"), ("click", "view"),
+                        ("error", "view")}
+    ce = got[("click", "error")]
+    assert (ce["n_a"], ce["n_b"], ce["n_both"], ce["n_union"]) == (3, 1, 1, 3)
+    assert ce["jaccard"] == float(np.round(1 / 3, 6))
+    cv = got[("click", "view")]
+    assert (cv["n_a"], cv["n_b"], cv["n_both"], cv["n_union"]) == (3, 2, 1, 4)
+    assert cv["jaccard"] == 0.25
+    ev = got[("error", "view")]
+    assert (ev["n_both"], ev["jaccard"]) == (0, 0.0)
