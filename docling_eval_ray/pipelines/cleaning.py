@@ -318,7 +318,10 @@ def lm_perplexity(sf_dir: str, *,
     from .corpus_ops import _token_table
 
     extra = list(extra_doc_cols)
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text", *extra])
+    # dedupe: extra may name a base column (e.g. "text" itself, which
+    # quality_perplexity_corr rides to fuse its score kernel)
+    ds = _read(sf_dir, "documents",
+               columns=list(dict.fromkeys(["doc_id", "text", *extra])))
 
     def count_partial(t: pa.Table) -> pa.Table:
         ex = _token_table(t)

@@ -2224,3 +2224,88 @@ def split_contamination_audit(sf_dir: str):
             "contamination_rate": pa.array(rate, pa.float64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# quality_perplexity_corr — do the two quality signals agree?
+# ---------------------------------------------------------------------------
+
+
+def quality_perplexity_corr(sf_dir: str):
+    """(n_docs, n_cells, r_pearson) — Pearson correlation between the
+    two quality signals the pipeline computes independently: unigram-LM
+    cross-entropy (``lm_perplexity``, CCNet-style) and the integer
+    token-length-band score (``quality_percentile_filter``'s
+    ``_quality_scores``). Production corpora check this before stacking
+    filters — two highly-correlated signals prune the same docs twice.
+
+    Float-parity shape: per-doc ce is quantized to integer CENTS
+    (``round_even(ce6 · 100)`` on both engines from the identical
+    6dp-rounded double), the score is already an integer, and the
+    corpus collapses to a (cents, score, n) CENSUS — the only
+    corpus-sized arithmetic is integer counting, so the Pearson moments
+    are exact Python bigints on the driver and the single
+    float division + sqrt happens once, identically ordered on both
+    engines. Shape: the text rides ``lm_perplexity``'s scoring pass via
+    ``extra_doc_cols`` (no second corpus scan, no doc-keyed join); the
+    census groupby moves one row per occupied grid cell per batch."""
+    import math
+
+    from ..functions.groups import final_groupby_sum
+    from .cleaning import lm_perplexity  # driver-side factory import
+
+    scored = lm_perplexity(sf_dir, extra_doc_cols=("text",))
+
+    def census_partial(df: pd.DataFrame) -> pa.Table:
+        cents = np.round(
+            df["cross_entropy"].to_numpy() * 100.0
+        ).astype(np.int64)
+        scores = np.empty(len(df), np.int64)
+        for i, text in enumerate(df["text"]):
+            toks = sql_tokens(text)
+            good = sum(_QSCORE_LO <= len(tk) <= _QSCORE_HI for tk in toks)
+            scores[i] = (100 * good) // len(toks)
+        out = (
+            pd.DataFrame({"cents": cents, "score": scores})
+            .groupby(["cents", "score"], as_index=False)
+            .size().rename(columns={"size": "n"})
+        )
+        return pa.table(
+            {
+                "cents": pa.array(out["cents"].to_numpy(np.int64),
+                                  pa.int64()),
+                "score": pa.array(out["score"].to_numpy(np.int64),
+                                  pa.int64()),
+                "n": pa.array(out["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    census = final_groupby_sum(
+        scored.map_batches(census_partial, batch_format="pandas"),
+        ["cents", "score"], ["n"],
+    ).take_all()  # grid-domain-sized (ce cents × 101 scores), gated
+
+    n = sx = sy = sxy = sxx = syy = 0
+    for r in census:
+        x, y, w = int(r["cents"]), int(r["score"]), int(r["n"])
+        n += w
+        sx += w * x
+        sy += w * y
+        sxy += w * x * y
+        sxx += w * x * x
+        syy += w * y * y
+    d1 = n * sxx - sx * sx
+    d2 = n * syy - sy * sy
+    if d1 == 0 or d2 == 0:
+        r_p = 0.0
+    else:
+        r_p = float(np.round(
+            float(n * sxy - sx * sy) / math.sqrt(float(d1 * d2)), 6
+        ))
+    return pa.table(
+        {
+            "n_docs": pa.array([n], pa.int64()),
+            "n_cells": pa.array([len(census)], pa.int64()),
+            "r_pearson": pa.array([r_p], pa.float64()),
+        }
+    )

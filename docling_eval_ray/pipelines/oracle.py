@@ -5003,3 +5003,51 @@ ORACLE_SQL["event_type_user_overlap"] = """
                AS jaccard
     FROM agg
 """
+
+
+# Pearson between ce-cents and the integer quality score: census form,
+# exact HUGEINT moments, ONE double division + sqrt at the end ordered
+# identically to the Python driver arithmetic
+ORACLE_SQL["quality_perplexity_corr"] = _TOKS_CTE + r""",
+    cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS s FROM cnt),
+    per AS (
+        SELECT t.doc_id,
+               -log2(CAST(c.c AS DOUBLE) / (SELECT s FROM tot)) AS nll
+        FROM toks t JOIN cnt c ON t.tok = c.tok
+    ),
+    x AS (
+        SELECT doc_id,
+               CAST(round_even(round_even(avg(nll), 6) * 100, 0)
+                    AS BIGINT) AS cents
+        FROM per GROUP BY doc_id
+    ),
+    y AS (
+        SELECT doc_id,
+               (100 * count(*) FILTER (WHERE len(tok) BETWEEN 3 AND 12))
+                   // count(*) AS score
+        FROM toks GROUP BY doc_id
+    ),
+    cells AS (
+        SELECT cents, score, count(*) AS n
+        FROM x JOIN y USING (doc_id) GROUP BY cents, score
+    ),
+    s AS (
+        SELECT sum(n) AS n, count(*) AS n_cells,
+               sum(n * cents) AS sx, sum(n * score) AS sy,
+               sum(n * cents * score) AS sxy,
+               sum(n * cents * cents) AS sxx,
+               sum(n * score * score) AS syy
+        FROM cells
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(n_cells AS BIGINT) AS n_cells,
+           round_even(
+               CASE WHEN (n * sxx - sx * sx) = 0
+                      OR (n * syy - sy * sy) = 0 THEN 0.0
+                    ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                         / sqrt(CAST((n * sxx - sx * sx)
+                                     * (n * syy - sy * sy) AS DOUBLE))
+               END, 6) AS r_pearson
+    FROM s
+"""

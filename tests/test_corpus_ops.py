@@ -484,3 +484,33 @@ def test_split_contamination_audit_planted(ray_session, tmp_path):
     assert got["test"]["n_docs"] == 1
     assert got["test"]["n_contaminated"] == 0
     assert got["test"]["contamination_rate"] == 0.0
+
+
+def test_quality_perplexity_corr_direct(ray_session):
+    """r matches a direct per-doc recompute (quantized cents × integer
+    score) and lies in [-1, 1]; census cells cover every doc."""
+    import math
+
+    from docling_eval_ray.functions.tokens import sql_tokens
+    from docling_eval_ray.pipelines.cleaning import lm_perplexity
+
+    got = co.quality_perplexity_corr(SF).to_pylist()[0]
+    per = lm_perplexity(SF, extra_doc_cols=("text",)).to_pandas()
+    assert got["n_docs"] == len(per)
+    x = np.round(per["cross_entropy"].to_numpy() * 100.0).astype(np.int64)
+    y = np.array(
+        [
+            (100 * sum(3 <= len(tk) <= 12 for tk in sql_tokens(s)))
+            // len(sql_tokens(s))
+            for s in per["text"]
+        ],
+        np.int64,
+    )
+    n = len(x)
+    num = n * int((x * y).sum()) - int(x.sum()) * int(y.sum())
+    d1 = n * int((x * x).sum()) - int(x.sum()) ** 2
+    d2 = n * int((y * y).sum()) - int(y.sum()) ** 2
+    want = (0.0 if d1 == 0 or d2 == 0
+            else float(np.round(float(num) / math.sqrt(float(d1 * d2)), 6)))
+    assert got["r_pearson"] == want
+    assert -1.0 <= got["r_pearson"] <= 1.0
