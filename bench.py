@@ -218,6 +218,7 @@ def run_benchmarks() -> dict:
     from docling_eval_ray.stages.sketches import (
         events_type_p99_tdigest,
         events_value_tdigest,
+        token_count_min as _token_count_min,
     )
     from docling_eval_ray.pipelines import cleaning as cl
     from docling_eval_ray.pipelines.pretrain import (
@@ -380,6 +381,17 @@ def run_benchmarks() -> dict:
         # are sub-second — oracle-gated only)
         ("lm_perplexity_bigram", cl.lm_perplexity_bigram),
         ("subsample_ci_mean", co.subsample_ci_mean),
+        # round-5 continuation 5: CM-sketch calibration (corpus scan +
+        # vocab groupby), cross-split shingle leakage (gram exchange),
+        # fused LM×quality Pearson census, content-hash dedup savings,
+        # per-user bitmask overlap (rrf_fusion / k_anonymity_census /
+        # classifier_reliability_bins are census-bound sub-second ops —
+        # oracle-gated only)
+        ("token_count_min", _token_count_min),
+        ("split_contamination_audit", co.split_contamination_audit),
+        ("quality_perplexity_corr", co.quality_perplexity_corr),
+        ("dedup_inflation_by_source", r.dedup_inflation_by_source),
+        ("event_type_user_overlap", r.event_type_user_overlap),
     ]:
         t0 = time.time()
         out = fn(SF_DIR)
