@@ -266,6 +266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "dataset_split_assign": c.dataset_split_assign,
             "split_contamination_audit": c.split_contamination_audit,  # oracled (leakage census)
             "quality_perplexity_corr": c.quality_perplexity_corr,  # oracled (signal agreement)
+            "vocab_coverage_curve": c.vocab_coverage_curve,  # oracled (tokenizer sizing)
             "lang_mixture_weights": c.lang_mixture_weights,
             "mixture_resample_census": c.mixture_resample_census,
             "quality_percentile_filter": c.quality_percentile_filter,  # oracled (quantile_disc prune)

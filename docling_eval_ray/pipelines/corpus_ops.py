@@ -2309,3 +2309,75 @@ def quality_perplexity_corr(sf_dir: str):
             "r_pearson": pa.array([r_p], pa.float64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# vocab_coverage_curve — token-stream coverage of a top-N vocabulary
+# ---------------------------------------------------------------------------
+
+#: candidate vocabulary sizes for the coverage curve (the small Ns
+#: resolve real structure on the driver corpus's compact vocabulary;
+#: the large one exercises the N > |vocab| clamp)
+COVERAGE_NS = (4, 8, 16, 4096)
+
+
+def vocab_coverage_curve(sf_dir: str):
+    """(top_n, vocab_size, covered, total, coverage) — what fraction of
+    the token stream a top-N frequency vocabulary captures, for each
+    candidate N. The sizing question every tokenizer/vocab design asks
+    before committing: the curve's knee is where bigger vocabularies
+    stop paying. Ranking ties break by token text, so the curve is
+    deterministic on both engines.
+
+    Shape: ONE vocabulary census (one row per distinct token per batch
+    crosses the groupby); the ranked head is ``max(COVERAGE_NS)`` rows
+    (output-sized driver state via sort+limit — never the full
+    vocabulary), the stream total is a scalar aggregate, and coverage
+    is integer counts with one division per N."""
+    from ..functions.groups import final_groupby_sum
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def census_partial(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(
+                pc.utf8_trim(t["text"], characters=" "), r"\s+"
+            )
+        )
+        vc = pc.value_counts(toks)
+        return pa.table(
+            {"token": vc.field("values"),
+             "n": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    census = final_groupby_sum(
+        ds.map_batches(census_partial, batch_format="pyarrow"),
+        ["token"], ["n"],
+    ).materialize()  # consumed 3× (total, vocab size, ranked head)
+
+    total = int(census.sum("n"))
+    vocab = int(census.count())
+    head = (
+        census.sort(["n", "token"], descending=[True, False])
+        .limit(max(COVERAGE_NS))
+        .to_pandas()["n"].to_numpy(np.int64)
+    )
+    cum = np.concatenate([[0], np.cumsum(head)])
+
+    tops, sizes, covs, tots, fracs = [], [], [], [], []
+    for top_n in COVERAGE_NS:
+        k = min(top_n, len(head))
+        tops.append(top_n)
+        sizes.append(min(top_n, vocab))
+        covs.append(int(cum[k]))
+        tots.append(total)
+        fracs.append(float(np.round(cum[k] / total, 6)))
+    return pa.table(
+        {
+            "top_n": pa.array(tops, pa.int64()),
+            "vocab_size": pa.array(sizes, pa.int64()),
+            "covered": pa.array(covs, pa.int64()),
+            "total": pa.array(tots, pa.int64()),
+            "coverage": pa.array(fracs, pa.float64()),
+        }
+    )

@@ -5051,3 +5051,35 @@ ORACLE_SQL["quality_perplexity_corr"] = _TOKS_CTE + r""",
                END, 6) AS r_pearson
     FROM s
 """
+
+
+def _vocab_coverage_sql() -> str:
+    from .corpus_ops import COVERAGE_NS
+
+    ns = ", ".join(str(n) for n in COVERAGE_NS)
+    return f"""
+    WITH cnt AS (
+        SELECT tok, count(*) AS n
+        FROM documents,
+             UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS t(tok)
+        GROUP BY tok
+    ),
+    r AS (
+        SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rk
+        FROM cnt
+    ),
+    tot AS (SELECT sum(n) AS t, count(*) AS v FROM cnt),
+    ns AS (SELECT unnest([{ns}]) AS top_n)
+    SELECT CAST(ns.top_n AS BIGINT) AS top_n,
+           CAST(least(ns.top_n, (SELECT v FROM tot)) AS BIGINT)
+               AS vocab_size,
+           CAST(coalesce(sum(r.n), 0) AS BIGINT) AS covered,
+           CAST((SELECT t FROM tot) AS BIGINT) AS total,
+           round_even(CAST(coalesce(sum(r.n), 0) AS DOUBLE)
+                      / (SELECT t FROM tot), 6) AS coverage
+    FROM ns LEFT JOIN r ON r.rk <= ns.top_n
+    GROUP BY ns.top_n
+"""
+
+
+ORACLE_SQL["vocab_coverage_curve"] = _vocab_coverage_sql()

@@ -514,3 +514,26 @@ def test_quality_perplexity_corr_direct(ray_session):
             else float(np.round(float(num) / math.sqrt(float(d1 * d2)), 6)))
     assert got["r_pearson"] == want
     assert -1.0 <= got["r_pearson"] <= 1.0
+
+
+def test_vocab_coverage_curve_monotone(ray_session):
+    """Coverage is non-decreasing in top_n, covered counts equal a
+    direct census recompute, and N > |vocab| clamps to full coverage."""
+    import duckdb
+
+    df = co.vocab_coverage_curve(SF).to_pandas().sort_values("top_n")
+    cov = df["coverage"].to_numpy()
+    assert (np.diff(cov) >= 0).all()
+    assert cov[-1] == 1.0
+    cnt = duckdb.sql(
+        f"""SELECT count(*) AS n
+            FROM '{SF}/documents.parquet',
+                 UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS t(tok)
+            GROUP BY tok ORDER BY n DESC, tok"""
+    ).df()["n"].to_numpy()
+    total = int(cnt.sum())
+    assert (df["total"] == total).all()
+    for row in df.itertuples():
+        k = min(row.top_n, len(cnt))
+        assert row.covered == int(cnt[:k].sum())
+        assert row.vocab_size == min(row.top_n, len(cnt))
