@@ -5083,3 +5083,24 @@ def _vocab_coverage_sql() -> str:
 
 
 ORACLE_SQL["vocab_coverage_curve"] = _vocab_coverage_sql()
+
+
+ORACLE_SQL["incremental_dedup_ingest"] = """
+    WITH d AS (
+        SELECT doc_id, md5(text) AS fp,
+               doc_id % 10 = 9 AS is_new
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, is_new,
+               bool_or(NOT is_new) OVER (PARTITION BY fp) AS has_old,
+               min(CASE WHEN is_new THEN doc_id END)
+                   OVER (PARTITION BY fp) AS first_new
+        FROM d
+    )
+    SELECT doc_id,
+           CASE WHEN has_old THEN 'dup_old'
+                WHEN doc_id = first_new THEN 'ingest'
+                ELSE 'dup_new' END AS verdict
+    FROM g WHERE is_new
+"""

@@ -4594,3 +4594,73 @@ def event_type_user_overlap(sf_dir: str):
             "jaccard": pa.array(jac, pa.float64()),
         }
     )
+
+
+#: "new shard" membership rule for the incremental-ingest simulation
+INGEST_NEW_MOD, INGEST_NEW_RESIDUE = 10, 9
+
+
+def incremental_dedup_ingest(sf_dir: str):
+    """(doc_id, verdict) for every doc in the NEW shard (deterministic
+    membership: ``doc_id % 10 == 9``): ``dup_old`` if its content
+    fingerprint already exists in the standing corpus, ``dup_new`` if
+    it's a non-canonical copy within the arriving shard itself, else
+    ``ingest``. This is the incremental-ingestion dedup every
+    continuously-fed corpus runs on each arriving shard — dedup against
+    what's stored AND within the delivery, in one pass.
+
+    Shape: ONE exchange bucketed on the content hash over (fingerprint,
+    doc_id, is_new) — the old side contributes only its fingerprint
+    column (on a production cluster that read is the stored
+    fingerprint index, not a re-hash of old text); each bucket resolves
+    verdicts vectorized (per-group any-old + first-new via transforms)
+    and emits only new-shard rows."""
+    from ..functions.groups import bucketed_group_apply
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        fps = [hashlib.md5(s.encode()).hexdigest()
+               for s in t["text"].to_pylist()]
+        ids = t["doc_id"].to_numpy()
+        return pa.table(
+            {
+                "fingerprint": pa.array(fps, pa.string()),
+                "doc_id": t["doc_id"],
+                "is_new": pa.array(
+                    (ids % INGEST_NEW_MOD == INGEST_NEW_RESIDUE)
+                    .astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def bucket(g: pd.DataFrame) -> pa.Table:
+        grp = g.groupby("fingerprint")
+        has_old = grp["is_new"].transform("min").to_numpy() == 0
+        # min doc_id among NEW copies per group (old rows masked out)
+        masked = g["doc_id"].where(g["is_new"] == 1, np.iinfo(np.int64).max)
+        first_new = (
+            masked.groupby(g["fingerprint"].to_numpy())
+            .transform("min").to_numpy()
+        )
+        is_new = g["is_new"].to_numpy() == 1
+        ids = g["doc_id"].to_numpy()
+        verdict = np.where(
+            has_old, "dup_old",
+            np.where(ids == first_new, "ingest", "dup_new"),
+        )
+        keep = is_new
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep].astype(np.int64), pa.int64()),
+                "verdict": pa.array(
+                    verdict[keep].astype(object), pa.string()
+                ),
+            }
+        )
+
+    return bucketed_group_apply(
+        ds.map_batches(fp, batch_format="pyarrow"),
+        ["fingerprint"], bucket,
+    )

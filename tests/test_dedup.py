@@ -572,3 +572,30 @@ def test_dedup_inflation_by_source_planted_clones(ray_session, tmp_path):
     assert b["chars_dropped"] == len("same text body")
     c = got[("srcB", "de")]
     assert (c["n_docs"], c["n_dropped"], c["chars_dropped"]) == (1, 0, 0)
+
+
+def test_incremental_dedup_ingest_verdicts(ray_session, tmp_path):
+    """dup_old beats everything; within-shard clones keep exactly one
+    canonical 'ingest'; old docs never appear in the output."""
+    from docling_eval_ray.pipelines.relational import (
+        incremental_dedup_ingest,
+    )
+
+    # is_new ⇔ doc_id % 10 == 9
+    rows = [
+        (1, "stored body"),        # old
+        (9, "stored body"),        # new clone of old → dup_old
+        (19, "fresh body"),        # new, canonical of in-shard pair
+        (29, "fresh body"),        # new clone within shard → dup_new
+        (39, "unique body"),       # new, unique → ingest
+        (2, "other old"),          # old, unrelated
+    ]
+    pd.DataFrame(
+        {"doc_id": pd.array([r[0] for r in rows], dtype="int64"),
+         "text": [r[1] for r in rows]}
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    got = {r["doc_id"]: r["verdict"]
+           for r in incremental_dedup_ingest(str(tmp_path)).take_all()}
+    assert got == {9: "dup_old", 19: "ingest", 29: "dup_new",
+                   39: "ingest"}
