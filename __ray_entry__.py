@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": r.dedup_exact,
         "dedup_inflation_by_source": r.dedup_inflation_by_source,
         "incremental_dedup_ingest": r.incremental_dedup_ingest,
+        "shard_skew_report": r.shard_skew_report,
         # text functions (M9, M17, §2.8 + training-data ops)
         "document_fingerprints": r.document_fingerprints,
         "token_counts": r.token_counts,

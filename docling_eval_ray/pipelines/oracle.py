@@ -5104,3 +5104,28 @@ ORACLE_SQL["incremental_dedup_ingest"] = """
                 ELSE 'dup_new' END AS verdict
     FROM g WHERE is_new
 """
+
+
+ORACLE_SQL["shard_skew_report"] = """
+    WITH u AS (
+        SELECT 'doc_id' AS part_key,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS UBIGINT) % 32 AS shard
+        FROM documents
+        UNION ALL
+        SELECT 'lang',
+               CAST(('0x' || substr(md5(lang), 1, 8)) AS UBIGINT) % 32
+        FROM documents
+        UNION ALL
+        SELECT 'source',
+               CAST(('0x' || substr(md5(source), 1, 8)) AS UBIGINT) % 32
+        FROM documents
+    ),
+    c AS (SELECT part_key, shard, count(*) AS n FROM u GROUP BY 1, 2)
+    SELECT part_key,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS shards_used,
+           CAST(max(n) AS BIGINT) AS max_shard_rows,
+           round_even(CAST(max(n) AS DOUBLE) * 32 / sum(n), 6) AS skew
+    FROM c GROUP BY part_key
+"""

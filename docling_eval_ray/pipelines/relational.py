@@ -4664,3 +4664,72 @@ def incremental_dedup_ingest(sf_dir: str):
         ds.map_batches(fp, batch_format="pyarrow"),
         ["fingerprint"], bucket,
     )
+
+
+#: shard count for the partition-key skew audit
+SKEW_SHARDS = 32
+
+
+def shard_skew_report(sf_dir: str):
+    """(part_key, n_rows, shards_used, max_shard_rows, skew) — the
+    partition-design audit run before committing to a shuffle key: for
+    each candidate key (doc_id, lang, source), hash rows into
+    ``SKEW_SHARDS`` shards and report how unbalanced the result is
+    (``skew`` = max shard / ideal shard; 1.0 = perfectly balanced,
+    ≥ shards = one hot shard owns everything). Low-cardinality keys
+    like ``lang`` show exactly the hot-shard failure this engine's
+    salting/bucketing guidance exists for.
+
+    Shape: one scan emits per-batch (key, shard, n) count partials for
+    ALL candidate keys at once (no per-key passes); the groupby moves
+    ≤ |keys|·SKEW_SHARDS rows per batch and the merged census is
+    sketch-sized driver state."""
+    from ..functions.groups import final_groupby_sum
+    from ..functions.tokens import md5_prefix32
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        frames = []
+        for key in ("doc_id", "lang", "source"):
+            vals = t[key].to_pylist()
+            shards = np.array(
+                [md5_prefix32(str(v)) % SKEW_SHARDS for v in vals],
+                np.int64,
+            )
+            df = (
+                pd.DataFrame({"shard": shards})
+                .groupby("shard", as_index=False).size()
+                .rename(columns={"size": "n"})
+            )
+            df.insert(0, "part_key", key)
+            frames.append(df)
+        out = pd.concat(frames, ignore_index=True)
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    census = final_groupby_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["part_key", "shard"], ["n"],
+    ).take_all()  # ≤ 3·SKEW_SHARDS rows
+
+    agg: dict[str, list[int]] = {}
+    for r in census:
+        agg.setdefault(r["part_key"], []).append(int(r["n"]))
+    keys = sorted(agg)
+    n_rows = [sum(agg[k]) for k in keys]
+    used = [len(agg[k]) for k in keys]
+    mx = [max(agg[k]) for k in keys]
+    skew = [
+        float(np.round(m * SKEW_SHARDS / t, 6))
+        for m, t in zip(mx, n_rows)
+    ]
+    return pa.table(
+        {
+            "part_key": pa.array(keys, pa.string()),
+            "n_rows": pa.array(n_rows, pa.int64()),
+            "shards_used": pa.array(used, pa.int64()),
+            "max_shard_rows": pa.array(mx, pa.int64()),
+            "skew": pa.array(skew, pa.float64()),
+        }
+    )

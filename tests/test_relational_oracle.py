@@ -270,3 +270,25 @@ def test_event_type_user_overlap_planted(ray_session, tmp_path):
     assert cv["jaccard"] == 0.25
     ev = got[("error", "view")]
     assert (ev["n_both"], ev["jaccard"]) == (0, 0.0)
+
+
+def test_shard_skew_report_semantics(ray_session):
+    """All keys census the same row count; skew = max·S/total exactly;
+    the low-cardinality lang key is visibly hotter than doc_id."""
+    import numpy as np
+
+    from docling_eval_ray.pipelines.relational import (
+        SKEW_SHARDS,
+        shard_skew_report,
+    )
+
+    df = shard_skew_report(SF_DIR).to_pandas().set_index("part_key")
+    n = df["n_rows"].iloc[0]
+    assert (df["n_rows"] == n).all()
+    assert (df["shards_used"] <= SKEW_SHARDS).all()
+    for _, r in df.iterrows():
+        assert r["skew"] == float(
+            np.round(r["max_shard_rows"] * SKEW_SHARDS / n, 6)
+        )
+    assert df.loc["lang", "skew"] > df.loc["doc_id", "skew"]
+    assert df.loc["lang", "shards_used"] < df.loc["doc_id", "shards_used"]
