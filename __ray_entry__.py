@@ -269,6 +269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "split_contamination_audit": c.split_contamination_audit,  # oracled (leakage census)
             "quality_perplexity_corr": c.quality_perplexity_corr,  # oracled (signal agreement)
             "vocab_coverage_curve": c.vocab_coverage_curve,  # oracled (tokenizer sizing)
+            "cluster_label_purity": c.cluster_label_purity,  # oracled (clustering eval)
             "lang_mixture_weights": c.lang_mixture_weights,
             "mixture_resample_census": c.mixture_resample_census,
             "quality_percentile_filter": c.quality_percentile_filter,  # oracled (quantile_disc prune)

@@ -2381,3 +2381,84 @@ def vocab_coverage_curve(sf_dir: str):
             "coverage": pa.array(fracs, pa.float64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# cluster_label_purity — external clustering evaluation
+# ---------------------------------------------------------------------------
+
+
+def cluster_label_purity(sf_dir: str):
+    """(cluster, n_vecs, n_labels, top_label, n_top, purity) — the
+    external evaluation every clustering step gets before it's trusted
+    for SemDeDup-style pruning or IVF routing: per k-means cluster, how
+    concentrated are the ground-truth labels (majority-label share;
+    ties break to the smaller label deterministically).
+
+    Shape: the Lloyd loop is the existing ``_kmeans_centroids``
+    (streamed partial sums, k-row groupbys, driver-side k×d update);
+    the labels ride the SAME assignment pass (no vec_id join), which
+    emits per-batch (cluster, label) count partials straight into a
+    ≤ k·|labels| census — driver state is census-sized."""
+    import ray.data as rd
+
+    from ..functions.groups import final_groupby_sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+    ).materialize()  # consumed iters+1 times (Lloyd) + once (assign)
+
+    cents = _kmeans_centroids(ds, KMEANS_ITERS)
+
+    def assign_census(t: pa.Table) -> pa.Table:
+        emb = np.stack(t["embedding"].to_pandas().to_numpy()).astype(
+            np.float64
+        )
+        _, best = _assign(emb, cents)
+        df = (
+            pd.DataFrame(
+                {
+                    "cluster": best.astype(np.int64),
+                    "label": t["label"].to_numpy(
+                        zero_copy_only=False
+                    ).astype(np.int64),
+                }
+            )
+            .groupby(["cluster", "label"], as_index=False)
+            .size().rename(columns={"size": "n"})
+        )
+        df["n"] = df["n"].astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    census = final_groupby_sum(
+        ds.map_batches(assign_census, batch_format="pyarrow"),
+        ["cluster", "label"], ["n"],
+    ).take_all()  # ≤ k·|labels| rows
+
+    by_cluster: dict[int, list[tuple[int, int]]] = {}
+    for r in census:
+        by_cluster.setdefault(int(r["cluster"]), []).append(
+            (int(r["label"]), int(r["n"]))
+        )
+    cl, nv, nl, tl, nt, pu = [], [], [], [], [], []
+    for c in sorted(by_cluster):
+        pairs = by_cluster[c]
+        tot = sum(n for _, n in pairs)
+        top_label, top_n = min(pairs, key=lambda p: (-p[1], p[0]))
+        cl.append(c)
+        nv.append(tot)
+        nl.append(len(pairs))
+        tl.append(top_label)
+        nt.append(top_n)
+        pu.append(float(np.round(top_n / tot, 6)))
+    return pa.table(
+        {
+            "cluster": pa.array(cl, pa.int64()),
+            "n_vecs": pa.array(nv, pa.int64()),
+            "n_labels": pa.array(nl, pa.int64()),
+            "top_label": pa.array(tl, pa.int64()),
+            "n_top": pa.array(nt, pa.int64()),
+            "purity": pa.array(pu, pa.float64()),
+        }
+    )

@@ -5129,3 +5129,34 @@ ORACLE_SQL["shard_skew_report"] = """
            round_even(CAST(max(n) AS DOUBLE) * 32 / sum(n), 6) AS skew
     FROM c GROUP BY part_key
 """
+
+
+def _cluster_purity_sql() -> str:
+    """Majority-label share per Lloyd cluster over the shared k-means
+    CTE chain (ties break to the smaller label, as in the Ray driver
+    sweep)."""
+    return _kmeans_cte() + """,
+    lab AS (
+        SELECT a2.cluster, e.label
+        FROM a2 JOIN embeddings e USING (vec_id)
+    ),
+    c AS (SELECT cluster, label, count(*) AS n FROM lab GROUP BY 1, 2),
+    r AS (
+        SELECT cluster, label, n,
+               row_number() OVER (PARTITION BY cluster
+                                  ORDER BY n DESC, label) AS rk,
+               sum(n) OVER (PARTITION BY cluster) AS tot,
+               count(*) OVER (PARTITION BY cluster) AS nl
+        FROM c
+    )
+    SELECT CAST(cluster AS BIGINT) AS cluster,
+           CAST(tot AS BIGINT) AS n_vecs,
+           CAST(nl AS BIGINT) AS n_labels,
+           CAST(label AS BIGINT) AS top_label,
+           CAST(n AS BIGINT) AS n_top,
+           round_even(CAST(n AS DOUBLE) / tot, 6) AS purity
+    FROM r WHERE rk = 1
+"""
+
+
+ORACLE_SQL["cluster_label_purity"] = _cluster_purity_sql()

@@ -537,3 +537,25 @@ def test_vocab_coverage_curve_monotone(ray_session):
         k = min(row.top_n, len(cnt))
         assert row.covered == int(cnt[:k].sum())
         assert row.vocab_size == min(row.top_n, len(cnt))
+
+
+def test_cluster_label_purity_consistency(ray_session):
+    """Purity rows agree with a direct recompute from kmeans_assign +
+    the label column; totals partition the embedding table."""
+    import pyarrow.parquet as pq
+
+    df = co.cluster_label_purity(SF).to_pandas()
+    emb = pq.read_table(f"{SF}/embeddings.parquet",
+                        columns=["vec_id", "label"]).to_pandas()
+    assign = co.kmeans_assign(SF).to_pandas()
+    j = assign.merge(emb, on="vec_id")
+    assert df["n_vecs"].sum() == len(emb)
+    for row in df.itertuples():
+        grp = j.loc[j["cluster"] == row.cluster, "label"]
+        vc = grp.value_counts()
+        top_n = int(vc.max())
+        top_label = int(min(l for l, n in vc.items() if n == top_n))
+        assert row.n_vecs == len(grp)
+        assert row.n_labels == grp.nunique()
+        assert (row.top_label, row.n_top) == (top_label, top_n)
+        assert row.purity == float(np.round(top_n / len(grp), 6))
