@@ -2388,18 +2388,11 @@ def vocab_coverage_curve(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
-def cluster_label_purity(sf_dir: str):
-    """(cluster, n_vecs, n_labels, top_label, n_top, purity) — the
-    external evaluation every clustering step gets before it's trusted
-    for SemDeDup-style pruning or IVF routing: per k-means cluster, how
-    concentrated are the ground-truth labels (majority-label share;
-    ties break to the smaller label deterministically).
-
-    Shape: the Lloyd loop is the existing ``_kmeans_centroids``
-    (streamed partial sums, k-row groupbys, driver-side k×d update);
-    the labels ride the SAME assignment pass (no vec_id join), which
-    emits per-batch (cluster, label) count partials straight into a
-    ≤ k·|labels| census — driver state is census-sized."""
+def _kmeans_label_census(sf_dir: str) -> list[dict]:
+    """(cluster, label, n) census rows over the Lloyd assignment — the
+    shared contingency table behind ``cluster_label_purity`` and
+    ``clustering_ari``. Labels ride the assignment pass (no vec_id
+    join); driver state is ≤ k·|labels| rows."""
     import ray.data as rd
 
     from ..functions.groups import final_groupby_sum
@@ -2431,10 +2424,25 @@ def cluster_label_purity(sf_dir: str):
         df["n"] = df["n"].astype(np.int64)
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    census = final_groupby_sum(
+    return final_groupby_sum(
         ds.map_batches(assign_census, batch_format="pyarrow"),
         ["cluster", "label"], ["n"],
     ).take_all()  # ≤ k·|labels| rows
+
+
+def cluster_label_purity(sf_dir: str):
+    """(cluster, n_vecs, n_labels, top_label, n_top, purity) — the
+    external evaluation every clustering step gets before it's trusted
+    for SemDeDup-style pruning or IVF routing: per k-means cluster, how
+    concentrated are the ground-truth labels (majority-label share;
+    ties break to the smaller label deterministically).
+
+    Shape: the Lloyd loop is the existing ``_kmeans_centroids``
+    (streamed partial sums, k-row groupbys, driver-side k×d update);
+    the labels ride the SAME assignment pass (no vec_id join), which
+    emits per-batch (cluster, label) count partials straight into a
+    ≤ k·|labels| census — driver state is census-sized."""
+    census = _kmeans_label_census(sf_dir)
 
     by_cluster: dict[int, list[tuple[int, int]]] = {}
     for r in census:
@@ -2460,5 +2468,47 @@ def cluster_label_purity(sf_dir: str):
             "top_label": pa.array(tl, pa.int64()),
             "n_top": pa.array(nt, pa.int64()),
             "purity": pa.array(pu, pa.float64()),
+        }
+    )
+
+
+def clustering_ari(sf_dir: str):
+    """(n_vecs, sum_pairs_cells, sum_pairs_rows, sum_pairs_cols, ari) —
+    the Adjusted Rand Index between the Lloyd clustering and the
+    ground-truth labels: chance-corrected pair agreement, the standard
+    external clustering score alongside ``cluster_label_purity``.
+
+    Float-parity shape: everything is pair-counting combinatorics over
+    the SAME (cluster, label) contingency census
+    (``_kmeans_label_census``), so the ARI reduces to the cleared
+    integer-rational form
+    ``(N2·Sij − Sa·Sb) / (N2·(Sa+Sb)/2 − Sa·Sb)`` with
+    ``S = Σ k(k−1)`` (always even) and ``N2 = n(n−1)`` — exact bigint
+    arithmetic on both engines, ONE double division at the end (the
+    filter_agreement_kappa recipe)."""
+    census = _kmeans_label_census(sf_dir)
+
+    n = sum(int(r["n"]) for r in census)
+    sij = sum(int(r["n"]) * (int(r["n"]) - 1) for r in census)
+    rows: dict[int, int] = {}
+    cols: dict[int, int] = {}
+    for r in census:
+        rows[int(r["cluster"])] = rows.get(int(r["cluster"]), 0) + int(r["n"])
+        cols[int(r["label"])] = cols.get(int(r["label"]), 0) + int(r["n"])
+    sa = sum(a * (a - 1) for a in rows.values())
+    sb = sum(b * (b - 1) for b in cols.values())
+    n2 = n * (n - 1)
+    num = n2 * sij - sa * sb
+    den = n2 * (sa + sb) // 2 - sa * sb
+    # float() each operand FIRST (mirrors SQL's CAST-then-divide; a raw
+    # bigint / would be correctly-rounded and could differ past 2^53)
+    ari = 0.0 if den == 0 else float(np.round(float(num) / float(den), 6))
+    return pa.table(
+        {
+            "n_vecs": pa.array([n], pa.int64()),
+            "sum_pairs_cells": pa.array([sij // 2], pa.int64()),
+            "sum_pairs_rows": pa.array([sa // 2], pa.int64()),
+            "sum_pairs_cols": pa.array([sb // 2], pa.int64()),
+            "ari": pa.array([ari], pa.float64()),
         }
     )

@@ -5160,3 +5160,43 @@ def _cluster_purity_sql() -> str:
 
 
 ORACLE_SQL["cluster_label_purity"] = _cluster_purity_sql()
+
+
+def _clustering_ari_sql() -> str:
+    """Cleared integer-rational ARI over the shared k-means CTE chain
+    + label contingency census; HUGEINT-exact until the one division."""
+    return _kmeans_cte() + """,
+    lab AS (
+        SELECT a2.cluster, e.label
+        FROM a2 JOIN embeddings e USING (vec_id)
+    ),
+    c AS (SELECT cluster, label, count(*) AS n FROM lab GROUP BY 1, 2),
+    sums AS (
+        SELECT sum(n) AS n_vecs, sum(n * (n - 1)) AS sij FROM c
+    ),
+    ra AS (
+        SELECT sum(a * (a - 1)) AS sa
+        FROM (SELECT sum(n) AS a FROM c GROUP BY cluster)
+    ),
+    cb AS (
+        SELECT sum(b * (b - 1)) AS sb
+        FROM (SELECT sum(n) AS b FROM c GROUP BY label)
+    ),
+    f AS (
+        SELECT n_vecs, sij, sa, sb, n_vecs * (n_vecs - 1) AS n2
+        FROM sums, ra, cb
+    )
+    SELECT CAST(n_vecs AS BIGINT) AS n_vecs,
+           CAST(sij // 2 AS BIGINT) AS sum_pairs_cells,
+           CAST(sa // 2 AS BIGINT) AS sum_pairs_rows,
+           CAST(sb // 2 AS BIGINT) AS sum_pairs_cols,
+           round_even(
+               CASE WHEN n2 * (sa + sb) // 2 - sa * sb = 0 THEN 0.0
+                    ELSE CAST(n2 * sij - sa * sb AS DOUBLE)
+                         / CAST(n2 * (sa + sb) // 2 - sa * sb AS DOUBLE)
+               END, 6) AS ari
+    FROM f
+"""
+
+
+ORACLE_SQL["clustering_ari"] = _clustering_ari_sql()

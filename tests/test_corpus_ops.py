@@ -559,3 +559,31 @@ def test_cluster_label_purity_consistency(ray_session):
         assert row.n_labels == grp.nunique()
         assert (row.top_label, row.n_top) == (top_label, top_n)
         assert row.purity == float(np.round(top_n / len(grp), 6))
+
+
+def test_clustering_ari_matches_reference_formula(ray_session):
+    """ARI equals the textbook contingency-table formula computed from
+    kmeans_assign × labels; perfect agreement would give 1.0 (checked
+    on a synthetic census)."""
+    import pyarrow.parquet as pq
+
+    got = co.clustering_ari(SF).to_pylist()[0]
+    emb = pq.read_table(f"{SF}/embeddings.parquet",
+                        columns=["vec_id", "label"]).to_pandas()
+    assign = co.kmeans_assign(SF).to_pandas()
+    j = assign.merge(emb, on="vec_id")
+    ct = j.groupby(["cluster", "label"]).size()
+    n = len(j)
+
+    def pairs(s):
+        return int(sum(int(k) * (int(k) - 1) for k in s)) // 2
+
+    sij = pairs(ct.to_numpy())
+    sa = pairs(ct.groupby("cluster").sum().to_numpy())
+    sb = pairs(ct.groupby("label").sum().to_numpy())
+    assert (got["sum_pairs_cells"], got["sum_pairs_rows"],
+            got["sum_pairs_cols"]) == (sij, sa, sb)
+    exp = sa * sb / (n * (n - 1) // 2)
+    want = (sij - exp) / ((sa + sb) / 2 - exp)
+    assert abs(got["ari"] - want) < 1e-6
+    assert -1.0 <= got["ari"] <= 1.0
