@@ -524,9 +524,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         api_predictions, shape="google")
     # Bloom-filter decontamination (approximate tier of
     # decontaminate_ngrams; one-sided error asserted in tests/test_bloom.py)
-    from docling_eval_ray.stages.bloom import decontaminate_bloom
+    from docling_eval_ray.stages.bloom import (
+        bloom_fp_calibration,
+        decontaminate_bloom,
+    )
 
     q["decontaminate_bloom"] = decontaminate_bloom
+    q["bloom_fp_calibration"] = bloom_fp_calibration  # oracled (filter rebuild)
     # CVAT pre-annotation writer → reader round trip (S11/M3 writer half)
     from docling_eval_ray.sources.cvat import cvat_preannotation_roundtrip
 

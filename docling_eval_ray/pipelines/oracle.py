@@ -5200,3 +5200,77 @@ def _clustering_ari_sql() -> str:
 
 
 ORACLE_SQL["clustering_ari"] = _clustering_ari_sql()
+
+
+def _bloom_cal_sql() -> str:
+    """Full Bloom rebuild: md5 top/bottom-half lanes, Kirsch-
+    Mitzenmacher double hashing with numpy's mod-2^64 wraparound
+    replicated in HUGEINT, membership = all K probe positions present
+    in the benchmark bit set."""
+    from ..pipelines.corpus_ops import BENCH_MAX_DOC_ID, DECON_NGRAM
+    from ..stages.bloom import BLOOM_CAL_K, BLOOM_CAL_M
+
+    terms = " || ' ' || ".join(f"a[i + {j}]" for j in range(DECON_NGRAM))
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS a
+        FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, {terms} AS g
+        FROM (SELECT doc_id, a,
+                     unnest(generate_series(1, len(a) - {DECON_NGRAM} + 1))
+                         AS i
+              FROM toks WHERE len(a) >= {DECON_NGRAM})
+    ),
+    bench AS (SELECT DISTINCT g FROM grams
+              WHERE doc_id < {BENCH_MAX_DOC_ID}),
+    probes AS (SELECT DISTINCT g FROM grams),
+    h AS (
+        SELECT g,
+               CAST(('0x' || substr(md5(g), 1, 16)) AS UBIGINT) AS h1,
+               CAST(('0x' || substr(md5(g), 17, 16)) AS UBIGINT) | 1 AS h2
+        FROM probes
+    ),
+    pos AS (
+        SELECT g,
+               CAST(((CAST(h1 AS HUGEINT)
+                      + i.i * CAST(h2 AS HUGEINT))
+                     % 18446744073709551616) % {BLOOM_CAL_M} AS BIGINT)
+                   AS p
+        FROM h, (SELECT unnest(generate_series(0, {BLOOM_CAL_K - 1}))
+                     AS i) i
+    ),
+    bits AS (
+        SELECT DISTINCT p.p FROM pos p JOIN bench b USING (g)
+    ),
+    ph AS (
+        SELECT pos.g,
+               count(DISTINCT pos.p) AS np,
+               count(DISTINCT bits.p) AS nm
+        FROM pos LEFT JOIN bits ON pos.p = bits.p
+        GROUP BY pos.g
+    ),
+    v AS (
+        SELECT ph.g, (ph.nm = ph.np) AS bloom_pos,
+               (b.g IS NOT NULL) AS true_pos
+        FROM ph LEFT JOIN bench b USING (g)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(count(*) FILTER (WHERE true_pos) AS BIGINT) AS n_true_pos,
+           CAST(count(*) FILTER (WHERE bloom_pos) AS BIGINT)
+               AS n_bloom_pos,
+           CAST(count(*) FILTER (WHERE bloom_pos AND NOT true_pos)
+                AS BIGINT) AS n_false_pos,
+           round_even(CASE
+               WHEN count(*) - count(*) FILTER (WHERE true_pos) = 0
+                   THEN 0.0
+               ELSE CAST(count(*) FILTER (WHERE bloom_pos
+                                            AND NOT true_pos) AS DOUBLE)
+                    / (count(*) - count(*) FILTER (WHERE true_pos))
+           END, 6) AS fp_rate
+    FROM v
+"""
+
+
+ORACLE_SQL["bloom_fp_calibration"] = _bloom_cal_sql()

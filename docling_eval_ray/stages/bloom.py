@@ -339,3 +339,124 @@ def decontaminate_bloom(sf_dir: str, *, fpr: float = 0.01):
         )
 
     return joined.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# bloom_fp_calibration — measured vs one-sided-error contract
+# ---------------------------------------------------------------------------
+
+#: FIXED calibration geometry (data-independent so the SQL replica is a
+#: static string): small enough that the fill ratio produces a
+#: measurable false-positive population at every test sf
+BLOOM_CAL_M = 1 << 12
+BLOOM_CAL_K = 7
+
+#: per-worker cache of the broadcast benchmark gram set, keyed by the
+#: ObjectRef — the same task-mode broadcast-probe pattern as
+#: functions/joins.py:_bloom_probe_filter (actor pools would reserve
+#: CPUs; a second pool can deadlock the 4-CPU test fixture)
+_CAL_BENCH_CACHE: dict = {}
+
+
+def _cal_bench_set(bench_ref):
+    import ray
+
+    key = bench_ref.hex() if hasattr(bench_ref, "hex") else id(bench_ref)
+    s = _CAL_BENCH_CACHE.get(key)
+    if s is None:
+        s = ray.get(bench_ref)
+        _CAL_BENCH_CACHE.clear()
+        _CAL_BENCH_CACHE[key] = s
+    return s
+
+
+def bloom_fp_calibration(sf_dir: str):
+    """(n_probes, n_true_pos, n_bloom_pos, n_false_pos, fp_rate) — the
+    acceptance gate for the decontamination Bloom tier: probe EVERY
+    distinct corpus gram against a fixed-geometry filter built over the
+    benchmark grams and measure the realized false-positive rate. The
+    one-sided contract (``n_bloom_pos ≥ n_true_pos``, never a false
+    negative) is what lets ``decontaminate_bloom`` short-circuit misses;
+    this census quantifies the other side — how much verify-join
+    traffic the false positives cost at the chosen m/k.
+
+    Shape: the benchmark side is eval-suite-sized (built and broadcast
+    once, the ``decontaminate_ngrams`` precedent); the probe pass runs
+    over the globally-distinct gram table (one exchange) in task mode
+    with per-worker ref-keyed caches, emitting 3 integer partial
+    counters per batch. Hash-oracle-able because the filter IS md5
+    double hashing — DuckDB rebuilds the bit set verbatim (HUGEINT
+    arithmetic replicates numpy's mod-2^64 wraparound)."""
+    import ray
+
+    from ..functions.groups import final_groupby_sum
+    from ..functions.tokens import sql_tokens, tokens_series
+    from ..pipelines.corpus_ops import BENCH_MAX_DOC_ID, _doc_ngrams
+    from ..pipelines.relational import _read
+
+    bench_t = _read(sf_dir, "documents", columns=["doc_id", "text"]).filter(
+        expr=f"doc_id < {BENCH_MAX_DOC_ID}"
+    )
+    grams: set[str] = set()
+    for row in bench_t.take_all():  # bounded, eval-suite-sized
+        grams |= _doc_ngrams(sql_tokens(row["text"]))
+    bf = BloomFilter(BLOOM_CAL_M, BLOOM_CAL_K)
+    bf.add_many(sorted(grams))
+    blob_ref = ray.put(bf.to_bytes())
+    bench_ref = ray.put(frozenset(grams))
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        gs: set[str] = set()
+        for toks in tokens_series(t["text"].to_pandas()):
+            gs |= _doc_ngrams(toks)
+        return pa.table({"g": pa.array(sorted(gs), pa.string())})
+
+    distinct = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("g").count()  # one exchange → globally-distinct grams
+    )
+
+    from ..functions.joins import _bloom_probe_filter
+
+    def probe(t: pa.Table) -> pa.Table:
+        f = _bloom_probe_filter(blob_ref, BLOOM_CAL_K)
+        bench = _cal_bench_set(bench_ref)
+        gs = t["g"].to_pylist() if "g" in t.column_names else []
+        if not gs:
+            z = pa.array([], pa.int64())
+            return pa.table({"k": z, "n_probes": z, "n_true_pos": z,
+                             "n_bloom_pos": z})
+        hit = f.contains_many(gs)
+        true_pos = np.array([g in bench for g in gs], bool)
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "n_probes": pa.array([len(gs)], pa.int64()),
+                "n_true_pos": pa.array([int(true_pos.sum())], pa.int64()),
+                "n_bloom_pos": pa.array([int(hit.sum())], pa.int64()),
+            }
+        )
+
+    agg = final_groupby_sum(
+        distinct.map_batches(probe, batch_format="pyarrow"),
+        ["k"], ["n_probes", "n_true_pos", "n_bloom_pos"],
+    ).take_all()  # exactly one row
+    n_probes = int(agg[0]["n_probes"])
+    n_true = int(agg[0]["n_true_pos"])
+    n_bloom = int(agg[0]["n_bloom_pos"])
+    n_fp = n_bloom - n_true
+    neg = n_probes - n_true
+    return pa.table(
+        {
+            "n_probes": pa.array([n_probes], pa.int64()),
+            "n_true_pos": pa.array([n_true], pa.int64()),
+            "n_bloom_pos": pa.array([n_bloom], pa.int64()),
+            "n_false_pos": pa.array([n_fp], pa.int64()),
+            "fp_rate": pa.array(
+                [0.0 if neg == 0 else float(np.round(n_fp / neg, 6))],
+                pa.float64(),
+            ),
+        }
+    )

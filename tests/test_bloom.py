@@ -92,3 +92,48 @@ def test_tree_reduce_many_partials(ray_session):
     whole.add_many(items)
     assert np.array_equal(bf.words, whole.words)
     assert bf.contains_many(items).all()
+
+
+def test_bloom_fp_calibration_contract(ray_session):
+    """One-sided error holds (every true positive passes); counts match
+    a direct local rebuild of the same filter; fp_rate lands near the
+    theoretical rate for the fixed geometry."""
+    import duckdb
+    import numpy as np
+
+    from docling_eval_ray.pipelines.corpus_ops import (
+        BENCH_MAX_DOC_ID,
+        DECON_NGRAM,
+        _doc_ngrams,
+    )
+    from docling_eval_ray.functions.tokens import sql_tokens
+    from docling_eval_ray.stages.bloom import (
+        BLOOM_CAL_K,
+        BLOOM_CAL_M,
+        BloomFilter,
+        bloom_fp_calibration,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = bloom_fp_calibration(sf).to_pylist()[0]
+    assert got["n_bloom_pos"] >= got["n_true_pos"]
+    assert got["n_false_pos"] == got["n_bloom_pos"] - got["n_true_pos"]
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf}/documents.parquet'"
+    ).df()
+    bench: set[str] = set()
+    probes: set[str] = set()
+    for _, r in docs.iterrows():
+        gs = _doc_ngrams(sql_tokens(r["text"]), DECON_NGRAM)
+        probes |= gs
+        if r["doc_id"] < BENCH_MAX_DOC_ID:
+            bench |= gs
+    bf = BloomFilter(BLOOM_CAL_M, BLOOM_CAL_K)
+    bf.add_many(sorted(bench))
+    hits = bf.contains_many(sorted(probes))
+    assert got["n_probes"] == len(probes)
+    assert got["n_true_pos"] == len(bench)
+    assert got["n_bloom_pos"] == int(hits.sum())
+    theo = bf.theoretical_fpr(len(bench))
+    assert 0.2 * theo <= got["fp_rate"] <= 5 * theo
