@@ -202,7 +202,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sq8_knn,
         sq8_recall_at_k,
     )
-    from docling_eval_ray.stages.textstats import document_winnow, language_id
+    from docling_eval_ray.stages.textstats import (
+        document_winnow,
+        langid_confusion,
+        language_id,
+    )
 
     q.update(
         {
@@ -238,6 +242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "embedding_label_medoid": embedding_label_medoid,  # oracled
             "label_pca_component": label_pca_component,  # rows-only (eig)
             "language_id": language_id,                   # oracled (argmax)
+            "langid_confusion": langid_confusion,         # oracled (classifier eval)
             "document_winnow": document_winnow,           # oracled (rolling hash)
         }
     )

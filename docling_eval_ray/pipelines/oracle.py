@@ -5274,3 +5274,14 @@ def _bloom_cal_sql() -> str:
 
 
 ORACLE_SQL["bloom_fp_calibration"] = _bloom_cal_sql()
+
+
+# confusion census of the stopword-profile classifier vs the true lang
+# column — the pred CTE is the language_id oracle verbatim
+ORACLE_SQL["langid_confusion"] = f"""
+    WITH pred AS ({ORACLE_SQL["language_id"]})
+    SELECT d.lang AS lang_true, p.lang_pred,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents d JOIN pred p USING (doc_id)
+    GROUP BY 1, 2
+"""

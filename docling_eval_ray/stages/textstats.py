@@ -133,3 +133,49 @@ def document_winnow(sf_dir: str):
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+class LangIdConfusion:
+    """Actor-pool confusion-census stage: classify each doc with the
+    ``LangId`` kernel and fold straight into per-batch
+    (lang_true, lang_pred) count partials — the labels ride the
+    classification pass, so there is no corpus join."""
+
+    def __init__(self):
+        self._lid = LangId()
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        preds = [self._lid.classify(s) for s in t["text"].to_pylist()]
+        df = (
+            pd.DataFrame(
+                {
+                    "lang_true": t["lang"].to_numpy(zero_copy_only=False),
+                    "lang_pred": preds,
+                }
+            )
+            .groupby(["lang_true", "lang_pred"], as_index=False)
+            .size().rename(columns={"size": "n_docs"})
+        )
+        df["n_docs"] = df["n_docs"].astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def langid_confusion(sf_dir: str):
+    """(lang_true, lang_pred, n_docs) — the confusion matrix of the
+    heuristic language classifier against the corpus's ground-truth
+    ``lang`` column: the evaluation a language-routing pipeline needs
+    before trusting the classifier to split the corpus (per-language
+    precision/recall fall straight out of the cells).
+
+    Shape: one streaming actor-pool pass (profiles compiled once per
+    actor); the groupby moves ≤ |langs|² count rows per batch."""
+    import ray.data as rd
+
+    from ..functions.groups import final_groupby_sum
+    from .util import stage
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    parts = stage(ds, LangIdConfusion)
+    return final_groupby_sum(parts, ["lang_true", "lang_pred"],
+                             ["n_docs"])
