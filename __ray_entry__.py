@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_in_windows_distributed": r.events_in_windows_distributed,
         "events_debounce": r.events_debounce,
         "brand_price_size_slope": r.brand_price_size_slope,
+        "theil_sen_slope": r.theil_sen_slope,
         "order_priority_counts": r.order_priority_counts,
         "suppliers_per_part": r.suppliers_per_part,
         "lineitem_discount_corr": r.lineitem_discount_corr,

@@ -5285,3 +5285,25 @@ ORACLE_SQL["langid_confusion"] = f"""
     FROM documents d JOIN pred p USING (doc_id)
     GROUP BY 1, 2
 """
+
+
+ORACLE_SQL["theil_sen_slope"] = """
+    WITH p AS (
+        SELECT p_brand, p_partkey, p_size, p_retailprice FROM part
+    ),
+    pr AS (
+        SELECT a.p_brand,
+               (b.p_retailprice - a.p_retailprice)
+                   / (b.p_size - a.p_size) AS slope
+        FROM p a JOIN p b
+          ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        WHERE a.p_size <> b.p_size
+    ),
+    c AS (SELECT p_brand, count(*) AS n_parts FROM p GROUP BY 1)
+    SELECT c.p_brand,
+           CAST(c.n_parts AS BIGINT) AS n_parts,
+           CAST(count(pr.slope) AS BIGINT) AS n_pairs,
+           round_even(median(pr.slope), 6) AS theil_slope
+    FROM c LEFT JOIN pr USING (p_brand)
+    GROUP BY c.p_brand, c.n_parts
+"""

@@ -4733,3 +4733,56 @@ def shard_skew_report(sf_dir: str):
             "skew": pa.array(skew, pa.float64()),
         }
     )
+
+
+def theil_sen_slope(sf_dir: str):
+    """(p_brand, n_parts, n_pairs, theil_slope) — per-brand Theil-Sen
+    estimator (median of all pairwise slopes of retail price over
+    size): the robust companion to ``brand_price_size_slope``'s OLS —
+    outlier-priced parts move the mean slope but not the median slope.
+    Pairs are keyed ``p_partkey_a < p_partkey_b`` with equal-size pairs
+    excluded (undefined slope); the slope value is swap-symmetric, so
+    the pair orientation can't change the multiset.
+
+    Shape: ONE exchange bucketed on the brand; each bucket forms its
+    groups' pairwise slopes vectorized (triangular indices, no Python
+    pair loop). The per-group pair count is quadratic in group size —
+    fine at the brand cardinalities here; at corpus scale the knob is
+    md5-ordered pair sampling (the ``minhash_jaccard_calibration``
+    device), documented rather than wired because the estimator is
+    exact below the gate. Median parity note: both engines interpolate
+    the even-count median of the IDENTICAL double multiset; any
+    last-ulp interpolation difference is absorbed by the shared 6dp
+    grid (the lm_perplexity tolerance argument)."""
+    from ..functions.groups import bucketed_group_apply
+
+    ds = _read(sf_dir, "part",
+               columns=["p_brand", "p_partkey", "p_size", "p_retailprice"])
+
+    def bucket(g: pd.DataFrame) -> pa.Table:
+        brands, n_parts, n_pairs, med = [], [], [], []
+        for brand, grp in g.groupby("p_brand"):
+            grp = grp.sort_values("p_partkey")
+            x = grp["p_size"].to_numpy(np.float64)
+            y = grp["p_retailprice"].to_numpy(np.float64)
+            i, j = np.triu_indices(len(grp), 1)
+            dx = x[j] - x[i]
+            keep = dx != 0
+            slopes = (y[j] - y[i])[keep] / dx[keep]
+            brands.append(brand)
+            n_parts.append(len(grp))
+            n_pairs.append(int(keep.sum()))
+            med.append(
+                float(np.round(np.median(slopes), 6))
+                if len(slopes) else None
+            )
+        return pa.table(
+            {
+                "p_brand": pa.array(brands, pa.string()),
+                "n_parts": pa.array(n_parts, pa.int64()),
+                "n_pairs": pa.array(n_pairs, pa.int64()),
+                "theil_slope": pa.array(med, pa.float64()),
+            }
+        )
+
+    return bucketed_group_apply(ds, ["p_brand"], bucket)

@@ -292,3 +292,50 @@ def test_shard_skew_report_semantics(ray_session):
         )
     assert df.loc["lang", "skew"] > df.loc["doc_id", "skew"]
     assert df.loc["lang", "shards_used"] < df.loc["doc_id", "shards_used"]
+
+
+def test_theil_sen_robustness_planted(ray_session, tmp_path):
+    """The median slope ignores a wild outlier that would wreck OLS;
+    equal-size pairs are excluded from the pair count."""
+    import numpy as np
+
+    from docling_eval_ray.pipelines.relational import theil_sen_slope
+
+    # brand A: perfect y = 10x line + one absurd outlier point
+    rows = [
+        (1, "A", 1, 10.0), (2, "A", 2, 20.0), (3, "A", 3, 30.0),
+        (4, "A", 4, 40.0), (5, "A", 4, 9999.0),  # outlier shares size 4
+        (6, "B", 1, 5.0), (7, "B", 2, 5.0),      # flat brand
+    ]
+    pd.DataFrame(
+        {
+            "p_partkey": pd.array([r[0] for r in rows], dtype="int64"),
+            "p_brand": [r[1] for r in rows],
+            "p_size": pd.array([r[2] for r in rows], dtype="int64"),
+            "p_retailprice": [r[3] for r in rows],
+        }
+    ).to_parquet(tmp_path / "part.parquet")
+
+    got = {r["p_brand"]: r
+           for r in theil_sen_slope(str(tmp_path)).take_all()}
+    a = got["A"]
+    # 10 pairs total, one equal-size pair dropped -> 9
+    assert (a["n_parts"], a["n_pairs"]) == (5, 9)
+    # 6 clean pairs at slope 10, 3 outlier pairs; median = 10
+    assert a["theil_slope"] == 10.0
+    b = got["B"]
+    assert (b["n_pairs"], b["theil_slope"]) == (1, 0.0)
+
+    # direct recompute at sf: median of all valid pairwise slopes
+    full = theil_sen_slope("/root/testdata/sf0.001").to_pandas()
+    part = pd.read_parquet("/root/testdata/sf0.001/part.parquet")
+    brand = full["p_brand"].iloc[0]
+    g = part[part["p_brand"] == brand].sort_values("p_partkey")
+    x = g["p_size"].to_numpy(float)
+    y = g["p_retailprice"].to_numpy(float)
+    i, j = np.triu_indices(len(g), 1)
+    dx = x[j] - x[i]
+    s = (y[j] - y[i])[dx != 0] / dx[dx != 0]
+    assert full.set_index("p_brand").loc[brand, "theil_slope"] == float(
+        np.round(np.median(s), 6)
+    )
