@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": r.shipping_priority,
         "events_error_rate": r.events_error_rate,
         "event_type_user_overlap": r.event_type_user_overlap,
+        "daily_volume_cusum": r.daily_volume_cusum,
         # filters / set ops (M12/M13, §2.7)
         "documents_blacklist_filter": r.documents_blacklist_filter,
         "distinct_segments": r.distinct_segments,

@@ -5307,3 +5307,26 @@ ORACLE_SQL["theil_sen_slope"] = """
     FROM c LEFT JOIN pr USING (p_brand)
     GROUP BY c.p_brand, c.n_parts
 """
+
+
+ORACLE_SQL["daily_volume_cusum"] = """
+    WITH d AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
+        FROM events GROUP BY 1
+    ),
+    o AS (
+        SELECT day, n,
+               sum(n) OVER (ORDER BY day) AS cum,
+               row_number() OVER (ORDER BY day) AS rk,
+               (SELECT count(*) FROM d) AS dd,
+               (SELECT sum(n) FROM d) AS nn
+        FROM d
+    )
+    SELECT day,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(cum AS BIGINT) AS cum_events,
+           CAST(abs(dd * cum - rk * nn) AS BIGINT) AS cusum_stat,
+           round_even(CAST(abs(dd * cum - rk * nn) AS DOUBLE)
+                      / (dd * nn), 6) AS norm_stat
+    FROM o
+"""

@@ -4786,3 +4786,61 @@ def theil_sen_slope(sf_dir: str):
         )
 
     return bucketed_group_apply(ds, ["p_brand"], bucket)
+
+
+def daily_volume_cusum(sf_dir: str):
+    """(day, n_events, cum_events, cusum_stat, norm_stat) — CUSUM-style
+    change-point statistic over the daily event volume: per day,
+    ``|D·C_d − rank_d·N|`` (the integer-cleared deviation of the
+    cumulative count from a perfectly uniform timeline; the day with
+    the max statistic is the most likely volume change point, the same
+    ECDF-numerator device as ``source_drift_ks`` applied to the time
+    axis). A flat stream scores ~0 everywhere; a step change peaks at
+    the step.
+
+    Shape: one streaming daily census (count partials → a
+    calendar-bounded groupby); the cumulative pass runs driver-side
+    over the ≤ |days| census (gated, output-sized). Integer arithmetic
+    end-to-end; the one normalization divides at the end."""
+    import ray.data as rd
+
+    from ..functions.groups import final_groupby_sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        days = pc.strftime(t["ts"], format="%Y-%m-%d")
+        vc = pc.value_counts(days)
+        return pa.table(
+            {"day": vc.field("values"),
+             "n": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    census = sorted(
+        final_groupby_sum(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["day"], ["n"],
+        ).take_all(),  # ≤ |days| rows: calendar-bounded
+        key=lambda r: r["day"],
+    )
+    dd = len(census)
+    nn = sum(int(r["n"]) for r in census)
+    days, ns, cums, stats, norms = [], [], [], [], []
+    cum = 0
+    for rk, r in enumerate(census, start=1):
+        cum += int(r["n"])
+        stat = abs(dd * cum - rk * nn)
+        days.append(r["day"])
+        ns.append(int(r["n"]))
+        cums.append(cum)
+        stats.append(stat)
+        norms.append(float(np.round(stat / (dd * nn), 6)))
+    return pa.table(
+        {
+            "day": pa.array(days, pa.string()),
+            "n_events": pa.array(ns, pa.int64()),
+            "cum_events": pa.array(cums, pa.int64()),
+            "cusum_stat": pa.array(stats, pa.int64()),
+            "norm_stat": pa.array(norms, pa.float64()),
+        }
+    )

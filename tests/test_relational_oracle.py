@@ -339,3 +339,39 @@ def test_theil_sen_robustness_planted(ray_session, tmp_path):
     assert full.set_index("p_brand").loc[brand, "theil_slope"] == float(
         np.round(np.median(s), 6)
     )
+
+
+def test_daily_volume_cusum_step_change(ray_session, tmp_path):
+    """A step change in daily volume peaks the statistic at the step
+    boundary; a perfectly uniform stream scores zero everywhere."""
+    import numpy as np
+
+    from docling_eval_ray.pipelines.relational import daily_volume_cusum
+
+    def write_events(path, counts):
+        ts, eid = [], []
+        for d, n in enumerate(counts, start=1):
+            for k in range(n):
+                ts.append(pd.Timestamp(f"2026-01-{d:02d}")
+                          + pd.Timedelta(seconds=k))
+                eid.append(len(eid))
+        pd.DataFrame(
+            {"event_id": pd.array(eid, dtype="int64"),
+             "ts": pd.to_datetime(ts),
+             "user_id": pd.array([0] * len(eid), dtype="int64"),
+             "event_type": "view", "value": 0.0, "props": "{}"}
+        ).to_parquet(path / "events.parquet")
+
+    # 5 days at 10/day, then 5 days at 30/day — change after day 5
+    write_events(tmp_path, [10] * 5 + [30] * 5)
+    df = daily_volume_cusum(str(tmp_path)).to_pandas()
+    assert df.loc[df["cusum_stat"].idxmax(), "day"] == "2026-01-05"
+    assert df["cum_events"].iloc[-1] == 200
+    assert (df["cusum_stat"].iloc[-1]) == 0  # last row always balances
+
+    uniform = tmp_path / "u"
+    uniform.mkdir()
+    write_events(uniform, [7] * 6)
+    du = daily_volume_cusum(str(uniform)).to_pandas()
+    assert (du["cusum_stat"] == 0).all()
+    assert (du["norm_stat"] == 0.0).all()
