@@ -278,6 +278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "vocab_coverage_curve": c.vocab_coverage_curve,  # oracled (tokenizer sizing)
             "cluster_label_purity": c.cluster_label_purity,  # oracled (clustering eval)
             "clustering_ari": c.clustering_ari,  # oracled (chance-corrected)
+            "curriculum_stage_assign": c.curriculum_stage_assign,  # oracled (easy→hard NTILE-free)
             "lang_mixture_weights": c.lang_mixture_weights,
             "mixture_resample_census": c.mixture_resample_census,
             "quality_percentile_filter": c.quality_percentile_filter,  # oracled (quantile_disc prune)

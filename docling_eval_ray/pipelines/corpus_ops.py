@@ -2512,3 +2512,60 @@ def clustering_ari(sf_dir: str):
             "ari": pa.array([ari], pa.float64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# curriculum_stage_assign — easy→hard training-order assignment
+# ---------------------------------------------------------------------------
+
+#: number of curriculum stages
+CURRICULUM_STAGES = 4
+
+
+def curriculum_stage_assign(sf_dir: str):
+    """(doc_id, score, stage) — curriculum-learning order: docs ranked
+    easy→hard by the integer quality score (high score = easy, doc_id
+    tiebreak), then cut into ``CURRICULUM_STAGES`` equal global stages
+    with the exact NTILE-free formula ``((rn−1)·S) // n``. Stage 0 is
+    the warm-up slice a curriculum schedule feeds first.
+
+    Shape: ranking rides ONE composite-key ``global_row_number``
+    (key = (100−score)·2⁴⁰ + doc_id — the ``perplexity_buckets``
+    device; ascending key == score desc, doc_id asc; doc_id < 2⁴⁰
+    assumed, as there) — a range-partitioned rank, one exchange, no
+    full sort. The stage cut is integer arithmetic on the rank."""
+    from ..functions.ranks import global_row_number
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    scores = ds.map_batches(_quality_scores, batch_format="pyarrow")
+
+    def with_key(t: pa.Table) -> pa.Table:
+        s = t["score"].to_numpy()
+        d = t["doc_id"].to_numpy()
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "score": t["score"],
+                "k": pa.array(
+                    (100 - s) * (np.int64(1) << 40) + d, pa.int64()
+                ),
+            }
+        )
+
+    keyed = scores.map_batches(with_key, batch_format="pyarrow")
+    ranked = global_row_number(keyed, "k")
+    n = ranked.count()
+
+    def finish(t: pa.Table) -> pa.Table:
+        rn = t["rn"].to_numpy()
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "score": pc.cast(t["score"], pa.int64()),
+                "stage": pa.array(
+                    ((rn - 1) * CURRICULUM_STAGES) // n, pa.int64()
+                ),
+            }
+        )
+
+    return ranked.map_batches(finish, batch_format="pyarrow")

@@ -5330,3 +5330,24 @@ ORACLE_SQL["daily_volume_cusum"] = """
                       / (dd * nn), 6) AS norm_stat
     FROM o
 """
+
+
+ORACLE_SQL["curriculum_stage_assign"] = r"""
+    WITH s AS (
+        SELECT doc_id,
+               (100 * count(*) FILTER (WHERE len(tok) BETWEEN 3 AND 12))
+                   // count(*) AS score
+        FROM documents,
+             UNNEST(regexp_split_to_array(trim(text), '\s+')) AS t(tok)
+        GROUP BY doc_id
+    ),
+    r AS (
+        SELECT doc_id, score,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS rn,
+               count(*) OVER () AS n
+        FROM s
+    )
+    SELECT doc_id, CAST(score AS BIGINT) AS score,
+           CAST(((rn - 1) * 4) // n AS BIGINT) AS stage
+    FROM r
+"""

@@ -587,3 +587,21 @@ def test_clustering_ari_matches_reference_formula(ray_session):
     want = (sij - exp) / ((sa + sb) / 2 - exp)
     assert abs(got["ari"] - want) < 1e-6
     assert -1.0 <= got["ari"] <= 1.0
+
+
+def test_curriculum_stage_assign_invariants(ray_session):
+    """Stages are balanced quarters of the global easy→hard order:
+    every doc in a lower stage has (score, -doc_id) ≥ any doc in a
+    higher stage under the (score desc, doc_id asc) order."""
+    df = co.curriculum_stage_assign(SF).to_pandas()
+    n = len(df)
+    sizes = df["stage"].value_counts().sort_index()
+    assert set(sizes.index) == set(range(co.CURRICULUM_STAGES))
+    assert sizes.max() - sizes.min() <= 1
+    assert sizes.sum() == n
+    # order key: easy-first rank must be monotone in stage
+    key = df.sort_values(["score", "doc_id"],
+                         ascending=[False, True]).reset_index(drop=True)
+    key["expect"] = (np.arange(n) * co.CURRICULUM_STAGES) // n
+    merged = key.merge(df, on="doc_id", suffixes=("", "_got"))
+    assert (merged["expect"] == merged["stage_got"]).all()
