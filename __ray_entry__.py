@@ -279,6 +279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "cluster_label_purity": c.cluster_label_purity,  # oracled (clustering eval)
             "clustering_ari": c.clustering_ari,  # oracled (chance-corrected)
             "curriculum_stage_assign": c.curriculum_stage_assign,  # oracled (easy→hard NTILE-free)
+            "token_ttr_by_source": c.token_ttr_by_source,  # oracled (lexical diversity)
             "lang_mixture_weights": c.lang_mixture_weights,
             "mixture_resample_census": c.mixture_resample_census,
             "quality_percentile_filter": c.quality_percentile_filter,  # oracled (quantile_disc prune)

@@ -2569,3 +2569,77 @@ def curriculum_stage_assign(sf_dir: str):
         )
 
     return ranked.map_batches(finish, batch_format="pyarrow")
+
+
+def token_ttr_by_source(sf_dir: str):
+    """(source, n_tokens, n_types, ttr) — per-source type-token ratio,
+    the lexical-diversity census a corpus card reports per slice: low
+    TTR flags template-generated or boilerplate-heavy sources before
+    they flood the training mix.
+
+    Shape: per-batch distinct (source, token) count partials → ONE
+    vocabulary-keyed groupby (one row per distinct pair per batch
+    crosses the wire) → a second |sources|-sized groupby folds the
+    token-level census into type/token counts. Integer counts, one
+    division per source at the end."""
+    from ..functions.groups import final_groupby_sum
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim(t["text"], characters=" "), r"\s+"
+        )
+        parent = pc.list_parent_indices(toks)
+        src = t["source"].combine_chunks() if isinstance(
+            t["source"], pa.ChunkedArray) else t["source"]
+        df = (
+            pd.DataFrame(
+                {
+                    "source": src.take(parent).to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "token": pc.list_flatten(toks).to_numpy(
+                        zero_copy_only=False
+                    ),
+                }
+            )
+            .groupby(["source", "token"], as_index=False)
+            .size().rename(columns={"size": "n"})
+        )
+        df["n"] = df["n"].astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    census = final_groupby_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source", "token"], ["n"],
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        df = (
+            t.select(["source", "n"]).to_pandas()
+            .groupby("source", as_index=False)
+            .agg(n_tokens=("n", "sum"), n_types=("n", "size"))
+        )
+        for c in ("n_tokens", "n_types"):
+            df[c] = df[c].astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    agg = final_groupby_sum(
+        census.map_batches(fold, batch_format="pyarrow"),
+        ["source"], ["n_tokens", "n_types"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        nt = t["n_tokens"].to_numpy()
+        ty = t["n_types"].to_numpy()
+        return pa.table(
+            {
+                "source": pc.cast(t["source"], pa.string()),
+                "n_tokens": pc.cast(t["n_tokens"], pa.int64()),
+                "n_types": pc.cast(t["n_types"], pa.int64()),
+                "ttr": pa.array(np.round(ty / nt, 6), pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -5351,3 +5351,18 @@ ORACLE_SQL["curriculum_stage_assign"] = r"""
            CAST(((rn - 1) * 4) // n AS BIGINT) AS stage
     FROM r
 """
+
+
+ORACLE_SQL["token_ttr_by_source"] = r"""
+    WITH toks AS (
+        SELECT source,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents
+    ),
+    c AS (SELECT source, tok, count(*) AS n FROM toks GROUP BY 1, 2)
+    SELECT source,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           round_even(CAST(count(*) AS DOUBLE) / sum(n), 6) AS ttr
+    FROM c GROUP BY source
+"""

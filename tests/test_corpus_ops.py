@@ -605,3 +605,21 @@ def test_curriculum_stage_assign_invariants(ray_session):
     key["expect"] = (np.arange(n) * co.CURRICULUM_STAGES) // n
     merged = key.merge(df, on="doc_id", suffixes=("", "_got"))
     assert (merged["expect"] == merged["stage_got"]).all()
+
+
+def test_token_ttr_by_source_direct(ray_session):
+    """Type and token counts per source equal a direct pandas census."""
+    import pyarrow.parquet as pq
+
+    from docling_eval_ray.functions.tokens import sql_tokens
+
+    df = co.token_ttr_by_source(SF).to_pandas().set_index("source")
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source", "text"]).to_pandas()
+    for src, g in docs.groupby("source"):
+        toks = [tk for s in g["text"] for tk in sql_tokens(s)]
+        assert df.loc[src, "n_tokens"] == len(toks)
+        assert df.loc[src, "n_types"] == len(set(toks))
+        assert df.loc[src, "ttr"] == float(
+            np.round(len(set(toks)) / len(toks), 6)
+        )
