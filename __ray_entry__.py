@@ -606,11 +606,14 @@ _DRIVER_PRIORITY_R5 = [
     "video_frame_samples",
     "cvat_gt_build",
     "cvat_preannotation_roundtrip",
-    # (doclaynet/doclaynet_v2/omnidocbench/pixparse/otsl _gt_build
-    # bases dropped: their *_gt_flat HASH oracles below cover the same
-    # builders with a stronger check; cvat has no flat oracle so its
-    # rows-only entries stay.)
-    "xfund_gt_build",
+    # (doclaynet/doclaynet_v2/omnidocbench/pixparse/otsl/xfund
+    # _gt_build bases dropped: their *_gt_flat HASH oracles below cover
+    # the same builders with a stronger check; cvat has no flat oracle
+    # so its rows-only entries stay. The freed slot goes to
+    # bloom_fp_calibration — the continuation op whose SQL rebuild is
+    # the most intricate, so the independent driver hash check buys the
+    # most.)
+    "bloom_fp_calibration",
     # round-5 additions / upgrades: the hash-oracled `_gt_flat` views
     # (their `_gt_build` bases funsd/dpbench/docvqa/pdf plus the
     # off-repo-hardened bloom/media trio all got green r4 rows already
