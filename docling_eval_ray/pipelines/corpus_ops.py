@@ -2643,3 +2643,58 @@ def token_ttr_by_source(sf_dir: str):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def pack_efficiency_report(sf_dir: str):
+    """(n_docs, n_seqs, tokens_total, capacity_total, n_oversized,
+    fill_rate) — the packing-efficiency summary a pre-training run
+    reports after ``pack_sequences``: how much of the fixed
+    ``PACK_CAP``-token sequence budget is real tokens vs padding, and
+    how many oversized docs occupy a sequence alone (they inflate
+    ``fill_rate`` past their cap slot, documented). Low fill means the
+    packer wastes accelerator steps on padding.
+
+    Shape: consumes the packing pipeline's output stream; every
+    aggregate is an integer partial per batch (a sequence is counted by
+    its UNIQUE offset-0 member, so no distinct-count exchange), folded
+    by a 1-row groupby. One division at the end."""
+    from ..functions.groups import final_groupby_sum
+
+    packed = pack_sequences(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        nt = t["n_tokens"].to_numpy()
+        st = t["seq_offset"].to_numpy()
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "n_docs": pa.array([len(nt)], pa.int64()),
+                "n_seqs": pa.array([int((st == 0).sum())], pa.int64()),
+                "tokens_total": pa.array([int(nt.sum())], pa.int64()),
+                "n_oversized": pa.array(
+                    [int((nt > PACK_CAP).sum())], pa.int64()
+                ),
+            }
+        )
+
+    agg = final_groupby_sum(
+        packed.map_batches(partial, batch_format="pyarrow"),
+        ["k"], ["n_docs", "n_seqs", "tokens_total", "n_oversized"],
+    ).take_all()[0]
+    n_seqs = int(agg["n_seqs"])
+    tokens = int(agg["tokens_total"])
+    cap = n_seqs * PACK_CAP
+    return pa.table(
+        {
+            "n_docs": pa.array([int(agg["n_docs"])], pa.int64()),
+            "n_seqs": pa.array([n_seqs], pa.int64()),
+            "tokens_total": pa.array([tokens], pa.int64()),
+            "capacity_total": pa.array([cap], pa.int64()),
+            "n_oversized": pa.array([int(agg["n_oversized"])],
+                                    pa.int64()),
+            "fill_rate": pa.array(
+                [0.0 if cap == 0 else float(np.round(tokens / cap, 6))],
+                pa.float64(),
+            ),
+        }
+    )

@@ -5366,3 +5366,28 @@ ORACLE_SQL["token_ttr_by_source"] = r"""
            round_even(CAST(count(*) AS DOUBLE) / sum(n), 6) AS ttr
     FROM c GROUP BY source
 """
+
+
+def _pack_efficiency_sql() -> str:
+    """Padding-efficiency summary composed over the pack_sequences
+    replica (a sequence is identified by its unique offset-0 member)."""
+    from .corpus_ops import PACK_CAP
+
+    return f"""
+    WITH packed AS ({ORACLE_SQL["pack_sequences"]})
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE seq_offset = 0) AS BIGINT)
+               AS n_seqs,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+           CAST(count(*) FILTER (WHERE seq_offset = 0) * {PACK_CAP}
+                AS BIGINT) AS capacity_total,
+           CAST(count(*) FILTER (WHERE n_tokens > {PACK_CAP}) AS BIGINT)
+               AS n_oversized,
+           round_even(CAST(sum(n_tokens) AS DOUBLE)
+                      / (count(*) FILTER (WHERE seq_offset = 0)
+                         * {PACK_CAP}), 6) AS fill_rate
+    FROM packed
+"""
+
+
+ORACLE_SQL["pack_efficiency_report"] = _pack_efficiency_sql()

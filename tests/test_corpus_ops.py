@@ -623,3 +623,21 @@ def test_token_ttr_by_source_direct(ray_session):
         assert df.loc[src, "ttr"] == float(
             np.round(len(set(toks)) / len(toks), 6)
         )
+
+
+def test_pack_efficiency_report_consistency(ray_session):
+    """The report's aggregates equal a direct recompute over the
+    pack_sequences output; fill never exceeds 1.0 without oversized
+    docs present."""
+    rep = co.pack_efficiency_report(SF).to_pylist()[0]
+    packed = co.pack_sequences(SF).to_pandas()
+    assert rep["n_docs"] == len(packed)
+    assert rep["n_seqs"] == packed["seq_id"].nunique()
+    assert rep["n_seqs"] == int((packed["seq_offset"] == 0).sum())
+    assert rep["tokens_total"] == int(packed["n_tokens"].sum())
+    assert rep["capacity_total"] == rep["n_seqs"] * co.PACK_CAP
+    assert rep["n_oversized"] == int(
+        (packed["n_tokens"] > co.PACK_CAP).sum()
+    )
+    if rep["n_oversized"] == 0:
+        assert rep["fill_rate"] <= 1.0
