@@ -200,6 +200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         label_centroids,
         mmr_diverse_topk,
         pq_knn,
+        embedding_outlier_scores,
         rrf_fusion,
         sq8_knn,
         sq8_recall_at_k,
@@ -237,6 +238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "sq8_recall_at_k": sq8_recall_at_k,           # oracled (index acceptance gate)
             "mmr_diverse_topk": mmr_diverse_topk,         # oracled (diversity selection)
             "rrf_fusion": rrf_fusion,                     # oracled (rank fusion)
+            "embedding_outlier_scores": embedding_outlier_scores,  # oracled (embedding QC)
             "pq_knn": pq_knn,                             # oracled (product quantization)
             "embedding_norms": embedding_norms,           # oracled (L2)
             "label_centroids": label_centroids,           # oracled (k-means step)

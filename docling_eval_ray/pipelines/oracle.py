@@ -5391,3 +5391,45 @@ def _pack_efficiency_sql() -> str:
 
 
 ORACLE_SQL["pack_efficiency_report"] = _pack_efficiency_sql()
+
+
+def _embedding_outlier_sql() -> str:
+    """Diagonal Mahalanobis with the moment sums rounded at 6dp before
+    μ/σ² derivation (identical op order to the Ray driver) and the
+    ranking keyed on the rounded score + vec_id."""
+    from ..stages.knn import OUTLIER_TOPK
+
+    return f"""
+    WITH vals AS (
+        SELECT vec_id,
+               unnest(CAST(embedding AS DOUBLE[])) AS v,
+               generate_subscripts(embedding, 1) - 1 AS d
+        FROM embeddings
+    ),
+    mom AS (
+        SELECT d, count(*) AS n,
+               round_even(sum(v), 6) AS sx,
+               round_even(sum(v * v), 6) AS sxx
+        FROM vals GROUP BY d
+    ),
+    stats AS (
+        SELECT d, sx / n AS mu,
+               CASE WHEN sxx / n - (sx / n) * (sx / n) <= 0 THEN 1.0
+                    ELSE sxx / n - (sx / n) * (sx / n) END AS var
+        FROM mom
+    ),
+    scores AS (
+        SELECT vec_id,
+               round_even(sum((v - mu) * (v - mu) / var), 6) AS score
+        FROM vals JOIN stats USING (d)
+        GROUP BY vec_id
+    )
+    SELECT row_number() OVER (ORDER BY score DESC, vec_id)
+               AS outlier_rank,
+           vec_id, score
+    FROM scores
+    QUALIFY outlier_rank <= {OUTLIER_TOPK}
+"""
+
+
+ORACLE_SQL["embedding_outlier_scores"] = _embedding_outlier_sql()

@@ -1555,3 +1555,100 @@ def rrf_fusion(sf_dir: str, *, k: int = KNN_K):
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_outlier_scores — diagonal-Mahalanobis outlier mining
+# ---------------------------------------------------------------------------
+
+#: outliers reported by the embedding QC pass
+OUTLIER_TOPK = 32
+
+
+def embedding_outlier_scores(sf_dir: str, *, k: int = OUTLIER_TOPK):
+    """(outlier_rank, vec_id, score) — the ``k`` most anomalous
+    embeddings by diagonal Mahalanobis distance (per-dimension
+    z-score energy): the embedding-QC sweep that surfaces corrupt or
+    out-of-distribution vectors before they poison ANN indexes or
+    centroid updates.
+
+    Shape: pass 1 folds per-dim moments (n, Σv, Σv²) — a fixed
+    dim-rows partial per batch, merged by one tiny groupby; μ/σ² derive
+    driver-side with the moment sums ROUNDED to 6dp on both engines
+    (the ``neardup_pagerank`` float-sum discipline), and the identical
+    ``sxx/n − μ·μ`` op order. Pass 2 is one scoring map with per-block
+    top-k partials → a k-sized global sort; ranking keys on the
+    ROUNDED score with a vec_id tiebreak, so last-ulp summation drift
+    can't reorder the result. Constant dimensions guard to unit
+    variance identically on both sides."""
+    import ray.data as rd
+
+    from ..functions.groups import final_groupby_sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).materialize()  # two passes: moments + scoring
+
+    def mom_partial(t: pa.Table) -> pa.Table:
+        emb = np.stack(t["embedding"].to_pandas().to_numpy()).astype(
+            np.float64
+        )
+        dim = emb.shape[1]
+        return pa.table(
+            {
+                "d": pa.array(np.arange(dim, dtype=np.int64), pa.int64()),
+                "n": pa.array(np.full(dim, len(emb), np.int64),
+                              pa.int64()),
+                "sx": pa.array(emb.sum(axis=0), pa.float64()),
+                "sxx": pa.array((emb * emb).sum(axis=0), pa.float64()),
+            }
+        )
+
+    mom = final_groupby_sum(
+        ds.map_batches(mom_partial, batch_format="pyarrow"),
+        ["d"], ["n", "sx", "sxx"],
+    ).take_all()  # dim rows
+    dim = len(mom)
+    mu = np.empty(dim, np.float64)
+    var = np.empty(dim, np.float64)
+    for r in mom:
+        d = int(r["d"])
+        n = float(r["n"])
+        sx = float(np.round(r["sx"], 6))
+        sxx = float(np.round(r["sxx"], 6))
+        mu[d] = sx / n
+        var[d] = sxx / n - (sx / n) * (sx / n)
+    var = np.where(var <= 0, 1.0, var)
+
+    def score_partial(t: pa.Table) -> pa.Table:
+        emb = np.stack(t["embedding"].to_pandas().to_numpy()).astype(
+            np.float64
+        )
+        score = np.round(((emb - mu) ** 2 / var).sum(axis=1), 6)
+        ids = t["vec_id"].to_numpy()
+        order = np.lexsort((ids, -score))[:k]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[order].astype(np.int64),
+                                   pa.int64()),
+                "score": pa.array(score[order], pa.float64()),
+            }
+        )
+
+    top = (
+        ds.map_batches(score_partial, batch_format="pyarrow")
+        .sort(["score", "vec_id"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "outlier_rank": pa.array(
+                np.arange(1, len(top) + 1, dtype=np.int64), pa.int64()
+            ),
+            "vec_id": pa.array(top["vec_id"].to_numpy(np.int64),
+                               pa.int64()),
+            "score": pa.array(top["score"].to_numpy(np.float64),
+                              pa.float64()),
+        }
+    )

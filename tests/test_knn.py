@@ -388,3 +388,38 @@ def test_rrf_fusion_semantics(ray_session):
     # scores are non-increasing in fused_rank
     s = df["rrf_score"].to_numpy()
     assert (s[:-1] >= s[1:]).all()
+
+
+def test_embedding_outlier_scores_planted(ray_session, tmp_path):
+    """A planted wild vector ranks first by diagonal Mahalanobis; the
+    score equals a direct z-energy recompute with the same rounding."""
+    import pandas as pd
+
+    from docling_eval_ray.stages.knn import embedding_outlier_scores
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(0, 1, (64, 8)).astype(np.float32)
+    base[7] = 40.0  # the outlier
+    pd.DataFrame(
+        {
+            "vec_id": pd.array(range(64), dtype="int64"),
+            "embedding": list(base),
+            "label": pd.array([0] * 64, dtype="int32"),
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet")
+
+    got = embedding_outlier_scores(str(tmp_path), k=5).to_pandas()
+    assert got["vec_id"].iloc[0] == 7
+    assert list(got["outlier_rank"]) == [1, 2, 3, 4, 5]
+    assert (got["score"].to_numpy()[:-1]
+            >= got["score"].to_numpy()[1:]).all()
+
+    x = base.astype(np.float64)
+    sx = np.round(x.sum(axis=0), 6)
+    sxx = np.round((x * x).sum(axis=0), 6)
+    n = len(x)
+    mu = sx / n
+    var = sxx / n - mu * mu
+    var = np.where(var <= 0, 1.0, var)
+    want = np.round(((x - mu) ** 2 / var).sum(axis=1), 6)
+    assert got["score"].iloc[0] == want[7]
