@@ -283,6 +283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "curriculum_stage_assign": c.curriculum_stage_assign,  # oracled (easy→hard NTILE-free)
             "token_ttr_by_source": c.token_ttr_by_source,  # oracled (lexical diversity)
             "pack_efficiency_report": c.pack_efficiency_report,  # oracled (padding budget)
+            "epoch_shuffle_order": c.epoch_shuffle_order,  # oracled (deterministic shuffle)
             "lang_mixture_weights": c.lang_mixture_weights,
             "mixture_resample_census": c.mixture_resample_census,
             "quality_percentile_filter": c.quality_percentile_filter,  # oracled (quantile_disc prune)

@@ -2698,3 +2698,69 @@ def pack_efficiency_report(sf_dir: str):
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# epoch_shuffle_order — deterministic per-epoch training order
+# ---------------------------------------------------------------------------
+
+#: epochs planned by the shuffle-order op
+SHUFFLE_EPOCHS = 2
+
+
+def epoch_shuffle_order(sf_dir: str):
+    """(doc_id, epoch, position) — the multi-epoch data-ordering plan a
+    pre-training loader needs: each epoch visits every doc exactly once
+    in an order keyed by ``md5("e{epoch}-{doc_id}")``, so epochs are
+    decorrelated, reproducible across runs/engines, and stable under
+    repartitioning (a ``random_shuffle`` would be none of these).
+
+    Shape: a 2× flat explode rides the scan; ordering is ONE
+    composite-key ``global_row_number`` (key = epoch·2⁴⁰ + hash32,
+    doc_id tiebreak — the ``perplexity_buckets`` device), a
+    range-partitioned rank with no full sort; the within-epoch
+    position is ``rn − epoch·n_docs`` (each epoch owns a contiguous
+    key range by construction)."""
+    from ..functions.ranks import global_row_number
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    n_docs = ds.count()
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        out_ids = np.tile(ids, SHUFFLE_EPOCHS)
+        epochs = np.repeat(
+            np.arange(SHUFFLE_EPOCHS, dtype=np.int64), len(ids)
+        )
+        h = np.array(
+            [
+                md5_prefix32(f"e{e}-{d}")
+                for e, d in zip(epochs, out_ids)
+            ],
+            np.int64,
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids.astype(np.int64), pa.int64()),
+                "epoch": pa.array(epochs, pa.int64()),
+                "k": pa.array(
+                    epochs * (np.int64(1) << 40) + h, pa.int64()
+                ),
+            }
+        )
+
+    keyed = ds.map_batches(explode, batch_format="pyarrow")
+    ranked = global_row_number(keyed, "k", tiebreak=["doc_id"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        rn = t["rn"].to_numpy()
+        e = t["epoch"].to_numpy()
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "epoch": pc.cast(t["epoch"], pa.int64()),
+                "position": pa.array(rn - e * n_docs, pa.int64()),
+            }
+        )
+
+    return ranked.map_batches(finish, batch_format="pyarrow")

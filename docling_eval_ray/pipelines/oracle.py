@@ -5433,3 +5433,26 @@ def _embedding_outlier_sql() -> str:
 
 
 ORACLE_SQL["embedding_outlier_scores"] = _embedding_outlier_sql()
+
+
+def _epoch_shuffle_sql() -> str:
+    from .corpus_ops import SHUFFLE_EPOCHS
+
+    return f"""
+    WITH e AS (
+        SELECT doc_id, epoch,
+               CAST(('0x' || substr(md5('e' || CAST(epoch AS VARCHAR)
+                     || '-' || CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS UBIGINT) AS h
+        FROM documents,
+             UNNEST(generate_series(0, {SHUFFLE_EPOCHS - 1})) AS t(epoch)
+    )
+    SELECT doc_id, CAST(epoch AS BIGINT) AS epoch,
+           CAST(row_number() OVER (PARTITION BY epoch
+                                   ORDER BY h, doc_id) AS BIGINT)
+               AS position
+    FROM e
+"""
+
+
+ORACLE_SQL["epoch_shuffle_order"] = _epoch_shuffle_sql()

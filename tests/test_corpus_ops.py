@@ -641,3 +641,21 @@ def test_pack_efficiency_report_consistency(ray_session):
     )
     if rep["n_oversized"] == 0:
         assert rep["fill_rate"] <= 1.0
+
+
+def test_epoch_shuffle_order_permutations(ray_session):
+    """Each epoch is a full 1..n permutation; epochs are decorrelated
+    (rank correlation well below 1); the order is reproducible."""
+    df = co.epoch_shuffle_order(SF).to_pandas()
+    n = df["doc_id"].nunique()
+    for e, g in df.groupby("epoch"):
+        assert sorted(g["position"]) == list(range(1, n + 1))
+        assert g["doc_id"].is_unique
+    wide = df.pivot(index="doc_id", columns="epoch", values="position")
+    rho = np.corrcoef(wide[0], wide[1])[0, 1]
+    assert abs(rho) < 0.2
+    again = co.epoch_shuffle_order(SF).to_pandas()
+    pd.testing.assert_frame_equal(
+        df.sort_values(["epoch", "doc_id"]).reset_index(drop=True),
+        again.sort_values(["epoch", "doc_id"]).reset_index(drop=True),
+    )
