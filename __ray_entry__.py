@@ -409,8 +409,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from docling_eval_ray.sources.hf_snapshot import hf_snapshot_roundtrip
 
     q["hf_snapshot_roundtrip"] = hf_snapshot_roundtrip  # oracled (census)
-    q["approx_token_vocabulary"] = approx_token_vocabulary
-    q["daily_active_users_hll"] = daily_active_users_hll
+    # both HLL queries are hash-oracled since continuation-2: the md5
+    # register build is rebuilt verbatim in SQL (bin()-length ranks)
+    q["approx_token_vocabulary"] = approx_token_vocabulary  # oracled
+    q["daily_active_users_hll"] = daily_active_users_hll    # oracled
     q["events_value_tdigest"] = events_value_tdigest
     q["events_type_p99_tdigest"] = events_type_p99_tdigest
     q["token_count_min"] = token_count_min  # oracled (CM calibration)

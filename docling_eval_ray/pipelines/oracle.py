@@ -5456,3 +5456,90 @@ def _epoch_shuffle_sql() -> str:
 
 
 ORACLE_SQL["epoch_shuffle_order"] = _epoch_shuffle_sql()
+
+
+def _hll_est_sql(group_cols: str, src: str, alpha: float) -> str:
+    """Shared HLL estimate fragment: register rebuild (md5 top half,
+    idx = h >> 52, rest = (h·2^12) mod 2^64, rank from bin()-length
+    leading zeros), raw = α·m²/Σ2^-reg with zero registers contributing
+    1.0 each, and the standard small-range linear-counting branch —
+    the exact arithmetic of stages/sketches.py:HyperLogLog.estimate
+    (summation-order and libm last-ulp drift absorbed by the 1dp
+    output rounding)."""
+    g = group_cols + ", " if group_cols else ""
+    gb = f"GROUP BY {group_cols}" if group_cols else ""
+    return f"""
+    reg AS (
+        SELECT {g}hv // 4503599627370496 AS idx,
+               CAST((CAST(hv AS HUGEINT) * 4096)
+                    % 18446744073709551616 AS UBIGINT) AS rest
+        FROM {src}
+    ),
+    rk AS (
+        SELECT {g}idx,
+               max(CASE WHEN rest = 0 THEN 54
+                        ELSE 64 - length(bin(rest)) + 1 END) AS r
+        FROM reg GROUP BY {g}idx
+    ),
+    s AS (
+        SELECT {g}count(*) AS used,
+               sum(power(2.0, -r)) AS s_used
+        FROM rk {gb}
+    ),
+    est AS (
+        SELECT {g}used,
+               CAST({alpha!r} AS DOUBLE) * 4096.0 * 4096.0
+                   / ((4096 - used) * 1.0 + s_used) AS raw
+        FROM s
+    ),
+    final_est AS (
+        SELECT {g}
+               CASE WHEN raw <= 2.5 * 4096.0 AND used < 4096
+                    THEN 4096.0 * ln(4096.0 / (4096 - used))
+                    ELSE raw END AS est
+        FROM est
+    )
+"""
+
+
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / 4096)
+
+ORACLE_SQL["daily_active_users_hll"] = (
+    """
+    WITH u AS (
+        SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day, user_id
+        FROM events
+    ),
+    h AS (
+        SELECT day,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))
+                    AS UBIGINT) AS hv
+        FROM u
+    ),
+"""
+    + _hll_est_sql("day", "h", _HLL_ALPHA)
+    + """
+    SELECT day, round_even(est, 1) AS dau_approx FROM final_est
+"""
+)
+
+# str.split() tokenization (runs of whitespace, empties dropped) — the
+# approx_token_vocabulary explode's semantics, not the trim+\s+ one
+ORACLE_SQL["approx_token_vocabulary"] = (
+    r"""
+    WITH toks AS (
+        SELECT DISTINCT tok
+        FROM documents,
+             UNNEST(regexp_split_to_array(text, '\s+')) AS t(tok)
+        WHERE tok <> ''
+    ),
+    h AS (
+        SELECT CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS hv
+        FROM toks
+    ),
+"""
+    + _hll_est_sql("", "h", _HLL_ALPHA)
+    + """
+    SELECT round_even(est, 1) AS approx_distinct_tokens FROM final_est
+"""
+)

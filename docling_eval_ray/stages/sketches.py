@@ -26,11 +26,8 @@ import pyarrow.compute as pc
 
 from ..functions.groups import final_groupby_sum
 
-# Module-scope, not lazy: this method runs INSIDE worker batches, and a
-# runtime relative import there goes through the import system and dies
-# with ModuleNotFoundError on workers that can't import the repo path —
-# module globals ship by value with cloudpickle, runtime imports don't.
-from .dedup import _hash64
+# (the HLL hash was blake2b via dedup._hash64 through round 5; it is
+# md5 now so DuckDB can rebuild the registers — see HyperLogLog._hash)
 
 
 class HyperLogLog:
@@ -43,7 +40,17 @@ class HyperLogLog:
 
     @staticmethod
     def _hash(values: list[str]) -> np.ndarray:
-        return np.array([_hash64(v) for v in values], dtype=np.uint64)
+        # md5 top half (the _md5_hash64 convention), NOT blake2b: the
+        # register build is then bit-reproducible in DuckDB
+        # (substr(md5(v),1,16) → UBIGINT; rest = (h·2^p) mod 2^64 in
+        # HUGEINT; leading zeros via length(bin(rest))), which is what
+        # makes daily_active_users_hll / approx_token_vocabulary
+        # hash-oracle-able instead of rows-only.
+        return np.array(
+            [int(hashlib.md5(v.encode()).hexdigest()[:16], 16)
+             for v in values],
+            dtype=np.uint64,
+        )
 
     def add_many(self, values: list[str]) -> None:
         if not values:
@@ -138,9 +145,10 @@ def quantile_from_histogram(bins: list[float], hist: list[int],
 
 
 def approx_token_vocabulary(sf_dir: str):
-    """Rows-only query: approximate distinct-token count over the whole
-    corpus via per-batch HLL merge, next to the exact count for the
-    driver's rows check (exactness asserted in tests at small scale)."""
+    """Approximate distinct-token count over the whole corpus via
+    per-batch HLL merge — hash-oracled: DuckDB rebuilds the md5
+    registers and replays the estimator arithmetic (accuracy vs the
+    exact count additionally asserted in tests at small scale)."""
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
@@ -219,8 +227,10 @@ def grouped_approx_distinct(ds, key: str, col: str, *, p: int = 12,
 
 
 def daily_active_users_hll(sf_dir: str):
-    """Approximate DAU via the grouped HLL (rows-only; accuracy vs the
-    exact ``daily_active_users`` asserted in tests/test_sketches.py)."""
+    """Approximate DAU via the grouped HLL — hash-oracled (the SQL
+    replica rebuilds each day's registers from md5 and replays the
+    estimator); accuracy vs the exact ``daily_active_users``
+    additionally asserted in tests/test_sketches.py."""
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
