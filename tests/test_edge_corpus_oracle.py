@@ -31,6 +31,14 @@ NAMES = [
     "deterministic_sample", "decontaminate_ngrams", "document_winnow",
     "ngram_jaccard_pairs", "minhash_near_dups", "token_frequency_topk",
     "dedup_exact", "document_fingerprints", "quality_scores",
+    # continuation-2 documents-only oracled ops
+    "token_count_min", "dedup_inflation_by_source", "k_anonymity_census",
+    "split_contamination_audit", "quality_perplexity_corr",
+    "vocab_coverage_curve", "incremental_dedup_ingest",
+    "shard_skew_report", "langid_confusion", "curriculum_stage_assign",
+    "token_ttr_by_source", "pack_efficiency_report",
+    "epoch_shuffle_order", "classifier_reliability_bins",
+    "bloom_fp_calibration", "approx_token_vocabulary",
 ]
 
 
