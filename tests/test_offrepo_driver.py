@@ -40,6 +40,12 @@ QUERIES = [
     "evaluate_tables",
     "html_extraction",
     "top_tokens_per_lang",
+    # continuation-2 representatives: the broadcast bench-set cache
+    # (bloom_fp_calibration), the fused LM consumer (extra_doc_cols
+    # text ride), and the LangId actor census
+    "bloom_fp_calibration",
+    "quality_perplexity_corr",
+    "langid_confusion",
 ]
 
 
